@@ -1,0 +1,227 @@
+package graft
+
+import graft.functions.Codecs._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Queries.Q
+
+/** Queries exercising the codec nodes (§2.2) and source/sink/multimodal
+  * plumbing (§2.3, part of §2.6). */
+object CodecQueries {
+
+  /** JsonToPython: typed from_json + single-path extraction. */
+  val qJsonParse = Q(
+    "q_json_parse",
+    (s, dir) => {
+      val schema = StructType(Seq(StructField("k", IntegerType)))
+      Tables(s, dir).events.select(
+        col("event_id"),
+        jsonParse(col("props"), schema).getField("k").as("k_typed"),
+        jsonGet(col("props"), "$.k").as("k_str"))
+    },
+    Some("""SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+              json_extract_string(props, '$.k') AS k_str
+            FROM events"""))
+
+  /** PythonToJson: serialize columns to a JSON payload. */
+  val qJsonFormat = Q(
+    "q_json_format",
+    (s, dir) => {
+      Tables(s, dir).events.select(
+        col("event_id"),
+        jsonFormat(col("event_id"), col("event_type"), col("user_id")).as("payload"))
+    },
+    Some("""SELECT event_id, to_json(struct_pack(
+              event_id := event_id, event_type := event_type,
+              user_id := user_id))::VARCHAR AS payload
+            FROM events"""))
+
+  /** Encode/Decode charset roundtrip + byte length of encoded payload. */
+  val qEncodeDecode = Q(
+    "q_encode_decode",
+    (s, dir) => {
+      val c = Tables(s, dir).customer
+      c.select(
+        col("c_custkey"),
+        decodeText(encodeText(col("c_name"))).as("name_rt"),
+        octet_length(encodeText(col("c_name"))).cast("long").as("n_bytes"))
+    },
+    Some("""SELECT c_custkey, c_name AS name_rt,
+              octet_length(encode(c_name)) AS n_bytes FROM customer"""))
+
+  /** B64Encode/B64Decode roundtrip. */
+  val qB64Roundtrip = Q(
+    "q_b64_roundtrip",
+    (s, dir) => {
+      val c = Tables(s, dir).customer
+      val b64 = b64Encode(encodeText(col("c_name")))
+      c.select(
+        col("c_custkey"),
+        b64.as("b64"),
+        decodeText(b64Decode(b64)).as("back"))
+    },
+    Some("""SELECT c_custkey, base64(encode(c_name)) AS b64, c_name AS back
+            FROM customer"""))
+
+  /** Python2CSVstr: one CSV line per message. */
+  val qCsvFormat = Q(
+    "q_csv_format",
+    (s, dir) => {
+      Tables(s, dir).customer.select(
+        col("c_custkey"),
+        csvFormat(";", col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          round(col("c_acctbal"), 2)).as("line"))
+    },
+    Some("""SELECT c_custkey, concat_ws(';', c_custkey, c_name, c_mktsegment,
+              round(c_acctbal, 2)) AS line FROM customer"""))
+
+  /** CSVstr2Python: parse the line back, pick fields (typed + untyped). */
+  val qCsvParse = Q(
+    "q_csv_parse",
+    (s, dir) => {
+      val line = csvFormat(";", col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType),
+        StructField("segment", StringType)))
+      Tables(s, dir).customer.select(
+        col("c_custkey"),
+        element_at(csvSplit(line, ";"), 2).as("f_name"),
+        csvParse(line, schema, ";").getField("segment").as("f_segment"))
+    },
+    Some("""SELECT c_custkey,
+              string_split(concat_ws(';', c_custkey, c_name, c_mktsegment), ';')[2] AS f_name,
+              string_split(concat_ws(';', c_custkey, c_name, c_mktsegment), ';')[3] AS f_segment
+            FROM customer"""))
+
+  /** PythonToXML: element building. */
+  val qXmlFormat = Q(
+    "q_xml_format",
+    (s, dir) => {
+      Tables(s, dir).customer.select(
+        col("c_custkey"),
+        xmlFormat("cust",
+          "name" -> col("c_name"),
+          "seg" -> col("c_mktsegment"),
+          "key" -> col("c_custkey")).as("xml"))
+    },
+    Some("""SELECT c_custkey,
+              concat('<cust>', '<name>', c_name, '</name>', '<seg>', c_mktsegment,
+                '</seg>', '<key>', c_custkey, '</key>', '</cust>') AS xml
+            FROM customer"""))
+
+  /** XMLToPython: XPath extraction from an XML payload. */
+  val qXmlParse = Q(
+    "q_xml_parse",
+    (s, dir) => {
+      val xml = xmlFormat("cust", "name" -> col("c_name"), "seg" -> col("c_mktsegment"))
+      Tables(s, dir).customer.select(
+        col("c_custkey"),
+        xmlExtract(xml, "/cust/name").as("name"),
+        xmlExtract(xml, "/cust/seg").as("seg"))
+    },
+    Some("""SELECT c_custkey, c_name AS name, c_mktsegment AS seg FROM customer"""))
+
+  /** PythonToHL7 / HL7ToPython: segment+field construction and access. */
+  val qHl7Parse = Q(
+    "q_hl7_parse",
+    (s, dir) => {
+      val msg = hl7Format(Seq(
+        Seq(lit("MSH"), lit("^~&"), lit("GRAFT"), col("c_mktsegment")),
+        Seq(lit("PID"), col("c_custkey"), col("c_name"))))
+      Tables(s, dir).customer.select(
+        col("c_custkey"),
+        msg.as("hl7"),
+        hl7Field(msg, 1, 2).as("pid_name"),
+        hl7Field(msg, 0, 3).as("msh_app"))
+    },
+    Some("""SELECT c_custkey,
+              concat('MSH|^~&|GRAFT|', c_mktsegment, chr(13),
+                     'PID|', c_custkey, '|', c_name) AS hl7,
+              c_name AS pid_name,
+              c_mktsegment AS msh_app
+            FROM customer"""))
+
+  /** Email node: RFC-822 text rendering. */
+  val qEmailFormat = Q(
+    "q_email_format",
+    (s, dir) => {
+      Tables(s, dir).customer.select(
+        col("c_custkey"),
+        emailFormat(
+          subject = concat(lit("Account "), col("c_custkey")),
+          sender = lit("graft@example.com"),
+          recipients = lower(col("c_name")),
+          body = concat(lit("Balance update for "), col("c_name"))).as("mime"))
+    },
+    Some("""SELECT c_custkey,
+              concat('Subject: Account ', c_custkey, chr(13), chr(10),
+                     'From: graft@example.com', chr(13), chr(10),
+                     'To: ', lower(c_name), chr(13), chr(10), chr(13), chr(10),
+                     'Balance update for ', c_name) AS mime
+            FROM customer"""))
+
+  /** HttpRequest: URL + query-string building with URL encoding. */
+  val qHttpUrl = Q(
+    "q_http_url",
+    (s, dir) => {
+      Tables(s, dir).orders.select(
+        col("o_orderkey"),
+        httpUrl("https://api.example.com/orders",
+          "id" -> col("o_orderkey"),
+          "status" -> col("o_orderstatus"),
+          "priority" -> col("o_orderpriority")).as("url"))
+    },
+    Some("""SELECT o_orderkey,
+              concat('https://api.example.com/orders?id=', o_orderkey,
+                '&status=', o_orderstatus, '&priority=',
+                replace(o_orderpriority, ' ', '+')) AS url
+            FROM orders"""))
+
+  /** FileReader/FileWriter: write a CSV extract, read it back typed. */
+  val qSourceRoundtrip = Q(
+    "q_source_roundtrip",
+    (s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_src_rt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables(s, dir).customer
+        .filter(col("c_custkey") <= 50)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read
+        .schema(StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("c_name", StringType),
+          StructField("c_acctbal", DoubleType))))
+        .option("header", "true")
+        .csv(tmp)
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_custkey <= 50"""))
+
+  /** Multimodal: opaque binary payload + typed metadata extraction +
+    * chunk/frame counting — the columnar plumbing for image/audio work
+    * (decode itself is env-stubbed; see graft.multimodal). */
+  val qMultimodalMeta = Q(
+    "q_multimodal_meta",
+    (s, dir) => {
+      val bin = encode(col("text"), "UTF-8")
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        octet_length(bin).cast("long").as("n_bytes"),
+        md5(bin).as("content_hash"),
+        pmod(octet_length(bin), lit(640)).cast("long").as("fake_width"),
+        pmod(octet_length(bin), lit(480)).cast("long").as("fake_height"),
+        ceil(octet_length(bin).cast("double") / 256.0).cast("long").as("n_chunks"))
+    },
+    Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+              md5(text) AS content_hash,
+              octet_length(encode(text)) % 640 AS fake_width,
+              octet_length(encode(text)) % 480 AS fake_height,
+              CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks
+            FROM documents"""))
+
+  def all: Seq[Q] = Seq(
+    qJsonParse, qJsonFormat, qEncodeDecode, qB64Roundtrip, qCsvFormat,
+    qCsvParse, qXmlFormat, qXmlParse, qHl7Parse, qEmailFormat, qHttpUrl,
+    qSourceRoundtrip, qMultimodalMeta)
+}

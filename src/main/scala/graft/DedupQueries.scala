@@ -1,0 +1,117 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.sim.Ann
+import org.apache.spark.sql.functions._
+import Queries.Q
+
+/** Dedup + similarity-search queries (§2.6). MinHash/SimHash/IVF declare no
+  * SQL oracle (hash functions are engine-specific) → driver rows-only check;
+  * each has an exact-expectation ScalaTest instead. */
+object DedupQueries {
+
+  /** Exact dedup over a corpus with injected duplicates. */
+  val qDedupExact = Q(
+    "q_dedup_exact",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val doubled = d.unionByName(
+        d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.exact(doubled, "doc_id", "text")
+    },
+    Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+              count(*) AS n_copies
+            FROM (SELECT doc_id, text FROM documents
+                  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+            GROUP BY md5(text)"""))
+
+  /** N-gram Jaccard near-dup pairs on a deterministic subset (the oracle
+    * replicates shingling relationally; the full-corpus path is the LSH
+    * variant below). */
+  val qDedupJaccard = Q(
+    "q_dedup_jaccard",
+    (s, dir) => {
+      val subset = Tables(s, dir).documents
+        .filter(col("doc_id") % 5 === 0)
+      Dedup.ngramJaccard(subset, "doc_id", "text", n = 2, threshold = 0.08)
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id AS id,
+                string_split_regex(trim(text), '\s+') AS toks
+              FROM documents WHERE doc_id % 5 = 0),
+            sized AS (
+              SELECT id, list_distinct(list_transform(
+                range(1, greatest(len(toks) - 2 + 1, 0) + 1),
+                i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS sh
+              FROM docs),
+            ex AS (
+              SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM sized),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+                count(*) AS n_common
+              FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+              GROUP BY 1, 2, 3, 4)
+            SELECT id_a, id_b,
+              round(n_common::DOUBLE / (n_a + n_b - n_common), 4) AS jaccard
+            FROM pairs
+            WHERE n_common::DOUBLE / (n_a + n_b - n_common) >= 0.08"""))
+
+  /** MinHash+LSH candidate pairs (rows-only: xxhash64 signatures). */
+  val qDedupMinhash = Q(
+    "q_dedup_minhash",
+    (s, dir) => {
+      val subset = Tables(s, dir).documents.filter(col("doc_id") % 2 === 0)
+      Dedup.minhashLsh(subset, "doc_id", "text", shingleN = 3, k = 16, bands = 8)
+    })
+
+  /** SimHash near-dup candidates within hamming distance (rows-only). */
+  val qDedupSimhash = Q(
+    "q_dedup_simhash",
+    (s, dir) => {
+      val subset = Tables(s, dir).documents.filter(col("doc_id") % 2 === 0)
+      Dedup.simhashPairs(subset, "doc_id", "text", maxHamming = 16, chunks = 4)
+    })
+
+  /** Embedding-cosine near-dup pairs, blocked by label (rows-only). */
+  val qDedupEmbed = Q(
+    "q_dedup_embed",
+    (s, dir) => {
+      Dedup.embeddingDups(Tables(s, dir).embeddings,
+        "vec_id", "embedding", "label", threshold = 0.3)
+    })
+
+  /** Brute-force cosine top-k against the vec_id=0 query vector. */
+  val qAnnCosine = Q(
+    "q_ann_cosine",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val query = Ann.queryVector(s, emb, "vec_id", 0L, "embedding")
+      Ann.bruteForceTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", query, 10)
+    },
+    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT vec_id AS id,
+                list_sum(list_transform(range(1, 65),
+                  i -> embedding[i]::DOUBLE * qv[i]::DOUBLE)) /
+                (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) *
+                 sqrt(list_sum(list_transform(range(1, 65),
+                  i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))) AS cos
+              FROM embeddings, q WHERE vec_id != 0)
+            SELECT id, round(cos, 4) AS cosine FROM scored
+            ORDER BY cosine DESC, id LIMIT 10"""))
+
+  /** IVF-bucketed ANN (rows-only; deterministic centroid pick). */
+  val qAnnIvf = Q(
+    "q_ann_ivf",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val query = Ann.queryVector(s, emb, "vec_id", 0L, "embedding")
+      val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", nlist = 16)
+      Ann.ivfTopK(assigned, query, nprobe = 4, k = 10)
+    })
+
+  def all: Seq[Q] = Seq(
+    qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
+    qAnnCosine, qAnnIvf)
+}

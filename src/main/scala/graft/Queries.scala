@@ -1,0 +1,220 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Central registry of driver-checked queries.
+  *
+  * Each entry pairs a Spark implementation with (when SQL-expressible) a
+  * DuckDB oracle over the same parquet tables. Conventions for oracle
+  * parity:
+  *   - every computed column aliased identically on both sides;
+  *   - floating-point aggregates rounded to 4 decimals on both sides;
+  *   - timestamps surfaced as DATE or epoch BIGINT (never raw ns ts);
+  *   - deterministic total order inside any top-k (tie-break on a key).
+  */
+object Queries {
+
+  final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String] = None)
+
+  /** round(x, 4) — FP-stable cross-engine compare for double aggregates. */
+  private def r4(c: Column): Column = round(c, 4)
+
+  // ===========================================================
+  // §2.5 analytics core
+  // ===========================================================
+
+  /** TPC-H Q1 shape: scan → filter → grouped agg with partial (map-side)
+    * aggregation; at 100 TB this is a single shuffle of ~6 groups. */
+  val q1Agg = Q(
+    "q1_agg",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r4(sum(col("l_quantity"))).as("sum_qty"),
+          r4(sum(col("l_extendedprice"))).as("sum_base_price"),
+          r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          r4(avg(col("l_quantity"))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+            round(sum(l_quantity), 4) AS sum_qty,
+            round(sum(l_extendedprice), 4) AS sum_base_price,
+            round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+            round(avg(l_quantity), 4) AS avg_qty,
+            count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus"""))
+
+  /** Filter + projection — both must reach the parquet scan (PushedFilters /
+    * ReadSchema in explain). */
+  val qFilterProject = Q(
+    "q_filter_project",
+    (s, dir) => {
+      Tables(s, dir).lineitem
+        .filter(col("l_discount") > 0.05 && col("l_quantity") < 10)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          r4(col("l_extendedprice") * col("l_discount")).as("disc_amount"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+            round(l_extendedprice * l_discount, 4) AS disc_amount
+            FROM lineitem WHERE l_discount > 0.05 AND l_quantity < 10"""))
+
+  /** TPC-H Q3 shape: selective dim filter, two joins, agg, top-k. customer
+    * is small relative to fact tables → broadcast; top-k via sort+limit
+    * (TakeOrderedAndProject — no full sort at scale). */
+  val q3Topk = Q(
+    "q3_topk",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      val ord = t.orders.filter(col("o_orderdate") < lit("1995-03-15").cast("date"))
+      val li = t.lineitem.filter(col("l_shipdate") > lit("1995-03-15").cast("date"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .select(
+          col("l_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+            round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < DATE '1995-03-15'
+              AND l_shipdate > DATE '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  /** Window functions: rank and running sum per user; single shuffle on
+    * user_id serves both windows. */
+  val qWindow = Q(
+    "q_window",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("running_value", r4(sum(col("value")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("rn"), col("running_value"))
+    },
+    Some("""SELECT user_id, event_id, rn, running_value FROM (
+              SELECT user_id, event_id,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+              FROM events) WHERE rn <= 3"""))
+
+  /** Distinct users per event type — partial-aggregatable count-distinct. */
+  val qDistinct = Q(
+    "q_distinct",
+    (s, dir) => {
+      Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+    },
+    Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+            count(*) AS n_events FROM events GROUP BY event_type"""))
+
+  /** Semi + anti join (EXISTS / NOT EXISTS): customers with at least one
+    * open order but no pending order. Anti/semi joins never explode rows
+    * and broadcast the smaller side under AQE. */
+  val qSemiAnti = Q(
+    "q_semi_anti",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val c = t.customer
+      val o = t.orders
+      val open = o.filter(col("o_orderstatus") === "O")
+      val pending = o.filter(col("o_orderstatus") === "P")
+      c.join(open, c("c_custkey") === open("o_custkey"), "left_semi")
+        .join(pending, c("c_custkey") === pending("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+            GROUP BY c_mktsegment"""))
+
+  /** Statistical aggregates (all partial-aggregatable). */
+  val qAggStats = Q(
+    "q_agg_stats",
+    (s, dir) => {
+      Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(
+          r4(avg(col("value"))).as("avg_value"),
+          r4(stddev(col("value"))).as("sd_value"),
+          r4(min(col("value"))).as("min_value"),
+          r4(max(col("value"))).as("max_value"))
+    },
+    Some("""SELECT event_type, round(avg(value), 4) AS avg_value,
+            round(stddev(value), 4) AS sd_value,
+            round(min(value), 4) AS min_value,
+            round(max(value), 4) AS max_value
+            FROM events GROUP BY event_type"""))
+
+  /** Time-window aggregation — the batch-checked shape of the streaming
+    * windowed agg (graft.streaming uses the same expression on readStream).
+    * Time surfaced as (date, hour) ints to dodge ns/µs parquet mismatch. */
+  val qStreamWindow = Q(
+    "q_stream_window",
+    (s, dir) => {
+      Tables(s, dir).events
+        .groupBy(
+          to_date(col("ts")).as("day"),
+          hour(col("ts")).as("hr"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("total_value"))
+    },
+    Some("""SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS INT) AS hr, event_type,
+            count(*) AS n, round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2, 3"""))
+
+  /** Top-k per group: dense top-3 parts by retail price per brand. */
+  val qTopkPerGroup = Q(
+    "q_topk_per_group",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      Tables(s, dir).part
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rk"))
+    },
+    Some("""SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+              SELECT p_brand, p_partkey, p_retailprice,
+                row_number() OVER (PARTITION BY p_brand
+                  ORDER BY p_retailprice DESC, p_partkey) AS rk
+              FROM part) WHERE rk <= 3"""))
+
+  // -----------------------------------------------------------
+  // registry
+  // -----------------------------------------------------------
+
+  def all: Seq[Q] = Seq(
+    q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
+    qAggStats, qStreamWindow, qTopkPerGroup) ++
+    MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
+    TextQueries.all ++ DedupQueries.all
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * Every query takes the scale-factor directory as a parameter so the same
+  * code runs at sf0.001 (smoke), sf0.01 (oracle) and sf0.1 (bench) — and, on
+  * a real cluster, at any path. Reads are plain parquet scans so Catalyst
+  * pushes filters/projections down to the source.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame = t("region")
+  def nation: DataFrame = t("nation")
+  def customer: DataFrame = t("customer")
+  def supplier: DataFrame = t("supplier")
+  def part: DataFrame = t("part")
+  def orders: DataFrame = t("orders")
+  def lineitem: DataFrame = t("lineitem")
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong`
+    * (see GraftSession) so it arrives as nanos-since-epoch LongType, and we
+    * floor-truncate to a µs timestamp — the same conversion DuckDB applies,
+    * keeping oracle parity. */
+  def events: DataFrame = {
+    val raw = t("events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+import Queries.Q
+
+/** Text-analysis queries over the documents table (§2.6). */
+object TextQueries {
+
+  /** Marker-based language ID. The oracle replicates the scoring formula
+    * (occurrence counting via the replace trick) so both engines compute
+    * the identical deterministic heuristic. */
+  val qLangId = Q(
+    "q_lang_id",
+    (s, dir) => {
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        langId(col("text"), defaultMarkers).as("lang_pred"))
+    },
+    Some {
+      // per-language score: sum of marker occurrences in ' '||text||' '
+      def score(words: Seq[String]): String = words.map { w =>
+        s"CAST((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
+      }.mkString(" + ")
+      val langs = Seq( // keep in sync with TextFunctions.defaultMarkers
+        "en" -> Seq("the", "a", "of", "and"),
+        "fr" -> Seq("le", "la", "et", "de"),
+        "de" -> Seq("der", "die", "und", "das"),
+        "es" -> Seq("el", "los", "y", "que"))
+      val unions = langs.map { case (l, ws) =>
+        s"SELECT doc_id, '$l' AS lang, ${score(ws)} AS score FROM padded"
+      }.mkString(" UNION ALL ")
+      s"""WITH padded AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+            scores AS ($unions),
+            best AS (
+              SELECT doc_id, max({'score': score, 'lang': lang}) AS b
+              FROM scores GROUP BY doc_id)
+          SELECT doc_id,
+            CASE WHEN b.score > 0 THEN b.lang ELSE 'unk' END AS lang_pred
+          FROM best"""
+    })
+
+  /** Quality scoring: length/punctuation/stopword-ratio formula. */
+  val qQualityScore = Q(
+    "q_quality_score",
+    (s, dir) => {
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        round(qualityScore(col("text")), 4).as("quality"))
+    },
+    Some {
+      val stop = defaultStopwords.map { w =>
+        s"CAST((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
+      }.mkString(" + ")
+      s"""SELECT doc_id, round(
+            least(greatest(
+              least(length(text) / 500.0, 1.0) * 0.5
+              + least((($stop) / greatest(ntok, 1.0)) * 5.0, 1.0) * 0.5
+              - (npunct / greatest(length(text)::DOUBLE, 1.0)) * 2.0,
+            0.0), 1.0), 4) AS quality
+          FROM (
+            SELECT doc_id, text, ' ' || text || ' ' AS p,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+')) END::DOUBLE AS ntok,
+              len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]'))::DOUBLE AS npunct
+            FROM documents)"""
+    })
+
+  /** Token counting: whitespace tokens + BPE-ish subword regex tokens. */
+  val qTokenCount = Q(
+    "q_token_count",
+    (s, dir) => {
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_ws_tokens"),
+        bpeIshTokenCount(col("text")).as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_measured"))
+    },
+    Some("""SELECT doc_id,
+              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_ws_tokens,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+              CAST(length(text) AS BIGINT) AS n_chars_measured
+            FROM documents"""))
+
+  /** Normalization fingerprint (sorted-distinct-token md5). */
+  val qFingerprint = Q(
+    "q_fingerprint",
+    (s, dir) => {
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"))
+    },
+    Some("""SELECT doc_id,
+              md5(array_to_string(list_sort(list_distinct(
+                string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp
+            FROM documents"""))
+
+  def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint)
+}

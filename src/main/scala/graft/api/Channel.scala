@@ -1,0 +1,134 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A named `DataFrame => DataFrame` transform — graft's re-expression of
+  * pypeman's `BaseNode` (reference: pypeman/nodes.py:104). One node processes
+  * the whole distributed relation instead of one message at a time; all
+  * built-in nodes compile to Catalyst expressions (whole-stage codegen), so a
+  * chain of nodes fuses into a single physical stage wherever possible.
+  *
+  * `passthrough` mirrors pypeman's passthrough nodes (nodes.py:116): the
+  * node's effect is discarded and the input row continues unchanged.
+  */
+final case class Node(
+    name: String,
+    fn: DataFrame => DataFrame,
+    passthrough: Boolean = false) {
+  def apply(df: DataFrame): DataFrame = if (passthrough) df else fn(df)
+}
+
+object Node {
+  def apply(name: String)(fn: DataFrame => DataFrame): Node = Node(name, fn)
+
+  /** Node from a column rewrite of one column — pypeman `FuncNode`
+    * (nodes.py:976) where the function touches only the payload. */
+  def mapColumn(name: String, column: String)(f: Column => Column): Node =
+    Node(name, df => df.withColumn(column, f(col(column))))
+}
+
+/** Result of running a channel: the main output plus routed side outputs
+  * (pypeman's drop/reject end-node streams and `fork` sub-channels). */
+final case class ChannelResult(
+    main: DataFrame,
+    drops: Seq[DataFrame] = Nil,
+    rejects: Seq[DataFrame] = Nil,
+    forks: Map[String, DataFrame] = Map.empty) {
+  def dropped: Option[DataFrame] = drops.reduceOption(_ unionByName _)
+  def rejected: Option[DataFrame] = rejects.reduceOption(_ unionByName _)
+}
+
+/** Declarative channel: an ordered pipeline of nodes with routing steps —
+  * graft's `BaseChannel` (reference: pypeman/channels.py:45). Routing is
+  * purely predicate-based: `when`/`case`/`drop`/`reject` become filters on
+  * the same scan, so a channel with N branches still reads its source once
+  * (Spark caches nothing implicitly; branches share the resolved plan and
+  * the scan cost is per-action — callers batch-collect via `run`).
+  *
+  * The identical Channel value runs on a batch DataFrame or a streaming one
+  * (Structured Streaming) — see graft.streaming.FileWatcherChannel.
+  */
+final case class Channel(name: String, steps: Vector[Channel.Step] = Vector.empty) {
+
+  import Channel._
+
+  def add(nodes: Node*): Channel = copy(steps = steps ++ nodes.map(Apply))
+
+  /** Parallel sub-channel fed with the current message stream; main flow
+    * continues unchanged (pypeman channels.py:339). */
+  def fork(forkName: String)(sub: Channel => Channel): Channel =
+    copy(steps = steps :+ Fork(forkName, sub(Channel(s"$name.$forkName"))))
+
+  /** Conditional sub-pipeline: rows matching `cond` get the sub-channel's
+    * nodes applied, others pass through untouched (channels.py:354). */
+  def when(cond: Column)(sub: Channel => Channel): Channel =
+    copy(steps = steps :+ When(cond, sub(Channel(s"$name.when"))))
+
+  /** First-match-wins multi-branch (channels.py:371 / Case at 1207). */
+  def caseOf(branches: (Column, Channel => Channel)*): Channel = {
+    val built = branches.zipWithIndex.map { case ((c, f), i) =>
+      c -> f(Channel(s"$name.case$i"))
+    }
+    copy(steps = steps :+ CaseStep(built.toVector))
+  }
+
+  /** Route matching rows to the drops side-output (pypeman Dropped). */
+  def dropWhen(cond: Column): Channel = copy(steps = steps :+ DropWhen(cond))
+
+  /** Route matching rows to the rejects side-output (pypeman Rejected). */
+  def rejectWhen(cond: Column): Channel = copy(steps = steps :+ RejectWhen(cond))
+
+  def run(input: DataFrame): ChannelResult = {
+    var cur = input
+    var drops = Vector.empty[DataFrame]
+    var rejects = Vector.empty[DataFrame]
+    var forks = Map.empty[String, DataFrame]
+    steps.foreach {
+      case Apply(node) => cur = node(cur)
+      case Fork(n, sub) =>
+        val r = sub.run(cur)
+        forks = forks ++ r.forks + (n -> r.main)
+        drops ++= r.drops; rejects ++= r.rejects
+      case When(cond, sub) =>
+        val r = sub.run(cur.filter(cond))
+        drops ++= r.drops; rejects ++= r.rejects; forks ++= r.forks
+        cur = r.main.unionByName(cur.filter(!coalesce(cond, lit(false))))
+      case CaseStep(branches) =>
+        // first-true-wins: branch i sees cond_i && !cond_0 .. !cond_{i-1}
+        var seen: Column = lit(false)
+        val outs = branches.map { case (cond, sub) =>
+          val mine = coalesce(cond, lit(false)) && !seen
+          seen = seen || coalesce(cond, lit(false))
+          val r = sub.run(cur.filter(mine))
+          drops ++= r.drops; rejects ++= r.rejects; forks ++= r.forks
+          r.main
+        }
+        val unmatched = cur.filter(!seen)
+        cur = (outs :+ unmatched).reduce(_ unionByName _)
+      case DropWhen(cond) =>
+        drops :+= cur.filter(cond)
+        cur = cur.filter(!coalesce(cond, lit(false)))
+      case RejectWhen(cond) =>
+        rejects :+= cur.filter(cond)
+        cur = cur.filter(!coalesce(cond, lit(false)))
+    }
+    ChannelResult(cur, drops, rejects, forks)
+  }
+
+  /** Convenience: run and return only the main output. */
+  def runMain(input: DataFrame): DataFrame = run(input).main
+}
+
+object Channel {
+  sealed trait Step
+  final case class Apply(node: Node) extends Step
+  final case class Fork(name: String, sub: Channel) extends Step
+  final case class When(cond: Column, sub: Channel) extends Step
+  final case class CaseStep(branches: Vector[(Column, Channel)]) extends Step
+  final case class DropWhen(cond: Column) extends Step
+  final case class RejectWhen(cond: Column) extends Step
+
+  /** MergeChannel (channels.py:1252): union several channel outputs. */
+  def merge(dfs: DataFrame*): DataFrame = dfs.reduce(_ unionByName _)
+}

@@ -1,0 +1,122 @@
+package graft.dedup
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines. Every variant is
+  * blocked/bucketed so candidate generation shuffles O(n·k) rows, never
+  * O(n²) pairs — the property that keeps these runnable at 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the minimum id. One shuffle
+    * on a 128-bit hash (uniform → no skew); partial agg combines map-side. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** N-gram Jaccard near-dup pairs via shingle-explode join.
+    *
+    * Scale shape: explode to (shingle, id) pairs — rows = docs × shingles;
+    * self-join on shingle groups only docs sharing a shingle. `blockCol`
+    * (e.g. source/partition key) bounds hot-shingle fanout. Emits pairs
+    * with jaccard ≥ `threshold`.
+    */
+  def ngramJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      blockCol: Option[String] = None): DataFrame = {
+    val base = df.select(
+      col(idCol).as("id"),
+      blockCol.map(col).getOrElse(lit(0)).as("blk"),
+      shingles(col(textCol), n).as("sh"))
+    val sized = base.select(col("id"), col("blk"), col("sh"), size(col("sh")).as("n_sh"))
+    val ex = sized.select(col("id"), col("blk"), col("n_sh"), explode(col("sh")).as("s"))
+    val a = ex.as("a"); val b = ex.as("b")
+    val common = a.join(b,
+        col("a.s") === col("b.s") && col("a.blk") === col("b.blk") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash + LSH candidate pairs: k-perm signature, b bands × r rows.
+    * Docs agreeing on any band become candidates; exact signature overlap
+    * then estimates jaccard. Shuffle volume: b rows per doc. */
+  def minhashLsh(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 8): DataFrame = {
+    val r = k / bands
+    val sigs = df
+      .select(col(idCol).as("id"),
+        minhashSignature(shingles(col(textCol), shingleN), k).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(lshBands(col("sig"), bands, r)).as("b"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.b") === col("b.b") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    // estimated jaccard = fraction of agreeing signature positions
+    cand.withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _),
+          b => b)).cast("double") / lit(k.toDouble), 4))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** SimHash near-dup candidates: fingerprint, chunk-block join, hamming
+    * filter. Shuffles `chunks` rows per doc. */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 8,
+      chunks: Int = 4): DataFrame = {
+    val fps = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val chunked = fps.select(col("id"), col("fp"),
+      explode(simhashChunks(col("fp"), chunks)).as("c"))
+    val a = chunked.as("a"); val b = chunked.as("b")
+    a.join(b, col("a.c") === col("b.c") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.fp"), col("b.fp")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding cosine near-dup pairs, blocked by a coarse key (cluster id /
+    * label / LSH bucket) so the pair join stays bounded. */
+  def embeddingDups(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val a = v.as("a"); val b = v.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("cosine",
+        aggregate(zip_with(col("a.v"), col("b.v"), _ * _), lit(0.0), _ + _) /
+          (col("a.norm") * col("b.norm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+}

@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting, shingling, MinHash and
+  * SimHash signatures. Pure expressions (codegen) — per-row cost only, no
+  * shuffle; at 100 TB these run inside the scan stage.
+  */
+object TextFunctions {
+
+  /** Occurrences of `needle` in `hay` via the replace trick (portable to any
+    * SQL engine, no regex engine differences). */
+  def countOccurrences(hay: Column, needle: String): Column =
+    ((length(hay) - length(regexp_replace(hay, java.util.regex.Pattern.quote(needle), ""))) / needle.length).cast("long")
+
+  /** Whitespace token count. Empty/blank → 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword count: alpha runs, digit runs, and single non-space
+    * symbols each count as one token. */
+  def bpeIshTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Marker-based language ID: counts per-language stopword markers and
+    * returns the argmax language, 'unk' when nothing matches. N-gram
+    * heuristic in the spirit of fastText-style scoring, expressible in one
+    * CASE chain. */
+  def langId(text: Column, markers: Map[String, Seq[String]]): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val scores = markers.toSeq.map { case (lang, words) =>
+      val s = words.map(w => countOccurrences(padded, s" $w ")).reduce(_ + _)
+      (lang, s)
+    }
+    // argmax via max over struct(score, lang-reversed alphabetic tiebreak)
+    val best = greatest(scores.map { case (lang, s) =>
+      struct(s.as("score"), lit(lang).as("lang"))
+    }: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("unk"))
+  }
+
+  /** Default marker sets for the corpus languages. */
+  val defaultMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and"),
+    "fr" -> Seq("le", "la", "et", "de"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "es" -> Seq("el", "los", "y", "que"))
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[.,;:!?'\"()\\[\\]{}-]")).cast("long")
+
+  /** Stopword hits (space-delimited exact matches). */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    stopwords.map(w => countOccurrences(padded, s" $w ")).reduce(_ + _)
+  }
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Heuristic quality score in [0,1]: rewards reasonable length and
+    * stopword presence, penalizes punctuation soup. Deterministic,
+    * SQL-portable arithmetic. */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val toks = tokenCount(text).cast("double")
+    val lenScore = least(n / lit(500.0), lit(1.0))
+    val stopRatio = stopwordCount(text, defaultStopwords).cast("double") /
+      greatest(toks, lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(n, lit(1.0))
+    least(greatest(
+      lenScore * lit(0.5) + least(stopRatio * lit(5.0), lit(1.0)) * lit(0.5)
+        - punctRatio * lit(2.0),
+      lit(0.0)), lit(1.0))
+  }
+
+  /** Normalization fingerprint: lowercase → tokens → distinct → sort →
+    * md5. Near-identical docs that differ only in token order/duplication
+    * collide (the classic "fingerprint" clustering key). */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(split(lower(trim(text)), "\\s+"))), " "))
+
+  /** Word n-gram shingles as a distinct string array. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    val count = greatest(size(toks) - lit(n - 1), lit(0))
+    array_distinct(transform(sequence(lit(0), count - 1, lit(1)),
+      i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** MinHash signature: k permutations simulated as xxhash64(shingle, seed).
+    * Per-row array of k minima — embarrassingly parallel, codegen'd. */
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(shingleArr, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  /** LSH band hashes from a MinHash signature: b bands of r rows; a band's
+    * hash is xxhash64 over its slice. Returns array of (bandId, bandHash)
+    * structs for explode+join — shuffles k/r rows per doc, never pairs. */
+  def lshBands(signature: Column, b: Int, r: Int): Column =
+    array((0 until b).map { band =>
+      struct(
+        lit(band).as("band"),
+        xxhash64(lit(band) +: (0 until r).map(i =>
+          element_at(signature, band * r + i + 1)): _*).as("band_hash"))
+    }: _*)
+
+  /** SimHash: 64-bit fingerprint by bit-voting over token hashes. Returns
+    * the fingerprint as a long. Pure per-row expression. */
+  def simhash(text: Column): Column = {
+    val toks = array_distinct(split(trim(text), "\\s+"))
+    val hashes = transform(toks, t => xxhash64(t))
+    (0 until 64).map { bit =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash blocking key array: split the 64-bit fingerprint into `chunks`
+    * equal bit-chunks; near-dups within hamming < chunks must share ≥1
+    * chunk (pigeonhole) — join on chunk value, never all-pairs. */
+  def simhashChunks(fp: Column, chunks: Int): Column = {
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
+    array((0 until chunks).map { i =>
+      struct(lit(i).as("chunk"),
+        shiftright(fp, i * width).bitwiseAND(mask).as("chunk_val"))
+    }: _*)
+  }
+}

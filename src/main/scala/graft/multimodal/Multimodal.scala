@@ -1,0 +1,75 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus batched decode/feature-extract plumbing.
+  *
+  * The decode step itself is STUBBED (this container has no image/audio
+  * libraries): `fakeDecode` derives a deterministic feature vector from the
+  * bytes. Everything around it — schema, batch iteration shape, chunking,
+  * partition-parallel execution — is the real Spark plumbing a production
+  * decoder would drop into (swap `fakeDecode` for an actual JNI/ONNX call
+  * operating on the same `Iterator[Media]` batches).
+  */
+object Multimodal {
+
+  /** One media row: opaque bytes + metadata. */
+  final case class Media(id: Long, bytes: Array[Byte], mime: String)
+
+  final case class MediaFeatures(
+      id: Long,
+      nBytes: Long,
+      contentHash: String,
+      features: Array[Float])
+
+  /** Lift a text/binary column into Media form (binary payload + mime). */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String, mime: String)(
+      implicit spark: SparkSession): Dataset[Media] = {
+    import spark.implicits._
+    df.select(
+      col(idCol).cast("long").as("id"),
+      col(payloadCol).cast("binary").as("bytes"),
+      lit(mime).as("mime")).as[Media]
+  }
+
+  /** STUB decode: deterministic 8-dim feature vector from byte content.
+    * Stands in for image decode + model forward pass. */
+  def fakeDecode(bytes: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](8)
+    var i = 0
+    while (i < bytes.length) {
+      out(i % 8) += (bytes(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Batched feature extraction over partitions — the `mapPartitions` shape
+    * a real decoder needs (amortizes model/codec init per partition, not
+    * per row). */
+  def extractFeatures(media: Dataset[Media])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init happens here (decoder handle, model session, …)
+      rows.map { m =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hash = md.digest(m.bytes).map("%02x".format(_)).mkString
+        MediaFeatures(m.id, m.bytes.length.toLong, hash, fakeDecode(m.bytes))
+      }
+    }
+  }
+
+  /** Frame/chunk sampling: split a binary payload into fixed-size chunks
+    * (video frame / audio window stand-in), exploded one row per chunk —
+    * pure expressions, no UDF. */
+  def chunk(df: DataFrame, payloadCol: String, chunkBytes: Int): DataFrame = {
+    val bin = col(payloadCol).cast("binary")
+    val n = ceil(octet_length(bin).cast("double") / chunkBytes).cast("int")
+    df.withColumn("chunk_id", explode(sequence(lit(0), greatest(n, lit(1)) - 1, lit(1))))
+      .withColumn("chunk",
+        bin.substr(col("chunk_id") * chunkBytes + 1, lit(chunkBytes)))
+      .withColumn("chunk_bytes", octet_length(col("chunk")))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Message-store search — graft's `MessageStore.search` (reference:
+  * pypeman/msgstore.py:174 and the meta filter/sort semantics at
+  * msgstore.py:215). The store itself is a date-partitioned parquet table of
+  * Msg rows; search compiles to pushed-down filters + order + limit/offset,
+  * so a "last 10 errors yesterday" query over a 100 TB store touches one
+  * partition and prunes columns at the scan.
+  *
+  * Meta filters mirror the reference key grammar:
+  *   - exact:   meta[name] == value
+  *   - text_:   value substring-contains
+  *   - rtext_:  regex search
+  *   - start_/end_: numeric range (non-numeric values excluded, as the
+  *     reference's isfloat guard does)
+  *   - order_by meta field with optional '-' prefix for descending
+  */
+final case class Search(
+    startDt: Option[String] = None,
+    endDt: Option[String] = None,
+    text: Option[String] = None,
+    rtext: Option[String] = None,
+    metaExact: Map[String, String] = Map.empty,
+    metaText: Map[String, String] = Map.empty,
+    metaRtext: Map[String, String] = Map.empty,
+    metaStart: Map[String, Double] = Map.empty,
+    metaEnd: Map[String, Double] = Map.empty,
+    orderBy: String = "timestamp", // 'timestamp' | 'meta:<name>' | '-meta:<name>'
+    count: Int = 10,
+    start: Int = 0) {
+
+  def predicate: Column = {
+    val conds = Seq(
+      startDt.map(d => col("ts") >= lit(d).cast("timestamp")),
+      endDt.map(d => col("ts") <= lit(d).cast("timestamp")),
+      text.map(t => col("payload").contains(t)),
+      rtext.map(r => col("payload").rlike(r))).flatten ++
+      metaExact.map { case (k, v) => col("meta")(k) === v } ++
+      metaText.map { case (k, v) => col("meta")(k).contains(v) } ++
+      metaRtext.map { case (k, v) => col("meta")(k).rlike(v) } ++
+      metaStart.map { case (k, v) => col("meta")(k).cast("double") >= v } ++
+      metaEnd.map { case (k, v) => col("meta")(k).cast("double") <= v }
+    conds.reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  def ordering: Seq[Column] = orderBy match {
+    case "timestamp" => Seq(col("ts"), col("uuid"))
+    case s if s.startsWith("-meta:") =>
+      Seq(col("meta")(s.stripPrefix("-meta:")).desc, col("ts"), col("uuid"))
+    case s if s.startsWith("meta:") =>
+      Seq(col("meta")(s.stripPrefix("meta:")), col("ts"), col("uuid"))
+    case other => Seq(col(other), col("uuid"))
+  }
+}
+
+/** Parquet-backed message store (reference msgstore.py FileMessageStore —
+  * re-expressed as a columnar table instead of one file per message). */
+final class MessageStore(spark: SparkSession, path: String) {
+
+  /** Append messages, partitioned by day for time-range pruning. */
+  def save(msgs: DataFrame): Unit =
+    msgs.withColumn("day", to_date(col("ts")))
+      .write.mode("append").partitionBy("day").parquet(path)
+
+  def all(): DataFrame = spark.read.parquet(path).drop("day")
+
+  def search(q: Search): DataFrame = MessageStore.search(all(), q)
+
+  def total(): Long = all().count()
+
+  /** Replay (channels.py:857): re-run a channel on stored messages. */
+  def replay(q: Search, channel: graft.api.Channel): DataFrame =
+    channel.runMain(search(q))
+}
+
+object MessageStore {
+  /** Search over any Msg-shaped DataFrame (store-backed or in-flight). */
+  def search(df: DataFrame, q: Search): DataFrame = {
+    val filtered = df.filter(q.predicate).orderBy(q.ordering: _*)
+    val paged = if (q.start > 0) filtered.offset(q.start) else filtered
+    paged.limit(q.count)
+  }
+
+  /** get_preview_str (msgstore.py:140). */
+  def preview(payload: Column, n: Int = 1000): Column = substring(payload, 1, n)
+}

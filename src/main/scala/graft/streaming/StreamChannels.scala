@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.api.Channel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** Streaming sources — graft's watcher channels, on Structured Streaming.
+  *
+  * `FileWatcherChannel` (reference: pypeman/channels.py:1306) polls a
+  * directory and handles each new file; the Spark-native form is the
+  * streaming file source, which tracks processed files in checkpointed state
+  * (exactly-once, unlike the reference's in-memory mtime map) and scales the
+  * listing/ingest across executors. The same `Channel` value used in batch
+  * is applied to the stream — graft nodes are engine-agnostic transforms.
+  *
+  * `CronChannel` (reference: pypeman/contrib/time.py) maps to trigger
+  * scheduling: `Trigger.ProcessingTime` for interval ticks,
+  * `Trigger.AvailableNow` for catch-up-and-stop runs.
+  */
+object StreamChannels {
+
+  /** Watch a directory of files as a stream and run the channel on it. */
+  def fileWatcher(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      format: String = "parquet",
+      channel: Channel = Channel("watch"),
+      maxFilesPerTrigger: Int = 100): DataFrame = {
+    val src = spark.readStream
+      .format(format)
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+    channel.run(src).main
+  }
+
+  /** Windowed aggregation with a watermark — the streaming shape of
+    * Queries.qStreamWindow. */
+  def windowedCounts(events: DataFrame, window_ : String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Start a channel output into an in-memory table (tests / smoke). */
+  def startMemorySink(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery =
+    df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Cron-style interval trigger writer. */
+  def cronSink(df: DataFrame, intervalMs: Long, path: String, checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(intervalMs))
+}
