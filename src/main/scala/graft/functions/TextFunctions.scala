@@ -87,9 +87,10 @@ object TextFunctions {
   /** Word n-gram shingles as a distinct string array. */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(trim(text), "\\s+")
-    val count = greatest(size(toks) - lit(n - 1), lit(0))
-    array_distinct(transform(sequence(lit(0), count - 1, lit(1)),
-      i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    val count = size(toks) - lit(n - 1)
+    when(count <= 0, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(0), count - 1, lit(1)),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))))
   }
 
   /** MinHash signature: k permutations simulated as xxhash64(shingle, seed).

@@ -41,8 +41,10 @@ final case class Search(
       metaExact.map { case (k, v) => col("meta")(k) === v } ++
       metaText.map { case (k, v) => col("meta")(k).contains(v) } ++
       metaRtext.map { case (k, v) => col("meta")(k).rlike(v) } ++
-      metaStart.map { case (k, v) => col("meta")(k).cast("double") >= v } ++
-      metaEnd.map { case (k, v) => col("meta")(k).cast("double") <= v }
+      // try_cast: non-numeric meta values are excluded, mirroring the
+      // reference's isfloat guard (msgstore.py:218) — and ANSI-safe.
+      metaStart.map { case (k, v) => col("meta")(k).try_cast("double") >= v } ++
+      metaEnd.map { case (k, v) => col("meta")(k).try_cast("double") <= v }
     conds.reduceOption(_ && _).getOrElse(lit(true))
   }
 

@@ -1,0 +1,84 @@
+package graft
+
+import graft.model.Msg
+import graft.ops.{CoreOps, JoinMapItem, MapItem}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def msgs = Seq(("m1", "hello", "x"), ("m2", "world", "y"))
+    .toDF("uuid", "payload", "tag")
+    .withColumn("meta", map(lit("tag"), col("tag")))
+    .withColumn("ctx", map().cast(Msg.ctxType))
+    .drop("tag")
+
+  test("setCtx/useCtx roundtrip restores payload and meta") {
+    val out = Channel0(
+      CoreOps.setCtx("orig"),
+      CoreOps.mapPayload("up")(upper),
+      CoreOps.emptyMeta,
+      CoreOps.useCtx("orig"))
+    val r = out.orderBy("uuid").collect()
+    assert(r.map(_.getAs[String]("payload")).toSeq == Seq("hello", "world"))
+    assert(r.head.getAs[Map[String, String]]("meta") == Map("tag" -> "x"))
+  }
+
+  private def Channel0(nodes: graft.api.Node*) =
+    graft.api.Channel("t").add(nodes: _*).runMain(msgs)
+
+  test("combineCtx builds JSON payload from saved contexts") {
+    val out = Channel0(
+      CoreOps.setCtx("a"),
+      CoreOps.mapPayload("up")(upper),
+      CoreOps.setCtx("b"),
+      CoreOps.combineCtx(Map("a" -> "orig", "b" -> "loud")))
+    val p = out.filter(col("uuid") === "m1").select("payload").as[String].head()
+    assert(p == """{"orig":"hello","loud":"HELLO"}""")
+  }
+
+  test("mapFields renames, transforms, defaults, joins") {
+    val df = Seq((1, "Bob", "VIP")).toDF("id", "name", "seg")
+    val out = CoreOps.mapFields(
+      items = Seq(
+        MapItem(old = "name", newName = "who", transform = upper),
+        MapItem(newName = "src", default = "crm")),
+      joins = Seq(JoinMapItem(Seq("name", "seg"), "label", "-")),
+      recopy = true)(df)
+    val r = out.head()
+    assert(r.getAs[String]("who") == "BOB")
+    assert(r.getAs[String]("src") == "crm")
+    assert(r.getAs[String]("label") == "Bob-VIP")
+    assert(out.columns.contains("id") && out.columns.contains("seg"))
+  }
+
+  test("project fills defaults for missing keys in order") {
+    val df = Seq((1, "x")).toDF("a", "b")
+    val out = CoreOps.project(Seq("b", "a", "z"), Map("z" -> 0))(df)
+    assert(out.columns.toSeq == Seq("b", "a", "z"))
+    assert(out.head().getAs[Int]("z") == 0)
+  }
+
+  test("worstState picks highest-priority state") {
+    val df = Seq((1, Msg.PROCESSED), (1, Msg.ERROR), (2, Msg.PENDING))
+      .toDF("key", "state")
+    val out = CoreOps.worstStatePerKey(Seq("key"))(df)
+      .orderBy("key").select("state").as[String].collect().toSeq
+    assert(out == Seq(Msg.ERROR, Msg.PENDING))
+  }
+
+  test("yielder explodes arrays preserving other columns") {
+    val df = Seq((7, "a b c")).toDF("id", "text")
+    val out = CoreOps.yielder(split(col("text"), " "), "tok")(df)
+    assert(out.count() == 3)
+    assert(out.select("id").distinct().as[Int].head() == 7)
+  }
+
+  test("Msg.wrap produces deterministic content-derived uuid") {
+    val df = Seq((1, "x")).toDF("a", "b")
+    val w1 = Msg.wrap(df).select("uuid").as[String].head()
+    val w2 = Msg.wrap(df).select("uuid").as[String].head()
+    assert(w1 == w2 && w1.length == 32)
+  }
+}

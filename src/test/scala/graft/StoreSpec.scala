@@ -1,0 +1,84 @@
+package graft
+
+import graft.store.{KVState, MessageStore, RetryStore, Search}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def msgs = Seq(
+    ("a", "2024-01-01 10:00:00", "hello world", "click", "5"),
+    ("b", "2024-01-02 10:00:00", "goodbye world", "view", "15"),
+    ("c", "2024-01-03 10:00:00", "hello again", "click", "25"),
+    ("d", "2024-01-04 10:00:00", "nothing here", "view", "abc"))
+    .toDF("uuid", "ts0", "payload", "et", "k")
+    .withColumn("ts", col("ts0").cast("timestamp"))
+    .withColumn("meta", map(lit("et"), col("et"), lit("k"), col("k")))
+    .drop("ts0", "et", "k")
+
+  test("search: date range + text") {
+    val r = MessageStore.search(msgs, Search(
+      startDt = Some("2024-01-01 12:00:00"), text = Some("hello")))
+    assert(r.select("uuid").as[String].collect().toSeq == Seq("c"))
+  }
+
+  test("search: rtext regex") {
+    val r = MessageStore.search(msgs, Search(rtext = Some("^good.*world$")))
+    assert(r.select("uuid").as[String].collect().toSeq == Seq("b"))
+  }
+
+  test("search: meta exact + numeric range excludes non-numeric like reference isfloat guard") {
+    val r = MessageStore.search(msgs, Search(
+      metaStart = Map("k" -> 10.0), metaEnd = Map("k" -> 30.0)))
+    assert(r.select("uuid").as[String].collect().toSeq == Seq("b", "c"))
+  }
+
+  test("search: meta order_by desc + pagination") {
+    val r = MessageStore.search(msgs, Search(orderBy = "-meta:k", count = 2, start = 1))
+    // string sort desc on k: 'abc','5','25','15' → skip 1 take 2
+    assert(r.select("uuid").as[String].collect().toSeq == Seq("a", "c"))
+  }
+
+  test("MessageStore save/search/total/replay over parquet") {
+    val dir = Files.createTempDirectory("graft_store").toString
+    val store = new MessageStore(spark, s"$dir/msgs")
+    store.save(msgs)
+    assert(store.total() == 4)
+    val found = store.search(Search(metaExact = Map("et" -> "click"), count = 10))
+    assert(found.count() == 2)
+    val replayed = store.replay(
+      Search(metaExact = Map("et" -> "click"), count = 10),
+      graft.api.Channel("re").add(graft.ops.CoreOps.mapPayload("u")(upper)))
+    assert(replayed.select("payload").as[String].collect().forall(_.head.isUpper))
+  }
+
+  test("retry schedule: attempts and capped exponential backoff") {
+    val df = Seq((1, "2024-01-01 00:00:00", 1), (1, "2024-01-01 00:01:00", 2),
+      (2, "2024-01-01 00:00:30", 3))
+      .toDF("key", "ts0", "seq").withColumn("ts", col("ts0").cast("timestamp"))
+    val sch = RetryStore.schedule(df, "key", "ts", "seq", baseSec = 1, maxBackoffSec = 3)
+      .orderBy("key", "attempt")
+      .select("key", "attempt", "backoff_sec").as[(Int, Long, Long)].collect().toSeq
+    assert(sch == Seq((1, 1L, 2L), (1, 2L, 3L), (2, 1L, 2L))) // 2^1=2, 2^2=4→cap 3
+  }
+
+  test("retry due: only elapsed rows, in order") {
+    val df = Seq((1, "2024-01-01 00:00:00", 1), (1, "2024-01-01 00:01:00", 2))
+      .toDF("key", "ts0", "seq").withColumn("ts", col("ts0").cast("timestamp"))
+    val sch = RetryStore.schedule(df, "key", "ts", "seq")
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-01 00:00:30").getTime
+    val due = RetryStore.due(sch, cutoff, "ts", "seq")
+    assert(due.select("seq").as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("KVState store/get latest-version semantics") {
+    val dir = Files.createTempDirectory("graft_kv").toString
+    val kv = new KVState(spark, s"$dir/state")
+    assert(kv.get("n1", "k") == None)
+    kv.store("n1", "k", "v1")
+    kv.store("n1", "k", "v2")
+    assert(kv.get("n1", "k") == Some("v2"))
+    assert(kv.get("n2", "k") == None)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions._
+import graft.sim.Ann
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount handles empty and multi-space text") {
+    val df = Seq("", "  ", "a b", "a  b   c").toDF("t")
+    val out = df.select(tokenCount(col("t"))).as[Long].collect().toSeq
+    assert(out == Seq(0L, 0L, 2L, 3L))
+  }
+
+  test("shingles produces distinct n-grams; short text yields empty") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val out = df.select(shingles(col("t"), 3)).as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq.empty)
+  }
+
+  test("fingerprint collides for reordered/duplicated tokens") {
+    val df = Seq(("x", "b a a c"), ("y", "a b c c"), ("z", "a b d")).toDF("id", "t")
+    val fps = df.select(col("id"), fingerprint(col("t")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fps("x") == fps("y"))
+    assert(fps("x") != fps("z"))
+  }
+
+  test("simhash of near-identical docs is hamming-close, distinct docs far") {
+    val df = Seq(
+      ("a", "spark makes big data processing fast and scalable for everyone today"),
+      ("b", "spark makes big data processing fast and scalable for everyone now"),
+      ("c", "completely unrelated text about gardening tulips roses and soil ph"))
+      .toDF("id", "t")
+    val fp = df.select(col("id"), simhash(col("t")).as("fp")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(fp("a"), fp("b")) < ham(fp("a"), fp("c")))
+  }
+
+  test("minhashLsh finds a true near-duplicate pair") {
+    val base = "the quick brown fox jumps over the lazy dog again and again every single day"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " tonight"), // near-dup
+      (3L, "entirely different content with no overlap whatsoever in any shingle at all ok"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(df, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("exact dedup keeps min id and counts copies") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("id", "text")
+    val r = Dedup.exact(df, "id", "text").orderBy("keep_id")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("brute-force cosine topk: identical vector ranks first with cosine 1") {
+    val emb = Tables(spark, sf).embeddings
+    val q = Ann.queryVector(spark, emb, "vec_id", 3L, "embedding")
+    val top = Ann.bruteForceTopK(emb, "vec_id", "embedding", q, 5).collect()
+    assert(top.head.getAs[Long]("id") == 3L)
+    assert(math.abs(top.head.getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
+  test("IVF top-1 agrees with brute force for the self-query") {
+    val emb = Tables(spark, sf).embeddings.limit(200)
+    val q = Ann.queryVector(spark, emb, "vec_id", 3L, "embedding")
+    val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", nlist = 8)
+    val ivf = Ann.ivfTopK(assigned, q, nprobe = 8, k = 1).collect() // all lists probed = exact
+    assert(ivf.head.getAs[Long]("id") == 3L)
+  }
+}
