@@ -35,7 +35,12 @@ object Dedup {
       blockCol.map(col).getOrElse(lit(0)).as("blk"),
       shingles(col(textCol), n).as("sh"))
     val sized = base.select(col("id"), col("blk"), col("sh"), size(col("sh")).as("n_sh"))
-    val ex = sized.select(col("id"), col("blk"), col("n_sh"), explode(col("sh")).as("s"))
+    // join on the shingle's 64-bit hash, not the string: an 8-byte shuffle
+    // key instead of a variable-length one (collision probability across a
+    // bucket's shingle vocabulary is ~n²/2⁶⁵ — negligible)
+    val ex = sized
+      .select(col("id"), col("blk"), col("n_sh"), explode(col("sh")).as("s_str"))
+      .select(col("id"), col("blk"), col("n_sh"), xxhash64(col("s_str")).as("s"))
     val a = ex.as("a"); val b = ex.as("b")
     val common = a.join(b,
         col("a.s") === col("b.s") && col("a.blk") === col("b.blk") &&
@@ -62,9 +67,12 @@ object Dedup {
       k: Int = 16,
       bands: Int = 8): DataFrame = {
     val r = k / bands
+    // materialize the shingle array first: the signature references it k
+    // times, and an attribute reference stops Catalyst collapsing the
+    // projection back into k copies of the tokenization
     val sigs = df
-      .select(col(idCol).as("id"),
-        minhashSignature(shingles(col(textCol), shingleN), k).as("sig"))
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       explode(lshBands(col("sig"), bands, r)).as("b"))
     val a = banded.as("a"); val b = banded.as("b")
@@ -88,7 +96,9 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 8,
       chunks: Int = 4): DataFrame = {
-    val fps = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val fps = df
+      .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
+      .select(col("id"), simhashFromHashes(col("th")).as("fp"))
     val chunked = fps.select(col("id"), col("fp"),
       explode(simhashChunks(col("fp"), chunks)).as("c"))
     val a = chunked.as("a"); val b = chunked.as("b")
@@ -107,14 +117,15 @@ object Dedup {
       vecCol: String,
       blockCol: String,
       threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      transform(col(vecCol), _.cast("double")).as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    import graft.plans.VectorFunctions._
+    // norms precomputed once per vector; per-pair work is one fused
+    // codegen'd dot-product loop
+    val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"), col(vecCol).as("v"))
+      .withColumn("norm", sqrt(vecDot(col("v"), col("v"))))
     val a = v.as("a"); val b = v.as("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .withColumn("cosine",
-        aggregate(zip_with(col("a.v"), col("b.v"), _ * _), lit(0.0), _ + _) /
-          (col("a.norm") * col("b.norm")))
+        vecDot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("cosine"), 4).as("cosine"))

@@ -111,17 +111,24 @@ object TextFunctions {
           element_at(signature, band * r + i + 1)): _*).as("band_hash"))
     }: _*)
 
-  /** SimHash: 64-bit fingerprint by bit-voting over token hashes. Returns
-    * the fingerprint as a long. Pure per-row expression. */
-  def simhash(text: Column): Column = {
-    val toks = array_distinct(split(trim(text), "\\s+"))
-    val hashes = transform(toks, t => xxhash64(t))
+  /** Token xxhash64 array for SimHash. Materialize this into its own
+    * projection before calling [[simhashFromHashes]] — the fingerprint
+    * references the array 64 times, and a pre-materialized attribute keeps
+    * Catalyst from inlining (and so recomputing) the tokenization 64×. */
+  def tokenHashes(text: Column): Column =
+    transform(array_distinct(split(trim(text), "\\s+")), t => xxhash64(t))
+
+  /** SimHash: 64-bit fingerprint by bit-voting over token hashes. */
+  def simhashFromHashes(hashes: Column): Column =
     (0 until 64).map { bit =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(vote > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-  }
+
+  /** SimHash directly from text (convenience; for hot paths materialize
+    * [[tokenHashes]] first). */
+  def simhash(text: Column): Column = simhashFromHashes(tokenHashes(text))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

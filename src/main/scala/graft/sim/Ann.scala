@@ -1,32 +1,28 @@
 package graft.sim
 
+import graft.plans.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Brute-force cosine top-k is the exact baseline: one scan, per-row dot
-  * product (codegen `zip_with`+`aggregate`), then `TakeOrderedAndProject` —
-  * no full sort, no shuffle of the embedding data. The IVF variant bounds
-  * scanned candidates to the probed fraction for the 100 TB path.
+  * Brute-force cosine top-k is the exact baseline: one scan, per-row fused
+  * cosine (native codegen expression, graft.plans.CosineSimilarity), then
+  * `TakeOrderedAndProject` — no full sort, no shuffle of embedding data.
+  * The IVF variant bounds scanned candidates to the probed fraction for the
+  * 100 TB path.
   */
 object Ann {
 
-  /** Dot product of two double-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+  /** Dot product — native codegen'd loop; accepts float/double arrays. */
+  def dot(a: Column, b: Column): Column = vecDot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = sqrt(vecDot(a, a))
 
-  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
-
-  /** Cosine similarity between a vector column and a constant query vector. */
-  def cosineToQuery(vec: Column, query: Seq[Double]): Column = {
-    val q = array(query.map(lit): _*)
-    val v = asDouble(vec)
-    dot(v, q) / (norm(v) * norm(q))
-  }
+  /** Cosine similarity between a vector column and a constant query vector
+    * (single fused pass). */
+  def cosineToQuery(vec: Column, query: Seq[Double]): Column =
+    vecCosine(vec, array(query.map(lit): _*))
 
   /** Exact top-k by cosine against a constant query vector.
     * Ties broken by id for determinism. */
@@ -44,16 +40,13 @@ object Ann {
   /** IVF index build: pick the first `nlist` vectors (by id order) as
     * centroids — deterministic "training" (real k-means is an offline job;
     * the partitioning/probing shape is identical). Assign every vector to
-    * its nearest centroid via broadcast join — no shuffle of the corpus.
-    */
+    * its nearest centroid via broadcast join — no shuffle of the corpus. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame = {
-    val vecs = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val centroids = vecs.orderBy(col("id")).limit(nlist)
       .select(col("id").as("cid"), col("v").as("cv"))
     val scored = vecs.join(broadcast(centroids), lit(true))
-      .withColumn("dist",
-        aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), _ + _))
+      .withColumn("dist", vecL2Sq(col("v"), col("cv")))
     // argmin centroid per vector: min over (dist, cid) struct — partial agg
     scored.groupBy(col("id"))
       .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cid"))
@@ -68,15 +61,16 @@ object Ann {
       nprobe: Int,
       k: Int): DataFrame = {
     val q = array(query.map(lit): _*)
+    // a centroid is assigned to itself (distance 0), so the centroid set is
+    // a filter on `assigned` — no extra join, one scan
     val centroidIds = assigned
-      .select(col("cid")).distinct()
-      .join(assigned.select(col("id").as("cid2"), col("v")), col("cid") === col("cid2"))
-      .withColumn("dist", aggregate(zip_with(col("v"), q, (a, b) => (a - b) * (a - b)), lit(0.0), _ + _))
+      .filter(col("id") === col("cid"))
+      .withColumn("dist", vecL2Sq(col("v"), q))
       .orderBy(col("dist"), col("cid"))
       .limit(nprobe)
       .select(col("cid"))
     assigned.join(broadcast(centroidIds), "cid")
-      .select(col("id"), round(dot(col("v"), q) / (norm(col("v")) * norm(q)), 4).as("cosine"))
+      .select(col("id"), round(vecCosine(col("v"), q), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
@@ -84,6 +78,6 @@ object Ann {
   /** Fetch a query vector (single row, scalar parameter) as doubles. */
   def queryVector(spark: SparkSession, df: DataFrame, idCol: String, id: Long, vecCol: String): Seq[Double] =
     df.filter(col(idCol) === id)
-      .select(asDouble(col(vecCol)))
+      .select(transform(col(vecCol), _.cast("double")))
       .head().getSeq[Double](0)
 }
