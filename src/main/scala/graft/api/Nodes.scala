@@ -1,0 +1,130 @@
+package graft.api
+
+import graft.functions.Codecs
+import graft.ops.{CoreOps, JoinMapItem, MapItem}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Reference-named node constructors — the migration surface for pypeman
+  * users. Every node class from pypeman/nodes.py and the pypeman contrib
+  * modules has a same-named constructor here returning a graft [[Node]];
+  * pipelines port line-for-line:
+  *
+  * {{{
+  *   // pypeman:  chan.add(JsonToPython(), Map(mapping=[...]), PythonToJson())
+  *   Channel("c").add(Nodes.JsonToPython(), Nodes.Map(...), Nodes.PythonToJson())
+  * }}}
+  *
+  * Payload convention: the message payload lives in the `payload` column
+  * (string for text codecs, struct after typed parses — matching pypeman's
+  * payload being str-or-dict).
+  */
+object Nodes {
+
+  private def payload = col("payload")
+
+  // ---- nodes.py core -----------------------------------------------------
+
+  /** nodes.py:468 — parse JSON payload into a typed struct. */
+  def JsonToPython(schema: StructType): Node =
+    Node("JsonToPython")(_.withColumn("payload", from_json(payload, schema)))
+
+  /** Untyped variant: payload stays a JSON string, use with JsonPath. */
+  def JsonToPython(): Node = Node("JsonToPython")(identity)
+
+  /** nodes.py:482 — serialize a struct payload to JSON text. */
+  def PythonToJson(): Node =
+    Node("PythonToJson")(_.withColumn("payload", to_json(payload)))
+
+  /** nodes.py:495/507. */
+  def Encode(encoding: String = "UTF-8"): Node =
+    Node("Encode")(_.withColumn("payload", encode(payload, encoding)))
+  def Decode(encoding: String = "UTF-8"): Node =
+    Node("Decode")(_.withColumn("payload", decode(payload, encoding)))
+
+  /** nodes.py:519/531. */
+  def B64Encode(): Node = Node("B64Encode")(_.withColumn("payload", base64(payload)))
+  def B64Decode(): Node = Node("B64Decode")(_.withColumn("payload", unbase64(payload)))
+
+  /** nodes.py:358/371 — route to drop/reject side outputs via Channel. */
+  def Drop(cond: Column): Channel => Channel = _.dropWhen(cond)
+  def Reject(cond: Column): Channel => Channel = _.rejectWhen(cond)
+
+  /** nodes.py:390. */
+  def Empty(): Node = CoreOps.empty
+
+  /** nodes.py:396 SetCtx / 114 store_*_as / contrib/ctx.py. */
+  def SetCtx(name: String): Node = CoreOps.useCtx(name)
+  def StoreAs(name: String): Node = CoreOps.setCtx(name)
+  def CombineCtx(names: Map[String, String], metaFrom: String = null): Node =
+    CoreOps.combineCtx(names, metaFrom)
+  def UseMetaFromCtx(name: String): Node = CoreOps.useMetaFromCtx(name)
+  def EmptyMeta(): Node = CoreOps.emptyMeta
+
+  /** nodes.py:752 Map / 799 MappingNode (deprecated alias kept). */
+  def Map(mapping: Seq[MapItem], joins: Seq[JoinMapItem] = Nil, recopy: Boolean = false): Node =
+    CoreOps.mapFields(mapping, joins, recopy)
+  def MappingNode(mapping: Seq[MapItem], joins: Seq[JoinMapItem] = Nil, recopy: Boolean = false): Node =
+    Map(mapping, joins, recopy)
+
+  /** nodes.py:805. */
+  def ToOrderedDict(keys: Seq[String], defaults: scala.collection.Map[String, Any] = scala.collection.Map.empty): Node =
+    CoreOps.project(keys, defaults.toMap)
+
+  /** nodes.py:914. */
+  def YielderNode(arrayCol: Column, as: String): Node = CoreOps.yielder(arrayCol, as)
+
+  /** nodes.py:976/943 — arbitrary payload / whole-row rewrite. */
+  def FuncNode(name: String)(f: Column => Column): Node = CoreOps.mapPayload(name)(f)
+  def MsgFuncNode(name: String)(f: DataFrame => DataFrame): Node = Node(name)(f)
+
+  /** nodes.py:430 Log — sampled peek (eager show at wiring time; debug aid,
+    * keep out of production pipelines). */
+  def Log(n: Int = 5): Node = Node("Log")(df => { df.show(n, 80); df })
+
+  /** nodes.py:457 Sleep — batch no-op kept for API parity. */
+  def Sleep(durationSec: Double = 1): Node = Node("Sleep")(identity)
+
+  /** nodes.py:857 Email — render the message; transport is a connector. */
+  def Email(subject: Column, sender: Column, recipients: Column): Node =
+    Node("Email")(df => df.withColumn("payload",
+      Codecs.emailFormat(subject, sender, recipients, payload)))
+
+  // ---- contrib/csv.py ----------------------------------------------------
+
+  def CSV2Python(schema: StructType, delimiter: String = ","): Node =
+    Node("CSV2Python")(_.withColumn("payload", Codecs.csvParse(payload, schema, delimiter)))
+  def CSVstr2Python(delimiter: String = ","): Node =
+    Node("CSVstr2Python")(_.withColumn("payload", Codecs.csvSplit(payload, delimiter)))
+  def Python2CSVstr(fields: Seq[Column], delimiter: String = ","): Node =
+    Node("Python2CSVstr")(_.withColumn("payload", Codecs.csvFormat(delimiter, fields: _*)))
+
+  // ---- contrib/xml.py ----------------------------------------------------
+
+  def XMLToPython(paths: scala.collection.Map[String, String]): Node =
+    Node("XMLToPython") { df =>
+      val fields = paths.toSeq.map { case (name, p) =>
+        Codecs.xmlExtract(payload, p).as(name)
+      }
+      df.withColumn("payload", struct(fields: _*))
+    }
+  def PythonToXML(root: String, fields: Seq[(String, Column)]): Node =
+    Node("PythonToXML")(_.withColumn("payload", Codecs.xmlFormat(root, fields: _*)))
+
+  // ---- contrib/hl7.py ----------------------------------------------------
+
+  def HL7ToPython(): Node =
+    Node("HL7ToPython")(_.withColumn("payload", Codecs.hl7Parse(payload)))
+  def PythonToHL7(segments: Seq[Seq[Column]]): Node =
+    Node("PythonToHL7")(_.withColumn("payload", Codecs.hl7Format(segments)))
+
+  // ---- contrib/http.py ---------------------------------------------------
+
+  /** HttpRequest (contrib/http.py:185): build the request; actual I/O is a
+    * deploy-side connector (zero-egress here). */
+  def HttpRequest(base: String, params: (String, Column)*): Node =
+    Node("HttpRequest")(_.withColumn("payload", Codecs.httpUrl(base, params: _*)))
+  def RequestNode(base: String, params: (String, Column)*): Node =
+    HttpRequest(base, params: _*)
+}
