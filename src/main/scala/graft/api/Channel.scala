@@ -118,6 +118,40 @@ final case class Channel(name: String, steps: Vector[Channel.Step] = Vector.empt
 
   /** Convenience: run and return only the main output. */
   def runMain(input: DataFrame): DataFrame = run(input).main
+
+  /** All node names in order (pypeman graph.py / BaseChannel.get_node). */
+  def nodeNames: Seq[String] = steps.collect { case Apply(n) => n.name }
+
+  def getNode(nodeName: String): Option[Node] =
+    steps.collectFirst { case Apply(n) if n.name == nodeName => n }
+
+  /** Replace a node by name — the test-mode mock facility (pypeman
+    * test.py / BaseNode.mock): swap any node for a stub without rebuilding
+    * the channel. */
+  def replaceNode(nodeName: String, replacement: Node): Channel =
+    copy(steps = steps.map {
+      case Apply(n) if n.name == nodeName => Apply(replacement)
+      case s => s
+    })
+
+  /** ASCII pipeline graph (pypeman channels.py:897 BaseChannel.graph). */
+  def graph(prefix: String = ""): String = {
+    val sb = new StringBuilder
+    steps.foreach {
+      case Apply(n) => sb.append(s"$prefix|- ${n.name}\n")
+      case Fork(n, sub) =>
+        sb.append(s"$prefix|→ fork:$n\n").append(sub.graph(prefix + "|  "))
+      case When(_, sub) =>
+        sb.append(s"$prefix|? when\n").append(sub.graph(prefix + "|  "))
+      case CaseStep(branches) =>
+        branches.zipWithIndex.foreach { case ((_, sub), i) =>
+          sb.append(s"$prefix|? case $i\n").append(sub.graph(prefix + "|  "))
+        }
+      case DropWhen(_) => sb.append(s"$prefix|x drop\n")
+      case RejectWhen(_) => sb.append(s"$prefix|x reject\n")
+    }
+    sb.toString
+  }
 }
 
 object Channel {

@@ -63,3 +63,32 @@ object StreamChannels {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(intervalMs))
 }
+
+/** Long-running watcher channel: wraps a directory source + Channel +
+  * parquet sink with checkpointing — the deployable form of pypeman's
+  * FileWatcherChannel (channels.py:1306). `interval` mirrors the reference's
+  * poll interval; `Trigger.AvailableNow` (interval = 0) gives a
+  * catch-up-and-stop run (CronChannel tick semantics, contrib/time.py).
+  */
+final class FileWatcherChannel(
+    spark: SparkSession,
+    watchDir: String,
+    schema: StructType,
+    channel: Channel,
+    outDir: String,
+    checkpointDir: String,
+    format: String = "parquet",
+    intervalMs: Long = 1000) {
+
+  def start(): StreamingQuery = {
+    val transformed = StreamChannels.fileWatcher(spark, watchDir, schema, format, channel)
+    val trigger =
+      if (intervalMs <= 0) Trigger.AvailableNow() else Trigger.ProcessingTime(intervalMs)
+    transformed.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+}

@@ -49,6 +49,37 @@ class StreamingSpec extends SparkSpec {
     assert(n == 1000)
   }
 
+  test("FileWatcherChannel end-to-end: watch dir → channel → parquet sink with checkpoint") {
+    val base = Files.createTempDirectory("graft_fwc").toString
+    Tables(spark, sf).events.limit(300).write.mode("overwrite").parquet(s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+    val ch = Channel("w").add(Node("clicks")(_.filter(col("event_type") === "click")))
+    val fwc = new graft.streaming.FileWatcherChannel(
+      spark, s"$base/in", schema, ch, s"$base/out", s"$base/ckpt", intervalMs = 0)
+    val q = fwc.start()
+    q.awaitTermination(60000)
+    val out = spark.read.parquet(s"$base/out")
+    val want = spark.read.parquet(s"$base/in").filter(col("event_type") === "click").count()
+    assert(out.count() == want && want > 0)
+    // restart with same checkpoint: no reprocessing of seen files
+    val q2 = fwc.start()
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(s"$base/out").count() == want)
+  }
+
+  test("channel graph + node lookup + mock replacement") {
+    val ch = Channel("g")
+      .add(Node("a")(identity), Node("b")(_.limit(1)))
+      .dropWhen(col("event_id") < 0)
+      .fork("side")(_.add(Node("c")(identity)))
+    assert(ch.nodeNames == Seq("a", "b"))
+    assert(ch.getNode("b").isDefined)
+    assert(ch.graph().contains("fork:side"))
+    val mocked = ch.replaceNode("b", Node("b")(identity))
+    val n = mocked.runMain(Tables(spark, sf).events.limit(10)).count()
+    assert(n == 10) // limit(1) stubbed out
+  }
+
   test("multimodal: batched stub decode via mapPartitions plumbing") {
     implicit val s = spark
     val docs = Tables(spark, sf).documents.limit(50)
