@@ -208,13 +208,47 @@ object Queries {
                   ORDER BY p_retailprice DESC, p_partkey) AS rk
               FROM part) WHERE rk <= 3"""))
 
+  /** Sketch aggregates: HLL distinct + approximate quantiles — the
+    * bounded-memory path for 100 TB cardinality/percentile questions.
+    * Approximation algorithms differ across engines → rows-only check;
+    * exact-bound assertions live in the spec. */
+  val qSketch = Q(
+    "q_sketch",
+    (s, dir) => {
+      Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
+          percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"))
+    })
+
+  /** Salted skewed join: events (user_id skew-safe) × per-user dimension.
+    * Result must equal the plain join — the oracle IS the plain join. */
+  val qSaltedJoin = Q(
+    "q_salted_join",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val dim = Tables(s, dir).events
+        .groupBy(col("user_id")).agg(count(lit(1)).as("user_total"))
+      graft.ops.SkewOps.saltedJoin(ev, dim, "user_id", salts = 8)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_total")).as("sum_user_total"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+              CAST(sum(user_total) AS BIGINT) AS sum_user_total
+            FROM events JOIN (
+              SELECT user_id, count(*) AS user_total FROM events GROUP BY user_id)
+            USING (user_id)
+            GROUP BY event_type"""))
+
   // -----------------------------------------------------------
   // registry
   // -----------------------------------------------------------
 
   def all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
-    qAggStats, qStreamWindow, qTopkPerGroup) ++
+    qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all
 }

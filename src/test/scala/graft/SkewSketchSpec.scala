@@ -1,0 +1,39 @@
+package graft
+
+import graft.ops.SkewOps
+import org.apache.spark.sql.functions._
+
+class SkewSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the rows of a plain inner join") {
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) 1 else i, s"v$i"))
+      .toDF("k", "payload") // key 1 is hot (10% of rows)
+    val dim = Seq((1, "hot"), (2, "a"), (3, "b"), (77, "c")).toDF("k", "label")
+    val salted = SkewOps.saltedJoin(big, dim, "k", salts = 4)
+    val plain = big.join(dim, Seq("k"), "inner")
+    assert(salted.count() == plain.count())
+    assert(salted.groupBy("k").count().orderBy("k").collect().toSeq ==
+      plain.groupBy("k").count().orderBy("k").collect().toSeq)
+  }
+
+  test("skewReport surfaces the hot key with its share") {
+    val big = (1 to 100).map(i => (if (i <= 40) 7 else i, "x")).toDF("k", "v")
+    val top = SkewOps.skewReport(big, "k", 1).head()
+    assert(top.getAs[Int]("k") == 7)
+    assert(top.getAs[Double]("share") == 0.4)
+  }
+
+  test("sketch aggregates stay within HLL/quantile error bounds") {
+    val r = Queries.qSketch.run(spark, sf)
+    val exact = Tables(spark, sf).events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val joined = r.join(exact, "event_type").collect()
+    joined.foreach { row =>
+      val approx = row.getAs[Long]("approx_users").toDouble
+      val exactN = row.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exactN) / exactN < 0.1, s"HLL off >10%: $row")
+      assert(row.getAs[Double]("p50_value") > 0)
+    }
+  }
+}
