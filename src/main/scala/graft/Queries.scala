@@ -208,6 +208,37 @@ object Queries {
                   ORDER BY p_retailprice DESC, p_partkey) AS rk
               FROM part) WHERE rk <= 3"""))
 
+  /** As-of join (event-time enrichment): for every error event, the most
+    * recent prior purchase by the same user. Composed from built-ins — a
+    * union tagged by side + one window pass (single shuffle on user_id) —
+    * per the custom-operator preference ladder: Spark CAN express this, so
+    * no custom SparkPlan is warranted. */
+  val qAsofJoin = Q(
+    "q_asof_join",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir).events
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_probe"),
+          lit(null).cast("long").as("ref_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_probe"),
+          col("event_id").as("ref_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("is_probe"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      errors.unionByName(purchases)
+        .withColumn("asof_purchase_id", last(col("ref_id"), ignoreNulls = true).over(w))
+        .filter(col("is_probe") === 1)
+        .select(col("user_id"), col("event_id"), col("asof_purchase_id"))
+    },
+    Some("""SELECT e.user_id, e.event_id,
+              (SELECT p.event_id FROM events p
+               WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+                 AND p.ts <= e.ts
+               ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS asof_purchase_id
+            FROM events e WHERE e.event_type = 'error'"""))
+
   /** Sketch aggregates: HLL distinct + approximate quantiles — the
     * bounded-memory path for 100 TB cardinality/percentile questions.
     * Approximation algorithms differ across engines → rows-only check;
@@ -248,7 +279,7 @@ object Queries {
 
   def all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
-    qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin) ++
+    qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all
 }

@@ -1,0 +1,30 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's native expressions as SQL
+  * functions, so `spark.sql("SELECT vec_cosine(a, b) …")` works alongside
+  * the Column API:
+  *
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions) …
+  *   // or: spark.sql.extensions=graft.plans.GraftExtensions
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", name)
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (es => DotProduct(es(0), es(1))),
+    "vec_cosine" -> (es => CosineSimilarity(es(0), es(1))),
+    "vec_l2sq" -> (es => L2SquaredDistance(es(0), es(1))))
+
+  override def apply(e: SparkSessionExtensions): Unit =
+    fns.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info(name, name), builder))
+    }
+}

@@ -44,6 +44,31 @@ class NodesParitySpec extends SparkSpec {
     assert(out == "Doe")
   }
 
+  test("fail-path parity: malformed JSON routes to rejects (fail_nodes)") {
+    val in = Seq("""{"id": 1}""", "not json at all").toDF("payload")
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val r = Channel("failpath")
+      .add(Nodes.JsonToPython(schema))
+      .rejectWhen(col("payload").isNull || col("payload.id").isNull)
+      .run(in)
+    assert(r.main.count() == 1)
+    assert(r.rejected.get.count() == 1)
+  }
+
+  test("SQL surface: native vector functions callable from spark.sql") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_cosine", es => graft.plans.CosineSimilarity(es(0), es(1)), "scala_udf")
+    val c = spark.sql(
+      "SELECT vec_cosine(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS c")
+      .as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+    // and through the Column API with mixed float/double arrays
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0, 0.0))).toDF("a", "b")
+    val c2 = df.select(graft.plans.VectorFunctions.vecCosine(col("a"), col("b")))
+      .as[Double].head()
+    assert(math.abs(c2 - 1.0) < 1e-12)
+  }
+
   test("Drop/Reject channel-level routing") {
     val in = Seq(1, 2, 3, 4).toDF("payload")
     val r = Nodes.Drop(col("payload") > 3)(
