@@ -96,9 +96,7 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 8,
       chunks: Int = 4): DataFrame = {
-    val fps = df
-      .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
-      .select(col("id"), simhashFromHashes(col("th")).as("fp"))
+    val fps = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
     val chunked = fps.select(col("id"), col("fp"),
       explode(simhashChunks(col("fp"), chunks)).as("c"))
     val a = chunked.as("a"); val b = chunked.as("b")

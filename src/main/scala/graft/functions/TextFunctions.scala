@@ -84,21 +84,15 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(split(lower(trim(text)), "\\s+"))), " "))
 
-  /** Word n-gram shingles as a distinct string array. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
-    val count = size(toks) - lit(n - 1)
-    when(count <= 0, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(sequence(lit(0), count - 1, lit(1)),
-        i => array_join(slice(toks, i + 1, lit(n)), " "))))
-  }
+  /** Word n-gram shingles as a distinct string array (native expression —
+    * graft.plans.WordShingles — one pass per row). */
+  def shingles(text: Column, n: Int): Column =
+    graft.plans.TextNative.wordShingles(text, n)
 
-  /** MinHash signature: k permutations simulated as xxhash64(shingle, seed).
-    * Per-row array of k minima — embarrassingly parallel, codegen'd. */
+  /** MinHash signature: k xxhash64 permutations minimized in a single pass
+    * over the shingles (native expression, graft.plans.MinHashSig). */
   def minhashSignature(shingleArr: Column, k: Int): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(shingleArr, s => xxhash64(lit(seed), s)))
-    }: _*)
+    graft.plans.TextNative.minhashSig(shingleArr, k)
 
   /** LSH band hashes from a MinHash signature: b bands of r rows; a band's
     * hash is xxhash64 over its slice. Returns array of (bandId, bandHash)
@@ -126,9 +120,9 @@ object TextFunctions {
       when(vote > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** SimHash directly from text (convenience; for hot paths materialize
-    * [[tokenHashes]] first). */
-  def simhash(text: Column): Column = simhashFromHashes(tokenHashes(text))
+  /** SimHash directly from text — fused native expression
+    * (graft.plans.SimHash64): tokenize + hash + 64-bit vote in one pass. */
+  def simhash(text: Column): Column = graft.plans.TextNative.simhash64(text)
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

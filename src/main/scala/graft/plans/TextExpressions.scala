@@ -1,0 +1,128 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for the text-hashing hot path (shingling, MinHash,
+  * SimHash).
+  *
+  * The composable formulations (`transform`/`aggregate` lambdas) evaluate
+  * interpretively per array element; MinHash referenced the shingle array
+  * k times and SimHash folded the hash array 64 times. These expressions do
+  * the whole computation in one pass per row in a tight JVM loop.
+  * `CodegenFallback` costs one virtual call per row — noise next to the
+  * per-element interpretation it replaces. Signature values are unchanged
+  * for shingles (same strings); MinHash/SimHash hash definitions are
+  * engine-internal (rows-only queries; specs assert semantic properties).
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val sb = new java.lang.StringBuilder
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature: k xxhash64 permutations (seed = 0..k-1) minimized in
+  * a single pass over the shingle array. */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val nEl = arr.numElements()
+    while (i < nEl) {
+      val s = arr.getUTF8String(i)
+      var j = 0
+      while (j < k) {
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, j)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(Long.box): Array[Any])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** SimHash: 64-bit bit-vote fingerprint over distinct whitespace tokens,
+  * tokenization + hashing + voting fused into one pass. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      if (seen.add(toks(i))) {
+        val u = UTF8String.fromString(toks(i))
+        val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) fp |= (1L << bit)
+      bit += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextNative {
+  import ColumnBridge.{column => c, expression => e}
+
+  def wordShingles(text: Column, n: Int): Column = c(WordShingles(e(text), n))
+  def minhashSig(shingleArr: Column, k: Int): Column = c(MinHashSig(e(shingleArr), k))
+  def simhash64(text: Column): Column = c(SimHash64(e(text)))
+}
