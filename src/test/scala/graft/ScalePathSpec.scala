@@ -1,0 +1,60 @@
+package graft
+
+import graft.sources.Bucketing
+import graft.streaming.Sessionize
+import org.apache.spark.sql.functions._
+
+class ScalePathSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed co-located join produces no shuffle Exchange") {
+    Bucketing.bucketize(Tables(spark, sf).orders, "b_orders", "o_custkey", 8)
+    Bucketing.bucketize(Tables(spark, sf).customer
+      .withColumnRenamed("c_custkey", "o_custkey"), "b_customer", "o_custkey", 8)
+    // force the shuffle-join path (a broadcast join would hide the point:
+    // at 100 TB neither side broadcasts)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.table(spark, "b_orders")
+        .join(Bucketing.table(spark, "b_customer"), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scans not bucketed:\n$plan")
+      assert(joined.count() ==
+        Tables(spark, sf).orders.join(
+          Tables(spark, sf).customer, col("o_custkey") === col("c_custkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("gap sessionization via flatMapGroupsWithState (batch path)") {
+    val evs = Seq(
+      Sessionize.Event(1, 0L, "a"), Sessionize.Event(1, 1000L, "b"),
+      Sessionize.Event(1, 100000L, "c"), // gap > 30s → new session
+      Sessionize.Event(2, 500L, "x")).toDS()
+    val ses = Sessionize.sessions(evs, gapMs = 30000).collect().sortBy(s => (s.userId, s.startMs))
+    assert(ses.toSeq == Seq(
+      Sessionize.Session(1, 0L, 1000L, 2),
+      Sessionize.Session(1, 100000L, 100000L, 1),
+      Sessionize.Session(2, 500L, 500L, 1)))
+  }
+
+  test("gap sessionization over real events agrees with window-based count") {
+    val evs = Tables(spark, sf).events.limit(2000)
+      .select(col("user_id").as("userId"), unix_millis(col("ts")).as("tsMs"),
+        col("event_type").as("eventType"))
+      .as[Sessionize.Event]
+    val gap = 3600 * 1000L
+    val got = Sessionize.sessions(evs, gap).count()
+    // oracle: session starts = events whose gap from previous > gap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("userId")).orderBy(col("tsMs"))
+    val want = evs.toDF()
+      .withColumn("prev", lag(col("tsMs"), 1).over(w))
+      .filter(col("prev").isNull || col("tsMs") - col("prev") > gap)
+      .count()
+    assert(got == want && got > 0)
+  }
+}
