@@ -9,8 +9,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup so the first measured query isn't charged for it
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
+    // JVM/codegen warmup so the first measured query isn't charged for JIT:
+    // exercise scan, hash-agg and broadcast-join codegen paths once
+    locally {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(5000)
+      li.groupBy(col("l_returnflag")).agg(sum(col("l_quantity"))).count()
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      li.join(broadcast(n), li("l_suppkey") % 25 === n("n_nationkey")).count()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -80,6 +80,27 @@ object DedupQueries {
         "vec_id", "embedding", "label", threshold = 0.3)
     })
 
+  /** End-to-end dedup pipeline: MinHash-LSH candidates → cluster by
+    * connected components → per-cluster keeper + size. Exact-dup corpus
+    * (doubled docs) gives known clusters of 2, SQL-checkable. */
+  val qDedupPipeline = Q(
+    "q_dedup_pipeline",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      val doubled = d.unionByName(
+        d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      val pairs = Dedup.minhashLsh(doubled, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.99)
+      val cl = Dedup.clusters(doubled.select(col("doc_id").as("id")), pairs)
+      cl.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    },
+    Some("""SELECT CAST(2 AS BIGINT) AS cluster_size,
+              count(*) AS n_clusters
+            FROM documents WHERE doc_id % 5 = 0"""))
+
   /** Brute-force cosine top-k against the vec_id=0 query vector. */
   val qAnnCosine = Q(
     "q_ann_cosine",
@@ -113,5 +134,5 @@ object DedupQueries {
 
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
-    qAnnCosine, qAnnIvf)
+    qDedupPipeline, qAnnCosine, qAnnIvf)
 }

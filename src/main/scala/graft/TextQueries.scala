@@ -96,5 +96,31 @@ object TextQueries {
                 string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp
             FROM documents"""))
 
-  def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint)
+  /** Corpus-level statistics: vocabulary size, token volume, per-source
+    * shape — the profiling pass before any training-data job. */
+  val qCorpusStats = Q(
+    "q_corpus_stats",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val toks = docs.select(col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      toks.groupBy(col("source")).agg(
+        countDistinct(col("tok")).as("vocab"),
+        count(lit(1)).as("n_tokens"))
+        .join(docs.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(length(col("text"))), 4).as("avg_chars")), "source")
+    },
+    Some("""WITH toks AS (
+              SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents)
+            SELECT t.source, t.vocab, t.n_tokens, d.n_docs, d.avg_chars
+            FROM (SELECT source, count(DISTINCT tok) AS vocab, count(*) AS n_tokens
+                  FROM toks GROUP BY source) t
+            JOIN (SELECT source, count(*) AS n_docs,
+                    round(avg(length(text)), 4) AS avg_chars
+                  FROM documents GROUP BY source) d
+            USING (source)"""))
+
+  def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint, qCorpusStats)
 }

@@ -107,6 +107,38 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Duplicate-cluster assignment: connected components over a candidate
+    * pair graph by iterative min-label propagation. Each iteration is one
+    * shuffle (groupBy id); iterations ≤ graph diameter — near-dup graphs
+    * are shallow (dup clusters are cliques from pair generation), so this
+    * converges in 2-3 rounds. The driver loop only checks a convergence
+    * count per round; all data stays distributed.
+    *
+    * Returns (id, cluster) where cluster = min id reachable.
+    */
+  def clusters(ids: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // edges in both directions + self-loops
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = ids.select(col("id"), col("id").as("cluster"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("cluster")).as("nmin"))
+      val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.cluster") =!= col("o.cluster")).count()
+      labels = next.localCheckpoint(true) // truncate the growing lineage
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** Embedding cosine near-dup pairs, blocked by a coarse key (cluster id /
     * label / LSH bucket) so the pair join stays bounded. */
   def embeddingDups(
