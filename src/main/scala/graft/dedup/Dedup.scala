@@ -117,9 +117,12 @@ object Dedup {
     * Returns (id, cluster) where cluster = min id reachable.
     */
   def clusters(ids: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // edges in both directions + self-loops
+    // materialize the edge list once — the loop re-reads it every iteration,
+    // and recomputing an upstream LSH candidate generation per iteration
+    // would dominate the whole job
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
     var labels = ids.select(col("id"), col("id").as("cluster"))
     var converged = false
     var iter = 0

@@ -79,6 +79,21 @@ object Codecs {
   def hl7Field(message: Column, segment: Int, field: Int): Column =
     element_at(element_at(hl7Parse(message), segment + 1), field + 1)
 
+  /** HL7 ACK for an inbound message (reference: contrib/hl7.py:148
+    * `_create_ack_from_hl7`): echo sender/receiver swapped, answer the
+    * message control id with the given ack status (AA/AE/AR). */
+  def hl7Ack(message: Column, status: String): Column = {
+    val msh = element_at(hl7Parse(message), 1)
+    val sendingApp = element_at(msh, 3)
+    val receivingApp = element_at(msh, 5)
+    val controlId = element_at(msh, 10)
+    concat_ws("\r",
+      concat_ws("|", lit("MSH"), lit("^~\\&"),
+        receivingApp, lit(""), sendingApp, lit(""), lit(""), lit(""),
+        lit("ACK"), controlId, lit("P"), lit("2.5")),
+      concat_ws("|", lit("MSA"), lit(status), controlId))
+  }
+
   // ---- HTTP (contrib/http.py HttpRequest url building) -------------------
 
   /** Build a request URL with URL-encoded query params from columns. */

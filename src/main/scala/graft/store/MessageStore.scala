@@ -30,7 +30,10 @@ final case class Search(
     metaEnd: Map[String, Double] = Map.empty,
     orderBy: String = "timestamp", // 'timestamp' | 'meta:<name>' | '-meta:<name>'
     count: Int = 10,
-    start: Int = 0) {
+    start: Int = 0,
+    /** resume after this message id, excluded (reference search start_id) —
+      * keyset pagination: O(pruned scan), unlike offset which must skip. */
+    startId: Option[String] = None) {
 
   def predicate: Column = {
     val conds = Seq(
@@ -81,7 +84,16 @@ final class MessageStore(spark: SparkSession, path: String) {
 object MessageStore {
   /** Search over any Msg-shaped DataFrame (store-backed or in-flight). */
   def search(df: DataFrame, q: Search): DataFrame = {
-    val filtered = df.filter(q.predicate).orderBy(q.ordering: _*)
+    val afterStartId = q.startId match {
+      case Some(id) if q.orderBy == "timestamp" =>
+        // keyset filter: strictly after (ts, uuid) of the anchor row
+        val anchor = df.filter(col("uuid") === id).select(col("ts"), col("uuid")).head()
+        val (ts0, uuid0) = (anchor.getTimestamp(0), anchor.getString(1))
+        df.filter(col("ts") > lit(ts0) ||
+          (col("ts") === lit(ts0) && col("uuid") > uuid0))
+      case _ => df
+    }
+    val filtered = afterStartId.filter(q.predicate).orderBy(q.ordering: _*)
     val paged = if (q.start > 0) filtered.offset(q.start) else filtered
     paged.limit(q.count)
   }

@@ -56,6 +56,12 @@ class CodecSpec extends SparkSpec {
     assert(r.getAs[String]("seg") == "MSH")
   }
 
+  test("hl7Ack swaps apps and echoes control id") {
+    val df = Seq("MSH|^~&|SENDER||RECEIVER|||20240101|ADT^A01|MSG007|P|2.5\rPID|1|X").toDF("m")
+    val ack = df.select(hl7Ack(col("m"), "AA")).as[String].head()
+    assert(ack == "MSH|^~\\&|RECEIVER||SENDER||||ACK|MSG007|P|2.5\rMSA|AA|MSG007")
+  }
+
   test("httpUrl url-encodes params") {
     val df = Seq("a value&more").toDF("v")
     val u = df.select(httpUrl("http://h/p", "q" -> col("v")).as("u")).as[String].head()

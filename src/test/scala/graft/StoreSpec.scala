@@ -40,6 +40,11 @@ class StoreSpec extends SparkSpec {
     assert(r.select("uuid").as[String].collect().toSeq == Seq("a", "c"))
   }
 
+  test("search: startId keyset pagination resumes after anchor, excluded") {
+    val r = MessageStore.search(msgs, Search(startId = Some("b"), count = 10))
+    assert(r.select("uuid").as[String].collect().toSeq == Seq("c", "d"))
+  }
+
   test("MessageStore save/search/total/replay over parquet") {
     val dir = Files.createTempDirectory("graft_store").toString
     val store = new MessageStore(spark, s"$dir/msgs")
