@@ -12,6 +12,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       // events.parquet carries TIMESTAMP(NANOS); read as long (see Tables)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // single-file test tables are ~25 MB — below the 128 MB default split
+      // size, which would serialize every scan onto one core. 8 MB splits
+      // restore scan parallelism locally; on a real cluster with many files
+      // per table the default is appropriate (see SURVEY §5).
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

@@ -91,6 +91,29 @@ object Nodes {
     Node("Email")(df => df.withColumn("payload",
       Codecs.emailFormat(subject, sender, recipients, payload)))
 
+  // ---- file nodes (nodes.py:619-749, contrib/ftp.py over staged dirs) ----
+
+  def FileReader(pathCol: String = "filepath", binary: Boolean = false): Node =
+    graft.sources.FileNodes.fileReader(pathCol, binary)
+  def FileWriter(pathCol: String = "filepath", safeFile: Boolean = true,
+      createValidFile: Boolean = false, validationExtension: String = ".ok"): Node =
+    graft.sources.FileNodes.fileWriter(pathCol, "payload", safeFile,
+      if (createValidFile) Some(validationExtension) else None)
+  def FileMover(destPath: String, pathCol: String = "filepath"): Node =
+    graft.sources.FileNodes.fileMover(destPath, pathCol)
+  def FileCleaner(extensionsToRm: Seq[String] = Nil, pathCol: String = "filepath"): Node =
+    graft.sources.FileNodes.fileCleaner(pathCol, extensionsToRm)
+  /** FTP file nodes (contrib/ftp.py): same per-row file ops over a staged
+    * transfer directory; the FTP protocol hop is a deploy-side connector. */
+  def FTPFileReader(pathCol: String = "filepath", binary: Boolean = false): Node =
+    FileReader(pathCol, binary)
+  def FTPFileWriter(pathCol: String = "filepath"): Node = FileWriter(pathCol)
+  def FTPFileDeleter(pathCol: String = "filepath"): Node = FileCleaner(Nil, pathCol)
+
+  /** Save (nodes.py:592): persist the message stream to a store. */
+  def Save(store: graft.store.MessageStore): Node =
+    Node("Save") { df => store.save(df); df }
+
   // ---- contrib/csv.py ----------------------------------------------------
 
   def CSV2Python(schema: StructType, delimiter: String = ","): Node =
