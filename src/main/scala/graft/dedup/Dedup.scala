@@ -56,6 +56,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Pick LSH (bands, rows) for a target jaccard threshold: the S-curve
+    * midpoint of banding is t ≈ (1/b)^(1/r); choose the divisor pair of k
+    * whose midpoint is closest to the requested threshold. */
+  def lshParamsFor(k: Int, threshold: Double): (Int, Int) = {
+    val candidates = (1 to k).filter(k % _ == 0).map { b =>
+      val r = k / b
+      (b, r, math.pow(1.0 / b, 1.0 / r))
+    }
+    val (b, r, _) = candidates.minBy { case (_, _, t) => math.abs(t - threshold) }
+    (b, r)
+  }
+
   /** MinHash + LSH candidate pairs: k-perm signature, b bands × r rows.
     * Docs agreeing on any band become candidates; exact signature overlap
     * then estimates jaccard. Shuffle volume: b rows per doc. */

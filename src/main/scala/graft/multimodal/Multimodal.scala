@@ -61,6 +61,19 @@ object Multimodal {
     }
   }
 
+  /** Real metadata decode from PNG bytes — no image library needed: the
+    * IHDR chunk is at a fixed offset, width/height are big-endian int32 at
+    * bytes 16-19 / 20-23. Pure expressions (hex slice → base-16 parse), so
+    * header introspection of billions of images runs inside the scan. */
+  def pngDims(bin: org.apache.spark.sql.Column): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    def beInt(off: Int) = conv(hex(substring(bin, off, 4)), 16, 10).cast("long")
+    (beInt(17), beInt(21))
+  }
+
+  /** PNG signature check (first 8 bytes). */
+  def isPng(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    hex(substring(bin, 1, 8)) === "89504E470D0A1A0A"
+
   /** Frame/chunk sampling: split a binary payload into fixed-size chunks
     * (video frame / audio window stand-in), exploded one row per chunk —
     * pure expressions, no UDF. */

@@ -70,6 +70,18 @@ final class MessageStore(spark: SparkSession, path: String) {
     msgs.withColumn("day", to_date(col("ts")))
       .write.mode("append").partitionBy("day").parquet(path)
 
+  /** Streaming append into the store (exactly-once via checkpoint) — the
+    * channel-attached message store, continuously fed. */
+  def saveStream(msgs: DataFrame, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    msgs.withColumn("day", to_date(col("ts")))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("day")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   def all(): DataFrame = spark.read.parquet(path).drop("day")
 
   def search(q: Search): DataFrame = MessageStore.search(all(), q)

@@ -94,6 +94,42 @@ class StreamingSpec extends SparkSpec {
     assert(r.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
   }
 
+  test("streaming append into MessageStore with checkpoint") {
+    val base = Files.createTempDirectory("graft_sstore").toString
+    Tables(spark, sf).events.limit(200)
+      .select(col("event_id").cast("string").as("uuid"), col("ts"),
+        col("props").as("payload"))
+      .write.mode("overwrite").parquet(s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+    val store = new graft.store.MessageStore(spark, s"$base/store")
+    val src = spark.readStream.schema(schema).parquet(s"$base/in")
+    val q = store.saveStream(src, s"$base/ckpt")
+    q.awaitTermination(60000)
+    assert(store.total() == 200)
+  }
+
+  test("PNG header decode from raw bytes (no image libs)") {
+    // craft a minimal PNG header: signature + IHDR with 640x480
+    val bytes = Array[Int](
+      0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, // signature
+      0x00, 0x00, 0x00, 0x0D, 0x49, 0x48, 0x44, 0x52, // len + "IHDR"
+      0x00, 0x00, 0x02, 0x80, // width 640
+      0x00, 0x00, 0x01, 0xE0, // height 480
+      0x08, 0x06, 0x00, 0x00, 0x00).map(_.toByte)
+    val df = Seq(Tuple1(bytes)).toDF("bin")
+    val (w, h) = Multimodal.pngDims(col("bin"))
+    val r = df.select(Multimodal.isPng(col("bin")).as("ok"), w.as("w"), h.as("h")).head()
+    assert(r.getBoolean(0))
+    assert(r.getLong(1) == 640L && r.getLong(2) == 480L)
+  }
+
+  test("LSH parameter chooser hits the S-curve midpoint") {
+    assert(graft.dedup.Dedup.lshParamsFor(16, 0.7) == ((4, 4))) // midpoint .707
+    assert(graft.dedup.Dedup.lshParamsFor(16, 0.9) == ((2, 8))) // midpoint .917
+    val (b, r) = graft.dedup.Dedup.lshParamsFor(16, 0.4)
+    assert(math.abs(math.pow(1.0 / b, 1.0 / r) - 0.4) < 0.1)
+  }
+
   test("multimodal: chunking explodes payload into bounded chunks") {
     val df = Seq((1L, "a" * 600)).toDF("id", "payload")
     val out = Multimodal.chunk(df, "payload", 256)
