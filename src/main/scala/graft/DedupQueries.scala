@@ -122,14 +122,15 @@ object DedupQueries {
             SELECT id, round(cos, 4) AS cosine FROM scored
             ORDER BY cosine DESC, id LIMIT 10"""))
 
-  /** IVF-bucketed ANN (rows-only; deterministic centroid pick). */
+  /** IVF-bucketed ANN (rows-only; deterministic init, k-means-trained
+    * centroids, probe a fraction of lists). */
   val qAnnIvf = Q(
     "q_ann_ivf",
     (s, dir) => {
       val emb = Tables(s, dir).embeddings
       val query = Ann.queryVector(s, emb, "vec_id", 0L, "embedding")
-      val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", nlist = 16)
-      Ann.ivfTopK(assigned, query, nprobe = 4, k = 10)
+      val index = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 16, trainIters = 2)
+      Ann.ivfTopK(index, query, nprobe = 4, k = 10)
     })
 
   def all: Seq[Q] = Seq(

@@ -72,8 +72,21 @@ class TextDedupSpec extends SparkSpec {
   test("IVF top-1 agrees with brute force for the self-query") {
     val emb = Tables(spark, sf).embeddings.limit(200)
     val q = Ann.queryVector(spark, emb, "vec_id", 3L, "embedding")
-    val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", nlist = 8)
-    val ivf = Ann.ivfTopK(assigned, q, nprobe = 8, k = 1).collect() // all lists probed = exact
+    val index = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 8)
+    val ivf = Ann.ivfTopK(index, q, nprobe = 8, k = 1).collect() // all lists probed = exact
     assert(ivf.head.getAs[Long]("id") == 3L)
+  }
+
+  test("k-means training improves or preserves IVF recall vs brute force") {
+    val emb = Tables(spark, sf).embeddings.limit(300)
+    val q = Ann.queryVector(spark, emb, "vec_id", 5L, "embedding")
+    val exact = Ann.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .select("id").as[Long].collect().toSet
+    val trained = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 8, trainIters = 2)
+    assert(trained.centroids.count() == 8)
+    val got = Ann.ivfTopK(trained, q, nprobe = 4, k = 10)
+      .select("id").as[Long].collect().toSet
+    // probing half the lists must still recover most of the true top-10
+    assert((exact intersect got).size >= 5, s"recall too low: $got vs $exact")
   }
 }
