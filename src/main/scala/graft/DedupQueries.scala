@@ -80,9 +80,12 @@ object DedupQueries {
         "vec_id", "embedding", "label", threshold = 0.3)
     })
 
-  /** End-to-end dedup pipeline: MinHash-LSH candidates → cluster by
-    * connected components → per-cluster keeper + size. Exact-dup corpus
-    * (doubled docs) gives known clusters of 2, SQL-checkable. */
+  /** End-to-end dedup pipeline: MinHash-LSH candidate generation →
+    * content-hash verification (candidates whose text isn't actually
+    * identical are dropped — the classic candidate/verify split) →
+    * connected-component clustering → cluster-size histogram. On the
+    * doubled corpus, clusters are exactly the identical-text groups, which
+    * the oracle derives relationally. */
   val qDedupPipeline = Q(
     "q_dedup_pipeline",
     (s, dir) => {
@@ -91,15 +94,27 @@ object DedupQueries {
         .select(col("doc_id"), col("text"))
       val doubled = d.unionByName(
         d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-      val pairs = Dedup.minhashLsh(doubled, "doc_id", "text")
+      val hashes = doubled.select(col("doc_id").as("id"), md5(col("text")).as("h"))
+      val candidates = Dedup.minhashLsh(doubled, "doc_id", "text")
         .filter(col("est_jaccard") >= 0.99)
-      val cl = Dedup.clusters(doubled.select(col("doc_id").as("id")), pairs)
+      // verify: keep candidate pairs whose content hash matches
+      val verified = candidates
+        .join(hashes.withColumnRenamed("id", "id_a").withColumnRenamed("h", "h_a"), "id_a")
+        .join(hashes.withColumnRenamed("id", "id_b").withColumnRenamed("h", "h_b"), "id_b")
+        .filter(col("h_a") === col("h_b"))
+        .select(col("id_a"), col("id_b"))
+      val cl = Dedup.clusters(doubled.select(col("doc_id").as("id")), verified)
       cl.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
     },
-    Some("""SELECT CAST(2 AS BIGINT) AS cluster_size,
-              count(*) AS n_clusters
-            FROM documents WHERE doc_id % 5 = 0"""))
+    Some("""SELECT CAST(m AS BIGINT) AS cluster_size, count(*) AS n_clusters
+            FROM (
+              SELECT count(*) AS m FROM (
+                SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0)
+              GROUP BY md5(text))
+            GROUP BY m"""))
 
   /** Brute-force cosine top-k against the vec_id=0 query vector. */
   val qAnnCosine = Q(

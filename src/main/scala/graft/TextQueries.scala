@@ -40,24 +40,28 @@ object TextQueries {
           FROM best"""
     })
 
-  /** Quality scoring: length/punctuation/stopword-ratio formula. */
+  /** Quality scoring: length/punctuation/stopword-ratio formula.
+    * Quantized as floor(x·10⁴+0.5)/10⁴ rather than round(): the formula's
+    * rational arithmetic can land exactly on .00005 boundaries where
+    * engines' round() tie-handling differs; floor of identical doubles is
+    * bit-deterministic. */
   val qQualityScore = Q(
     "q_quality_score",
     (s, dir) => {
       Tables(s, dir).documents.select(
         col("doc_id"),
-        round(qualityScore(col("text")), 4).as("quality"))
+        (floor(qualityScore(col("text")) * 10000 + 0.5) / 10000).as("quality"))
     },
     Some {
       val stop = defaultStopwords.map { w =>
         s"CAST((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
       }.mkString(" + ")
-      s"""SELECT doc_id, round(
+      s"""SELECT doc_id, floor(
             least(greatest(
               least(length(text) / 500.0, 1.0) * 0.5
               + least((($stop) / greatest(ntok, 1.0)) * 5.0, 1.0) * 0.5
               - (npunct / greatest(length(text)::DOUBLE, 1.0)) * 2.0,
-            0.0), 1.0), 4) AS quality
+            0.0), 1.0) * 10000 + 0.5) / 10000 AS quality
           FROM (
             SELECT doc_id, text, ' ' || text || ' ' AS p,
               CASE WHEN length(trim(text)) = 0 THEN 0
