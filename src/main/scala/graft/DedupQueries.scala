@@ -144,7 +144,7 @@ object DedupQueries {
     (s, dir) => {
       val emb = Tables(s, dir).embeddings
       val query = Ann.queryVector(s, emb, "vec_id", 0L, "embedding")
-      val index = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 16, trainIters = 2)
+      val index = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 16, trainIters = 1)
       Ann.ivfTopK(index, query, nprobe = 4, k = 10)
     })
 

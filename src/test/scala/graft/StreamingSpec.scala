@@ -94,6 +94,42 @@ class StreamingSpec extends SparkSpec {
     assert(r.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
   }
 
+  test("streaming exact dedup: dropDuplicates on content hash with watermark") {
+    val base = Files.createTempDirectory("graft_sdedup").toString
+    val docs = Tables(spark, sf).documents.limit(100)
+    // stage the corpus twice → every doc arrives duplicated
+    docs.write.mode("overwrite").parquet(s"$base/in")
+    docs.withColumn("doc_id", col("doc_id") + 100000)
+      .write.mode("append").parquet(s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+    val src = spark.readStream.schema(schema).parquet(s"$base/in")
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicates("content_hash")
+    val q = src.writeStream.format("memory").queryName("sdedup_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT count(*) FROM sdedup_out").as[Long].head() == 100)
+  }
+
+  test("stream-static enrichment join keeps streaming plan broadcast-able") {
+    val base = Files.createTempDirectory("graft_enrich").toString
+    Tables(spark, sf).events.limit(500).write.mode("overwrite").parquet(s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+    val dim = Tables(spark, sf).events
+      .groupBy("user_id").agg(count(lit(1)).as("user_total"))
+    val src = spark.readStream.schema(schema).parquet(s"$base/in")
+      .join(broadcast(dim), "user_id")
+    val q = src.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT count(*) FROM enrich_out").as[Long].head() == 500)
+    assert(spark.sql("SELECT min(user_total) FROM enrich_out").as[Long].head() > 0)
+  }
+
   test("streaming append into MessageStore with checkpoint") {
     val base = Files.createTempDirectory("graft_sstore").toString
     Tables(spark, sf).events.limit(200)
