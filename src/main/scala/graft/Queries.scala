@@ -239,6 +239,63 @@ object Queries {
                ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS asof_purchase_id
             FROM events e WHERE e.event_type = 'error'"""))
 
+  /** Hierarchical aggregation: ROLLUP over (returnflag, linestatus) with
+    * grand totals — one pass, no repeated scans. */
+  val qRollup = Q(
+    "q_rollup",
+    (s, dir) => {
+      Tables(s, dir).lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("l_quantity"))).as("qty"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+              round(sum(l_quantity), 4) AS qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+
+  /** Pivot: event counts per user bucketed by type as columns (expressed
+    * with FILTER-style conditional aggregation for engine portability). */
+  val qPivot = Q(
+    "q_pivot",
+    (s, dir) => {
+      Tables(s, dir).events
+        .groupBy((col("user_id") % 10).as("user_bucket"))
+        .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
+        .agg(count(lit(1)))
+    },
+    Some("""SELECT user_id % 10 AS user_bucket,
+              count(*) FILTER (event_type = 'click') AS click,
+              count(*) FILTER (event_type = 'view') AS view,
+              count(*) FILTER (event_type = 'purchase') AS purchase,
+              count(*) FILTER (event_type = 'error') AS error,
+              count(*) FILTER (event_type = 'signup') AS signup
+            FROM events GROUP BY 1"""))
+
+  /** Set operations: users who clicked but never purchased (EXCEPT), and
+    * the overlap count (INTERSECT), in one output. */
+  val qSetOps = Q(
+    "q_set_ops",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val clickers = ev.filter(col("event_type") === "click").select(col("user_id")).distinct()
+      val buyers = ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
+      val exceptN = clickers.except(buyers).count()
+      val intersectN = clickers.intersect(buyers).count()
+      val u = ev.sparkSession
+      import u.implicits._
+      Seq(("click_no_purchase", exceptN), ("click_and_purchase", intersectN))
+        .toDF("cohort", "n_users")
+    },
+    Some("""SELECT 'click_and_purchase' AS cohort, count(*) AS n_users FROM (
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+              INTERSECT
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+            UNION ALL
+            SELECT 'click_no_purchase', count(*) FROM (
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+              EXCEPT
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')"""))
+
   /** Sketch aggregates: HLL distinct + approximate quantiles — the
     * bounded-memory path for 100 TB cardinality/percentile questions.
     * Approximation algorithms differ across engines → rows-only check;
@@ -279,7 +336,8 @@ object Queries {
 
   def all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
-    qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin) ++
+    qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin,
+    qRollup, qPivot, qSetOps) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all
 }
