@@ -126,5 +126,36 @@ object TextQueries {
                   FROM documents GROUP BY source) d
             USING (source)"""))
 
-  def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint, qCorpusStats)
+  /** PII scrubbing + normalization over synthetic contact strings (the
+    * corpus itself is clean, so the query constructs realistic dirty text
+    * from customer fields, then scrubs it). */
+  val qPiiScrub = Q(
+    "q_pii_scrub",
+    (s, dir) => {
+      val dirty = concat(
+        lit("Contact "), col("c_name"), lit(" at "),
+        lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", "")), lit("@example.com"),
+        lit(" or 555-123-4567, account 1234567890123. "), upper(col("c_mktsegment")))
+      Tables(s, dir).customer.select(
+        col("c_custkey"),
+        redactPii(dirty).as("clean"),
+        normalizeText(dirty).as("normalized"))
+    },
+    Some("""SELECT c_custkey,
+              regexp_replace(regexp_replace(regexp_replace(
+                concat('Contact ', c_name, ' at ',
+                  lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')), '@example.com',
+                  ' or 555-123-4567, account 1234567890123. ', upper(c_mktsegment)),
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\+?[0-9]{3}[- .][0-9]{3,4}[- .][0-9]{4}', '<PHONE>', 'g'),
+                '[0-9]{9,}', '<ID>', 'g') AS clean,
+              trim(regexp_replace(regexp_replace(lower(
+                concat('Contact ', c_name, ' at ',
+                  lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')), '@example.com',
+                  ' or 555-123-4567, account 1234567890123. ', upper(c_mktsegment))),
+                '[\x00-\x1f]', ' ', 'g'), '\s+', ' ', 'g')) AS normalized
+            FROM customer"""))
+
+  def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
+    qCorpusStats, qPiiScrub)
 }

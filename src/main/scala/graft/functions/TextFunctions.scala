@@ -78,6 +78,22 @@ object TextFunctions {
       lit(0.0)), lit(1.0))
   }
 
+  /** PII scrubbing: redact emails, phone-shaped numbers and long digit
+    * runs (ids/cards). Pure regexp_replace chain — runs inside the scan. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val phone = regexp_replace(email,
+      "\\+?[0-9]{3}[- .][0-9]{3,4}[- .][0-9]{4}", "<PHONE>")
+    regexp_replace(phone, "[0-9]{9,}", "<ID>")
+  }
+
+  /** Text normalization: lowercase, collapse whitespace, strip control
+    * chars — the canonical pre-tokenization cleanup. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text),
+      "[\\x00-\\x1f]", " "), "\\s+", " "))
+
   /** Normalization fingerprint: lowercase → tokens → distinct → sort →
     * md5. Near-identical docs that differ only in token order/duplication
     * collide (the classic "fingerprint" clustering key). */
