@@ -264,11 +264,11 @@ object Queries {
         .agg(count(lit(1)))
     },
     Some("""SELECT user_id % 10 AS user_bucket,
-              count(*) FILTER (event_type = 'click') AS click,
-              count(*) FILTER (event_type = 'view') AS view,
-              count(*) FILTER (event_type = 'purchase') AS purchase,
-              count(*) FILTER (event_type = 'error') AS error,
-              count(*) FILTER (event_type = 'signup') AS signup
+              count(*) FILTER (WHERE event_type = 'click') AS click,
+              count(*) FILTER (WHERE event_type = 'view') AS view,
+              count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+              count(*) FILTER (WHERE event_type = 'error') AS error,
+              count(*) FILTER (WHERE event_type = 'signup') AS signup
             FROM events GROUP BY 1"""))
 
   /** Set operations: users who clicked but never purchased (EXCEPT), and
