@@ -239,6 +239,29 @@ object Queries {
                ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS asof_purchase_id
             FROM events e WHERE e.event_type = 'error'"""))
 
+  /** Top-k per group via the custom partial-aggregatable TopKByScore
+    * aggregate (graft.plans) — map-side heaps shuffle k rows per group per
+    * partition instead of every row (same result as the window form,
+    * checked against the identical oracle as q_topk_per_group). */
+  val qTopkAgg = Q(
+    "q_topk_agg",
+    (s, dir) => {
+      import graft.plans.TopKByScore.topkByScore
+      Tables(s, dir).part
+        .groupBy(col("p_brand"))
+        .agg(topkByScore(col("p_retailprice"), col("p_partkey"), 3).as("top"))
+        .select(col("p_brand"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("p_brand"),
+          col("t").getField("id").as("p_partkey"),
+          col("t").getField("score").as("p_retailprice"),
+          (col("pos") + 1).cast("long").as("rk"))
+    },
+    Some("""SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+              SELECT p_brand, p_partkey, p_retailprice,
+                row_number() OVER (PARTITION BY p_brand
+                  ORDER BY p_retailprice DESC, p_partkey) AS rk
+              FROM part) WHERE rk <= 3"""))
+
   /** Hierarchical aggregation: ROLLUP over (returnflag, linestatus) with
     * grand totals — one pass, no repeated scans. */
   val qRollup = Q(
@@ -337,7 +360,7 @@ object Queries {
   def all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
     qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin,
-    qRollup, qPivot, qSetOps) ++
+    qRollup, qPivot, qSetOps, qTopkAgg) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all
 }
