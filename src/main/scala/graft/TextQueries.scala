@@ -156,6 +156,28 @@ object TextQueries {
                 '[\x00-\x1f]', ' ', 'g'), '\s+', ' ', 'g')) AS normalized
             FROM customer"""))
 
+  /** Reproducible hash-bucket sampling + train/val split accounting.
+    * Portable md5-hex-char arithmetic → the oracle computes the identical
+    * buckets. */
+  val qHashSample = Q(
+    "q_hash_sample",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val (train, valSet) = graft.ops.Sampling.trainValSplit(docs, "doc_id", 32)
+      train.select(lit("train").as("split"), col("doc_id"))
+        .unionByName(valSet.select(lit("val").as("split"), col("doc_id")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+    },
+    Some("""SELECT CASE WHEN bucket < 32 THEN 'val' ELSE 'train' END AS split,
+              count(*) AS n, min(doc_id) AS min_id
+            FROM (
+              SELECT doc_id,
+                (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1 AS bucket
+              FROM documents)
+            GROUP BY 1"""))
+
   def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
-    qCorpusStats, qPiiScrub)
+    qCorpusStats, qPiiScrub, qHashSample)
 }

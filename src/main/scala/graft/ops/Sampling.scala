@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling and dataset mixing for training pipelines.
+  *
+  * `rand()`-based sampling changes under retries/re-partitioning;
+  * content-hash bucketing is stable across runs, clusters and engines:
+  * a row's bucket is a pure function of its key. The bucket is derived
+  * from md5 hex characters via position lookup — deliberately portable
+  * arithmetic (the same formula runs in any SQL engine for verification).
+  */
+object Sampling {
+
+  private val HEX = "0123456789abcdef"
+
+  /** Deterministic bucket in [0, 256): first two md5 hex chars of the key. */
+  def hashBucket(key: Column): Column = {
+    val h = md5(key.cast("string"))
+    val c1 = instr(lit(HEX), substring(h, 1, 1)) - 1
+    val c2 = instr(lit(HEX), substring(h, 2, 1)) - 1
+    (c1 * 16 + c2).cast("int")
+  }
+
+  /** Keep ~`numerator`/256 of rows, chosen stably by key hash. */
+  def hashSample(df: DataFrame, keyCol: String, numerator: Int): DataFrame =
+    df.filter(hashBucket(col(keyCol)) < numerator)
+
+  /** Stable train/validation split: rows with bucket < `valBuckets` go to
+    * validation; the rest to train. Returns (train, val). */
+  def trainValSplit(df: DataFrame, keyCol: String, valBuckets: Int): (DataFrame, DataFrame) = {
+    val b = hashBucket(col(keyCol))
+    (df.filter(b >= valBuckets), df.filter(b < valBuckets))
+  }
+
+  /** Mix sources with per-source sampling rates (numerators of 256) —
+    * the weighted-mixture ingest of a training run, fully reproducible. */
+  def mix(sources: Seq[(DataFrame, String, Int)]): DataFrame =
+    sources.map { case (df, keyCol, numerator) =>
+      hashSample(df, keyCol, numerator)
+    }.reduce(_ unionByName _)
+}
