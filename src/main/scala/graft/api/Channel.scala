@@ -49,11 +49,27 @@ final case class ChannelResult(
   * The identical Channel value runs on a batch DataFrame or a streaming one
   * (Structured Streaming) — see graft.streaming.FileWatcherChannel.
   */
-final case class Channel(name: String, steps: Vector[Channel.Step] = Vector.empty) {
+final case class Channel(
+    name: String,
+    steps: Vector[Channel.Step] = Vector.empty,
+    initNodes: Vector[Node] = Vector.empty,
+    joinNodes: Vector[Node] = Vector.empty,
+    dropNodes: Vector[Node] = Vector.empty,
+    rejectNodes: Vector[Node] = Vector.empty,
+    finalNodes: Vector[Node] = Vector.empty) {
 
   import Channel._
 
   def add(nodes: Node*): Channel = copy(steps = steps ++ nodes.map(Apply))
+
+  /** End-node hooks (channels.py:984-1043): init nodes run before the
+    * pipeline; join nodes on the successful main output; drop/reject nodes
+    * on those side outputs; final nodes on every output stream. */
+  def addInitNodes(nodes: Node*): Channel = copy(initNodes = initNodes ++ nodes)
+  def addJoinNodes(nodes: Node*): Channel = copy(joinNodes = joinNodes ++ nodes)
+  def addDropNodes(nodes: Node*): Channel = copy(dropNodes = dropNodes ++ nodes)
+  def addRejectNodes(nodes: Node*): Channel = copy(rejectNodes = rejectNodes ++ nodes)
+  def addFinalNodes(nodes: Node*): Channel = copy(finalNodes = finalNodes ++ nodes)
 
   /** Parallel sub-channel fed with the current message stream; main flow
     * continues unchanged (pypeman channels.py:339). */
@@ -80,7 +96,7 @@ final case class Channel(name: String, steps: Vector[Channel.Step] = Vector.empt
   def rejectWhen(cond: Column): Channel = copy(steps = steps :+ RejectWhen(cond))
 
   def run(input: DataFrame): ChannelResult = {
-    var cur = input
+    var cur = initNodes.foldLeft(input)((df, n) => n(df))
     var drops = Vector.empty[DataFrame]
     var rejects = Vector.empty[DataFrame]
     var forks = Map.empty[String, DataFrame]
@@ -113,7 +129,13 @@ final case class Channel(name: String, steps: Vector[Channel.Step] = Vector.empt
         rejects :+= cur.filter(cond)
         cur = cur.filter(!coalesce(cond, lit(false)))
     }
-    ChannelResult(cur, drops, rejects, forks)
+    def pipe(nodes: Vector[Node])(df: DataFrame) = nodes.foldLeft(df)((d, n) => n(d))
+    val endFn = pipe(finalNodes) _
+    ChannelResult(
+      endFn(pipe(joinNodes)(cur)),
+      drops.map(d => endFn(pipe(dropNodes)(d))),
+      rejects.map(r => endFn(pipe(rejectNodes)(r))),
+      forks)
   }
 
   /** Convenience: run and return only the main output. */

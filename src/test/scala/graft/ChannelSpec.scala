@@ -67,6 +67,20 @@ class ChannelSpec extends SparkSpec {
     assert(r.main.count() == 2)
   }
 
+  test("end-node hooks: init/join/drop/final applied to the right streams") {
+    val r = Channel("t8")
+      .addInitNodes(Node("init")(_.withColumn("seen", lit("init"))))
+      .dropWhen(col("value") < 10)
+      .addJoinNodes(Node("join")(_.withColumn("seen", lit("join"))))
+      .addDropNodes(Node("drop")(_.withColumn("seen", lit("drop"))))
+      .addFinalNodes(Node("final")(_.withColumn("final", lit(true))))
+      .run(df)
+    assert(r.main.select("seen").distinct().as[String].collect().toSeq == Seq("join"))
+    assert(r.dropped.get.select("seen").as[String].collect().toSeq == Seq("drop"))
+    assert(r.main.select("final").distinct().as[Boolean].head())
+    assert(r.dropped.get.select("final").distinct().as[Boolean].head())
+  }
+
   test("merge unions by name") {
     val a = df.select("id", "name")
     val b = df.select(col("name"), col("id")) // shuffled column order
