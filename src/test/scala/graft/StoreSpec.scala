@@ -77,6 +77,32 @@ class StoreSpec extends SparkSpec {
     assert(due.select("seq").as[Int].collect().toSeq == Seq(1))
   }
 
+  test("retry roundtrip: failed rows parked, due rows re-processed") {
+    import graft.api.{Channel, Node}
+    // a channel whose node "fails" on flagged rows → reject-side = park
+    val input = Seq((1, "ok", "2024-01-01 00:00:00"), (2, "flaky", "2024-01-01 00:00:01"),
+      (3, "flaky", "2024-01-01 00:00:02"))
+      .toDF("id", "kind", "ts0").withColumn("ts", col("ts0").cast("timestamp")).drop("ts0")
+    val firstTry = Channel("flaky")
+      .rejectWhen(col("kind") === "flaky")
+      .add(Node("work")(_.withColumn("result", lit("done"))))
+      .run(input)
+    assert(firstTry.main.count() == 1)
+    // park rejected rows with backoff schedule
+    val parked = RetryStore.schedule(firstTry.rejected.get, "kind", "ts", "id")
+    // nothing due immediately before the backoff elapses
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:01").getTime
+    assert(RetryStore.due(parked, t0, "ts", "id").count() == 0)
+    // after backoff, both are due in arrival order; re-run succeeds
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00").getTime
+    val due = RetryStore.due(parked, t1, "ts", "id")
+    assert(due.select("id").as[Int].collect().toSeq == Seq(2, 3))
+    val retried = Channel("retry")
+      .add(Node("work")(_.withColumn("result", lit("done"))))
+      .run(due.drop("attempt", "backoff_sec", "next_try_ms"))
+    assert(retried.main.count() == 2)
+  }
+
   test("KVState store/get latest-version semantics") {
     val dir = Files.createTempDirectory("graft_kv").toString
     val kv = new KVState(spark, s"$dir/state")
