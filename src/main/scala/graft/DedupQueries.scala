@@ -137,16 +137,50 @@ object DedupQueries {
             SELECT id, round(cos, 4) AS cosine FROM scored
             ORDER BY cosine DESC, id LIMIT 10"""))
 
-  /** IVF-bucketed ANN (rows-only; deterministic init, k-means-trained
-    * centroids, probe a fraction of lists). */
+  /** IVF-bucketed ANN with deterministic first-k centroid init, so the
+    * whole path — assignment argmin (L2, ties → min cid), driver-side probe
+    * selection, probed-list cosine top-k — is replicated relationally by the
+    * oracle. The k-means-trained variant is covered by a recall-vs-brute-
+    * force spec (TextDedupSpec) since float means aren't engine-portable. */
   val qAnnIvf = Q(
     "q_ann_ivf",
     (s, dir) => {
       val emb = Tables(s, dir).embeddings
       val query = Ann.queryVector(s, emb, "vec_id", 0L, "embedding")
-      val index = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 16, trainIters = 1)
+      val index = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 16)
       Ann.ivfTopK(index, query, nprobe = 4, k = 10)
-    })
+    },
+    Some("""WITH cents AS (
+              SELECT vec_id AS cid, embedding AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 16),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            dists AS (
+              SELECT e.vec_id AS id, c.cid,
+                list_sum(list_transform(range(1, 65),
+                  i -> (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE)
+                     * (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE))) AS dist
+              FROM embeddings e, cents c),
+            assigned AS (
+              SELECT id, (min(struct_pack(dist := dist, cid := cid))).cid AS cid
+              FROM dists GROUP BY id),
+            probe AS (
+              SELECT c.cid FROM cents c, q
+              ORDER BY list_sum(list_transform(range(1, 65),
+                i -> (c.cv[i]::DOUBLE - qv[i]::DOUBLE)
+                   * (c.cv[i]::DOUBLE - qv[i]::DOUBLE))), c.cid
+              LIMIT 4),
+            scored AS (
+              SELECT e.vec_id AS id,
+                list_sum(list_transform(range(1, 65),
+                  i -> e.embedding[i]::DOUBLE * qv[i]::DOUBLE)) /
+                (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+                 sqrt(list_sum(list_transform(range(1, 65),
+                  i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))) AS cos
+              FROM embeddings e JOIN assigned a ON e.vec_id = a.id
+                JOIN probe p ON a.cid = p.cid, q)
+            SELECT id, round(cos, 4) AS cosine FROM scored
+            ORDER BY cosine DESC, id LIMIT 10"""))
 
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,

@@ -295,19 +295,27 @@ object Queries {
             FROM events GROUP BY 1"""))
 
   /** Set operations: users who clicked but never purchased (EXCEPT), and
-    * the overlap count (INTERSECT), in one output. */
+    * the overlap count (INTERSECT), in one output. Computed lazily in a
+    * single scan of events — per-user boolean flags then a tiny conditional
+    * agg — instead of two eager except/intersect passes. */
   val qSetOps = Q(
     "q_set_ops",
     (s, dir) => {
       val ev = Tables(s, dir).events
-      val clickers = ev.filter(col("event_type") === "click").select(col("user_id")).distinct()
-      val buyers = ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
-      val exceptN = clickers.except(buyers).count()
-      val intersectN = clickers.intersect(buyers).count()
-      val u = ev.sparkSession
-      import u.implicits._
-      Seq(("click_no_purchase", exceptN), ("click_and_purchase", intersectN))
-        .toDF("cohort", "n_users")
+      ev.filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("clicked"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("bought"))
+        .filter(col("clicked") === 1)
+        .agg(
+          coalesce(sum(when(col("bought") === 1, 1L).otherwise(0L)), lit(0L))
+            .as("n_and"),
+          coalesce(sum(when(col("bought") === 0, 1L).otherwise(0L)), lit(0L))
+            .as("n_no"))
+        // unpivot so both cohorts appear even when one count is zero
+        .selectExpr("stack(2, 'click_and_purchase', n_and, " +
+          "'click_no_purchase', n_no) AS (cohort, n_users)")
     },
     Some("""SELECT 'click_and_purchase' AS cohort, count(*) AS n_users FROM (
               SELECT DISTINCT user_id FROM events WHERE event_type = 'click'

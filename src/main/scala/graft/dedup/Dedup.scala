@@ -81,20 +81,27 @@ object Dedup {
     val r = k / bands
     // materialize the shingle array first: the signature references it k
     // times, and an attribute reference stops Catalyst collapsing the
-    // projection back into k copies of the tokenization
+    // projection back into k copies of the tokenization. The signature
+    // table itself is materialized once (at cluster scale: a persisted
+    // table) — it is read three times below (banding + both rejoins).
     val sigs = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
       .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
+      .localCheckpoint(true)
+    val banded = sigs.select(col("id"),
       explode(lshBands(col("sig"), bands, r)).as("b"))
     val a = banded.as("a"); val b = banded.as("b")
+    // candidate pairs agree on ≥1 band; dedupe on the bare (id_a, id_b) —
+    // a 16-byte distinct key — and only then rejoin the k-long signatures
     val cand = a.join(b,
         col("a.b") === col("b.b") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // estimated jaccard = fraction of agreeing signature positions
-    cand.withColumn("est_jaccard",
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _),
           b => b)).cast("double") / lit(k.toDouble), 4))
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
@@ -142,13 +149,19 @@ object Dedup {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("cluster")).as("nmin"))
+      // fold the convergence check into the label-update job: an observed
+      // metric (CollectMetrics) counts changed labels during the same pass
+      // that materializes the new labels — one job per iteration, no
+      // second join-and-count
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
       val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.cluster") =!= col("o.cluster")).count()
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+          when(col("nmin") < col("cluster"), 1L).otherwise(0L).as("chg"))
+        .observe(obs, sum(col("chg")).as("changed"))
+        .select(col("id"), col("cluster"))
       labels = next.localCheckpoint(true) // truncate the growing lineage
-      converged = changed == 0
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       iter += 1
     }
     labels

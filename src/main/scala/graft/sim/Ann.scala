@@ -9,8 +9,18 @@ import org.apache.spark.sql.functions._
   * Brute-force cosine top-k is the exact baseline: one scan, per-row fused
   * cosine (native codegen expression, graft.plans.CosineSimilarity), then
   * `TakeOrderedAndProject` — no full sort, no shuffle of embedding data.
-  * The IVF variant bounds scanned candidates to the probed fraction for the
-  * 100 TB path.
+  *
+  * The IVF variant is the 100 TB path. Its contract is that the centroid
+  * table is tiny (nlist × dims doubles — k-means' standard invariant), so:
+  *   - centroids live on the driver between iterations (a scalar-sized
+  *     parameter fetch, exactly like a query vector);
+  *   - nearest-centroid assignment is a ZERO-SHUFFLE projection — a
+  *     `least(struct(dist, cid), ...)` argmin over centroid literals fused
+  *     into the scan stage. No cross join, no groupBy, no corpus re-join.
+  *   - probing never runs a Spark job to choose lists: the nprobe nearest
+  *     centroids are picked on the driver, and the candidate scan is a
+  *     pushed-down `cid IN (...)` filter over the materialized index (at
+  *     cluster scale: a table partitioned by `cid` → partition pruning).
   */
 object Ann {
 
@@ -37,69 +47,95 @@ object Ann {
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
 
-  /** Nearest-centroid assignment via broadcast join (no corpus shuffle):
-    * argmin over (dist, cid) structs is a partial aggregation. */
-  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = vecs.join(broadcast(centroids), lit(true))
-      .withColumn("dist", vecL2Sq(col("v"), col("cv")))
-    scored.groupBy(col("id"))
-      .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cid"))
-      .join(vecs, "id")
+  /** Driver-side L2²: sequential left-to-right sum, the same order the
+    * codegen'd L2SquaredDistance loop and DuckDB's list_sum use — keeps
+    * centroid selection bit-deterministic across engines. */
+  private def l2sqLocal(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Fetch a (cid, cv) centroid table to the driver — nlist × dims doubles,
+    * a scalar-sized parameter like a query vector. */
+  private def collectCentroids(centroids: DataFrame): Seq[(Long, Seq[Double])] =
+    centroids.orderBy(col("cid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).toIndexedSeq
+
+  /** Nearest-centroid assignment as a pure projection: argmin over centroid
+    * literals via `least(struct(dist, cid))` (min dist, ties → min cid).
+    * Zero shuffle — fuses into the scan of `vecs`. */
+  def assignTo(vecs: DataFrame, centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "assignTo needs at least one centroid")
+    val scored = centroids.map { case (cid, cv) =>
+      struct(vecL2Sq(col("v"), array(cv.map(lit): _*)).as("dist"),
+        lit(cid).as("cid"))
+    }
+    val best =
+      if (scored.size == 1) scored.head else least(scored: _*)
+    vecs.withColumn("cid", best.getField("cid"))
   }
 
   /** Distributed Lloyd's k-means for IVF centroids: deterministic init
-    * (first k by id), then `iters` rounds of assign → element-wise mean.
-    * The mean recompute shuffles (cid, dim) partial sums — dims × k rows,
-    * independent of corpus size. Returns (cid, cv). */
-  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): DataFrame = {
+    * (first k by id), then `iters` rounds of assign (projection) → mean
+    * recompute. The only shuffle per round carries (cid, dim) partial sums —
+    * k × dims rows, independent of corpus size; the new centroids come back
+    * to the driver (tiny) for the next round's assignment literals. */
+  def kmeansCentroids(
+      df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): Seq[(Long, Seq[Double])] = {
     val vecs = df.select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v"))
-    var centroids = vecs.orderBy(col("id")).limit(k)
-      .select(col("id").as("cid"), col("v").as("cv"))
+    var centroids = collectCentroids(
+      vecs.orderBy(col("id")).limit(k)
+        .select(col("id").as("cid"), col("v").as("cv")))
     for (_ <- 1 to iters) {
-      val assigned = assign(vecs, centroids)
-      centroids = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), transform(col("pm"), _.getField("m")).as("cv"))
-        .localCheckpoint(true)
+      centroids = collectCentroids(
+        assignTo(vecs, centroids)
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+          .groupBy(col("cid"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cid"), transform(col("pm"), _.getField("m")).as("cv")))
     }
     centroids
   }
 
-  /** IVF index: the inverted lists (id, cid, v) plus the centroid table —
-    * at cluster scale both are persisted tables, (re)built offline. */
-  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+  /** IVF index: the materialized inverted lists (id, v, cid) plus the
+    * driver-resident centroid table. At cluster scale `assigned` is a
+    * persisted table partitioned by `cid`; locally it is checkpointed once
+    * at build so probes never recompute the assignment. */
+  final case class IvfIndex(assigned: DataFrame, centroids: Seq[(Long, Seq[Double])])
 
   /** IVF index build: train centroids (k-means, or deterministic first-k
-    * when `trainIters` = 0) and assign every vector — no corpus shuffle. */
+    * when `trainIters` = 0) and assign every vector in one shuffle-free
+    * projection pass, materialized once. */
   def ivfBuild(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
       trainIters: Int = 0): IvfIndex = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val centroids =
       if (trainIters > 0) kmeansCentroids(df, idCol, vecCol, nlist, trainIters)
-      else vecs.orderBy(col("id")).limit(nlist)
-        .select(col("id").as("cid"), col("v").as("cv"))
-    IvfIndex(assign(vecs, centroids), centroids)
+      else collectCentroids(
+        vecs.orderBy(col("id")).limit(nlist)
+          .select(col("id").as("cid"),
+            transform(col("v"), _.cast("double")).as("cv")))
+    IvfIndex(assignTo(vecs, centroids).localCheckpoint(true), centroids)
   }
 
   /** Backwards-compatible form returning just the assignment table. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame =
     ivfBuild(df, idCol, vecCol, nlist).assigned
 
-  /** IVF query: probe the `nprobe` centroids nearest the query, brute-force
-    * only vectors assigned to those lists — scans nprobe/nlist of the
-    * corpus instead of all of it. */
+  /** IVF query: pick the `nprobe` nearest centroids on the driver (no Spark
+    * job — the centroid table is driver-resident), then brute-force only the
+    * vectors in those lists via a pushed-down `cid IN (...)` filter. Scans
+    * nprobe/nlist of the corpus instead of all of it. */
   def ivfTopK(index: IvfIndex, query: Seq[Double], nprobe: Int, k: Int): DataFrame = {
+    val probed = index.centroids
+      .map { case (cid, cv) => (l2sqLocal(cv, query), cid) }
+      .sorted.take(nprobe).map(_._2)
     val q = array(query.map(lit): _*)
-    val centroidIds = index.centroids
-      .withColumn("dist", vecL2Sq(col("cv"), q))
-      .orderBy(col("dist"), col("cid"))
-      .limit(nprobe)
-      .select(col("cid"))
-    index.assigned.join(broadcast(centroidIds), "cid")
+    index.assigned
+      .filter(col("cid").isin(probed: _*))
       .select(col("id"), round(vecCosine(col("v"), q), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)

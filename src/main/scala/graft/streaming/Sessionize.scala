@@ -1,12 +1,22 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom stateful streaming: gap-based sessionization with
   * `flatMapGroupsWithState` — the Structured-Streaming form of per-key
   * mutable state (what the reference keeps in its persistence backends,
   * here checkpointed and partition-parallel).
+  *
+  * Streaming semantics: the open session is HELD IN STATE across
+  * micro-batches and emitted only when (a) a later event for the key
+  * arrives past the gap, or (b) the event-time watermark passes
+  * `last + gap` and the state times out (`EventTimeTimeout`). A session
+  * spanning two micro-batches is therefore emitted exactly once. Batch
+  * datasets see every event for a key in one invocation, so the trailing
+  * open session is flushed at group end instead (timeouts never fire in
+  * batch mode).
   */
 object Sessionize {
 
@@ -14,37 +24,67 @@ object Sessionize {
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class Session(userId: Long, startMs: Long, endMs: Long, nEvents: Int)
 
+  /** Attach an event-time column + watermark to a raw event stream so the
+    * EventTimeTimeout path can fire. `delay` is the allowed lateness. */
+  def withEventTimeWatermark(events: DataFrame, delay: String = "0 seconds"): Dataset[Event] = {
+    implicit val ee = Encoders.product[Event]
+    events
+      .withColumn("eventTime", timestamp_millis(col("tsMs")))
+      .withWatermark("eventTime", delay)
+      .as[Event]
+  }
+
   /** Emit a session whenever a user's gap exceeds `gapMs`. Works on a
-    * streaming Dataset (event-time state, timeout-driven flush) and on a
-    * batch Dataset (final flush at group end). */
+    * streaming Dataset (event-time state held across micro-batches,
+    * timeout-driven flush — callers must set a watermark, see
+    * [[withEventTimeWatermark]]) and on a batch Dataset (final flush at
+    * group end). */
   def sessions(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     implicit val se = Encoders.product[Session]
     implicit val ss = Encoders.product[SessionState]
+    val streaming = events.isStreaming
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.userId)(Encoders.scalaLong)
-      .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[SessionState, Session](OutputMode.Append, timeout) {
         case (userId, evs, state: GroupState[SessionState]) =>
-          // batch path: all events for the key arrive sorted by us below
-          val sorted = evs.toSeq.sortBy(_.tsMs)
-          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          var cur = state.getOption
-          sorted.foreach { e =>
-            cur match {
-              case Some(s) if e.tsMs - s.last <= gapMs =>
-                cur = Some(s.copy(last = e.tsMs, n = s.n + 1))
-              case Some(s) =>
-                out += Session(userId, s.start, s.last, s.n)
-                cur = Some(SessionState(e.tsMs, e.tsMs, 1))
-              case None =>
-                cur = Some(SessionState(e.tsMs, e.tsMs, 1))
-            }
-          }
-          cur.foreach { s =>
-            out += Session(userId, s.start, s.last, s.n)
+          if (streaming && state.hasTimedOut) {
+            // watermark passed last+gap with no newer events: close it
+            val s = state.get
             state.remove()
+            Iterator.single(Session(userId, s.start, s.last, s.n))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.tsMs)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tsMs - s.last <= gapMs =>
+                  cur = Some(s.copy(last = e.tsMs, n = s.n + 1))
+                case Some(s) =>
+                  out += Session(userId, s.start, s.last, s.n)
+                  cur = Some(SessionState(e.tsMs, e.tsMs, 1))
+                case None =>
+                  cur = Some(SessionState(e.tsMs, e.tsMs, 1))
+              }
+            }
+            if (streaming) {
+              // keep the open session; wake up when the watermark passes
+              // its gap horizon (clamped above the current watermark, for
+              // keys whose last event is already late)
+              cur.foreach { s =>
+                state.update(s)
+                state.setTimeoutTimestamp(
+                  math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+              }
+            } else {
+              cur.foreach { s => out += Session(userId, s.start, s.last, s.n) }
+              if (state.exists) state.remove()
+            }
+            out.iterator
           }
-          out.iterator
       }
   }
 }

@@ -159,6 +159,37 @@ class StreamingSpec extends SparkSpec {
     assert(r.getLong(1) == 640L && r.getLong(2) == 480L)
   }
 
+  test("streaming sessionization holds an open session across micro-batches") {
+    import graft.streaming.Sessionize
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val sess = Sessionize.sessions(
+      Sessionize.withEventTimeWatermark(mem.toDF()), gapMs = 30000)
+    val q = sess.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events of one open session — nothing may be emitted
+      // (a per-batch flush would wrongly emit (1, 10000, 11000) here).
+      // Timestamps start above 0 so none is "late" vs the initial watermark.
+      mem.addData(Sessionize.Event(1, 10000L, "a"), Sessionize.Event(1, 11000L, "b"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM sess_out").as[Long].head() == 0)
+      // batch 2: a third event still within the gap, plus another user far
+      // in the future that advances the watermark past user 1's horizon
+      mem.addData(Sessionize.Event(1, 12000L, "c"), Sessionize.Event(2, 500000L, "x"))
+      q.processAllAvailable()
+      // batch 3: watermark (now 500s) exceeds user 1's last+gap → timeout
+      mem.addData(Sessionize.Event(2, 900000L, "y"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT startMs, endMs, nEvents FROM sess_out WHERE userId = 1")
+        .as[(Long, Long, Int)].collect().toSeq
+      // exactly ONE session spanning both micro-batches
+      assert(got == Seq((10000L, 12000L, 3)), s"got $got")
+    } finally q.stop()
+  }
+
   test("LSH parameter chooser hits the S-curve midpoint") {
     assert(graft.dedup.Dedup.lshParamsFor(16, 0.7) == ((4, 4))) // midpoint .707
     assert(graft.dedup.Dedup.lshParamsFor(16, 0.9) == ((2, 8))) // midpoint .917

@@ -77,13 +77,21 @@ class TextDedupSpec extends SparkSpec {
     assert(ivf.head.getAs[Long]("id") == 3L)
   }
 
+  test("IVF assignment is a zero-shuffle projection (no Exchange in plan)") {
+    val emb = Tables(spark, sf).embeddings.limit(100)
+    val vecs = emb.select($"vec_id".as("id"), $"embedding".as("v"))
+    val cents = Seq((0L, Seq.fill(64)(0.1)), (1L, Seq.fill(64)(0.9)))
+    val plan = Ann.assignTo(vecs, cents).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment plan shuffles:\n$plan")
+  }
+
   test("k-means training improves or preserves IVF recall vs brute force") {
     val emb = Tables(spark, sf).embeddings.limit(300)
     val q = Ann.queryVector(spark, emb, "vec_id", 5L, "embedding")
     val exact = Ann.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
       .select("id").as[Long].collect().toSet
     val trained = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 8, trainIters = 2)
-    assert(trained.centroids.count() == 8)
+    assert(trained.centroids.size == 8)
     val got = Ann.ivfTopK(trained, q, nprobe = 4, k = 10)
       .select("id").as[Long].collect().toSet
     // probing half the lists must still recover most of the true top-10
