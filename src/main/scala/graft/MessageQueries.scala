@@ -249,8 +249,39 @@ object MessageQueries {
     },
     Some("SELECT p_partkey, p_brand, 'none' AS p_color FROM part"))
 
+  /** Message JSON interchange round-trip (message.py:133 to_json / 171
+    * from_json): build Msg rows with meta AND a ctx entry, serialize to the
+    * reference's JSON layout, parse back, and surface every component —
+    * uuid, µs-exact timestamp (as epoch ms), payload, meta value, ctx
+    * payload. Any field the round-trip loses or garbles breaks the hash. */
+  val qMsgJson = Q(
+    "q_msg_json",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val msgs = ev.select(
+        md5(col("props")).as("uuid"),
+        col("ts"),
+        lit("application/text").as("content_type"),
+        col("props").as("payload"),
+        map(lit("et"), col("event_type")).as("meta"),
+        lit(Msg.PENDING).as("state"),
+        map(lit("orig"),
+          struct(col("props").as("payload"),
+            map(lit("et"), col("event_type")).as("meta")))
+          .cast(Msg.ctxType).as("ctx"))
+      Msg.fromJson(Msg.toJson(msgs))
+        .select(
+          col("uuid"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("payload"),
+          element_at(col("meta"), "et").as("et"),
+          col("ctx")("orig").getField("payload").as("ctx_payload"))
+    },
+    Some("""SELECT md5(props) AS uuid, epoch_ms(ts) AS ts_ms, props AS payload,
+              event_type AS et, props AS ctx_payload FROM events"""))
+
   def all: Seq[Q] = Seq(
     qMsgWrap, qChannelChain, qForkMerge, qWhen, qCaseRouting, qFilterDrop,
     qRejectSplit, qWorstState, qCtxRoundtrip, qCombineCtx, qYielder,
-    qFuncMap, qMapRename, qToOrdered)
+    qFuncMap, qMapRename, qToOrdered, qMsgJson)
 }

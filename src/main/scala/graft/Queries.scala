@@ -370,5 +370,5 @@ object Queries {
     qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin,
     qRollup, qPivot, qSetOps, qTopkAgg) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
-    TextQueries.all ++ DedupQueries.all
+    TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

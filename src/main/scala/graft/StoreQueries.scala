@@ -1,6 +1,6 @@
 package graft
 
-import graft.store.{MessageStore, RetryStore, Search}
+import graft.store.{MessageStore, RetryDriver, RetryStore, Search}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Queries.Q
@@ -107,6 +107,42 @@ object StoreQueries {
               FROM events WHERE event_type = 'error')
             WHERE attempt <= 5"""))
 
+  /** The full retry re-send loop (retry.py:103-241): every error event
+    * fails its first handle and parks; re-send rounds re-inject in arrival
+    * order at the failing node; a message deterministically succeeds on
+    * attempt `(event_id % 4) + 1`, so attempts 1-3 drain most of the park
+    * and the %4==3 cohort exhausts to state `error`. emit_seq proves global
+    * in-order re-emission (round, then ts). The whole history is closed-form
+    * in SQL — the oracle below — while the Spark side genuinely drives
+    * Channel.runFrom through RetryDriver rounds. */
+  val qRetryResend = Q(
+    "q_retry_resend",
+    (s, dir) => {
+      import graft.api.{Channel, Node}
+      val errors = Tables(s, dir).events.filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts"), col("props").as("payload"),
+          ((col("event_id") % 4) + 1).cast("long").as("succeed_attempt"))
+      val sender = Node("send")(_.withColumn("payload", concat(lit("sent:"), col("payload"))))
+        .withAutoRetry(col("attempt") < col("succeed_attempt"))
+      val chan = Channel("retry_chan").add(sender)
+      // initial handle: attempt 0 < succeed_attempt ≥ 1 → everything parks
+      val first = chan.run(errors.withColumn("attempt", lit(0L)))
+      val r = RetryDriver.resendLoop(chan, first.retries, "ts", "event_id", maxAttempts = 3)
+      r.states.select(col("event_id"), col("attempt"), col("retry_state"), col("emit_seq"))
+    },
+    Some("""SELECT event_id, attempt, retry_state, emit_seq FROM (
+              SELECT event_id,
+                CAST(least(succeed_attempt, 3) AS BIGINT) AS attempt,
+                CASE WHEN ok THEN 'processed' ELSE 'error' END AS retry_state,
+                CAST(CASE WHEN ok THEN
+                  row_number() OVER (PARTITION BY ok ORDER BY succeed_attempt, ts, event_id)
+                END AS BIGINT) AS emit_seq
+              FROM (
+                SELECT event_id, ts, (event_id % 4) + 1 AS succeed_attempt,
+                  ((event_id % 4) + 1) <= 3 AS ok
+                FROM events WHERE event_type = 'error'))"""))
+
   def all: Seq[Q] = Seq(
-    qStoreSearch, qStoreSearchText, qStoreMetaRange, qStoreTotal, qRetryBackoff)
+    qStoreSearch, qStoreSearchText, qStoreMetaRange, qStoreTotal, qRetryBackoff,
+    qRetryResend)
 }

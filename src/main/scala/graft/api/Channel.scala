@@ -9,14 +9,52 @@ import org.apache.spark.sql.functions._
   * built-in nodes compile to Catalyst expressions (whole-stage codegen), so a
   * chain of nodes fuses into a single physical stage wherever possible.
   *
-  * `passthrough` mirrors pypeman's passthrough nodes (nodes.py:116): the
-  * node's effect is discarded and the input row continues unchanged.
+  * Node options mirror `BaseNode.__init__` (nodes.py:114-180):
+  *   - `passthrough` (nodes.py:116): the node's effect is discarded and the
+  *     input row continues unchanged.
+  *   - `storeInputAs` / `storeOutputAs` (nodes.py:114-115): snapshot the
+  *     message (payload+meta) into the ctx map before / after the node runs.
+  *   - `autoRetryOn` (nodes.py:132 `auto_retry_exceptions`): the relational
+  *     re-expression of "node raises a retryable exception" — rows matching
+  *     the predicate are diverted (pre-node, as the reference parks the OLD
+  *     message) to the channel's retries side-output tagged with this node's
+  *     name; see [[ChannelResult.retries]] and graft.store.RetryDriver.
+  *   - `storeMeta` (nodes.py:117 `store_meta`): names of meta entries to
+  *     persist as searchable store meta-info lists — collected per channel
+  *     (see [[Channel.storeMetaNames]]) and materialized by
+  *     `MessageStore.metaInfos`.
+  *   - `logOutput` (nodes.py:113): eager sampled show of the node output
+  *     at wiring time (debug aid, like Nodes.Log).
   */
 final case class Node(
     name: String,
     fn: DataFrame => DataFrame,
-    passthrough: Boolean = false) {
-  def apply(df: DataFrame): DataFrame = if (passthrough) df else fn(df)
+    passthrough: Boolean = false,
+    storeInputAs: Option[String] = None,
+    storeOutputAs: Option[String] = None,
+    autoRetryOn: Option[Column] = None,
+    storeMeta: Set[String] = Set.empty,
+    logOutput: Boolean = false) {
+
+  private def saveCtx(df: DataFrame, ctxName: String): DataFrame =
+    df.withColumn("ctx",
+      map_concat(col("ctx"), map(lit(ctxName),
+        struct(col("payload").as("payload"), col("meta").as("meta")))))
+
+  def apply(df: DataFrame): DataFrame = {
+    val in = storeInputAs.fold(df)(saveCtx(df, _))
+    val out = if (passthrough) in else fn(in)
+    val stored = storeOutputAs.fold(out)(saveCtx(out, _))
+    if (logOutput) stored.show(5, 80)
+    stored
+  }
+
+  // builder-style option setters (keep call sites close to reference kwargs)
+  def withStoreInputAs(n: String): Node = copy(storeInputAs = Some(n))
+  def withStoreOutputAs(n: String): Node = copy(storeOutputAs = Some(n))
+  def withAutoRetry(cond: Column): Node = copy(autoRetryOn = Some(cond))
+  def withStoreMeta(names: String*): Node = copy(storeMeta = storeMeta ++ names)
+  def withLogOutput: Node = copy(logOutput = true)
 }
 
 object Node {
@@ -29,14 +67,19 @@ object Node {
 }
 
 /** Result of running a channel: the main output plus routed side outputs
-  * (pypeman's drop/reject end-node streams and `fork` sub-channels). */
+  * (pypeman's drop/reject end-node streams and `fork` sub-channels).
+  * `retries` carries rows diverted by nodes with `autoRetryOn`, tagged with
+  * the node name where re-injection must resume (retry.py store_until_retry
+  * records `nodename` the same way). */
 final case class ChannelResult(
     main: DataFrame,
     drops: Seq[DataFrame] = Nil,
     rejects: Seq[DataFrame] = Nil,
-    forks: Map[String, DataFrame] = Map.empty) {
+    forks: Map[String, DataFrame] = Map.empty,
+    retries: Seq[(String, DataFrame)] = Nil) {
   def dropped: Option[DataFrame] = drops.reduceOption(_ unionByName _)
   def rejected: Option[DataFrame] = rejects.reduceOption(_ unionByName _)
+  def retried: Option[DataFrame] = retries.map(_._2).reduceOption(_ unionByName _)
 }
 
 /** Declarative channel: an ordered pipeline of nodes with routing steps —
@@ -100,15 +143,26 @@ final case class Channel(
     var drops = Vector.empty[DataFrame]
     var rejects = Vector.empty[DataFrame]
     var forks = Map.empty[String, DataFrame]
+    var retries = Vector.empty[(String, DataFrame)]
     steps.foreach {
-      case Apply(node) => cur = node(cur)
+      case Apply(node) =>
+        node.autoRetryOn match {
+          case Some(cond) =>
+            // auto_retry_exceptions (nodes.py:194-201): the reference parks
+            // the OLD (pre-node) message with this node's name; matching
+            // rows leave the main flow here and re-enter via runFrom.
+            retries :+= node.name -> cur.filter(cond)
+            cur = node(cur.filter(!coalesce(cond, lit(false))))
+          case None => cur = node(cur)
+        }
       case Fork(n, sub) =>
         val r = sub.run(cur)
         forks = forks ++ r.forks + (n -> r.main)
-        drops ++= r.drops; rejects ++= r.rejects
+        drops ++= r.drops; rejects ++= r.rejects; retries ++= r.retries
       case When(cond, sub) =>
         val r = sub.run(cur.filter(cond))
         drops ++= r.drops; rejects ++= r.rejects; forks ++= r.forks
+        retries ++= r.retries
         cur = r.main.unionByName(cur.filter(!coalesce(cond, lit(false))))
       case CaseStep(branches) =>
         // first-true-wins: branch i sees cond_i && !cond_0 .. !cond_{i-1}
@@ -118,6 +172,7 @@ final case class Channel(
           seen = seen || coalesce(cond, lit(false))
           val r = sub.run(cur.filter(mine))
           drops ++= r.drops; rejects ++= r.rejects; forks ++= r.forks
+          retries ++= r.retries
           r.main
         }
         val unmatched = cur.filter(!seen)
@@ -135,11 +190,39 @@ final case class Channel(
       endFn(pipe(joinNodes)(cur)),
       drops.map(d => endFn(pipe(dropNodes)(d))),
       rejects.map(r => endFn(pipe(rejectNodes)(r))),
-      forks)
+      forks,
+      retries)
   }
 
   /** Convenience: run and return only the main output. */
   def runMain(input: DataFrame): DataFrame = run(input).main
+
+  /** Re-inject starting at (and including) the named node — the reference's
+    * `BaseChannel.inject(msg, start_nodename)` used by the retry loop
+    * (retry.py:143). Init nodes are not re-run (the reference's inject skips
+    * them unless nodename is None). */
+  def runFrom(nodeName: String, input: DataFrame): ChannelResult = {
+    val idx = steps.indexWhere {
+      case Apply(n) => n.name == nodeName
+      case _ => false
+    }
+    require(idx >= 0, s"node $nodeName not found in channel $name")
+    copy(steps = steps.drop(idx), initNodes = Vector.empty).run(input)
+  }
+
+  /** Union of `storeMeta` names over all nodes (incl. sub-channels) — the
+    * meta entries to persist as store meta-infos (nodes.py:117). */
+  def storeMetaNames: Set[String] = {
+    val own = steps.flatMap {
+      case Apply(n) => n.storeMeta
+      case Fork(_, sub) => sub.storeMetaNames
+      case When(_, sub) => sub.storeMetaNames
+      case CaseStep(bs) => bs.flatMap(_._2.storeMetaNames)
+      case _ => Set.empty[String]
+    }
+    (initNodes ++ joinNodes ++ dropNodes ++ rejectNodes ++ finalNodes)
+      .flatMap(_.storeMeta).toSet ++ own
+  }
 
   /** All node names in order (pypeman graph.py / BaseChannel.get_node). */
   def nodeNames: Seq[String] = steps.collect { case Apply(n) => n.name }

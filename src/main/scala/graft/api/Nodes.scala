@@ -54,6 +54,14 @@ object Nodes {
   /** nodes.py:390. */
   def Empty(): Node = CoreOps.empty
 
+  /** nodes.py:353 RaiseError — fails the job the moment any row reaches it
+    * (per-row raise, matching the reference's per-message raise). Used by
+    * fail-path tests; combine with `.withAutoRetry(cond)` to divert rows
+    * into the retry flow instead of failing. */
+  def RaiseError(message: String = "Test node"): Node =
+    Node("RaiseError")(df =>
+      df.withColumn("payload", raise_error(lit(message)).cast("string")))
+
   /** nodes.py:396 SetCtx / 114 store_*_as / contrib/ctx.py. */
   def SetCtx(name: String): Node = CoreOps.useCtx(name)
   def StoreAs(name: String): Node = CoreOps.setCtx(name)

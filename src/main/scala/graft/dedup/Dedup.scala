@@ -38,9 +38,15 @@ object Dedup {
     // join on the shingle's 64-bit hash, not the string: an 8-byte shuffle
     // key instead of a variable-length one (collision probability across a
     // bucket's shingle vocabulary is ~n²/2⁶⁵ — negligible)
+    // materialize the exploded (id, shingle-hash) relation once: exchange
+    // reuse already dedupes the self-join's shuffle, but not the tokenize +
+    // explode + hash work above it — both join sides read this checkpoint
+    // (at cluster scale: a persisted intermediate table), same pattern as
+    // minhashLsh's `sigs`
     val ex = sized
       .select(col("id"), col("blk"), col("n_sh"), explode(col("sh")).as("s_str"))
       .select(col("id"), col("blk"), col("n_sh"), xxhash64(col("s_str")).as("s"))
+      .localCheckpoint(true)
     val a = ex.as("a"); val b = ex.as("b")
     val common = a.join(b,
         col("a.s") === col("b.s") && col("a.blk") === col("b.blk") &&

@@ -72,4 +72,67 @@ object Msg {
   /** Parse a wrapped payload back into columns given the target schema. */
   def unwrap(df: DataFrame, schema: StructType): DataFrame =
     df.select(from_json(col("payload"), schema).as("p")).select(col("p.*"))
+
+  // ---- JSON interchange (message.py:103-178 to_dict/to_json/from_json) ---
+
+  /** Reference DATE_FORMAT (message.py:13): "%Y-%m-%dT%H:%M:%S.%fZ" —
+    * microsecond precision, literal Z. */
+  val jsonTsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+
+  /** Schema of the reference's message JSON layout, field order matching
+    * to_dict insertion order (message.py:103-131). */
+  val jsonSchema: StructType = StructType(Seq(
+    StructField("timestamp", StringType),
+    StructField("uuid", StringType),
+    StructField("store_id", StringType),
+    StructField("store_chan_name", StringType),
+    StructField("payload", StringType),
+    StructField("meta", MapType(StringType, StringType)),
+    StructField("ctx", ctxType.asInstanceOf[MapType])))
+
+  /** `Message.to_json` (message.py:133) as a column over Msg rows: the
+    * reference's exact field set and order, payload as string (the
+    * encode_payload=False branch — pickled payloads are Python-specific;
+    * pypeman reads both). Nulls are kept (`store_id: null`), matching
+    * json.dumps. */
+  def toJsonCol: Column =
+    to_json(
+      struct(
+        date_format(col("ts"), jsonTsFormat).as("timestamp"),
+        col("uuid"),
+        lit(null).cast(StringType).as("store_id"),
+        lit(null).cast(StringType).as("store_chan_name"),
+        col("payload"),
+        col("meta"),
+        col("ctx")),
+      java.util.Map.of("ignoreNullFields", "false"))
+
+  /** Serialize Msg rows to the reference's JSON interchange layout. */
+  def toJson(df: DataFrame): DataFrame =
+    df.select(toJsonCol.as("json"))
+
+  /** `Message.from_json` (message.py:171): parse reference-layout JSON back
+    * into Msg rows. content_type is not part of the reference layout —
+    * restored as the default. */
+  def fromJson(df: DataFrame, jsonCol: String = "json"): DataFrame =
+    df.select(from_json(col(jsonCol), jsonSchema).as("m"))
+      .select(
+        col("m.uuid").as("uuid"),
+        to_timestamp(col("m.timestamp"), jsonTsFormat).as("ts"),
+        lit("application/text").as("content_type"),
+        col("m.payload").as("payload"),
+        col("m.meta").as("meta"),
+        lit(PENDING).as("state"),
+        col("m.ctx").as("ctx"))
+
+  /** `Message.copy` (message.py:71) — immutable rows: identity. */
+  def copy(df: DataFrame): DataFrame = df
+
+  /** `Message.renew` (message.py:79): copy with fresh uuid + timestamp.
+    * pypeman draws uuid4; graft derives the new id deterministically from
+    * (old uuid, payload) so renew is stable across retries and cluster
+    * re-execution — same reasoning as wrap's content-derived uuid. */
+  def renew(df: DataFrame): DataFrame =
+    df.withColumn("uuid", md5(concat_ws("|", col("uuid"), col("payload"))))
+      .withColumn("ts", current_timestamp())
 }

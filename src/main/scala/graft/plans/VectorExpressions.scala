@@ -167,6 +167,127 @@ case class L2SquaredDistance(left: Expression, right: Expression) extends Vector
     copy(left = l, right = r)
 }
 
+/** argmin_cid ‖vec − centroids[i]‖² — nearest-centroid assignment against a
+  * constant centroid matrix, as ONE expression with a codegen'd double loop.
+  *
+  * This replaces the `least(struct(vec_l2sq(v, lit...), cid)...)` argmin
+  * (round-2 Ann.assignTo), which inlined O(nlist × dims) literal expression
+  * nodes into the projection: ideal at nlist=16, but past a few hundred
+  * lists the generated method blows the JVM/Janino 64KB limit and Catalyst
+  * analysis cost grows with plan size. Here the matrix is ONE 2-D array
+  * literal (a codegen *reference*, not inline code), so plan size and
+  * generated-code size are constant in nlist — nlist=10⁴⁺ (the 100 TB IVF
+  * regime, nlist ~ √n) compiles to the same tight loop as nlist=16.
+  *
+  * Semantics are bit-identical to the old argmin: per-centroid L2² is the
+  * same left-to-right double accumulation as [[L2SquaredDistance]]; the
+  * scan takes the FIRST strict minimum, and `cids` is sorted ascending, so
+  * distance ties resolve to the smallest cid — exactly the
+  * `least(struct(dist, cid))` lexicographic order (oracle parity for
+  * q_ann_ivf).
+  *
+  * @param vec       array<float|double> row vector
+  * @param centroids array<array<double>> literal, row i = centroid i
+  * @param cids      array<long> literal, sorted ascending, cid of row i
+  */
+case class NearestCentroid(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  def vec: Expression = first
+  def centroids: Expression = second
+  def cids: Expression = third
+
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = LongType
+
+  private def vecElemType: DataType =
+    first.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val okVec = first.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val okCents = second.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }
+    val okCids = third.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (okVec && okCents && okCids)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float|double>, array<array<double>>, array<long>), " +
+          s"got (${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+          s"${third.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(v: Any, cs: Any, ids: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val cents = cs.asInstanceOf[ArrayData]
+    val cids = ids.asInstanceOf[ArrayData]
+    val t = vecElemType
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var ci = 0
+    while (ci < cents.numElements()) {
+      val cv = cents.getArray(ci)
+      val n = math.min(vec.numElements(), cv.numElements())
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val d = (t match {
+          case DoubleType => vec.getDouble(j)
+          case _ => vec.getFloat(j).toDouble
+        }) - cv.getDouble(j)
+        acc += d * d
+        j += 1
+      }
+      if (acc < bestD) { bestD = acc; best = ci }
+      ci += 1
+    }
+    cids.getLong(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cs, ids) => {
+      val ci = ctx.freshName("ci")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val cv = ctx.freshName("cv")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val getV = vecElemType match {
+        case DoubleType => s"$v.getDouble($j)"
+        case _ => s"(double) $v.getFloat($j)"
+      }
+      s"""
+         |int $best = 0;
+         |double $bestD = Double.POSITIVE_INFINITY;
+         |for (int $ci = 0; $ci < $cs.numElements(); $ci++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $cs.getArray($ci);
+         |  int $n = java.lang.Math.min($v.numElements(), $cv.numElements());
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    double $d = $getV - $cv.getDouble($j);
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $bestD) { $bestD = $acc; $best = $ci; }
+         |}
+         |${ev.value} = $ids.getLong($best);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 /** Column-level API for the native vector expressions. */
 object VectorFunctions {
   import ColumnBridge.{column => c, expression => e}
@@ -176,4 +297,16 @@ object VectorFunctions {
   def vecCosine(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
 
   def vecL2Sq(a: Column, b: Column): Column = c(L2SquaredDistance(e(a), e(b)))
+
+  /** Nearest-centroid assignment against a constant centroid table
+    * (cid-sorted). One expression, constant plan size in nlist. */
+  def nearestCentroid(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column = {
+    require(centroids.nonEmpty, "nearestCentroid needs at least one centroid")
+    val sorted = centroids.sortBy(_._1)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    val cents = Literal.create(sorted.map(_._2), ArrayType(ArrayType(DoubleType)))
+    val cids = Literal.create(sorted.map(_._1), ArrayType(LongType))
+    c(NearestCentroid(e(vec), cents, cids))
+  }
 }

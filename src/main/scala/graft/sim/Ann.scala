@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * table is tiny (nlist × dims doubles — k-means' standard invariant), so:
   *   - centroids live on the driver between iterations (a scalar-sized
   *     parameter fetch, exactly like a query vector);
-  *   - nearest-centroid assignment is a ZERO-SHUFFLE projection — a
-  *     `least(struct(dist, cid), ...)` argmin over centroid literals fused
-  *     into the scan stage. No cross join, no groupBy, no corpus re-join.
+  *   - nearest-centroid assignment is a ZERO-SHUFFLE projection — one
+  *     `NearestCentroid(vec, centroidMatrix)` codegen expression fused
+  *     into the scan stage (constant plan size in nlist). No cross join,
+  *     no groupBy, no corpus re-join.
   *   - probing never runs a Spark job to choose lists: the nprobe nearest
   *     centroids are picked on the driver, and the candidate scan is a
   *     pushed-down `cid IN (...)` filter over the materialized index (at
@@ -62,19 +63,18 @@ object Ann {
     centroids.orderBy(col("cid")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).toIndexedSeq
 
-  /** Nearest-centroid assignment as a pure projection: argmin over centroid
-    * literals via `least(struct(dist, cid))` (min dist, ties → min cid).
-    * Zero shuffle — fuses into the scan of `vecs`. */
-  def assignTo(vecs: DataFrame, centroids: Seq[(Long, Seq[Double])]): DataFrame = {
-    require(centroids.nonEmpty, "assignTo needs at least one centroid")
-    val scored = centroids.map { case (cid, cv) =>
-      struct(vecL2Sq(col("v"), array(cv.map(lit): _*)).as("dist"),
-        lit(cid).as("cid"))
-    }
-    val best =
-      if (scored.size == 1) scored.head else least(scored: _*)
-    vecs.withColumn("cid", best.getField("cid"))
-  }
+  /** Nearest-centroid assignment as a pure projection — zero shuffle, fuses
+    * into the scan of `vecs`. The argmin is ONE `NearestCentroid` Catalyst
+    * expression taking the whole centroid table as a single 2-D array
+    * literal with a codegen'd loop (graft.plans.NearestCentroid), so plan
+    * size and generated-code size are constant in nlist: production IVF
+    * (nlist ~ √n ≈ 10⁴⁺ at 100 TB) compiles to the same tight loop as the
+    * nlist=16 test. Distance ties resolve to the smallest cid (centroids
+    * scanned in cid order, first strict min wins) — the exact semantics of
+    * the previous `least(struct(dist, cid))` form, so q_ann_ivf's oracle is
+    * unchanged. */
+  def assignTo(vecs: DataFrame, centroids: Seq[(Long, Seq[Double])]): DataFrame =
+    vecs.withColumn("cid", nearestCentroid(col("v"), centroids))
 
   /** Distributed Lloyd's k-means for IVF centroids: deterministic init
     * (first k by id), then `iters` rounds of assign (projection) → mean
@@ -89,13 +89,21 @@ object Ann {
       vecs.orderBy(col("id")).limit(k)
         .select(col("id").as("cid"), col("v").as("cv")))
     for (_ <- 1 to iters) {
-      centroids = collectCentroids(
+      val recomputed = collectCentroids(
         assignTo(vecs, centroids)
           .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
           .groupBy(col("cid"))
           .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
           .select(col("cid"), transform(col("pm"), _.getField("m")).as("cv")))
+        .toMap
+      // a cid whose cluster went empty produces no row in the recompute —
+      // carry its previous centroid forward instead of silently shrinking
+      // the codebook (keeps centroids.size == k, so the effective
+      // nprobe/nlist fraction is stable)
+      centroids = centroids.map { case (cid, old) =>
+        cid -> recomputed.getOrElse(cid, old)
+      }
     }
     centroids
   }

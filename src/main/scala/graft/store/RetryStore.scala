@@ -37,4 +37,17 @@ object RetryStore {
   def due(scheduled: DataFrame, nowMs: Long, tsCol: String, orderCol: String): DataFrame =
     scheduled.filter(col("next_try_ms") <= nowMs)
       .orderBy(col(tsCol), col(orderCol))
+
+  /** Re-park rows that failed another attempt: backoff derives from the
+    * EXISTING `attempt` counter (maintained by RetryDriver), next try is
+    * `nowMs` + backoff — the re-wait of retry.py:238. */
+  def reschedule(
+      df: DataFrame,
+      nowMs: Long,
+      baseSec: Int = 1,
+      maxBackoffSec: Long = 3600): DataFrame =
+    df.withColumn("backoff_sec",
+        least((lit(baseSec) * pow(lit(2.0), least(col("attempt"), lit(30)))).cast("long"),
+          lit(maxBackoffSec)))
+      .withColumn("next_try_ms", lit(nowMs) + col("backoff_sec") * 1000L)
 }
