@@ -1,32 +1,57 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — one JSON line for the driver.
+  *
+  * Methodology (steady-state, n≥3): one untimed warmup pass per query
+  * (codegen JIT + scan cache effects land there), then `SPARK_GRAFT_BENCH_REPS`
+  * (default 3) timed runs; the reported per-query number is the MEDIAN.
+  * One-shot numbers at this query cost (0.3–3 s) carry GC/JIT spikes of
+  * several seconds — the r2 bench recorded a 7 s outlier on a query whose
+  * steady state is 1 s — so medians are the comparable figure, and
+  * BASELINE.md records them.
+  *
+  * Failures are REPORTED, not swallowed: a failing query lands in "failed"
+  * with its error class/message and poisons the total with +1e9 s so a
+  * broken query can never look fast.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup so the first measured query isn't charged for JIT:
-    // exercise scan, hash-agg and broadcast-join codegen paths once
-    locally {
-      import org.apache.spark.sql.functions._
-      val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(5000)
-      li.groupBy(col("l_returnflag")).agg(sum(col("l_quantity"))).count()
-      val n = spark.read.parquet(s"$sfDir/nation.parquet")
-      li.join(broadcast(n), li("l_suppkey") % 25 === n("n_nationkey")).count()
-    }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
     }
+
+    var failed = Vector.empty[(String, String)]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try {
+        timeOnce(fn) // untimed warmup: JIT + codegen compile
+        val times = (1 to reps).map(_ => timeOnce(fn)).sorted
+        name -> times(times.size / 2)
+      } catch {
+        case e: Throwable =>
+          failed :+= name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          name -> 1e9 // poison the total — a broken query must not look fast
+      }
+    }
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fs = failed.map { case (k, v) => s"\"" + k + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

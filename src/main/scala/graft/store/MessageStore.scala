@@ -112,4 +112,20 @@ object MessageStore {
 
   /** get_preview_str (msgstore.py:140). */
   def preview(payload: Column, n: Int = 1000): Column = substring(payload, 1, n)
+
+  /** Store meta-infos for nodes' `store_meta` option (nodes.py:117,215-220):
+    * for each message id and requested meta name, the stored values as a
+    * LIST — a yielded message's sub-messages each append their value, which
+    * is why the reference always stores a list. Relational form: one narrow
+    * (uuid, name, value) relation aggregated per (uuid, name); values are
+    * sorted for deterministic list order (the reference's append order is
+    * processing order, which a distributed engine cannot reproduce). */
+  def metaInfos(msgs: DataFrame, names: Seq[String]): DataFrame = {
+    val narrow = names.map { n =>
+      msgs.select(col("uuid"), lit(n).as("name"), col("meta")(n).as("value"))
+    }.reduce(_ unionByName _)
+    narrow.filter(col("value").isNotNull)
+      .groupBy(col("uuid"), col("name"))
+      .agg(sort_array(collect_list(col("value"))).as("values"))
+  }
 }

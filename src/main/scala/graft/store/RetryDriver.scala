@@ -36,9 +36,14 @@ object RetryDriver {
     * retry.py:185 search(order_by="timestamp")). */
   final case class RetryResult(states: DataFrame, rounds: Int)
 
+  /** Merge per-node groups and drop empty ones (a channel emits a retries
+    * entry for EVERY autoRetryOn node, incl. ones nothing reached). The
+    * emptiness probe is one limit-1 job per group per round — parked sets
+    * hold failures only, never the corpus, so this stays scalar-sized. */
   private def group(rs: Seq[(String, DataFrame)]): Seq[(String, DataFrame)] =
     rs.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (n, ds) => n -> ds.map(_._2).reduce(_ unionByName _) }
+      .filter { case (_, df) => !df.isEmpty }
 
   /** Flatten channel retries into the persisted park layout `periodic`
     * reads: one table with `retry_node`, `attempt`=0 and a first

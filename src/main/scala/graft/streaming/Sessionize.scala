@@ -56,7 +56,14 @@ object Sessionize {
             state.remove()
             Iterator.single(Session(userId, s.start, s.last, s.n))
           } else {
-            val sorted = evs.toSeq.sortBy(_.tsMs)
+            // flatMapGroupsWithState does NOT drop late rows by itself: an
+            // event older than the watermark, arriving after its session
+            // was already closed by EventTimeTimeout, would open a spurious
+            // overlapping session (duplicate emission for the same
+            // activity). Apply the same discard semantics windowed aggs
+            // have — drop events below the current watermark.
+            val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MinValue
+            val sorted = evs.toSeq.filter(_.tsMs >= wm).sortBy(_.tsMs)
             val out = scala.collection.mutable.ArrayBuffer.empty[Session]
             var cur = state.getOption
             sorted.foreach { e =>

@@ -76,4 +76,60 @@ class NodesParitySpec extends SparkSpec {
     assert(r.main.as[Int].collect().sorted.toSeq == Seq(2, 3))
     assert(r.dropped.get.count() == 1 && r.rejected.get.count() == 1)
   }
+
+  // ---- BaseNode option parity (nodes.py:114-180) --------------------------
+
+  private def msgIn = Seq(("hello", "x")).toDF("payload", "tag")
+    .withColumn("meta", map(lit("tag"), col("tag")))
+    .withColumn("ctx", map().cast(Msg.ctxType))
+
+  test("store_input_as / store_output_as snapshot payload+meta around the node (nodes.py:114)") {
+    val node = graft.api.Node("up")(_.withColumn("payload", upper(col("payload"))))
+      .withStoreInputAs("in_snap").withStoreOutputAs("out_snap")
+    val row = Channel("opts").add(node).runMain(msgIn)
+      .select(
+        col("payload"),
+        col("ctx")("in_snap").getField("payload"),
+        col("ctx")("out_snap").getField("payload"),
+        col("ctx")("in_snap").getField("meta")("tag"))
+      .as[(String, String, String, String)].head()
+    assert(row == (("HELLO", "hello", "HELLO", "x")))
+  }
+
+  test("RaiseError fails the job when a row reaches it (nodes.py:353)") {
+    val ex = intercept[Exception] {
+      Channel("boom").add(Nodes.RaiseError()).runMain(msgIn).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("Test node")))
+  }
+
+  test("RaiseError behind autoRetryOn diverts instead of failing (auto_retry_exceptions)") {
+    val r = Channel("safe")
+      .add(Nodes.RaiseError().withAutoRetry(lit(true)))
+      .run(msgIn)
+    assert(r.main.count() == 0) // nothing reaches the raising node
+    assert(r.retried.get.count() == 1) // the old message is parked
+  }
+
+  test("store_meta: channel collects names, store materializes value LISTS (yielded submessages)") {
+    val node = graft.api.Node("route")(
+      _.withColumn("meta", map(lit("dest"), concat(lit("d"), col("part")))))
+      .withStoreMeta("dest")
+    val chan = Channel("sm").add(
+      graft.ops.CoreOps.yielder(split(lit("a b"), " "), "part"), node)
+    assert(chan.storeMetaNames == Set("dest"))
+    val msgs = chan.runMain(msgIn.withColumn("uuid", lit("m1")))
+    val infos = graft.store.MessageStore.metaInfos(msgs, Seq("dest"))
+      .select("uuid", "name", "values").as[(String, String, Seq[String])].head()
+    // one message yielded into 2 submessages → both values stored as a list
+    assert(infos == (("m1", "dest", Seq("da", "db"))))
+  }
+
+  test("log_output is benign and returns the node output unchanged") {
+    val node = graft.api.Node("quiet")(_.withColumn("payload", lower(col("payload")))).withLogOutput
+    val out = Channel("log").add(node).runMain(msgIn).select("payload").as[String].head()
+    assert(out == "hello")
+  }
 }

@@ -1,0 +1,109 @@
+package graft
+
+import graft.api.{Channel, Channels, Node, RemoteAdmin}
+import graft.model.Msg
+import graft.ops.CoreOps
+import graft.store.MessageStore
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Remote-admin wire parity: asserts the EXACT JSON request/response shapes
+  * of the reference RPC (remoteadmin.py:99-225, plugins/remoteadmin/
+  * views.py:13-225, message.py:103-131 to_dict) against RemoteAdmin's pure
+  * dispatcher — byte-for-byte, envelope included. */
+class RemoteAdminSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(): (RemoteAdmin, MessageStore) = {
+    Channels.clear()
+    Channels.register(Channel("chan1").add(CoreOps.mapPayload("up")(upper)))
+    val dir = Files.createTempDirectory("graft_radmin").toString
+    val store = new MessageStore(spark, s"$dir/msgs")
+    store.save(Seq(
+      ("m1", "2024-01-01 10:00:00.123456", "hello payload", "processed"),
+      ("m2", "2024-01-02 11:30:00.000001", "second one", "error"))
+      .toDF("uuid", "ts0", "payload", "state")
+      .withColumn("ts", col("ts0").cast("timestamp")).drop("ts0")
+      .withColumn("meta", map(lit("et"), lit("t")))
+      .withColumn("ctx", map().cast(Msg.ctxType)))
+    val admin = new RemoteAdmin(spark)
+    admin.bind("chan1", store)
+    (admin, store)
+  }
+
+  test("channels: reference to_dict shape incl. subchannels, jsonrpc envelope") {
+    val (admin, _) = freshStore()
+    val resp = admin.dispatch("""{"jsonrpc":"2.0","method":"channels","params":[],"id":1}""")
+    assert(resp ==
+      """{"jsonrpc":"2.0","result":[{"name":"chan1","short_name":"chan1",""" +
+        """"verbose_name":"chan1","status":"STOPPED","has_message_store":true,""" +
+        """"processed":0,"subchannels":[]}],"id":1}""")
+  }
+
+  test("start_channel / stop_channel: {name, status} with STATE_NAMES strings") {
+    val (admin, _) = freshStore()
+    val started = admin.dispatch(
+      """{"jsonrpc":"2.0","method":"start_channel","params":["chan1"],"id":7}""")
+    assert(started ==
+      """{"jsonrpc":"2.0","result":{"name":"chan1","status":"WAITING"},"id":7}""")
+    val stopped = admin.dispatch(
+      """{"jsonrpc":"2.0","method":"stop_channel","params":["chan1"],"id":8}""")
+    assert(stopped ==
+      """{"jsonrpc":"2.0","result":{"name":"chan1","status":"STOPPED"},"id":8}""")
+  }
+
+  test("list_msgs: {messages:[{id,state,timestamp,meta}], total} with timestamp_str format") {
+    val (admin, _) = freshStore()
+    // positional params as RemoteAdminClient sends them (remoteadmin.py:293)
+    val resp = admin.dispatch(
+      """{"jsonrpc":"2.0","method":"list_msgs","params":["chan1",0,10,"timestamp",null,null,null,null,null],"id":2}""")
+    assert(resp ==
+      """{"jsonrpc":"2.0","result":{"messages":[""" +
+        """{"id":"m1","state":"processed","timestamp":"2024-01-01T10:00:00.123456Z","meta":{"et":"t"}},""" +
+        """{"id":"m2","state":"error","timestamp":"2024-01-02T11:30:00.000001Z","meta":{"et":"t"}}""" +
+        """],"total":2},"id":2}""")
+  }
+
+  test("list_msgs: text filter narrows, total stays store-wide (views.py:125)") {
+    val (admin, _) = freshStore()
+    val resp = admin.dispatch(
+      """{"jsonrpc":"2.0","method":"list_msgs","params":["chan1",0,10,"timestamp",null,null,"second",null,null],"id":3}""")
+    assert(resp.contains(""""messages":[{"id":"m2""""))
+    assert(resp.contains(""""total":2"""))
+  }
+
+  test("view_msg: full message.to_dict(encode_payload=False) layout") {
+    val (admin, _) = freshStore()
+    val resp = admin.dispatch(
+      """{"jsonrpc":"2.0","method":"view_msg","params":["chan1","m1"],"id":4}""")
+    assert(resp ==
+      """{"jsonrpc":"2.0","result":{"timestamp":"2024-01-01T10:00:00.123456Z",""" +
+        """"uuid":"m1","store_id":null,"store_chan_name":null,""" +
+        """"payload":"hello payload","meta":{"et":"t"},"ctx":{}},"id":4}""")
+  }
+
+  test("preview_msg truncates payload to 1000 chars; missing id yields error dict") {
+    val (admin, store) = freshStore()
+    val big = "x" * 1500
+    store.save(Seq(("m3", big)).toDF("uuid", "payload")
+      .withColumn("ts", lit("2024-01-03 00:00:00").cast("timestamp"))
+      .withColumn("state", lit("processed"))
+      .withColumn("meta", map().cast("map<string,string>"))
+      .withColumn("ctx", map().cast(Msg.ctxType)))
+    val prev = admin.previewMsg("chan1", "m3")
+    assert(admin.json(prev).contains("\"payload\":\"" + "x" * 1000 + "\""))
+    val missing = admin.dispatch(
+      """{"jsonrpc":"2.0","method":"view_msg","params":["chan1","nope"],"id":5}""")
+    assert(missing.startsWith("""{"jsonrpc":"2.0","result":{"error":"""))
+    assert(missing.contains("probably doesn't exists"))
+  }
+
+  test("replay_msg: channel re-runs the stored message, reply is message dict") {
+    val (admin, _) = freshStore()
+    val resp = admin.dispatch(
+      """{"jsonrpc":"2.0","method":"replay_msg","params":["chan1","m1"],"id":6}""")
+    assert(resp.contains(""""payload":"HELLO PAYLOAD""""))
+    assert(resp.contains(""""uuid":"m1""""))
+    assert(resp.endsWith(""","id":6}"""))
+  }
+}

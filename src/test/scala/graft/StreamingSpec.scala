@@ -161,6 +161,9 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming sessionization holds an open session across micro-batches") {
     import graft.streaming.Sessionize
+    // NOTE: MemoryStream lives in a private[sql] runtime package whose path
+    // moves between Spark minors (3.x had it one level up). Fine against
+    // the pinned 4.1.2 jars; revisit this import on any Spark bump.
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Sessionize.Event]

@@ -78,11 +78,42 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("IVF assignment is a zero-shuffle projection (no Exchange in plan)") {
-    val emb = Tables(spark, sf).embeddings.limit(100)
+    // no limit: a limit would itself add an Exchange on a multi-partition
+    // source and mask what this pins — the assignment projection alone
+    val emb = Tables(spark, sf).embeddings
     val vecs = emb.select($"vec_id".as("id"), $"embedding".as("v"))
     val cents = Seq((0L, Seq.fill(64)(0.1)), (1L, Seq.fill(64)(0.9)))
     val plan = Ann.assignTo(vecs, cents).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"assignment plan shuffles:\n$plan")
+  }
+
+  test("IVF assignment at nlist=1024 keeps constant plan size and survives strict codegen") {
+    // the round-2 literal-inlined argmin exploded plan size O(nlist×dims)
+    // and would hit Janino method limits here; NearestCentroid keeps the
+    // matrix as ONE literal. codegen.fallback=false turns any silent
+    // interpreted-mode fallback into a hard failure.
+    val cents = (0L until 1024L).map(c =>
+      c -> Seq.tabulate(64)(j => ((c * 64 + j) % 97).toDouble / 97.0))
+    val vecs = Tables(spark, sf).embeddings
+      .select($"vec_id".as("id"), $"embedding".as("v"))
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val assigned = Ann.assignTo(vecs, cents)
+      // constant expression-tree size: the matrix is ONE literal node. The
+      // round-2 inlined argmin was O(nlist×dims) nodes (≈130k here).
+      val exprNodes = assigned.queryExecution.optimizedPlan.expressions
+        .map(e => e.collect { case x => x }.size).sum
+      assert(exprNodes < 100, s"expression tree grew with nlist: $exprNodes nodes")
+      // correctness vs a driver-side argmin (same (dist, cid) tie-break)
+      val sample = assigned.select($"id", $"v", $"cid").limit(5).collect()
+      sample.foreach { r =>
+        val v = r.getSeq[Number](1).map(_.doubleValue())
+        val best = cents.map { case (cid, cv) =>
+          (v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+        }.min._2
+        assert(r.getLong(2) == best)
+      }
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
   test("k-means training improves or preserves IVF recall vs brute force") {
