@@ -94,10 +94,15 @@ object Nodes {
   /** nodes.py:457 Sleep — batch no-op kept for API parity. */
   def Sleep(durationSec: Double = 1): Node = Node("Sleep")(identity)
 
-  /** nodes.py:857 Email — render the message; transport is a connector. */
+  /** nodes.py:857 Email — render the message (payload gains RFC-822
+    * headers); pass a transport to actually send (graft.net.SmtpTransport
+    * speaks real SMTP; CapturingMailTransport for tests). */
   def Email(subject: Column, sender: Column, recipients: Column): Node =
     Node("Email")(df => df.withColumn("payload",
       Codecs.emailFormat(subject, sender, recipients, payload)))
+  def Email(subject: Column, sender: Column, recipients: Column,
+      transport: graft.net.MailTransport): Node =
+    graft.net.Mail.send(transport, subject, sender, recipients)
 
   // ---- file nodes (nodes.py:619-749, contrib/ftp.py over staged dirs) ----
 
@@ -152,8 +157,14 @@ object Nodes {
 
   // ---- contrib/http.py ---------------------------------------------------
 
-  /** HttpRequest (contrib/http.py:185): build the request; actual I/O is a
-    * deploy-side connector (zero-egress here). */
+  /** HttpRequest (contrib/http.py:185). The transported form does the full
+    * exchange — URL templating, partition-parallel send over a pluggable
+    * transport (graft.net.JdkHttpTransport for real calls, MockTransport
+    * in tests), response → payload/meta. The URL-only form keeps the pure
+    * request-construction surface (no I/O). */
+  def HttpRequest(transport: graft.net.HttpTransport, url: String,
+      params: (String, Column)*): Node =
+    graft.net.Http.request(transport, url = url, params = params.toSeq)
   def HttpRequest(base: String, params: (String, Column)*): Node =
     Node("HttpRequest")(_.withColumn("payload", Codecs.httpUrl(base, params: _*)))
   def RequestNode(base: String, params: (String, Column)*): Node =

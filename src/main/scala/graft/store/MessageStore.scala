@@ -32,8 +32,14 @@ final case class Search(
     count: Int = 10,
     start: Int = 0,
     /** resume after this message id, excluded (reference search start_id) —
-      * keyset pagination: O(pruned scan), unlike offset which must skip. */
-    startId: Option[String] = None) {
+      * keyset pagination: O(pruned scan), unlike offset which must skip.
+      * Resolving the id to its (ts, uuid) anchor costs one lookup scan; at
+      * store scale prefer `startAfter`, which the previous page's last row
+      * supplies for free. */
+    startId: Option[String] = None,
+    /** caller-supplied keyset anchor (ts-millis, uuid), exclusive: page N+1
+      * passes page N's last row — zero anchor-resolution scans. */
+    startAfter: Option[(Long, String)] = None) {
 
   def predicate: Column = {
     val conds = Seq(
@@ -96,9 +102,17 @@ final class MessageStore(spark: SparkSession, path: String) {
 object MessageStore {
   /** Search over any Msg-shaped DataFrame (store-backed or in-flight). */
   def search(df: DataFrame, q: Search): DataFrame = {
-    val afterStartId = q.startId match {
-      case Some(id) if q.orderBy == "timestamp" =>
-        // keyset filter: strictly after (ts, uuid) of the anchor row
+    val afterStartId = (q.startAfter, q.startId) match {
+      case (Some((tsMs, uuid0)), _) =>
+        // caller-supplied keyset anchor: pure filter, no anchor lookup —
+        // the 100 TB pagination path (the previous page's last row is the
+        // anchor, so paging a petabyte store never re-scans)
+        df.filter(col("ts") > timestamp_millis(lit(tsMs)) ||
+          (col("ts") === timestamp_millis(lit(tsMs)) && col("uuid") > uuid0))
+      case (None, Some(id)) if q.orderBy == "timestamp" =>
+        // id-only anchor (reference start_id): resolving it costs one
+        // lookup scan of the store — convenient locally, prefer startAfter
+        // at scale
         val anchor = df.filter(col("uuid") === id).select(col("ts"), col("uuid")).head()
         val (ts0, uuid0) = (anchor.getTimestamp(0), anchor.getString(1))
         df.filter(col("ts") > lit(ts0) ||

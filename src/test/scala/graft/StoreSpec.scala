@@ -45,6 +45,16 @@ class StoreSpec extends SparkSpec {
     assert(r.select("uuid").as[String].collect().toSeq == Seq("c", "d"))
   }
 
+  test("search: startAfter caller-supplied anchor paginates without an anchor scan") {
+    val page1 = MessageStore.search(msgs, Search(count = 2))
+      .select(col("uuid"), unix_millis(col("ts"))).as[(String, Long)].collect()
+    assert(page1.map(_._1).toSeq == Seq("a", "b"))
+    val (lastUuid, lastTs) = (page1.last._1, page1.last._2)
+    val page2 = MessageStore.search(msgs,
+      Search(count = 2, startAfter = Some((lastTs, lastUuid))))
+    assert(page2.select("uuid").as[String].collect().toSeq == Seq("c", "d"))
+  }
+
   test("MessageStore save/search/total/replay over parquet") {
     val dir = Files.createTempDirectory("graft_store").toString
     val store = new MessageStore(spark, s"$dir/msgs")
