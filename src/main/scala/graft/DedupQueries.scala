@@ -78,7 +78,23 @@ object DedupQueries {
     (s, dir) => {
       Dedup.embeddingDups(Tables(s, dir).embeddings,
         "vec_id", "embedding", "label", threshold = 0.3)
-    })
+    },
+    // fully relational: blocked pair join + the same dot/(√·√) association
+    // the q_ann_cosine oracle established as bit-identical to the fused
+    // codegen loop (left-to-right list_sum, norms rooted separately)
+    Some("""WITH v AS (SELECT vec_id AS id, label AS blk, embedding AS vec
+                       FROM embeddings),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                list_sum(list_transform(range(1, 65),
+                  i -> a.vec[i]::DOUBLE * b.vec[i]::DOUBLE)) /
+                (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> a.vec[i]::DOUBLE * a.vec[i]::DOUBLE))) *
+                 sqrt(list_sum(list_transform(range(1, 65),
+                  i -> b.vec[i]::DOUBLE * b.vec[i]::DOUBLE)))) AS cos
+              FROM v a JOIN v b ON a.blk = b.blk AND a.id < b.id)
+            SELECT id_a, id_b, round(cos, 4) AS cosine
+            FROM pairs WHERE cos >= 0.3"""))
 
   /** End-to-end dedup pipeline: MinHash-LSH candidate generation →
     * content-hash verification (candidates whose text isn't actually

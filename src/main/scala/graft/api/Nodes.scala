@@ -116,8 +116,16 @@ object Nodes {
     graft.sources.FileNodes.fileMover(destPath, pathCol)
   def FileCleaner(extensionsToRm: Seq[String] = Nil, pathCol: String = "filepath"): Node =
     graft.sources.FileNodes.fileCleaner(pathCol, extensionsToRm)
-  /** FTP file nodes (contrib/ftp.py): same per-row file ops over a staged
-    * transfer directory; the FTP protocol hop is a deploy-side connector. */
+  /** FTP file nodes (contrib/ftp.py). With an FtpConfig they speak the real
+    * wire protocol (graft.net.Ftp, RFC 959 client, spec-tested against an
+    * in-process server); the config-less forms run the same per-row ops
+    * over a staged transfer directory. */
+  def FTPFileReader(cfg: graft.net.FtpConfig, pathCol: String): Node =
+    graft.net.Ftp.reader(cfg, pathCol)
+  def FTPFileWriter(cfg: graft.net.FtpConfig, pathCol: String): Node =
+    graft.net.Ftp.writer(cfg, pathCol)
+  def FTPFileDeleter(cfg: graft.net.FtpConfig, pathCol: String): Node =
+    graft.net.Ftp.deleter(cfg, pathCol)
   def FTPFileReader(pathCol: String = "filepath", binary: Boolean = false): Node =
     FileReader(pathCol, binary)
   def FTPFileWriter(pathCol: String = "filepath"): Node = FileWriter(pathCol)

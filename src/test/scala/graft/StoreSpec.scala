@@ -113,6 +113,21 @@ class StoreSpec extends SparkSpec {
     assert(retried.main.count() == 2)
   }
 
+  test("MemoryMessageStore: save/search/state-change/delete/replay parity") {
+    val store = new graft.store.MemoryMessageStore(spark)
+    assert(store.isEmpty && store.total() == 0)
+    store.save(msgs.withColumn("state", lit("pending")))
+    assert(store.total() == 4)
+    assert(store.search(Search(text = Some("hello"), count = 10)).count() == 2)
+    store.changeMessageState("b", "error")
+    assert(store.all().filter(col("uuid") === "b" && col("state") === "error").count() == 1)
+    store.delete("d")
+    assert(store.total() == 3)
+    val replayed = store.replay(Search(count = 10),
+      graft.api.Channel("re").add(graft.ops.CoreOps.mapPayload("u")(upper)))
+    assert(replayed.select("payload").as[String].collect().forall(_.head.isUpper))
+  }
+
   test("KVState store/get latest-version semantics") {
     val dir = Files.createTempDirectory("graft_kv").toString
     val kv = new KVState(spark, s"$dir/state")
