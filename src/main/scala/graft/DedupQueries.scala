@@ -198,7 +198,39 @@ object DedupQueries {
             SELECT id, round(cos, 4) AS cosine FROM scored
             ORDER BY cosine DESC, id LIMIT 10"""))
 
+  /** Benchmark decontamination: training docs sharing any 3-gram with the
+    * "benchmark" slice are flagged. Spark joins on xxhash64 of the gram
+    * (8-byte broadcast set — the 100 TB shape); the oracle joins on the
+    * gram string itself — identical results modulo xxhash collisions
+    * (~n²/2⁶⁵, the same argument q_dedup_jaccard's oracle rests on). */
+  val qDecontaminate = Q(
+    "q_decontaminate",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val test = docs.filter(col("doc_id") % 10 === 1)
+      val train = docs.filter(col("doc_id") % 10 =!= 1)
+      Dedup.decontaminate(train, "doc_id", "text", test, "text", n = 3)
+    },
+    Some("""WITH sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(len(t) - 3 + 1, 0) + 1),
+                i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                    FROM documents)),
+            test_g AS (
+              SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 10 = 1),
+            train_g AS (
+              SELECT doc_id AS id, unnest(sh) AS g FROM sh WHERE doc_id % 10 != 1),
+            hits AS (
+              SELECT id, count(*) AS n_hits
+              FROM train_g JOIN test_g USING (g) GROUP BY id)
+            SELECT d.doc_id AS id,
+              CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+              coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.id
+            WHERE d.doc_id % 10 != 1"""))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
-    qDedupPipeline, qAnnCosine, qAnnIvf)
+    qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate)
 }

@@ -178,6 +178,40 @@ object TextQueries {
               FROM documents)
             GROUP BY 1"""))
 
+  /** Gopher-style repetition filters: duplicated-word fraction + most
+    * repeated bigram, per doc — pure scan-stage array work on the Spark
+    * side (sorted run-length scan, no explode/shuffle); the oracle derives
+    * the same counts relationally (unnest + group + max). */
+  val qRepetition = Q(
+    "q_repetition",
+    (s, dir) => {
+      Tables(s, dir).documents
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id") +: repetitionStats(col("text")): _*)
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE doc_id < 300),
+            base AS (
+              SELECT doc_id, len(t) AS n_words,
+                len(list_distinct(t)) AS n_distinct,
+                list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                  i -> t[i] || ' ' || t[i + 1]) AS bg
+              FROM toks),
+            top AS (
+              SELECT doc_id, max(cnt) AS top_bigram_n FROM (
+                SELECT doc_id, g, count(*) AS cnt
+                FROM (SELECT doc_id, unnest(bg) AS g FROM base)
+                GROUP BY doc_id, g)
+              GROUP BY doc_id)
+            SELECT b.doc_id, b.n_words, b.n_distinct,
+              floor((1 - b.n_distinct::DOUBLE / greatest(b.n_words, 1)) * 10000 + 0.5) / 10000
+                AS dup_word_frac,
+              coalesce(t.top_bigram_n, 0) AS top_bigram_n,
+              floor(coalesce(t.top_bigram_n, 0)::DOUBLE
+                / greatest(len(b.bg), 1) * 10000 + 0.5) / 10000 AS top_bigram_frac
+            FROM base b LEFT JOIN top t USING (doc_id)"""))
+
   def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
-    qCorpusStats, qPiiScrub, qHashSample)
+    qCorpusStats, qPiiScrub, qHashSample, qRepetition)
 }

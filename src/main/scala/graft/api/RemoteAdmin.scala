@@ -88,6 +88,26 @@ final class RemoteAdmin(spark: SparkSession) {
       d.put("payload", p); d
     }
 
+  /** remoteadmin.py:214 push_msg — inject a new message (payload = text)
+    * into the channel and reply with the handled result's dict. */
+  def pushMsg(channel: String, text: String): AnyRef =
+    try {
+      val ch = Channels.get(channel)
+        .getOrElse(throw new NoSuchElementException(s"no channel $channel"))
+      import org.apache.spark.sql.functions.{lit, map, current_timestamp, md5}
+      import spark.implicits._
+      val msg = Seq(text).toDF("payload")
+        .withColumn("uuid", md5(lit(text)))
+        .withColumn("ts", current_timestamp())
+        .withColumn("content_type", lit("application/text"))
+        .withColumn("meta", map().cast("map<string,string>"))
+        .withColumn("state", lit(graft.model.Msg.PENDING))
+        .withColumn("ctx", map().cast(graft.model.Msg.ctxType))
+      rowToDict(ch.runMain(msg).collect().head)
+    } catch {
+      case e: Exception => toJava(linked("error" -> e.getMessage))
+    }
+
   /** remoteadmin.py:169 replay_msg — re-run the channel on the stored
     * message; reply with the (renewed) message dict or {"error": ...}. */
   def replayMsg(channel: String, msgId: String): AnyRef =
@@ -142,6 +162,7 @@ final class RemoteAdmin(spark: SparkSession) {
       case "view_msg" => viewMsg(p(0), p(1))
       case "preview_msg" => previewMsg(p(0), p(1))
       case "replay_msg" => replayMsg(p(0), p(1))
+      case "push_msg" => pushMsg(p(0), p(1))
       case other => toJava(linked("error" -> s"$other is not a valid method"))
     }
     val resp = new java.util.LinkedHashMap[String, AnyRef]()

@@ -173,6 +173,41 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination: flag training documents that share any
+    * word n-gram with an evaluation/benchmark set (the standard 13-gram
+    * overlap check; `n` is a parameter since the right value tracks the
+    * benchmark's answer length).
+    *
+    * Scale shape: the benchmark set is SMALL by construction, so its
+    * distinct n-gram hashes broadcast; the training side's shingles are
+    * scan-stage work (native one-pass expression, already distinct per
+    * doc), and the broadcast join prunes to contaminated occurrences
+    * before any aggregation — the corpus is never shuffled, only the
+    * (tiny) hit set. Returns every training id with its distinct
+    * contaminated-gram count and a flag. */
+  def decontaminate(
+      train: DataFrame,
+      trainId: String,
+      trainText: String,
+      test: DataFrame,
+      testText: String,
+      n: Int = 13): DataFrame = {
+    val testGrams = test
+      .select(explode(shingles(col(testText), n)).as("g"))
+      .select(xxhash64(col("g")).as("gh"))
+      .distinct()
+    val trainGrams = train
+      .select(col(trainId).as("id"), explode(shingles(col(trainText), n)).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gh"))
+    // shingles() is distinct-per-doc, so (id, gh) needs no pre-join distinct
+    val hits = trainGrams.join(broadcast(testGrams), "gh")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    train.select(col(trainId).as("id")).join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_hits") > 0, lit(false)).as("contaminated"))
+  }
+
   /** Embedding cosine near-dup pairs, blocked by a coarse key (cluster id /
     * label / LSH bucket) so the pair join stays bounded. */
   def embeddingDups(

@@ -98,6 +98,15 @@ class RemoteAdminSpec extends SparkSpec {
     assert(missing.contains("probably doesn't exists"))
   }
 
+  test("push_msg: injects payload text through the channel, replies with message dict") {
+    val (admin, _) = freshStore()
+    val resp = admin.dispatch(
+      """{"jsonrpc":"2.0","method":"push_msg","params":["chan1","fresh text"],"id":9}""")
+    assert(resp.contains(""""payload":"FRESH TEXT""""))
+    assert(resp.contains(""""store_id":null"""))
+    assert(resp.endsWith(""","id":9}"""))
+  }
+
   test("replay_msg: channel re-runs the stored message, reply is message dict") {
     val (admin, _) = freshStore()
     val resp = admin.dispatch(

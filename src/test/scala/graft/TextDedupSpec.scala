@@ -54,6 +54,32 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("decontaminate flags exactly the train docs sharing an n-gram with the test set") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "completely unrelated words here today"),
+      (3L, "a quick brown fox appears")).toDF("id", "text")
+    val test = Seq("watch the quick brown fox run").toDF("text")
+    val out = Dedup.decontaminate(train, "id", "text", test, "text", n = 3)
+      .orderBy("id").as[(Long, Long, Boolean)].collect().toSeq
+    // doc 1 shares "the quick brown"+"quick brown fox"; doc 3 shares
+    // "quick brown fox"; doc 2 shares nothing
+    assert(out == Seq((1L, 2L, true), (2L, 0L, false), (3L, 1L, true)))
+  }
+
+  test("repetition stats: dup-word fraction and top-bigram run count") {
+    import graft.functions.TextFunctions
+    val df = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "all words differ here")).toDF("doc_id", "text")
+    val rows = df.select(col("doc_id") +: TextFunctions.repetitionStats(col("text")): _*)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Long, Double)].collect()
+    // "spam spam spam spam": 4 words 1 distinct, bigram "spam spam" ×3 of 3
+    assert(rows(0) == ((1L, 4L, 1L, 0.75, 3L, 1.0)))
+    assert(rows(1) == ((2L, 4L, 4L, 0.0, 1L, 0.3333))) // 1 of 3 bigrams
+  }
+
   test("exact dedup keeps min id and counts copies") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("id", "text")
     val r = Dedup.exact(df, "id", "text").orderBy("keep_id")
