@@ -188,6 +188,7 @@ object TextQueries {
       Tables(s, dir).documents
         .filter(col("doc_id") < 300)
         .select(col("doc_id") +: repetitionStats(col("text")): _*)
+        .select(col("doc_id") +: repetitionMetrics(col("__rep")): _*)
     },
     Some("""WITH toks AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

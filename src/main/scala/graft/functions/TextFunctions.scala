@@ -78,59 +78,37 @@ object TextFunctions {
       lit(0.0)), lit(1.0))
   }
 
-  /** Word-repetition stats (Gopher-style quality filters): fraction of
-    * duplicated words and the occurrence count of the most repeated word
-    * bigram. Pure per-row array work — sort + one linear run-length scan —
-    * fused into the scan stage: no explode, no shuffle, which is what lets
-    * a repetition filter run over 10^11 docs as a plain projection.
-    * Ratios use floor(x·10⁴ + 0.5)/10⁴ (bit-deterministic cross-engine). */
-  def words(text: Column): Column = split(trim(text), "\\s+")
-
-  /** Non-distinct word bigrams, in document order (unlike `shingles`,
-    * which dedupes — occurrence counts need every occurrence). */
-  def wordBigrams(text: Column): Column = {
-    val toks = words(text)
-    when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-  }
-
-  /** Longest run of equal adjacent elements in a SORTED array = max
-    * occurrence count of any element. One aggregate pass, struct state. */
-  def maxRunCount(sortedArr: Column): Column =
-    aggregate(
-      sortedArr,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-
   /** Bit-deterministic 4-decimal rounding for ratio values (Spark round()
     * and DuckDB round() disagree on .00005 boundaries). */
   def r4ratio(x: Column): Column = floor(x * 10000 + lit(0.5)) / 10000
 
-  /** Per-doc repetition metrics: word counts, duplicated-word fraction,
-    * top-bigram occurrence count and its fraction of all bigrams. */
+  /** Word-repetition profile (Gopher-style quality filters): fraction of
+    * duplicated words and occurrence count of the most repeated word
+    * bigram, from ONE native one-pass expression (graft.plans.
+    * RepetitionProfile) — no explode, no shuffle, which is what lets a
+    * repetition filter over 10^11 docs stay a plain scan-stage projection.
+    * Materialize this column in its own select, then derive the metric
+    * columns with [[repetitionMetrics]] — referencing the profile k times
+    * in the SAME projection would inline (recompute) it k times. */
   def repetitionStats(text: Column): Seq[Column] = {
-    val toks = words(text)
-    val nWords = size(toks).cast("long")
-    val nDistinct = size(array_distinct(toks)).cast("long")
-    val bigrams = wordBigrams(text)
-    val topBigram = maxRunCount(array_sort(bigrams))
+    val p = graft.plans.TextNative.repetitionProfile(text, 2)
+    Seq(p.as("__rep"))
+  }
+
+  /** Derived metric columns over the materialized profile column. */
+  def repetitionMetrics(rep: Column): Seq[Column] = {
+    val nWords = rep.getField("n_words")
+    val nDistinct = rep.getField("n_distinct")
+    val top = rep.getField("top_ngram_n")
+    val nGrams = rep.getField("n_ngrams")
     Seq(
       nWords.as("n_words"),
       nDistinct.as("n_distinct"),
       r4ratio(lit(1.0) - nDistinct.cast("double") /
         greatest(nWords, lit(1L)).cast("double")).as("dup_word_frac"),
-      topBigram.as("top_bigram_n"),
-      r4ratio(topBigram.cast("double") /
-        greatest(size(bigrams).cast("long"), lit(1L)).cast("double"))
-        .as("top_bigram_frac"))
+      top.as("top_bigram_n"),
+      r4ratio(top.cast("double") /
+        greatest(nGrams, lit(1L)).cast("double")).as("top_bigram_frac"))
   }
 
   /** PII scrubbing: redact emails, phone-shaped numbers and long digit

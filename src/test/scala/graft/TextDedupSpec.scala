@@ -73,6 +73,7 @@ class TextDedupSpec extends SparkSpec {
       (1L, "spam spam spam spam"),
       (2L, "all words differ here")).toDF("doc_id", "text")
     val rows = df.select(col("doc_id") +: TextFunctions.repetitionStats(col("text")): _*)
+      .select(col("doc_id") +: TextFunctions.repetitionMetrics(col("__rep")): _*)
       .orderBy("doc_id")
       .as[(Long, Long, Long, Double, Long, Double)].collect()
     // "spam spam spam spam": 4 words 1 distinct, bigram "spam spam" ×3 of 3
