@@ -54,7 +54,9 @@ final class HttpEndpoint(spark: SparkSession, host: String = "127.0.0.1", port: 
             Option(uri.getQuery).getOrElse(""),
             if (addHeaders) headerMap(ex) else Map.empty, tsMs))
           val rows = result.main
-            .select(col("payload"),
+            // payload may have become a struct mid-pipeline; the reference
+            // str()s non-string payloads into the response body the same way
+            .select(col("payload").cast("string"),
               coalesce(element_at(col("meta"), "status"),
                 element_at(col("meta"), "status_code"), lit("200")).as("status"))
             .collect()

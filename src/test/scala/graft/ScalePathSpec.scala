@@ -29,6 +29,27 @@ class ScalePathSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("decontaminate plan: benchmark grams broadcast, corpus side never shuffled pre-join") {
+    val docs = Tables(spark, sf).documents
+    val out = graft.dedup.Dedup.decontaminate(
+      docs.filter($"doc_id" % 10 =!= 1), "doc_id", "text",
+      docs.filter($"doc_id" % 10 === 1), "text", n = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"gram join not broadcast:\n$plan")
+    // the only Exchanges allowed are for the (tiny) hit-set aggregation and
+    // final left join — never a hashpartitioning of the exploded corpus grams
+    assert(!plan.contains("SortMergeJoin"), s"corpus grams shuffled for a SMJ:\n$plan")
+  }
+
+  test("repetition profile is a pure scan-stage projection (no Exchange)") {
+    import graft.functions.TextFunctions
+    val out = Tables(spark, sf).documents
+      .select($"doc_id" +: TextFunctions.repetitionStats($"text"): _*)
+      .select($"doc_id" +: TextFunctions.repetitionMetrics($"__rep"): _*)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetition stats shuffle:\n$plan")
+  }
+
   test("gap sessionization via flatMapGroupsWithState (batch path)") {
     val evs = Seq(
       Sessionize.Event(1, 0L, "a"), Sessionize.Event(1, 1000L, "b"),
