@@ -213,6 +213,30 @@ object TextQueries {
                 / greatest(len(b.bg), 1) * 10000 + 0.5) / 10000 AS top_bigram_frac
             FROM base b LEFT JOIN top t USING (doc_id)"""))
 
+  /** Sequence packing (contiguous fill): shard-parallel running token sum
+    * → capacity bins. The oracle replicates the window arithmetic. */
+  val qPack = Q(
+    "q_pack",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          tokenCount(col("text")).as("n_tokens"))
+      graft.ops.Sampling.packBins(docs, "n_tokens", capacity = 512,
+        shardCol = "shard", orderCol = "doc_id")
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("cum_tokens"), col("bin"))
+    },
+    Some("""SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+              CAST(sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+                AS BIGINT) AS cum_tokens,
+              CAST(floor((sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+                - n_tokens)::DOUBLE / 512) AS BIGINT) AS bin
+            FROM (
+              SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+              FROM documents)"""))
+
   def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
-    qCorpusStats, qPiiScrub, qHashSample, qRepetition)
+    qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack)
 }

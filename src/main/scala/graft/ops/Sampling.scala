@@ -40,4 +40,27 @@ object Sampling {
     sources.map { case (df, keyCol, numerator) =>
       hashSample(df, keyCol, numerator)
     }.reduce(_ unionByName _)
+
+  /** Sequence packing: assign documents to fixed-token-capacity bins for
+    * pretraining batch assembly. Greedy first-fit is inherently sequential;
+    * the scalable relational form is contiguous fill — deterministic order
+    * within a shard, exclusive running token sum, bin = ⌊cum/capacity⌋.
+    * Sharding keeps the window partition-parallel (one running sum per
+    * shard, never a global single-partition sort); bins are unique per
+    * (shard, bin). A doc longer than `capacity` still lands in one bin —
+    * flagged `oversize` for the caller to split upstream. */
+  def packBins(
+      df: DataFrame,
+      tokensCol: String,
+      capacity: Long,
+      shardCol: String,
+      orderCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(orderCol))
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w).cast("long"))
+      .withColumn("bin",
+        floor((col("cum_tokens") - col(tokensCol)).cast("double") / capacity)
+          .cast("long"))
+      .withColumn("oversize", col(tokensCol) > capacity)
+  }
 }

@@ -32,4 +32,18 @@ class SamplingSpec extends SparkSpec {
     val n = mixed.count()
     assert(n > 1000 && n < 1250) // all of a + ~10% of b
   }
+
+  test("packBins: contiguous fill, exclusive cumsum binning, oversize flag") {
+    val docs = Seq(
+      (1L, 200L), (2L, 200L), (3L, 200L), // third doc spills past 512
+      (4L, 900L),                         // longer than capacity: flagged
+      (5L, 100L))
+      .toDF("doc_id", "n_tokens").withColumn("shard", lit(0L))
+    val packed = Sampling.packBins(docs, "n_tokens", 512, "shard", "doc_id")
+      .select("doc_id", "bin", "oversize")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // exclusive cumsum 0,200,400,600,1500 → bins 0,0,0,1,2
+    assert(packed.map(_._2) == Seq(0L, 0L, 0L, 1L, 2L))
+    assert(packed.map(_._3) == Seq(false, false, false, true, false))
+  }
 }
