@@ -39,18 +39,28 @@ final class RemoteAdmin(spark: SparkSession) {
     stores.getOrElse(channel,
       throw new NoSuchElementException(s"channel $channel has no message store"))
 
-  /** remoteadmin.py:100 `channels`. */
+  /** remoteadmin.py:100 `channels` — one dict per registered channel with
+    * a message store, sub-channels (fork/when/case steps) nested as the
+    * reference's `subchannels()` does (channels.py:882). */
   def channels(): AnyRef = toJava(
-    Channels.all.filter(c => stores.contains(c.name)).map { c =>
-      linked(
-        "name" -> c.name,
-        "short_name" -> c.name,
-        "verbose_name" -> c.name,
-        "status" -> status(c.name),
-        "has_message_store" -> Boolean.box(stores.contains(c.name)),
-        "processed" -> Long.box(0L),
-        "subchannels" -> Vector.empty)
-    })
+    Channels.all.filter(c => stores.contains(c.name)).map(chanDict))
+
+  private def chanDict(c: Channel): scala.collection.immutable.ListMap[String, Any] =
+    linked(
+      "name" -> c.name,
+      "short_name" -> c.name,
+      "verbose_name" -> c.name,
+      "status" -> status(c.name),
+      "has_message_store" -> Boolean.box(stores.contains(c.name)),
+      "processed" -> Long.box(0L),
+      "subchannels" -> subchannels(c))
+
+  private def subchannels(c: Channel): Vector[Any] =
+    c.steps.collect {
+      case Channel.Fork(_, sub) => Vector(chanDict(sub))
+      case Channel.When(_, sub) => Vector(chanDict(sub))
+      case Channel.CaseStep(bs) => bs.map(b => chanDict(b._2))
+    }.flatten.toVector
 
   /** remoteadmin.py:117/131 start_channel / stop_channel. */
   def startChannel(channel: String): AnyRef = setStatus(channel, "WAITING")

@@ -40,6 +40,23 @@ class RemoteAdminSpec extends SparkSpec {
         """"processed":0,"subchannels":[]}],"id":1}""")
   }
 
+  test("channels: fork sub-channels nest as subchannel dicts (channels.py:882)") {
+    Channels.clear()
+    Channels.register(Channel("parent")
+      .fork("audit")(_.add(CoreOps.mapPayload("a")(lower))))
+    val dir = Files.createTempDirectory("graft_radmin_sub").toString
+    val store = new MessageStore(spark, s"$dir/msgs")
+    store.save(Seq(("m0", "x")).toDF("uuid", "payload")
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("state", lit("processed"))
+      .withColumn("meta", map().cast("map<string,string>"))
+      .withColumn("ctx", map().cast(Msg.ctxType)))
+    val admin = new RemoteAdmin(spark)
+    admin.bind("parent", store)
+    val resp = admin.dispatch("""{"jsonrpc":"2.0","method":"channels","params":[],"id":2}""")
+    assert(resp.contains(""""subchannels":[{"name":"parent.audit""""))
+  }
+
   test("start_channel / stop_channel: {name, status} with STATE_NAMES strings") {
     val (admin, _) = freshStore()
     val started = admin.dispatch(
