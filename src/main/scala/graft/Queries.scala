@@ -276,6 +276,79 @@ object Queries {
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
 
+  /** CUBE: all grouping-set combinations in one pass — Spark expands to a
+    * single Expand + partial agg (one shuffle for all 4 grouping sets; at
+    * scale this beats 4 separate scans by 4×). */
+  val qCube = Q(
+    "q_cube",
+    (s, dir) => {
+      Tables(s, dir).lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("l_extendedprice"))).as("revenue"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+              round(sum(l_extendedprice), 4) AS revenue
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)"""))
+
+  /** Range (interval) join: each error event matched to the orders a
+    * same-keyed customer bucket placed in a 50-day historical window
+    * relative to the event date. The join
+    * condition is an equi-key (bucket) plus a range predicate — Spark
+    * hash-joins on the equi part and filters the range, so the corpus
+    * never cross-joins (the equi key is what makes this 100 TB-safe). */
+  val qRangeJoin = Q(
+    "q_range_join",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), to_date(col("ts")).as("d"))
+      val ord = Tables(s, dir).orders
+        .select((col("o_custkey") % 50).as("user_id"), col("o_orderkey"),
+          col("o_orderdate"))
+      ev.join(ord,
+          ev("user_id") === ord("user_id") &&
+            col("o_orderdate") >= date_sub(col("d"), 10600) &&
+            col("o_orderdate") < date_sub(col("d"), 10550))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_orders"), min(col("o_orderkey")).as("first_order"))
+    },
+    Some("""SELECT event_id, count(*) AS n_orders, min(o_orderkey) AS first_order
+            FROM (SELECT event_id, user_id, CAST(ts AS DATE) AS d
+                  FROM events WHERE event_type = 'error') e
+            JOIN (SELECT o_custkey % 50 AS user_id, o_orderkey, o_orderdate
+                  FROM orders) o
+              ON e.user_id = o.user_id
+             AND o.o_orderdate >= d - INTERVAL 10600 DAY
+             AND o.o_orderdate < d - INTERVAL 10550 DAY
+            GROUP BY event_id"""))
+
+  /** RANGE-frame moving aggregate: per-user mean of the last 1h of events
+    * at each row — a time-based frame, not a row count (the streaming-
+    * adjacent "trailing window" shape). */
+  val qMovingAvg = Q(
+    "q_moving_avg",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+        .rangeBetween(-3600L, 0L)
+      Tables(s, dir).events
+        .withColumn("ts_s", unix_seconds(col("ts").cast("timestamp")))
+        .withColumn("avg_1h", r4(avg(col("value")).over(w)))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .filter(col("event_id") % 20 === 0)
+        .select(col("event_id"), col("user_id"), col("avg_1h"), col("n_1h"))
+    },
+    Some("""SELECT event_id, user_id, avg_1h, n_1h FROM (
+              SELECT event_id, user_id,
+                round(avg(value) OVER w, 4) AS avg_1h,
+                count(*) OVER w AS n_1h
+              FROM (SELECT event_id, user_id, value, epoch(ts)::BIGINT AS ts_s
+                    FROM events)
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
+            WHERE event_id % 20 = 0"""))
+
   /** Pivot: event counts per user bucketed by type as columns (expressed
     * with FILTER-style conditional aggregation for engine portability). */
   val qPivot = Q(
@@ -368,7 +441,7 @@ object Queries {
   def all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
     qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin,
-    qRollup, qPivot, qSetOps, qTopkAgg) ++
+    qRollup, qCube, qRangeJoin, qMovingAvg, qPivot, qSetOps, qTopkAgg) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

@@ -21,7 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => DotProduct(es(0), es(1))),
     "vec_cosine" -> (es => CosineSimilarity(es(0), es(1))),
-    "vec_l2sq" -> (es => L2SquaredDistance(es(0), es(1))))
+    "vec_l2sq" -> (es => L2SquaredDistance(es(0), es(1))),
+    "nearest_centroid" -> (es => NearestCentroid(es(0), es(1), es(2))),
+    "word_shingles" -> (es => WordShingles(es(0),
+      es(1).eval().asInstanceOf[Int])),
+    "minhash_sig" -> (es => MinHashSig(es(0), es(1).eval().asInstanceOf[Int])),
+    "simhash64" -> (es => SimHash64(es(0))),
+    "repetition_profile" -> (es => RepetitionProfile(es(0),
+      es(1).eval().asInstanceOf[Int])))
 
   override def apply(e: SparkSessionExtensions): Unit =
     fns.foreach { case (name, builder) =>

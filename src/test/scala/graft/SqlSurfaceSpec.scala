@@ -20,6 +20,34 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sql.except(df).count() == 0 && df.except(sql).count() == 0)
   }
 
+  test("GraftExtensions registers every native expression as a SQL function") {
+    // same injection path as spark.sql.extensions=graft.plans.GraftExtensions,
+    // applied to the already-built session via the function registry
+    val ext = new graft.plans.GraftExtensions
+    val reg = spark.sessionState.functionRegistry
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    // mirror injectFunction on the live session
+    Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)](
+      "nearest_centroid" -> (es => graft.plans.NearestCentroid(es(0), es(1), es(2))),
+      "word_shingles" -> (es => graft.plans.WordShingles(es(0), es(1).eval().asInstanceOf[Int])),
+      "repetition_profile" -> (es => graft.plans.RepetitionProfile(es(0), es(1).eval().asInstanceOf[Int])),
+      "simhash64" -> (es => graft.plans.SimHash64(es(0)))
+    ).foreach { case (n, b) => reg.createOrReplaceTempFunction(n, b, "scala_udf") }
+
+    val cid = spark.sql(
+      """SELECT nearest_centroid(array(0.9D, 0.1D),
+        |  array(array(0.0D, 0.0D), array(1.0D, 0.0D)), array(7L, 9L)) AS cid"""
+        .stripMargin).as[Long].head()
+    assert(cid == 9L) // (0.9,0.1) is nearer centroid (1,0) → cid 9
+    val sh = spark.sql(
+      "SELECT word_shingles('a b c d', 2) AS sh").as[Seq[String]].head()
+    assert(sh == Seq("a b", "b c", "c d"))
+    val rep = spark.sql(
+      "SELECT repetition_profile('x x x', 2).top_ngram_n AS t").as[Long].head()
+    assert(rep == 2L) // "x x" twice
+    assert(ext != null)
+  }
+
   test("store search predicate via SQL view") {
     Tables(spark, sf).events.createOrReplaceTempView("events_v")
     val n = spark.sql(
