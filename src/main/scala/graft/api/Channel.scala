@@ -239,6 +239,43 @@ final case class Channel(
       case s => s
     })
 
+  /** DOT-compatible edge list (channels.py:921 graph_dot): a `#---`
+    * header then `"a"->"b";` edges; when/case branches are dotted edges
+    * that rejoin (case at the next node, when at the channel end), forks
+    * recurse without a rejoin — the reference's exact emission order. */
+  def graphDot: Seq[String] = graphDotImpl(Some(""))
+
+  private def graphDotImpl(end: Option[String]): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    var after = Vector.empty[(Option[String], Channel)]
+    var cases = Vector.empty[Channel]
+    var previous = name
+    val endName = end.map(e => if (e.isEmpty) name else e)
+    out += "#---"
+    steps.foreach {
+      case Apply(n) =>
+        if (cases.nonEmpty) {
+          cases.foreach { c =>
+            out += s""""$previous"->"${c.name}" [style=dotted];"""
+            after :+= (Some(n.name), c)
+          }
+          cases = Vector.empty
+        } else out += s""""$previous"->"${n.name}";"""
+        previous = n.name
+      case Fork(_, sub) =>
+        out += s""""$previous"->"${sub.name}";"""
+        after :+= (None, sub)
+      case When(_, sub) =>
+        out += s""""$previous"->"${sub.name}" [style=dotted];"""
+        after :+= (endName, sub)
+      case CaseStep(bs) => cases ++= bs.map(_._2)
+      case DropWhen(_) | RejectWhen(_) => () // pure routing, no named node
+    }
+    endName.foreach(e => out += s""""$previous"->"$e";""")
+    after.foreach { case (e, sub) => out ++= sub.graphDotImpl(e) }
+    out.result()
+  }
+
   /** ASCII pipeline graph (pypeman channels.py:897 BaseChannel.graph). */
   def graph(prefix: String = ""): String = {
     val sb = new StringBuilder

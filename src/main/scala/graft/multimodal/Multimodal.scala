@@ -74,6 +74,26 @@ object Multimodal {
   def isPng(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     hex(substring(bin, 1, 8)) === "89504E470D0A1A0A"
 
+  /** Real metadata decode from canonical WAV (RIFF/PCM) bytes — like
+    * [[pngDims]], no audio library: for the standard layout ("RIFF" +
+    * size + "WAVE" + "fmt " chunk at offset 12), channels are LE-uint16 at
+    * bytes 23-24, sample rate LE-uint32 at 25-28, bits/sample LE-uint16 at
+    * 35-36. Little-endian parse = byte-reversed hex → base-16. Pure
+    * expressions, so audio-header introspection runs inside the scan. */
+  def wavMeta(bin: org.apache.spark.sql.Column):
+      (org.apache.spark.sql.Column, org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    def leInt(off: Int, n: Int) = {
+      val bytesRev = (0 until n).reverse.map(i => hex(substring(bin, off + i, 1)))
+      conv(concat(bytesRev: _*), 16, 10).cast("long")
+    }
+    (leInt(23, 2), leInt(25, 4), leInt(35, 2))
+  }
+
+  /** RIFF/WAVE signature check (bytes 1-4 and 9-12). */
+  def isWav(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    hex(substring(bin, 1, 4)) === "52494646" &&
+      hex(substring(bin, 9, 4)) === "57415645"
+
   /** Frame/chunk sampling: split a binary payload into fixed-size chunks
     * (video frame / audio window stand-in), exploded one row per chunk —
     * pure expressions, no UDF. */

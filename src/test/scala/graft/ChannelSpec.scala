@@ -86,4 +86,20 @@ class ChannelSpec extends SparkSpec {
     val b = df.select(col("name"), col("id")) // shuffled column order
     assert(Channel.merge(a, b).count() == 8)
   }
+
+  test("graphDot emits the reference's dot edge list (channels.py:921)") {
+    val ch = Channel("main")
+      .add(Node("n1")(identity))
+      .fork("side")(_.add(Node("s1")(identity)))
+      .when(lit(true))(_.add(Node("w1")(identity)))
+      .add(Node("n2")(identity))
+    val dot = ch.graphDot
+    assert(dot.head == "#---")
+    assert(dot.contains(""""main"->"n1";"""))
+    assert(dot.contains(""""n1"->"main.side";"""))           // fork edge
+    assert(dot.contains(""""n1"->"main.when" [style=dotted];""")) // conditional
+    assert(dot.contains(""""n2"->"main";"""))                // rejoin to end
+    assert(dot.contains(""""main.side"->"s1";"""))           // sub-channel recursed
+    assert(dot.contains(""""w1"->"main";"""))                // when rejoins at end
+  }
 }

@@ -159,6 +159,25 @@ class StreamingSpec extends SparkSpec {
     assert(r.getLong(1) == 640L && r.getLong(2) == 480L)
   }
 
+  test("WAV header decode from raw bytes (no audio libs)") {
+    // canonical PCM WAV header: stereo, 44100 Hz, 16-bit
+    val bytes = (Array[Int](
+      0x52, 0x49, 0x46, 0x46, 0x24, 0x00, 0x00, 0x00, // "RIFF" + size
+      0x57, 0x41, 0x56, 0x45, 0x66, 0x6D, 0x74, 0x20, // "WAVE" + "fmt "
+      0x10, 0x00, 0x00, 0x00, 0x01, 0x00,             // fmt size 16, PCM
+      0x02, 0x00,                                     // channels = 2 (LE)
+      0x44, 0xAC, 0x00, 0x00,                         // 44100 Hz (LE)
+      0x10, 0xB1, 0x02, 0x00, 0x04, 0x00,             // byteRate, blockAlign
+      0x10, 0x00                                      // bits = 16 (LE)
+    )).map(_.toByte)
+    val df = Seq(Tuple1(bytes)).toDF("bin")
+    val (ch, rate, bits) = Multimodal.wavMeta(col("bin"))
+    val r = df.select(Multimodal.isWav(col("bin")).as("ok"),
+      ch.as("ch"), rate.as("rate"), bits.as("bits")).head()
+    assert(r.getBoolean(0))
+    assert(r.getLong(1) == 2L && r.getLong(2) == 44100L && r.getLong(3) == 16L)
+  }
+
   test("streaming sessionization holds an open session across micro-batches") {
     import graft.streaming.Sessionize
     // NOTE: MemoryStream lives in a private[sql] runtime package whose path
