@@ -230,7 +230,45 @@ object DedupQueries {
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.id
             WHERE d.doc_id % 10 != 1"""))
 
+  /** C4-style line-level dedup: the corpus has no newlines, so both sides
+    * synthesize "lines" as 3-token chunks (ragged tails filtered — the
+    * line-quality step of a C4 clean), then keep each distinct line only at
+    * its first (doc_id, line_no) occurrence and reassemble documents. */
+  val qLineDedup = Q(
+    "q_line_dedup",
+    (s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val lines = filter(
+        transform(
+          sequence(lit(0), floor((size(toks) - lit(1)) / lit(3)).cast("int")),
+          i => concat_ws(" ", slice(toks, i * 3 + 1, lit(3)))),
+        l => size(split(l, " ")) === 3)
+      val d = Tables(s, dir).documents.select(col("doc_id"), lines.as("lines"))
+      Dedup.lineDedup(d, "doc_id", col("lines"))
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents),
+            lines0 AS (
+              SELECT doc_id,
+                unnest(range(1, len(t) + 1, 3)) AS pos,
+                unnest(list_transform(range(1, len(t) + 1, 3),
+                  i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS line
+              FROM toks),
+            lines AS (
+              SELECT * FROM lines0 WHERE len(string_split(line, ' ')) = 3),
+            ranked AS (
+              SELECT doc_id, pos, line,
+                row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+              FROM lines)
+            SELECT doc_id,
+              coalesce(string_agg(CASE WHEN rk = 1 THEN line END, chr(10)
+                ORDER BY pos), '') AS clean_text,
+              count(*) FILTER (WHERE rk = 1) AS n_kept,
+              count(*) FILTER (WHERE rk > 1) AS n_dropped
+            FROM ranked GROUP BY doc_id"""))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
-    qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate)
+    qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup)
 }

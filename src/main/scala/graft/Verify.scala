@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: regex filter over query names (local iteration);
+    // the driver's 2-arg invocation runs everything
+    val (sfDir, outDir, nameFilter) = args match {
+      case Array(a, b)    => (a, b, ".*")
+      case Array(a, b, f) => (a, b, f)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,7 +22,9 @@ object Verify {
     // fine); 4-way keeps executor slots busy across per-query stragglers
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val tasks = SparkEntry.queries.toSeq
+      .filter { case (name, _) => name.matches(nameFilter) }
+      .map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

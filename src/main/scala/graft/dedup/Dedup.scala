@@ -208,6 +208,40 @@ object Dedup {
         coalesce(col("n_hits") > 0, lit(false)).as("contaminated"))
   }
 
+  /** Line-level exact dedup (C4-style): each distinct line survives only
+    * at its FIRST occurrence in corpus order (min (id, line_no)); documents
+    * are reassembled from their surviving lines in original order.
+    *
+    * Input is (idCol, linesCol: array<string>) — callers pre-split (and
+    * pre-filter ragged/low-quality lines) however their corpus demands.
+    *
+    * Scale shape: posexplode is scan-stage; the first-occurrence rank is
+    * ONE shuffle partitioned by the line content (uniform — a line's group
+    * is its duplicate set), and reassembly is ONE shuffle on doc id. No
+    * joins, no all-pairs anything; both shuffles carry each line exactly
+    * once. At 100 TB this is the cheapest possible global line dedup.
+    */
+  def lineDedup(df: DataFrame, idCol: String, linesCol: Column): DataFrame = {
+    val ex = df.select(col(idCol).as("doc_id"), posexplode(linesCol).as(Seq("line_no", "line")))
+    val ranked = ex.withColumn(
+      "rk",
+      row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("line"))
+          .orderBy(col("doc_id"), col("line_no"))))
+    // collect_list skips the nulls the `when` leaves for dropped lines;
+    // array_sort on the (line_no, line) struct restores document order
+    val kept = when(col("rk") === 1, struct(col("line_no"), col("line")))
+    ranked
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(kept)), s => s.getField("line")),
+          "\n").as("clean_text"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   /** Embedding cosine near-dup pairs, blocked by a coarse key (cluster id /
     * label / LSH bucket) so the pair join stays bounded. */
   def embeddingDups(

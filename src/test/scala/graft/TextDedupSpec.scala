@@ -21,6 +21,23 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1) == Seq.empty)
   }
 
+  test("lineDedup keeps first occurrence globally and reassembles in order") {
+    // doc 1 owns "x y" at line 0; doc 2 repeats it (cross-doc dup) and
+    // repeats its own "p q" (within-doc dup); doc 3 is ALL dups → empty
+    val df = Seq(
+      (1L, Seq("x y", "a b")),
+      (2L, Seq("p q", "x y", "p q", "r s")),
+      (3L, Seq("a b", "x y")))
+      .toDF("doc_id", "lines")
+    val out = Dedup.lineDedup(df, "doc_id", col("lines"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("x y\na b", 2L, 0L)))
+    assert(out(2L) == (("p q\nr s", 2L, 2L)))
+    assert(out(3L) == (("", 0L, 2L)))
+  }
+
   test("fingerprint collides for reordered/duplicated tokens") {
     val df = Seq(("x", "b a a c"), ("y", "a b c c"), ("z", "a b d")).toDF("id", "t")
     val fps = df.select(col("id"), fingerprint(col("t")).as("fp"))
