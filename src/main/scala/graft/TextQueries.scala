@@ -237,6 +237,49 @@ object TextQueries {
                      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
               FROM documents)"""))
 
+  /** Stratified sampling: per-language keep rates over the skewed `lang`
+    * column (downsample dominant en, keep all low-resource langs). The
+    * oracle replicates the rate CASE and the portable md5-hex bucket. */
+  val qStratifiedSample = Q(
+    "q_stratified_sample",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.ops.Sampling.stratifiedSample(docs, "doc_id", "lang",
+          rates = Map("en" -> 32, "fr" -> 256, "zh" -> 256), defaultRate = 64)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+    },
+    Some("""SELECT lang, count(*) AS n, min(doc_id) AS min_id
+            FROM (
+              SELECT doc_id, lang,
+                (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1 AS bucket,
+                CASE lang WHEN 'en' THEN 32 WHEN 'fr' THEN 256 WHEN 'zh' THEN 256
+                          ELSE 64 END AS rate
+              FROM documents)
+            WHERE bucket < rate
+            GROUP BY 1"""))
+
+  /** Deterministic shard shuffle: shard + within-shard position as pure
+    * functions of (seed, doc_id); the oracle recomputes the identical
+    * permutation, proving engine-portability of the epoch ordering. */
+  val qShardShuffle = Q(
+    "q_shard_shuffle",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents.select(col("doc_id"))
+      graft.ops.Sampling.shardShuffle(docs, "doc_id", seed = "epoch0", numShards = 8)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))
+    },
+    Some("""SELECT doc_id, shard, CAST(row_number() OVER
+              (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+            FROM (
+              SELECT doc_id, md5('epoch0:' || doc_id::VARCHAR) AS h,
+                CAST(((strpos('0123456789abcdef', substr(md5('epoch0:' || doc_id::VARCHAR), 1, 1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(md5('epoch0:' || doc_id::VARCHAR), 2, 1)) - 1) % 8
+                  AS BIGINT) AS shard
+              FROM documents)"""))
+
   def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
-    qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack)
+    qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
+    qStratifiedSample, qShardShuffle)
 }

@@ -63,4 +63,43 @@ object Sampling {
           .cast("long"))
       .withColumn("oversize", col(tokensCol) > capacity)
   }
+
+  /** Stratified sampling: a per-stratum keep rate (numerator of 256),
+    * applied with the same stable content-hash bucket as `hashSample` —
+    * the standard rebalancing move for skewed training mixes (e.g. keep
+    * 100% of low-resource languages, 10% of English). Rows in strata
+    * absent from `rates` keep `defaultRate`/256. Pure scan-stage filter:
+    * no shuffle, no state, retry-stable. */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      rates: Map[String, Int],
+      defaultRate: Int = 0): DataFrame = {
+    val rateExpr = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(strataCol) === lit(k), lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol)) < rateExpr)
+  }
+
+  /** Deterministic global shuffle into training shards: shard and
+    * within-shard position are pure functions of (seed, key), so an epoch's
+    * read order reproduces across runs, clusters and task retries — what
+    * `rand()`-ordered repartition cannot give. New seed → new permutation.
+    *
+    * Scale shape: ONE shuffle, partitioned by shard with a per-shard sort
+    * on the key hash (never a global sort). Choose numShards ≫ executors
+    * so each shard's sort fits in memory at the target corpus size. */
+  def shardShuffle(
+      df: DataFrame,
+      keyCol: String,
+      seed: String,
+      numShards: Int): DataFrame = {
+    val salted = concat(lit(seed), lit(":"), col(keyCol).cast("string"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col(keyCol))
+    df.withColumn("h", md5(salted))
+      .withColumn("shard", pmod(hashBucket(salted), lit(numShards)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
 }

@@ -33,6 +33,42 @@ class SamplingSpec extends SparkSpec {
     assert(n > 1000 && n < 1250) // all of a + ~10% of b
   }
 
+  test("stratifiedSample: per-stratum rates, default applies to unknown strata") {
+    val df = (1 to 900).map(i => (i, Seq("en", "fr", "misc")(i % 3)))
+      .toDF("id", "lang")
+    val kept = Sampling.stratifiedSample(df, "id", "lang",
+      rates = Map("en" -> 256, "fr" -> 64), defaultRate = 0)
+      .select("id", "lang").as[(Int, String)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang.getOrElse("en", 0) == 300)            // rate 256/256: all
+    assert(!byLang.contains("misc"))                    // default 0: none
+    val fr = byLang.getOrElse("fr", 0)
+    assert(fr > 30 && fr < 120, s"fr kept $fr, expected ≈75") // ~64/256
+    // same stable bucket as hashSample: fr selection is a hash subset
+    val frIds = kept.filter(_._2 == "fr").map(_._1).toSet
+    val viaHash = Sampling.hashSample(df.filter($"lang" === "fr"), "id", 64)
+      .select("id").as[Int].collect().toSet
+    assert(frIds == viaHash)
+  }
+
+  test("shardShuffle: deterministic permutation, dense per-shard positions") {
+    val df = (1 to 400).toDF("id")
+    def run() = Sampling.shardShuffle(df, "id", "seedA", 4)
+      .select("id", "shard", "pos").as[(Int, Int, Long)].collect().sortBy(_._1)
+    val a = run()
+    assert(a.sameElements(run())) // reproducible across runs
+    // every shard's positions are exactly 1..n (dense, no gaps/dupes)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.sameElements(1L to ps.length))
+    }
+    assert(a.map(_._2).distinct.length == 4)
+    // a different seed yields a different permutation
+    val b = Sampling.shardShuffle(df, "id", "seedB", 4)
+      .select("id", "shard", "pos").as[(Int, Int, Long)].collect().sortBy(_._1)
+    assert(!a.map(r => (r._2, r._3)).sameElements(b.map(r => (r._2, r._3))))
+  }
+
   test("packBins: contiguous fill, exclusive cumsum binning, oversize flag") {
     val docs = Seq(
       (1L, 200L), (2L, 200L), (3L, 200L), // third doc spills past 512
