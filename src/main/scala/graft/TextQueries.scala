@@ -279,7 +279,53 @@ object TextQueries {
                   AS BIGINT) AS shard
               FROM documents)"""))
 
+  /** BM25 keyword search: top-10 docs for a 3-term query. The oracle
+    * replicates tokenization, document frequencies, corpus constants and
+    * the Okapi formula relationally. Ordered by the quantized score (ties
+    * broken by doc_id) so last-ulp summation differences between engines
+    * cannot reorder the boundary. */
+  val qBm25 = Q(
+    "q_bm25",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.sim.Bm25.scores(docs, "doc_id", "text",
+          query = Seq("hash", "join", "vector"))
+        .select(col("id").as("doc_id"),
+          (floor(col("score") * 10000 + 0.5) / 10000).as("score"),
+          col("n_terms"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some("""WITH base AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> len(t) > 0) AS toks
+              FROM documents),
+            dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM base),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            post AS (
+              SELECT doc_id, term, count(*)::BIGINT AS tf
+              FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+              WHERE term IN ('hash', 'join', 'vector')
+              GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1),
+            scored AS (
+              SELECT p.doc_id,
+                sum(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                    * (p.tf * 2.2)
+                    / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score,
+                count(*) AS n_terms
+              FROM post p
+              JOIN dfreq f USING (term)
+              JOIN dl USING (doc_id)
+              CROSS JOIN stats s
+              GROUP BY 1)
+            SELECT doc_id, floor(score * 10000 + 0.5) / 10000 AS score, n_terms
+            FROM scored
+            ORDER BY 2 DESC, doc_id
+            LIMIT 10"""))
+
   def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
-    qStratifiedSample, qShardShuffle)
+    qStratifiedSample, qShardShuffle, qBm25)
 }
