@@ -268,7 +268,135 @@ object DedupQueries {
               count(*) FILTER (WHERE rk > 1) AS n_dropped
             FROM ranked GROUP BY doc_id"""))
 
+  /** Int8 scalar quantization: exact integer dot products (perfectly
+    * portable) plus the reconstructed float dot against the vec_id=0 query.
+    * The oracle replicates scale, rounding and the left-to-right product
+    * order, so both the integer and float outputs hash-match. */
+  val qQuantizeDot = Q(
+    "q_quantize_dot",
+    (s, dir) => {
+      import graft.sim.Quantize
+      val qz = Quantize.quantizeInt8(
+        Tables(s, dir).embeddings.select(col("vec_id"), col("embedding")),
+        "embedding")
+      val qv = broadcast(qz.filter(col("vec_id") === 0)
+        .select(col("q").as("qq"), col("q_scale").as("sq")))
+      qz.filter(col("vec_id") =!= 0)
+        .crossJoin(qv)
+        .select(col("vec_id"),
+          Quantize.int8Dot(col("q"), col("qq")).as("qdot"),
+          round(Quantize.dequantDot(col("q"), col("q_scale"), col("qq"), col("sq")), 4)
+            .as("adot"))
+    },
+    Some("""WITH qz AS (
+              SELECT vec_id,
+                greatest(list_max(list_transform(embedding,
+                  x -> abs(x::DOUBLE))), 1e-30) / 127.0 AS s,
+                list_transform(embedding,
+                  x -> CAST(round(x::DOUBLE /
+                    (greatest(list_max(list_transform(embedding,
+                       y -> abs(y::DOUBLE))), 1e-30) / 127.0)) AS TINYINT)) AS q
+              FROM embeddings)
+            SELECT a.vec_id,
+              CAST(list_sum(list_transform(range(1, 65),
+                i -> a.q[i]::BIGINT * b.q[i]::BIGINT)) AS BIGINT) AS qdot,
+              round(list_sum(list_transform(range(1, 65),
+                i -> a.q[i]::BIGINT * b.q[i]::BIGINT))::DOUBLE * a.s * b.s, 4)
+                AS adot
+            FROM qz a, (SELECT q, s FROM qz WHERE vec_id = 0) b
+            WHERE a.vec_id != 0"""))
+
+  /** Exact k-NN join: every 50th vector probes the full corpus for its 3
+    * nearest neighbours by cosine (broadcast probes + per-probe TopK heap
+    * agg on the Spark side; the oracle is the window form). */
+  val qKnnJoin = Q(
+    "q_knn_join",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Ann.knnJoinExact(
+        emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding", k = 3)
+    },
+    Some("""WITH probes AS (
+              SELECT vec_id AS probe_id, embedding AS pv
+              FROM embeddings WHERE vec_id % 50 = 0),
+            scored AS (
+              SELECT p.probe_id, e.vec_id AS id,
+                list_sum(list_transform(range(1, 65),
+                  i -> e.embedding[i]::DOUBLE * pv[i]::DOUBLE)) /
+                (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+                 sqrt(list_sum(list_transform(range(1, 65),
+                  i -> pv[i]::DOUBLE * pv[i]::DOUBLE)))) AS cos
+              FROM embeddings e, probes p WHERE e.vec_id != p.probe_id),
+            ranked AS (
+              SELECT probe_id, id, cos, row_number() OVER
+                (PARTITION BY probe_id ORDER BY cos DESC, id) AS rk
+              FROM scored)
+            SELECT probe_id, id, round(cos, 4) AS cosine, CAST(rk AS BIGINT) AS rk
+            FROM ranked WHERE rk <= 3"""))
+
+  /** IVF-blocked k-NN join (the big-big scale path): deterministic first-16
+    * centroids, nprobe=2 multi-probe per probe vector, candidates restricted
+    * to probed cells — the oracle replicates assignment, probe-cell choice
+    * and in-cell ranking relationally, so even the approximate path
+    * hash-matches. */
+  val qKnnIvf = Q(
+    "q_knn_ivf",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val index = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 16)
+      Ann.knnJoinIvf(
+        emb.filter(col("vec_id") % 50 === 0), index, "vec_id", "embedding",
+        nprobe = 2, k = 3)
+    },
+    Some("""WITH cents AS (
+              SELECT vec_id AS cid, embedding AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 16),
+            probes AS (
+              SELECT vec_id AS probe_id, embedding AS pv
+              FROM embeddings WHERE vec_id % 50 = 0),
+            adist AS (
+              SELECT e.vec_id AS id, c.cid,
+                list_sum(list_transform(range(1, 65),
+                  i -> (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE)
+                     * (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE))) AS dist
+              FROM embeddings e, cents c),
+            assigned AS (
+              SELECT id, (min(struct_pack(dist := dist, cid := cid))).cid AS cid
+              FROM adist GROUP BY id),
+            pdist AS (
+              SELECT p.probe_id, c.cid,
+                list_sum(list_transform(range(1, 65),
+                  i -> (p.pv[i]::DOUBLE - c.cv[i]::DOUBLE)
+                     * (p.pv[i]::DOUBLE - c.cv[i]::DOUBLE))) AS dist
+              FROM probes p, cents c),
+            pcells AS (
+              SELECT probe_id, cid FROM (
+                SELECT probe_id, cid, row_number() OVER
+                  (PARTITION BY probe_id ORDER BY dist, cid) AS rk
+                FROM pdist) WHERE rk <= 2),
+            scored AS (
+              SELECT pc.probe_id, a.id,
+                list_sum(list_transform(range(1, 65),
+                  i -> e.embedding[i]::DOUBLE * p.pv[i]::DOUBLE)) /
+                (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+                 sqrt(list_sum(list_transform(range(1, 65),
+                  i -> p.pv[i]::DOUBLE * p.pv[i]::DOUBLE)))) AS cos
+              FROM pcells pc
+              JOIN assigned a USING (cid)
+              JOIN embeddings e ON e.vec_id = a.id
+              JOIN probes p ON p.probe_id = pc.probe_id
+              WHERE a.id != pc.probe_id),
+            ranked AS (
+              SELECT probe_id, id, cos, row_number() OVER
+                (PARTITION BY probe_id ORDER BY cos DESC, id) AS rk
+              FROM scored)
+            SELECT probe_id, id, round(cos, 4) AS cosine, CAST(rk AS BIGINT) AS rk
+            FROM ranked WHERE rk <= 3"""))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
-    qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup)
+    qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
+    qQuantizeDot, qKnnJoin, qKnnIvf)
 }

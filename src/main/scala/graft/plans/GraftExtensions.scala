@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "vec_cosine" -> (es => CosineSimilarity(es(0), es(1))),
     "vec_l2sq" -> (es => L2SquaredDistance(es(0), es(1))),
     "nearest_centroid" -> (es => NearestCentroid(es(0), es(1), es(2))),
+    "nearest_centroids" -> (es => NearestCentroids(es(0), es(1), es(2),
+      es(3).eval().asInstanceOf[Int])),
     "word_shingles" -> (es => WordShingles(es(0),
       es(1).eval().asInstanceOf[Int])),
     "minhash_sig" -> (es => MinHashSig(es(0), es(1).eval().asInstanceOf[Int])),

@@ -288,6 +288,141 @@ case class NearestCentroid(first: Expression, second: Expression, third: Express
     copy(first = f, second = s, third = t)
 }
 
+/** The `nprobe` nearest centroids (ascending distance, ties → smaller cid)
+  * against a constant centroid matrix — the multi-probe companion of
+  * [[NearestCentroid]], used to explode IVF probes to their candidate cells
+  * without a per-centroid literal blow-up. Same constant-plan-size contract:
+  * the matrix is ONE 2-D literal, the selection is a codegen'd insertion
+  * sort over an nprobe-slot buffer (nprobe ≪ nlist, typically ≤ 32).
+  *
+  * Per-centroid L2² is the same left-to-right accumulation as
+  * [[L2SquaredDistance]]; insertion uses strict `<` and `cids` is sorted
+  * ascending, so distance ties keep the smaller cid at the better rank —
+  * the exact order of `ORDER BY dist, cid LIMIT nprobe` (oracle parity).
+  *
+  * @param nprobe number of cells to return, capped at the centroid count
+  */
+case class NearestCentroids(
+    first: Expression, second: Expression, third: Expression, nprobe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  require(nprobe > 0, "nprobe must be positive")
+
+  def vec: Expression = first
+  def centroids: Expression = second
+  def cids: Expression = third
+
+  override def prettyName: String = "nearest_centroids"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def vecElemType: DataType =
+    first.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val okVec = first.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val okCents = second.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }
+    val okCids = third.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (okVec && okCents && okCids)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float|double>, array<array<double>>, array<long>), " +
+          s"got (${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+          s"${third.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(v: Any, cs: Any, ids: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val cents = cs.asInstanceOf[ArrayData]
+    val cids = ids.asInstanceOf[ArrayData]
+    val t = vecElemType
+    val np = nprobe
+    val bd = Array.fill(np)(Double.PositiveInfinity)
+    val bi = new Array[Long](np)
+    var ci = 0
+    while (ci < cents.numElements()) {
+      val cv = cents.getArray(ci)
+      val n = math.min(vec.numElements(), cv.numElements())
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val d = (t match {
+          case DoubleType => vec.getDouble(j)
+          case _ => vec.getFloat(j).toDouble
+        }) - cv.getDouble(j)
+        acc += d * d
+        j += 1
+      }
+      if (acc < bd(np - 1)) {
+        var pos = np - 1
+        while (pos > 0 && acc < bd(pos - 1)) {
+          bd(pos) = bd(pos - 1); bi(pos) = bi(pos - 1); pos -= 1
+        }
+        bd(pos) = acc; bi(pos) = cids.getLong(ci)
+      }
+      ci += 1
+    }
+    val filled = math.min(np, cents.numElements())
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(bi, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cs, ids) => {
+      val ci = ctx.freshName("ci")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val cv = ctx.freshName("cv")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val bd = ctx.freshName("bd")
+      val bi = ctx.freshName("bi")
+      val pos = ctx.freshName("pos")
+      val filled = ctx.freshName("filled")
+      val getV = vecElemType match {
+        case DoubleType => s"$v.getDouble($j)"
+        case _ => s"(double) $v.getFloat($j)"
+      }
+      s"""
+         |double[] $bd = new double[$nprobe];
+         |long[] $bi = new long[$nprobe];
+         |java.util.Arrays.fill($bd, Double.POSITIVE_INFINITY);
+         |for (int $ci = 0; $ci < $cs.numElements(); $ci++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $cs.getArray($ci);
+         |  int $n = java.lang.Math.min($v.numElements(), $cv.numElements());
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    double $d = $getV - $cv.getDouble($j);
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $bd[$nprobe - 1]) {
+         |    int $pos = $nprobe - 1;
+         |    while ($pos > 0 && $acc < $bd[$pos - 1]) {
+         |      $bd[$pos] = $bd[$pos - 1]; $bi[$pos] = $bi[$pos - 1]; $pos--;
+         |    }
+         |    $bd[$pos] = $acc; $bi[$pos] = $ids.getLong($ci);
+         |  }
+         |}
+         |int $filled = java.lang.Math.min($nprobe, $cs.numElements());
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(java.util.Arrays.copyOf($bi, $filled));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 /** Column-level API for the native vector expressions. */
 object VectorFunctions {
   import ColumnBridge.{column => c, expression => e}
@@ -308,5 +443,18 @@ object VectorFunctions {
     val cents = Literal.create(sorted.map(_._2), ArrayType(ArrayType(DoubleType)))
     val cids = Literal.create(sorted.map(_._1), ArrayType(LongType))
     c(NearestCentroid(e(vec), cents, cids))
+  }
+
+  /** The nprobe nearest centroids (rank order) against a constant centroid
+    * table (cid-sorted). One expression, constant plan size in nlist. */
+  def nearestCentroids(
+      vec: Column, centroids: Seq[(Long, Seq[Double])], nprobe: Int): Column = {
+    require(centroids.nonEmpty, "nearestCentroids needs at least one centroid")
+    val sorted = centroids.sortBy(_._1)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    val cents = Literal.create(sorted.map(_._2), ArrayType(ArrayType(DoubleType)))
+    val cids = Literal.create(sorted.map(_._1), ArrayType(LongType))
+    c(NearestCentroids(e(vec), cents, cids, nprobe))
   }
 }

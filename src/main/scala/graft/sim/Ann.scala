@@ -149,6 +149,69 @@ object Ann {
       .limit(k)
   }
 
+  /** Exact k-NN JOIN of a small probe set against a large corpus: probes
+    * broadcast (the corpus never shuffles as pairs), the per-pair cosine is
+    * the fused codegen expression evaluated inside the nested-loop join,
+    * and per-probe top-k uses the partial-aggregatable TopKByScore heap —
+    * the one shuffle carries ≤ k rows per probe per partition, never the
+    * |probes|×|corpus| pair relation. The right 100 TB plan for probe sets
+    * that fit a broadcast (≲10⁵ vectors); beyond that use [[knnJoinIvf]].
+    * Self-pairs (same id both sides) are excluded. Ties → smaller id. */
+  def knnJoinExact(
+      probes: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    import graft.plans.TopKByScore.topkByScore
+    val p = broadcast(
+      probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv")))
+    corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
+      .crossJoin(p)
+      .filter(col("id") =!= col("probe_id"))
+      .withColumn("cos", vecCosine(col("cv"), col("pv")))
+      .groupBy(col("probe_id"))
+      .agg(topkByScore(col("cos"), col("id"), k).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("probe_id"),
+        col("t").getField("id").as("id"),
+        round(col("t").getField("score"), 4).as("cosine"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
+  /** IVF-blocked approximate k-NN join for BIG probe sets (big-big case):
+    * each probe explodes to its `nprobe` nearest cells via ONE
+    * constant-plan-size NearestCentroids expression (no driver round-trip,
+    * no per-centroid literals); candidates are the corpus vectors assigned
+    * to those cells, so the join shuffles on `cid` — bounded cells, never
+    * all pairs. A corpus vector lives in exactly one cell, so candidates
+    * are duplicate-free by construction. Recall follows the usual IVF
+    * nprobe/nlist tradeoff; results are fully deterministic (same tie
+    * rules as [[ivfTopK]]), so the whole path is oracle-replicable. */
+  def knnJoinIvf(
+      probes: DataFrame,
+      index: IvfIndex,
+      idCol: String,
+      vecCol: String,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    import graft.plans.TopKByScore.topkByScore
+    val pcells = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+      .withColumn("cid",
+        explode(nearestCentroids(col("pv"), index.centroids, nprobe)))
+    pcells.join(index.assigned, Seq("cid"))
+      .filter(col("id") =!= col("probe_id"))
+      .withColumn("cos", vecCosine(col("v"), col("pv")))
+      .groupBy(col("probe_id"))
+      .agg(topkByScore(col("cos"), col("id"), k).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("probe_id"),
+        col("t").getField("id").as("id"),
+        round(col("t").getField("score"), 4).as("cosine"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
   /** Fetch a query vector (single row, scalar parameter) as doubles. */
   def queryVector(spark: SparkSession, df: DataFrame, idCol: String, id: Long, vecCol: String): Seq[Double] =
     df.filter(col(idCol) === id)

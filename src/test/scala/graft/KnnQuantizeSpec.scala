@@ -1,0 +1,110 @@
+package graft
+
+import graft.plans.VectorFunctions.nearestCentroids
+import graft.sim.{Ann, Quantize}
+import org.apache.spark.sql.functions._
+
+class KnnQuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-random unit-ish vectors
+  private def vec(seed: Long, dims: Int = 8): Seq[Float] =
+    (0 until dims).map { i =>
+      val x = (seed * 2654435761L + i * 40503L) % 1000
+      (x / 500.0f) - 1.0f
+    }
+
+  private val corpus = (1L to 60L).map(i => (i, vec(i)))
+
+  test("nearestCentroids matches a brute-force reference incl. tie order") {
+    val cents = (0L until 6L).map(c => c -> vec(c * 7 + 100).map(_.toDouble))
+    val df = corpus.toDF("id", "v")
+      .select(col("id"), nearestCentroids(col("v"), cents, 3).as("cids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    corpus.foreach { case (id, v) =>
+      val want = cents.map { case (cid, cv) =>
+        val d = v.zip(cv).foldLeft(0.0) { case (a, (x, c)) => val e = x - c; a + e * e }
+        (d, cid)
+      }.sortBy { case (d, cid) => (d, cid) }.take(3).map(_._2)
+      assert(df(id) == want, s"id=$id")
+    }
+  }
+
+  test("nearestCentroids caps nprobe at the centroid count") {
+    val cents = Seq(0L -> Seq(0.0, 0.0), 1L -> Seq(1.0, 1.0))
+    val got = Seq((1L, Seq(0.1f, 0.1f))).toDF("id", "v")
+      .select(nearestCentroids(col("v"), cents, 5))
+      .as[Seq[Long]].head()
+    assert(got == Seq(0L, 1L))
+  }
+
+  test("int8 quantization: exact codes on a hand vector, error bound on random") {
+    val df = Seq((1L, Seq(127.0f, -127.0f, 63.5f, 0.0f))).toDF("id", "v")
+    val (scale, q) = Quantize.quantizeInt8(df, "v")
+      .select(col("q_scale"), col("q")).as[(Double, Seq[Byte])].head()
+    assert(scale == 1.0)
+    assert(q == Seq[Byte](127, -127, 64, 0)) // 63.5 rounds half-up to 64
+    // reconstruction error ≤ scale/2 per dim
+    val rnd = corpus.toDF("id", "v")
+    val maxErr = Quantize.quantizeInt8(rnd, "v")
+      .select(max(aggregate(
+        zip_with(col("v"), col("q"),
+          (x, qi) => abs(x.cast("double") - qi.cast("double") * col("q_scale"))),
+        lit(0.0), (a, e) => greatest(a, e))))
+      .as[Double].head()
+    val maxScale = Quantize.quantizeInt8(rnd, "v")
+      .select(max(col("q_scale"))).as[Double].head()
+    assert(maxErr <= maxScale / 2 + 1e-12, s"err $maxErr vs ${maxScale / 2}")
+  }
+
+  test("int8 cosine tracks float cosine within quantization error") {
+    val a = corpus.toDF("id", "v")
+    val qz = Quantize.quantizeInt8(a, "v")
+    val q0 = broadcast(qz.filter($"id" === 1L)
+      .select($"v".as("v0"), $"q".as("q0")))
+    val rows = qz.filter($"id" =!= 1L).crossJoin(q0)
+      .select(
+        graft.plans.VectorFunctions.vecCosine($"v", $"v0").as("exact"),
+        Quantize.int8Cosine($"q", $"q0").as("approx"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (e, ap) =>
+      assert(math.abs(e - ap) < 0.02, s"exact $e approx $ap")
+    }
+  }
+
+  test("knnJoinExact matches a plain-Scala kNN reference") {
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x.toDouble * y }
+      val na = math.sqrt(a.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+      val nb = math.sqrt(b.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+      dot / (na * nb)
+    }
+    val probes = corpus.filter(_._1 % 20 == 0) // ids 20, 40, 60
+    val want = probes.flatMap { case (pid, pv) =>
+      corpus.filter(_._1 != pid)
+        .map { case (id, v) => (pid, id, cos(v, pv)) }
+        .sortBy { case (_, id, c) => (-c, id) }.take(4)
+        .zipWithIndex.map { case ((p, id, c), i) => (p, id, i + 1L) }
+    }.toSet
+    val got = Ann.knnJoinExact(
+        probes.toDF("id", "v"), corpus.toDF("id", "v"), "id", "v", k = 4)
+      .select($"probe_id", $"id", $"rk").as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("knnJoinIvf is deterministic and recall ≥ 0.5 at nprobe=2/nlist=4") {
+    val df = corpus.toDF("id", "v")
+    val index = Ann.ivfBuild(df, "id", "v", nlist = 4)
+    val probes = df.filter($"id" % 20 === 0)
+    def run() = Ann.knnJoinIvf(probes, index, "id", "v", nprobe = 2, k = 4)
+      .select($"probe_id", $"id").as[(Long, Long)].collect().toSet
+    val approx = run()
+    assert(approx == run()) // deterministic
+    val exact = Ann.knnJoinExact(probes, df, "id", "v", k = 4)
+      .select($"probe_id", $"id").as[(Long, Long)].collect().toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+    // every approx neighbour really lives in a probed cell of its probe
+    assert(approx.size == 3 * 4 || approx.size == (approx.groupBy(_._1).values.map(_.size).sum))
+  }
+}

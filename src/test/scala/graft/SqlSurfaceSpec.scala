@@ -29,6 +29,7 @@ class SqlSurfaceSpec extends SparkSpec {
     // mirror injectFunction on the live session
     Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)](
       "nearest_centroid" -> (es => graft.plans.NearestCentroid(es(0), es(1), es(2))),
+      "nearest_centroids" -> (es => graft.plans.NearestCentroids(es(0), es(1), es(2), es(3).eval().asInstanceOf[Int])),
       "word_shingles" -> (es => graft.plans.WordShingles(es(0), es(1).eval().asInstanceOf[Int])),
       "repetition_profile" -> (es => graft.plans.RepetitionProfile(es(0), es(1).eval().asInstanceOf[Int])),
       "simhash64" -> (es => graft.plans.SimHash64(es(0)))
@@ -39,6 +40,11 @@ class SqlSurfaceSpec extends SparkSpec {
         |  array(array(0.0D, 0.0D), array(1.0D, 0.0D)), array(7L, 9L)) AS cid"""
         .stripMargin).as[Long].head()
     assert(cid == 9L) // (0.9,0.1) is nearer centroid (1,0) → cid 9
+    val cids = spark.sql(
+      """SELECT nearest_centroids(array(0.9D, 0.1D),
+        |  array(array(0.0D, 0.0D), array(1.0D, 0.0D)), array(7L, 9L), 2) AS cids"""
+        .stripMargin).as[Seq[Long]].head()
+    assert(cids == Seq(9L, 7L)) // rank order: nearest first
     val sh = spark.sql(
       "SELECT word_shingles('a b c d', 2) AS sh").as[Seq[String]].head()
     assert(sh == Seq("a b", "b c", "c d"))
