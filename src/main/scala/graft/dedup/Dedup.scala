@@ -215,31 +215,44 @@ object Dedup {
     * Input is (idCol, linesCol: array<string>) — callers pre-split (and
     * pre-filter ragged/low-quality lines) however their corpus demands.
     *
-    * Scale shape: posexplode is scan-stage; the first-occurrence rank is
-    * ONE shuffle partitioned by the line content (uniform — a line's group
-    * is its duplicate set), and reassembly is ONE shuffle on doc id. No
-    * joins, no all-pairs anything; both shuffles carry each line exactly
-    * once. At 100 TB this is the cheapest possible global line dedup.
+    * Scale shape: the first occurrence per line is a PARTIAL-AGGREGATABLE
+    * `min(struct(doc_id, line_no))` keyed on the line — duplicate-heavy
+    * lines collapse map-side before the shuffle, so a boilerplate line with
+    * 10⁹ copies contributes one row per map partition instead of one sorted
+    * window partition (the window form row_number-over-partitionBy(line)
+    * both sorts raw strings and concentrates every copy of a hot line in a
+    * single task). The keeper rows ARE the surviving lines, so no join back
+    * to the exploded relation is needed: reassembly groups keepers by their
+    * keeping doc, and per-doc totals come from `size(lines)` at scan stage.
+    * Three skew-safe shuffles (line-keyed combine, doc-keyed rebuild,
+    * doc-keyed join of two doc-partitioned sides), none carrying duplicate
+    * line text. At 100 TB this is the cheapest possible global line dedup.
     */
   def lineDedup(df: DataFrame, idCol: String, linesCol: Column): DataFrame = {
     val ex = df.select(col(idCol).as("doc_id"), posexplode(linesCol).as(Seq("line_no", "line")))
-    val ranked = ex.withColumn(
-      "rk",
-      row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("line"))
-          .orderBy(col("doc_id"), col("line_no"))))
-    // collect_list skips the nulls the `when` leaves for dropped lines;
+    // one row per distinct line: where it survives
+    val keepers = ex
+      .groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("keep"))
+      .select(col("keep.doc_id").as("doc_id"), col("keep.line_no").as("line_no"), col("line"))
     // array_sort on the (line_no, line) struct restores document order
-    val kept = when(col("rk") === 1, struct(col("line_no"), col("line")))
-    ranked
+    val rebuilt = keepers
       .groupBy(col("doc_id"))
       .agg(
         array_join(
-          transform(array_sort(collect_list(kept)), s => s.getField("line")),
+          transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+            s => s.getField("line")),
           "\n").as("clean_text"),
-        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_dropped"))
+        count(lit(1)).as("n_kept"))
+    // per-doc line totals never need the exploded relation
+    val counts = df
+      .select(col(idCol).as("doc_id"), size(linesCol).cast("long").as("n_lines"))
+      .filter(col("n_lines") > 0) // docs with no lines are absent, as before
+    counts.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
   /** Embedding cosine near-dup pairs, blocked by a coarse key (cluster id /
