@@ -395,8 +395,49 @@ object DedupQueries {
             SELECT probe_id, id, round(cos, 4) AS cosine, CAST(rk AS BIGINT) AS rk
             FROM ranked WHERE rk <= 3"""))
 
+  /** SemDeDup: cluster embeddings (deterministic first-k init → the same
+    * relational assignment the q_ann_ivf oracle replicates), drop any
+    * vector with a smaller-id cluster-mate at cosine ≥ 0.25, emit the
+    * survivors. The oracle re-derives assignment, within-cluster pairs and
+    * the keep-min-id anti join in SQL. */
+  val qSemDedup = Q(
+    "q_semdedup",
+    (s, dir) => {
+      Dedup.semDedup(Tables(s, dir).embeddings,
+        "vec_id", "embedding", nlist = 16, threshold = 0.25)
+        .withColumnRenamed("id", "vec_id")
+    },
+    Some("""WITH cents AS (
+              SELECT vec_id AS cid, embedding AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 16),
+            dists AS (
+              SELECT e.vec_id AS id, c.cid,
+                list_sum(list_transform(range(1, 65),
+                  i -> (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE)
+                     * (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE))) AS dist
+              FROM embeddings e, cents c),
+            assigned AS (
+              SELECT id, (min(struct_pack(dist := dist, cid := cid))).cid AS cid
+              FROM dists GROUP BY id),
+            v AS (
+              SELECT a.id, a.cid, e.embedding AS vec
+              FROM assigned a JOIN embeddings e ON e.vec_id = a.id),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                list_sum(list_transform(range(1, 65),
+                  i -> a.vec[i]::DOUBLE * b.vec[i]::DOUBLE)) /
+                (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> a.vec[i]::DOUBLE * a.vec[i]::DOUBLE))) *
+                 sqrt(list_sum(list_transform(range(1, 65),
+                  i -> b.vec[i]::DOUBLE * b.vec[i]::DOUBLE)))) AS cos
+              FROM v a JOIN v b ON a.cid = b.cid AND a.id < b.id),
+            losers AS (SELECT DISTINCT id_b FROM pairs WHERE cos >= 0.25)
+            SELECT v.id AS vec_id, v.cid
+            FROM v LEFT JOIN losers l ON v.id = l.id_b
+            WHERE l.id_b IS NULL"""))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
-    qQuantizeDot, qKnnJoin, qKnnIvf)
+    qQuantizeDot, qKnnJoin, qKnnIvf, qSemDedup)
 }

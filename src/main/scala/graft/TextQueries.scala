@@ -325,7 +325,51 @@ object TextQueries {
             ORDER BY 2 DESC, doc_id
             LIMIT 10"""))
 
+  /** Domain-level quality gate (RefinedWeb-style): documents survive iff
+    * their whole SOURCE clears a mean-quality floor and a minimum volume —
+    * the "bad neighborhood" curation step no per-row filter expresses.
+    * Corpus is never shuffled: per-source verdicts are a tiny partial agg
+    * broadcast back. */
+  val qDomainGate = Q(
+    "q_domain_gate",
+    (s, dir) => {
+      graft.ops.Curation.sourceQualityGate(
+        Tables(s, dir).documents,
+        "source",
+        floor(qualityScore(col("text")) * 10000 + 0.5) / 10000,
+        minMean = 0.44,
+        minDocs = 10)
+        .select(col("doc_id"), col("source"), col("doc_quality"),
+          col("src_mean_quality"), col("src_docs"))
+    },
+    Some {
+      val stop = defaultStopwords.map { w =>
+        s"CAST((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH scored AS (
+            SELECT doc_id, source, floor(
+              least(greatest(
+                least(length(text) / 500.0, 1.0) * 0.5
+                + least((($stop) / greatest(ntok, 1.0)) * 5.0, 1.0) * 0.5
+                - (npunct / greatest(length(text)::DOUBLE, 1.0)) * 2.0,
+              0.0), 1.0) * 10000 + 0.5) / 10000 AS doc_quality
+            FROM (
+              SELECT doc_id, source, text, ' ' || text || ' ' AS p,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END::DOUBLE AS ntok,
+                len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]'))::DOUBLE AS npunct
+              FROM documents)),
+          verdicts AS (
+            SELECT source,
+              floor(avg(doc_quality) * 10000 + 0.5) / 10000 AS src_mean_quality,
+              count(*) AS src_docs
+            FROM scored GROUP BY source
+            HAVING src_mean_quality >= 0.44 AND src_docs >= 10)
+          SELECT s.doc_id, s.source, s.doc_quality, v.src_mean_quality, v.src_docs
+          FROM scored s JOIN verdicts v USING (source)"""
+    })
+
   def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
-    qStratifiedSample, qShardShuffle, qBm25)
+    qStratifiedSample, qShardShuffle, qBm25, qDomainGate)
 }

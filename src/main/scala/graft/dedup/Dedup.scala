@@ -255,6 +255,34 @@ object Dedup {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    * k-means-cluster the embeddings, then prune near-identical vectors
+    * WITHIN each cluster only. Survivor rule is keep-min-id: a vector is
+    * dropped iff some smaller-id vector in its cluster has cosine ≥
+    * threshold — deterministic and engine-portable, so with the
+    * deterministic first-k centroid init (trainIters = 0) the whole path
+    * has a relational oracle.
+    *
+    * Scale shape: clustering is the IVF build (zero-shuffle assignment
+    * projection, driver-resident centroids); the pair join is blocked by
+    * cid, so candidate pairs are O(n²/nlist) not O(n²) — with nlist ~ √n
+    * (the IVF invariant) that is O(n^1.5) spread uniformly over clusters.
+    * The loser set is a narrow distinct on ids, and survivors come from a
+    * broadcast-able anti join at realistic dup rates. */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      threshold: Double,
+      trainIters: Int = 0): DataFrame = {
+    val index = graft.sim.Ann.ivfBuild(df, idCol, vecCol, nlist, trainIters)
+    val dups = embeddingDups(index.assigned, "id", "v", "cid", threshold)
+    val losers = dups.select(col("id_b").as("id")).distinct()
+    index.assigned.join(losers, Seq("id"), "left_anti")
+      .select(col("id"), col("cid"))
+  }
+
   /** Embedding cosine near-dup pairs, blocked by a coarse key (cluster id /
     * label / LSH bucket) so the pair join stays bounded. */
   def embeddingDups(

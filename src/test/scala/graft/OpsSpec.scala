@@ -25,6 +25,21 @@ class OpsSpec extends SparkSpec {
     assert(r.head.getAs[Map[String, String]]("meta") == Map("tag" -> "x"))
   }
 
+  test("sourceQualityGate drops low-mean and low-volume sources wholesale") {
+    val df = Seq(
+      (1L, "good", 0.9), (2L, "good", 0.7), (3L, "good", 0.8),
+      (4L, "bad", 0.1), (5L, "bad", 0.3), (6L, "bad", 0.2),
+      (7L, "tiny", 0.9))
+      .toDF("doc_id", "source", "q")
+    val out = graft.ops.Curation
+      .sourceQualityGate(df, "source", col("q"), minMean = 0.5, minDocs = 2)
+    // "bad" fails the mean floor, "tiny" the volume floor — entire sources go
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    val r = out.orderBy("doc_id").head()
+    assert(r.getAs[Double]("src_mean_quality") == 0.8)
+    assert(r.getAs[Long]("src_docs") == 3L)
+  }
+
   private def Channel0(nodes: graft.api.Node*) =
     graft.api.Channel("t").add(nodes: _*).runMain(msgs)
 

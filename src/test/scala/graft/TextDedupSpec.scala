@@ -38,6 +38,21 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L) == (("", 0L, 2L)))
   }
 
+  test("semDedup keeps the min-id representative per semantic group") {
+    // ids 0,1 seed the two clusters (deterministic first-k init);
+    // 2 and 4 are near-copies of 0, 3 is a near-copy of 1 — all dropped
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.99f, 0.02f)),
+      (3L, Seq(0.01f, 1.01f)),
+      (4L, Seq(0.98f, 0.03f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(df, "vec_id", "embedding", nlist = 2, threshold = 0.995)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 1L))
+  }
+
   test("fingerprint collides for reordered/duplicated tokens") {
     val df = Seq(("x", "b a a c"), ("y", "a b c c"), ("z", "a b d")).toDF("id", "t")
     val fps = df.select(col("id"), fingerprint(col("t")).as("fp"))
