@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.Codecs._
+import graft.multimodal.Multimodal
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Queries.Q
@@ -220,8 +221,40 @@ object CodecQueries {
               CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks
             FROM documents"""))
 
+  /** JPEG header decode: per-row JPEG streams are SYNTHESIZED from doc_id
+    * (variable-length COM segment, SOF0/SOF2 mix, dimensions a closed
+    * function of the id), then parsed back by the real segment-walking
+    * expression (graft.plans.JpegMeta). The oracle states the closed form —
+    * a mismatch means the parser mis-walked the chain. */
+  val qJpegMeta = Q(
+    "q_jpeg_meta",
+    (s, dir) => {
+      val id = col("doc_id")
+      val h = pmod(id, lit(2000)) + 1
+      val w = pmod(id * 7, lit(3000)) + 1
+      val nPad = pmod(id, lit(10)) // variable COM payload length, 0..9
+      val com = concat(lit("FFFE"), lpad(hex(nPad + 2), 4, "0"),
+        lit("AB" * 10).substr(lit(1), nPad * 2))
+      val sof = when(pmod(id, lit(3)) === 0, lit("FFC2")).otherwise(lit("FFC0"))
+      val bytes = unhex(concat(
+        lit("FFD8"), com,
+        sof, lit("001108"), lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+        lit("03011100021101031101")))
+      val meta = Multimodal.jpegMeta(bytes)
+      Tables(s, dir).documents.select(
+        id.as("doc_id"),
+        meta.getField("width").as("width"),
+        meta.getField("height").as("height"),
+        meta.getField("progressive").as("progressive"))
+    },
+    Some("""SELECT doc_id,
+              (doc_id * 7) % 3000 + 1 AS width,
+              doc_id % 2000 + 1 AS height,
+              doc_id % 3 = 0 AS progressive
+            FROM documents"""))
+
   def all: Seq[Q] = Seq(
     qJsonParse, qJsonFormat, qEncodeDecode, qB64Roundtrip, qCsvFormat,
     qCsvParse, qXmlFormat, qXmlParse, qHl7Parse, qEmailFormat, qHttpUrl,
-    qSourceRoundtrip, qMultimodalMeta)
+    qSourceRoundtrip, qMultimodalMeta, qJpegMeta)
 }

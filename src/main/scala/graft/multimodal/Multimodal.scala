@@ -94,6 +94,18 @@ object Multimodal {
     hex(substring(bin, 1, 4)) === "52494646" &&
       hex(substring(bin, 9, 4)) === "57415645"
 
+  /** Real metadata decode from JPEG bytes: width/height/progressive from
+    * the SOF segment. Unlike PNG/WAV the offset is variable (the parser
+    * walks the marker-length segment chain), so this is a native one-pass
+    * expression (graft.plans.JpegMeta) rather than substring arithmetic.
+    * Null for non-JPEG or truncated streams. */
+  def jpegMeta(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.plans.MediaNative.jpegMeta(bin)
+
+  /** JPEG SOI signature check (first 2 bytes). */
+  def isJpeg(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    hex(substring(bin, 1, 2)) === "FFD8"
+
   /** Frame/chunk sampling: split a binary payload into fixed-size chunks
     * (video frame / audio window stand-in), exploded one row per chunk —
     * pure expressions, no UDF. */

@@ -178,6 +178,32 @@ class StreamingSpec extends SparkSpec {
     assert(r.getLong(1) == 2L && r.getLong(2) == 44100L && r.getLong(3) == 16L)
   }
 
+  test("JPEG header decode walks the segment chain to the SOF (no image libs)") {
+    // SOI, APP0 (skipped), COM (skipped, odd length), SOF0 800x600
+    val jpeg = Array[Int](
+      0xFF, 0xD8, // SOI
+      0xFF, 0xE0, 0x00, 0x06, 0x4A, 0x46, 0x49, 0x46, // APP0, len 6
+      0xFF, 0xFE, 0x00, 0x05, 0x61, 0x62, 0x63, // COM, len 5
+      0xFF, 0xC0, 0x00, 0x11, 0x08,
+      0x02, 0x58, // height 600
+      0x03, 0x20, // width 800
+      0x03, 0x01, 0x11, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01).map(_.toByte)
+    val progressive = jpeg.clone(); progressive(18) = 0xC2.toByte // SOF0 → SOF2
+    val truncated = jpeg.take(20) // cut inside the SOF segment
+    val notJpeg = Array[Byte](0x00, 0x01, 0x02, 0x03)
+    val df = Seq(
+      (1L, jpeg), (2L, progressive), (3L, truncated), (4L, notJpeg))
+      .toDF("id", "bin")
+    val out = df.select(col("id"), Multimodal.jpegMeta(col("bin")).as("m"))
+      .select(col("id"), col("m.width"), col("m.height"), col("m.progressive"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2), r.getBoolean(3)))))
+      .toMap
+    assert(out(1L).contains((800L, 600L, false)))
+    assert(out(2L).contains((800L, 600L, true)))
+    assert(out(3L).isEmpty && out(4L).isEmpty)
+  }
+
   test("streaming sessionization holds an open session across micro-batches") {
     import graft.streaming.Sessionize
     // NOTE: MemoryStream lives in a private[sql] runtime package whose path
