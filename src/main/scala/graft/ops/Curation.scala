@@ -19,8 +19,12 @@ object Curation {
     * the shuffle carries one row per source per map partition, and the
     * result is one row per DOMAIN (orders of magnitude smaller than the
     * corpus); pass 2 broadcasts that verdict table back as an equi-join, so
-    * the corpus itself is never shuffled. At 100 TB: a scan, a tiny agg, a
-    * broadcast join — no repartition of document data at any point.
+    * the corpus itself is never shuffled. At 100 TB: two scans (score+agg,
+    * score+join — both pure scan-stage work that parallelizes linearly), a
+    * tiny agg, a broadcast join; no repartition of document data at any
+    * point. If the score is expensive, persist the scored relation or
+    * compute verdicts from a per-source sample — the gate only needs the
+    * mean.
     *
     * The gate compares on the 4-decimal-floored mean (`r4`-style, matching
     * `functions.r4ratio`) so the survivor set is bit-stable across summation

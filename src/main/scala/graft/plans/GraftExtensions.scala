@@ -30,7 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "minhash_sig" -> (es => MinHashSig(es(0), es(1).eval().asInstanceOf[Int])),
     "simhash64" -> (es => SimHash64(es(0))),
     "repetition_profile" -> (es => RepetitionProfile(es(0),
-      es(1).eval().asInstanceOf[Int])))
+      es(1).eval().asInstanceOf[Int])),
+    "jpeg_meta" -> (es => JpegMeta(es(0))))
 
   override def apply(e: SparkSessionExtensions): Unit =
     fns.foreach { case (name, builder) =>

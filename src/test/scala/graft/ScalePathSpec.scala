@@ -41,6 +41,19 @@ class ScalePathSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus grams shuffled for a SMJ:\n$plan")
   }
 
+  test("semDedup pair join is cid-blocked (hash join, never a cross product)") {
+    val out = graft.dedup.Dedup.semDedup(
+      Tables(spark, sf).embeddings, "vec_id", "embedding", nlist = 8, threshold = 0.3)
+    val plan = out.queryExecution.executedPlan.toString
+    // the within-cluster prune must be an equi join on the cluster id —
+    // a nested-loop/cartesian here is the O(n²) cliff the blocking exists
+    // to prevent
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"semDedup pair join degenerated to all-pairs:\n$plan")
+    assert(plan.contains("Join") && plan.contains("LeftAnti"),
+      s"expected blocked pair join + anti join:\n$plan")
+  }
+
   test("repetition profile is a pure scan-stage projection (no Exchange)") {
     import graft.functions.TextFunctions
     val out = Tables(spark, sf).documents

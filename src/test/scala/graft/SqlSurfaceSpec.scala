@@ -32,7 +32,8 @@ class SqlSurfaceSpec extends SparkSpec {
       "nearest_centroids" -> (es => graft.plans.NearestCentroids(es(0), es(1), es(2), es(3).eval().asInstanceOf[Int])),
       "word_shingles" -> (es => graft.plans.WordShingles(es(0), es(1).eval().asInstanceOf[Int])),
       "repetition_profile" -> (es => graft.plans.RepetitionProfile(es(0), es(1).eval().asInstanceOf[Int])),
-      "simhash64" -> (es => graft.plans.SimHash64(es(0)))
+      "simhash64" -> (es => graft.plans.SimHash64(es(0))),
+      "jpeg_meta" -> (es => graft.plans.JpegMeta(es(0)))
     ).foreach { case (n, b) => reg.createOrReplaceTempFunction(n, b, "scala_udf") }
 
     val cid = spark.sql(
@@ -51,6 +52,11 @@ class SqlSurfaceSpec extends SparkSpec {
     val rep = spark.sql(
       "SELECT repetition_profile('x x x', 2).top_ngram_n AS t").as[Long].head()
     assert(rep == 2L) // "x x" twice
+    // minimal SOI + SOF0 stream, 16x8
+    val jm = spark.sql(
+      """SELECT jpeg_meta(unhex('FFD8FFC000110800080010' ||
+        |'03011100021101031101')).width AS w""".stripMargin).as[Long].head()
+    assert(jm == 16L)
     assert(ext != null)
   }
 
