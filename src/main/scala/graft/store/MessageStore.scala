@@ -97,6 +97,24 @@ final class MessageStore(spark: SparkSession, path: String) {
   /** Replay (channels.py:857): re-run a channel on stored messages. */
   def replay(q: Search, channel: graft.api.Channel): DataFrame =
     channel.runMain(search(q))
+
+  /** `pypeman.tools.send_from_store` parity: POST each selected message's
+    * payload to `url`, optionally pre-filtered by a payload JSON field
+    * equality (`tools/view_store.py` Filter `name=value`). Sends are
+    * partition-parallel through the pluggable transport; the returned
+    * frame carries response status/url in meta (check it — nothing is
+    * swallowed). */
+  def sendTo(
+      q: Search,
+      transport: graft.net.HttpTransport,
+      url: String,
+      payloadFilter: Option[(String, String)] = None): DataFrame = {
+    val base = search(q)
+    val selected = payloadFilter.fold(base) { case (k, v) =>
+      base.filter(get_json_object(col("payload"), "$." + k) === v)
+    }
+    graft.net.Http.request(transport, url = url, method = "POST")(selected)
+  }
 }
 
 object MessageStore {

@@ -68,6 +68,31 @@ class StoreSpec extends SparkSpec {
     assert(replayed.select("payload").as[String].collect().forall(_.head.isUpper))
   }
 
+  test("sendTo posts filtered store contents to an endpoint (send_from_store parity)") {
+    import graft.net.{HttpResponse, MockTransport}
+    val dir = Files.createTempDirectory("graft_store_send").toString
+    val store = new MessageStore(spark, s"$dir/msgs")
+    store.save(Seq(
+      ("a", "2024-01-01 10:00:00", """{"alpha":"x1"}"""),
+      ("b", "2024-01-02 10:00:00", """{"alpha":"x2"}"""),
+      ("c", "2024-01-03 10:00:00", """{"alpha":"x1"}"""))
+      .toDF("uuid", "ts0", "payload")
+      .withColumn("ts", col("ts0").cast("timestamp"))
+      .withColumn("meta", map().cast("map<string,string>"))
+      .drop("ts0"))
+    val echo = MockTransport(req =>
+      HttpResponse(200, s"${req.method} ${req.url} body=${req.body.getOrElse("-")}"))
+    // view_store Filter name=value semantics: payload field equality
+    val out = store.sendTo(Search(count = 10), echo, "http://dst/in",
+      payloadFilter = Some("alpha" -> "x1"))
+      .orderBy("uuid")
+      .select(col("uuid"), col("payload"), element_at(col("meta"), "status_code").as("st"))
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "c"))
+    assert(out.forall(_.getString(1) == """POST http://dst/in body={"alpha":"x1"}"""))
+    assert(out.forall(_.getString(2) == "200"))
+  }
+
   test("retry schedule: attempts and capped exponential backoff") {
     val df = Seq((1, "2024-01-01 00:00:00", 1), (1, "2024-01-01 00:01:00", 2),
       (2, "2024-01-01 00:00:30", 3))
