@@ -395,6 +395,34 @@ object DedupQueries {
             SELECT probe_id, id, round(cos, 4) AS cosine, CAST(rk AS BIGINT) AS rk
             FROM ranked WHERE rk <= 3"""))
 
+  /** Duplicated-text profile: per doc, what fraction of its distinct
+    * 3-grams occurs in at least one other document. Spark shuffles 8-byte
+    * gram hashes; the oracle uses the gram strings — identical modulo
+    * xxhash collisions (the q_decontaminate argument). */
+  val qDupNgrams = Q(
+    "q_dup_ngrams",
+    (s, dir) => {
+      Dedup.duplicatedNgramProfile(Tables(s, dir).documents, "doc_id", "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""WITH sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(len(t) - 3 + 1, 0) + 1),
+                i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                    FROM documents)),
+            ex AS (SELECT doc_id AS id, unnest(sh) AS g FROM sh),
+            shared AS (SELECT g FROM ex GROUP BY g HAVING count(*) > 1),
+            dup AS (
+              SELECT id, count(*) AS n_dup_grams
+              FROM ex JOIN shared USING (g) GROUP BY id)
+            SELECT s.doc_id,
+              CAST(len(s.sh) AS BIGINT) AS n_grams,
+              CAST(coalesce(d.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+              floor(coalesce(d.n_dup_grams, 0) /
+                greatest(len(s.sh), 1)::DOUBLE * 10000 + 0.5) / 10000 AS dup_frac
+            FROM sh s LEFT JOIN dup d ON s.doc_id = d.id"""))
+
   /** SemDeDup: cluster embeddings (deterministic first-k init → the same
     * relational assignment the q_ann_ivf oracle replicates), drop any
     * vector with a smaller-id cluster-mate at cosine ≥ 0.25, emit the
@@ -439,5 +467,5 @@ object DedupQueries {
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
-    qQuantizeDot, qKnnJoin, qKnnIvf, qSemDedup)
+    qQuantizeDot, qKnnJoin, qKnnIvf, qSemDedup, qDupNgrams)
 }

@@ -255,6 +255,43 @@ object Dedup {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Cross-document duplicated-text profile (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" building
+    * block, map-reduce form): for every document, how much of it is text
+    * that also occurs in ANOTHER document — per doc: distinct n-gram count,
+    * how many of those n-grams appear in some other doc, and the duplicated
+    * fraction. Complements `decontaminate` (corpus-vs-benchmark): this is
+    * corpus-vs-itself, the signal behind substring-level dedup policies.
+    *
+    * Scale shape: n-grams leave the scan as 8-byte xxhash64 keys (the text
+    * never shuffles). Two passes over the corpus, like the original
+    * map-reduce formulation: the gram→doc-count aggregation is partial (a
+    * boilerplate gram with 10⁹ copies collapses map-side before its
+    * shuffle), then the exploded (id, gram-hash) relation semi-joins the
+    * >1 grams. The semi join's probe side concentrates a hot gram's rows
+    * in one partition by construction — that is exactly what AQE skew-join
+    * splitting handles (left-semi probe-side split; enabled in
+    * GraftSession). Per-doc rollup is one uniform shuffle on doc id. No
+    * pair joins anywhere: O(total tokens). */
+  def duplicatedNgramProfile(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    // shingles() is distinct-per-doc, so gram doc-counts need no pre-distinct
+    val ex = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gh"))
+    val shared = ex.groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
+    val dup = ex.join(shared, Seq("gh"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup_grams"))
+    df.select(col(idCol).as("id"),
+        size(shingles(col(textCol), n)).cast("long").as("n_grams"))
+      .join(dup, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        (floor(coalesce(col("n_dup_grams"), lit(0L)) /
+          greatest(col("n_grams"), lit(1L)).cast("double") * 10000 + lit(0.5)) / 10000)
+          .as("dup_frac"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
     * k-means-cluster the embeddings, then prune near-identical vectors
     * WITHIN each cluster only. Survivor rule is keep-min-id: a vector is

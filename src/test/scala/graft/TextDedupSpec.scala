@@ -38,6 +38,39 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L) == (("", 0L, 2L)))
   }
 
+  test("duplicatedNgramProfile counts cross-doc shared n-grams per doc") {
+    // 2-grams: doc1 {a b, b c}, doc2 {a b, b x}, doc3 {q r} ; "a b" is the
+    // only shared gram → doc1 1/2, doc2 1/2, doc3 0/1
+    val df = Seq((1L, "a b c"), (2L, "a b x"), (3L, "q r")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedNgramProfile(df, "doc_id", "text", n = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((1L, 0L, 0.0)))
+  }
+
+  test("duplicatedNgramProfile shuffles 8-byte gram hashes, never pairs") {
+    // at 100 TB neither side broadcasts — force the shuffle path and pin
+    // the shape: gram semi join + partial-agg count, no pair/cross join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables(spark, sf).documents
+      val plan = Dedup.duplicatedNgramProfile(docs, "doc_id", "text", n = 3)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("LeftSemi"), s"expected gram semi join:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+        s"all-pairs join appeared:\n$plan")
+      // every exchange keys on a gram hash or an id — raw gram/doc text
+      // never crosses a shuffle
+      val badKey = """hashpartitioning\([^)]*\b(g|text)#""".r
+      assert(!plan.linesIterator.exists(l => badKey.findFirstIn(l).isDefined),
+        s"text crossed a shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("semDedup keeps the min-id representative per semantic group") {
     // ids 0,1 seed the two clusters (deterministic first-k init);
     // 2 and 4 are near-copies of 0, 3 is a near-copy of 1 — all dropped
