@@ -369,7 +369,28 @@ object TextQueries {
           FROM scored s JOIN verdicts v USING (source)"""
     })
 
+  /** BPE pair statistics: top-50 adjacent character pairs weighted by word
+    * frequency — one distributed merge-selection round of tokenizer
+    * training. Deterministic tiebreak on the pair string. */
+  val qBpePairs = Q(
+    "q_bpe_pairs",
+    (s, dir) => {
+      bpePairStats(Tables(s, dir).documents, "text", k = 50)
+    },
+    Some("""WITH words AS (
+              SELECT w, count(*) AS wc FROM (
+                SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+                FROM documents)
+              WHERE length(w) > 1 GROUP BY w),
+            pairs AS (
+              SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, wc
+              FROM words, unnest(range(1, length(w))) AS t(i))
+            SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occurrences
+            FROM pairs GROUP BY pair
+            ORDER BY n_occurrences DESC, pair
+            LIMIT 50"""))
+
   def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
-    qStratifiedSample, qShardShuffle, qBm25, qDomainGate)
+    qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs)
 }

@@ -138,6 +138,33 @@ object TextFunctions {
   def shingles(text: Column, n: Int): Column =
     graft.plans.TextNative.wordShingles(text, n)
 
+  /** BPE pair statistics — the reduce step of distributed tokenizer
+    * training (Sennrich et al. 2016): the k most frequent ADJACENT symbol
+    * pairs over the corpus, weighted by word frequency. One merge round =
+    * this + a driver-side merge decision (the same tiny-parameter loop
+    * shape as k-means/CC); the corpus-heavy part is exactly this operator.
+    *
+    * Scale shape: the word-frequency aggregation collapses the corpus to
+    * its VOCABULARY map-side (partial agg on the word; Zipf means a few
+    * million rows survive no matter the corpus size); pair explosion then
+    * runs over distinct words only — work proportional to vocabulary, not
+    * corpus. Final top-k is a `TakeOrderedAndProject` of the tiny pair
+    * table. Ties break on the pair string for determinism. */
+  def bpePairStats(
+      df: org.apache.spark.sql.DataFrame, textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val words = df
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    words
+      .select(col("wc"), explode(
+        transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(k)
+  }
+
   /** MinHash signature: k xxhash64 permutations minimized in a single pass
     * over the shingles (native expression, graft.plans.MinHashSig). */
   def minhashSignature(shingleArr: Column, k: Int): Column =

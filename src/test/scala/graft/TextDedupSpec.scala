@@ -86,6 +86,14 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Map(0L -> 0L, 1L -> 1L))
   }
 
+  test("bpePairStats weights adjacent pairs by word frequency, ties break on pair") {
+    // words: low ×2, lower ×1 → lo:3, ow:3, we:1, er:1
+    val df = Seq("low low lower").toDF("t")
+    val out = bpePairStats(df, "t", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("lo", 3L), ("ow", 3L), ("er", 1L)))
+  }
+
   test("fingerprint collides for reordered/duplicated tokens") {
     val df = Seq(("x", "b a a c"), ("y", "a b c c"), ("z", "a b d")).toDF("id", "t")
     val fps = df.select(col("id"), fingerprint(col("t")).as("fp"))
