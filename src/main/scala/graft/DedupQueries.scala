@@ -395,6 +395,33 @@ object DedupQueries {
             SELECT probe_id, id, round(cos, 4) AS cosine, CAST(rk AS BIGINT) AS rk
             FROM ranked WHERE rk <= 3"""))
 
+  /** Incremental ingest dedup: re-ingested history docs (planted with new
+    * ids) are dropped against the seen-hash table; genuinely new docs keep
+    * their batch-min id. */
+  val qIncrementalDedup = Q(
+    "q_incremental_dedup",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val seen = docs.filter(col("doc_id") % 3 === 0)
+        .select(md5(col("text")).as("content_hash")).distinct()
+      val incoming = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.incrementalExact(incoming, "doc_id", "text", seen)
+    },
+    Some("""WITH seen AS (
+              SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
+            incoming AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0),
+            hashed AS (SELECT doc_id, md5(text) AS content_hash FROM incoming)
+            SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_in_batch
+            FROM hashed
+            WHERE content_hash NOT IN (SELECT h FROM seen)
+            GROUP BY content_hash"""))
+
   /** Duplicated-text profile: per doc, what fraction of its distinct
     * 3-grams occurs in at least one other document. Spark shuffles 8-byte
     * gram hashes; the oracle uses the gram strings — identical modulo
@@ -467,5 +494,5 @@ object DedupQueries {
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
-    qQuantizeDot, qKnnJoin, qKnnIvf, qSemDedup, qDupNgrams)
+    qQuantizeDot, qKnnJoin, qKnnIvf, qSemDedup, qDupNgrams, qIncrementalDedup)
 }

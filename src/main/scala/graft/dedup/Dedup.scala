@@ -255,6 +255,30 @@ object Dedup {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Incremental exact dedup at ingest: drop incoming documents whose
+    * content hash already exists in the seen-hash history, then keep the
+    * first occurrence within the batch — the production shape of exact
+    * dedup when a corpus grows batch by batch (the batch analogue of
+    * streaming `dropDuplicates`).
+    *
+    * Scale shape: the anti join keys on the 16-byte md5 — uniform, so the
+    * shuffle never skews even though the history side is the whole corpus'
+    * hash set. The batch side is small relative to history; Spark's
+    * runtime bloom-filter join (`spark.sql.optimizer.runtime.bloomFilter`)
+    * or a persisted bloom sketch of the history cuts the history scan to
+    * candidate partitions. Within-batch keep is the same partial-agg
+    * min-id as [[exact]]. */
+  def incrementalExact(
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      seenHashes: DataFrame): DataFrame = {
+    val hashed = incoming.select(col(idCol).as("id"), md5(col(textCol)).as("content_hash"))
+    hashed.join(seenHashes, Seq("content_hash"), "left_anti")
+      .groupBy(col("content_hash"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_in_batch"))
+  }
+
   /** Cross-document duplicated-text profile (the Lee et al. 2022
     * "Deduplicating Training Data Makes Language Models Better" building
     * block, map-reduce form): for every document, how much of it is text

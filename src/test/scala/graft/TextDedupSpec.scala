@@ -86,6 +86,18 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Map(0L -> 0L, 1L -> 1L))
   }
 
+  test("incrementalExact drops seen content, keeps batch-min for new content") {
+    val seen = Seq("old text").toDF("t").select(md5(col("t")).as("content_hash"))
+    val batch = Seq(
+      (10L, "old text"), // already in history → dropped
+      (11L, "fresh"), (12L, "fresh"), // within-batch dup → keep 11
+      (13L, "unique"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(batch, "doc_id", "text", seen)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(11L -> 2L, 13L -> 1L))
+  }
+
   test("bpePairStats weights adjacent pairs by word frequency, ties break on pair") {
     // words: low ×2, lower ×1 → lo:3, ow:3, we:1, er:1
     val df = Seq("low low lower").toDF("t")
