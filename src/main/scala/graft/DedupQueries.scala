@@ -395,6 +395,50 @@ object DedupQueries {
             SELECT probe_id, id, round(cos, 4) AS cosine, CAST(rk AS BIGINT) AS rk
             FROM ranked WHERE rk <= 3"""))
 
+  /** k-NN label propagation: the 20% of vectors with vec_id%5=0 act as the
+    * labeled seed; every other vector takes the majority label of its 5
+    * nearest seeds. The oracle re-derives ranking (cos DESC, lid), voting
+    * and the (votes, best-cos, label) tiebreak relationally. */
+  val qKnnClassify = Q(
+    "q_knn_classify",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Ann.knnClassify(
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", "label", k = 5)
+    },
+    Some("""WITH lab AS (
+              SELECT vec_id AS lid, embedding AS lv, CAST(label AS VARCHAR) AS label
+              FROM embeddings WHERE vec_id % 5 = 0),
+            unl AS (
+              SELECT vec_id AS id, embedding AS v
+              FROM embeddings WHERE vec_id % 5 != 0),
+            scored AS (
+              SELECT u.id, l.lid, l.label,
+                list_sum(list_transform(range(1, 65),
+                  i -> u.v[i]::DOUBLE * l.lv[i]::DOUBLE)) /
+                (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> u.v[i]::DOUBLE * u.v[i]::DOUBLE))) *
+                 sqrt(list_sum(list_transform(range(1, 65),
+                  i -> l.lv[i]::DOUBLE * l.lv[i]::DOUBLE)))) AS cos
+              FROM unl u, lab l),
+            ranked AS (
+              SELECT id, label, cos, row_number() OVER
+                (PARTITION BY id ORDER BY cos DESC, lid) AS rk
+              FROM scored),
+            votes AS (
+              SELECT id, label, count(*) AS votes, max(cos) AS best_cos
+              FROM ranked WHERE rk <= 5 GROUP BY id, label),
+            pick AS (
+              SELECT id, min(struct_pack(nv := -votes, nc := -best_cos,
+                label := label)) AS w
+              FROM votes GROUP BY id)
+            SELECT id, (w).label AS label,
+              CAST(-((w).nv) AS BIGINT) AS votes,
+              round(-((w).nc), 4) AS best_cos
+            FROM pick"""))
+
   /** Incremental ingest dedup: re-ingested history docs (planted with new
     * ids) are dropped against the seen-hash table; genuinely new docs keep
     * their batch-min id. */
@@ -494,5 +538,6 @@ object DedupQueries {
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
-    qQuantizeDot, qKnnJoin, qKnnIvf, qSemDedup, qDupNgrams, qIncrementalDedup)
+    qQuantizeDot, qKnnJoin, qKnnIvf, qSemDedup, qDupNgrams, qIncrementalDedup,
+    qKnnClassify)
 }

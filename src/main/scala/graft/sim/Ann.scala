@@ -179,6 +179,50 @@ object Ann {
         (col("pos") + 1).cast("long").as("rk"))
   }
 
+  /** k-NN label propagation: classify every unlabeled vector by majority
+    * vote of its k nearest LABELED neighbors (cosine) — the
+    * semi-supervised step that spreads a small seed of human/classifier
+    * labels (quality tiers, topics, licenses) across a whole corpus.
+    *
+    * Scale shape (the mirror of [[knnJoinExact]]): here the LABELED seed
+    * set is the small side, so it broadcasts and the unlabeled corpus is
+    * only scanned — and since every (unlabeled × labeled) pair is produced
+    * inside the unlabeled row's own partition, the per-id TopKByScore heap
+    * collapses map-side; the one shuffle carries ≤ k rows per unlabeled
+    * vector. Vote ties break by (votes, best cosine, label) — fully
+    * deterministic, so the whole path has a relational oracle.
+    * Neighbor-rank ties → smaller neighbor id (the TopKByScore rule). */
+  def knnClassify(
+      unlabeled: DataFrame,
+      labeled: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    import graft.plans.TopKByScore.topkByScore
+    val l = broadcast(labeled.select(
+      col(idCol).as("lid"), col(vecCol).as("lv"),
+      col(labelCol).cast("string").as("label")))
+    val top = unlabeled.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(l.select(col("lid"), col("lv")))
+      .withColumn("cos", vecCosine(col("v"), col("lv")))
+      .groupBy(col("id"))
+      .agg(topkByScore(col("cos"), col("lid"), k).as("top"))
+      .select(col("id"), explode(col("top")).as("t"))
+      .select(col("id"), col("t").getField("id").as("lid"),
+        col("t").getField("score").as("cos"))
+      .join(l.select(col("lid"), col("label")), "lid")
+    top.groupBy(col("id"), col("label"))
+      .agg(count(lit(1)).as("votes"), max(col("cos")).as("best_cos"))
+      .groupBy(col("id"))
+      .agg(min(struct((-col("votes")).as("nv"), (-col("best_cos")).as("nc"),
+        col("label"))).as("w"))
+      .select(col("id"),
+        col("w.label").as("label"),
+        (-col("w.nv")).cast("long").as("votes"),
+        round(-col("w.nc"), 4).as("best_cos"))
+  }
+
   /** IVF-blocked approximate k-NN join for BIG probe sets (big-big case):
     * each probe explodes to its `nprobe` nearest cells via ONE
     * constant-plan-size NearestCentroids expression (no driver round-trip,

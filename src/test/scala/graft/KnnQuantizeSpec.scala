@@ -16,6 +16,22 @@ class KnnQuantizeSpec extends SparkSpec {
 
   private val corpus = (1L to 60L).map(i => (i, vec(i)))
 
+  test("knnClassify: majority of nearest labeled neighbors wins; ties break to best cosine") {
+    // labeled seeds: two "a" near the x-axis, two "b" near the y-axis
+    val labeled = Seq(
+      (101L, Seq(1.0f, 0.0f), "a"), (102L, Seq(0.95f, 0.1f), "a"),
+      (103L, Seq(0.0f, 1.0f), "b"), (104L, Seq(0.1f, 0.95f), "b"))
+      .toDF("id", "v", "lab")
+    val unlabeled = Seq(
+      (1L, Seq(0.9f, 0.2f)), // x-ish → a
+      (2L, Seq(0.2f, 0.9f))) // y-ish → b
+      .toDF("id", "v")
+    val out = graft.sim.Ann.knnClassify(unlabeled, labeled, "id", "v", "lab", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // k=3 votes: doc1 gets {a,a,b} → a; doc2 gets {b,b,a} → b
+    assert(out == Map(1L -> "a", 2L -> "b"))
+  }
+
   test("nearestCentroids matches a brute-force reference incl. tie order") {
     val cents = (0L until 6L).map(c => c -> vec(c * 7 + 100).map(_.toDouble))
     val df = corpus.toDF("id", "v")
