@@ -25,6 +25,30 @@ object DedupQueries {
                   UNION ALL SELECT doc_id + 1000000, text FROM documents)
             GROUP BY md5(text)"""))
 
+  /** Quality-aware exact dedup on the doubled corpus: a per-copy "source
+    * trust" score (doc_id mod 7 — differs between the two copies) decides
+    * the keeper, id the tiebreak. */
+  val qDedupKeepBest = Q(
+    "q_dedup_keep_best",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val doubled = d.unionByName(
+        d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.exactKeepBest(doubled, "doc_id", "text",
+        pmod(col("doc_id"), lit(7)).cast("double"))
+    },
+    Some("""WITH doubled AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 1000000, text FROM documents),
+            g AS (
+              SELECT md5(text) AS content_hash,
+                max(struct_pack(s := CAST(doc_id % 7 AS DOUBLE),
+                  nid := -doc_id)) AS w,
+                count(*) AS n_copies
+              FROM doubled GROUP BY md5(text))
+            SELECT content_hash, CAST(-((w).nid) AS BIGINT) AS keep_id,
+              (w).s AS keep_score, n_copies FROM g"""))
+
   /** N-gram Jaccard near-dup pairs on a deterministic subset (the oracle
     * replicates shingling relationally; the full-corpus path is the LSH
     * variant below). */
@@ -539,5 +563,5 @@ object DedupQueries {
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
     qQuantizeDot, qKnnJoin, qKnnIvf, qSemDedup, qDupNgrams, qIncrementalDedup,
-    qKnnClassify)
+    qKnnClassify, qDedupKeepBest)
 }

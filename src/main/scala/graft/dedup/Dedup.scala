@@ -16,6 +16,20 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Quality-aware exact dedup: among identical copies keep the one with
+    * the highest score (source trust, freshness, quality), id as the
+    * deterministic tiebreak — the "keep best, not first" policy of modern
+    * curation pipelines. Same single uniform-hash shuffle as [[exact]]: the
+    * argmax is `max(struct(score, -id))`, still fully partial-aggregatable. */
+  def exactKeepBest(
+      df: DataFrame, idCol: String, textCol: String, score: Column): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(
+        max(struct(score.as("s"), (-col(idCol)).as("nid"))).as("w"),
+        count(lit(1)).as("n_copies"))
+      .select(col("content_hash"), (-col("w.nid")).as("keep_id"),
+        col("w.s").as("keep_score"), col("n_copies"))
+
   /** N-gram Jaccard near-dup pairs via shingle-explode join.
     *
     * Scale shape: explode to (shingle, id) pairs — rows = docs × shingles;

@@ -86,6 +86,16 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Map(0L -> 0L, 1L -> 1L))
   }
 
+  test("exactKeepBest keeps the highest-scored copy, id breaks score ties") {
+    val df = Seq(
+      (1L, "same", 0.2), (2L, "same", 0.9), (3L, "same", 0.9), // best score tie → min id 2
+      (4L, "solo", 0.1))
+      .toDF("doc_id", "text", "trust")
+    val out = Dedup.exactKeepBest(df, "doc_id", "text", col("trust"))
+      .collect().map(r => r.getLong(1) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(out == Map(2L -> ((0.9, 3L)), 4L -> ((0.1, 1L))))
+  }
+
   test("incrementalExact drops seen content, keeps batch-min for new content") {
     val seen = Seq("old text").toDF("t").select(md5(col("t")).as("content_hash"))
     val batch = Seq(
