@@ -390,7 +390,99 @@ object TextQueries {
             ORDER BY n_occurrences DESC, pair
             LIMIT 50"""))
 
+  /** Gopher structural rule battery (Rae et al. 2021): word count, mean
+    * word length, symbol ratio, alpha-word fraction, stopword hits and
+    * the composite verdict — one scan-stage projection per doc; the
+    * oracle recomputes every rule relationally. */
+  val qGopherRules = Q(
+    "q_gopher_rules",
+    (s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id") +: gopherStats(col("text"), minWords = 20): _*)
+    },
+    Some {
+      val stop = defaultStopwords.map { w =>
+        s"CAST((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH base AS (
+            SELECT doc_id, text, ' ' || text || ' ' AS p,
+              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ntok,
+              length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+              CAST((length(text) - length(replace(text, '#', ''))) / 1 AS BIGINT)
+                + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS symbols,
+              CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                   w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words
+            FROM documents),
+          stats AS (
+            SELECT doc_id, ntok AS n_words,
+              floor(nonspace / greatest(ntok, 1)::DOUBLE * 10000 + 0.5) / 10000 AS mean_word_len,
+              floor(symbols / greatest(ntok, 1)::DOUBLE * 10000 + 0.5) / 10000 AS symbol_ratio,
+              floor(alpha_words / greatest(ntok, 1)::DOUBLE * 10000 + 0.5) / 10000 AS alpha_frac,
+              CAST($stop AS BIGINT) AS stop_hits
+            FROM base)
+          SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+            CAST(n_words >= 20 AND n_words <= 100000
+              AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+              AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+              AND stop_hits >= 2 AS BIGINT) AS gopher_pass
+          FROM stats"""
+    })
+
+  /** Sliding-window chunking with overlap (window 32, stride 24): every
+    * token covered, deterministic chunk ids, scan-stage explode — the
+    * oracle rebuilds the identical windows via generate_series + list
+    * slicing. */
+  val qChunk = Q(
+    "q_chunk",
+    (s, dir) => {
+      graft.ops.Chunking.slidingChunks(
+        Tables(s, dir).documents.filter(col("doc_id") < 200),
+        "doc_id", "text", window = 32, stride = 24)
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE doc_id < 200 AND length(trim(text)) > 0),
+            sized AS (SELECT doc_id, t, len(t) AS n FROM d),
+            starts AS (
+              SELECT doc_id, t, unnest(generate_series(0,
+                CASE WHEN n <= 32 THEN 0 ELSE ((n - 32 + 23) // 24) * 24 END,
+                24)) AS s
+              FROM sized)
+            SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
+              array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk_text,
+              CAST(len(list_slice(t, s + 1, s + 32)) AS BIGINT) AS n_chunk_tokens
+            FROM starts"""))
+
+  /** Temperature-scaled language rebalance (alpha = 0.5): keep rates are
+    * a pure function of per-stratum counts, corpus never shuffled; the
+    * oracle recomputes counts, rates and the hash filter end-to-end. */
+  val qTemperatureMix = Q(
+    "q_temperature_mix",
+    (s, dir) => {
+      graft.ops.Sampling.temperatureMix(
+        Tables(s, dir).documents, "doc_id", "lang", alpha = 0.5)
+        .groupBy(col("lang"), col("n_s"), col("rate"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
+        .select(col("lang"), col("n_s"), col("rate").cast("long").as("rate"),
+          col("n_kept"), col("min_id"))
+    },
+    Some("""WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+            m AS (SELECT min(n_s) AS n_min FROM c),
+            r AS (SELECT lang, n_s,
+                least(256, greatest(1,
+                  CAST(floor(power(n_s::DOUBLE / n_min, -0.5) * 256 + 0.5) AS INTEGER))) AS rate
+              FROM c, m),
+            k AS (SELECT d.lang, d.doc_id, r.n_s, r.rate
+              FROM documents d JOIN r USING (lang)
+              WHERE (strpos('0123456789abcdef', substr(md5(d.doc_id::VARCHAR), 1, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr(md5(d.doc_id::VARCHAR), 2, 1)) - 1 < rate)
+            SELECT lang, n_s, CAST(rate AS BIGINT) AS rate,
+              count(*) AS n_kept, min(doc_id) AS min_id
+            FROM k GROUP BY lang, n_s, rate"""))
+
   def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
-    qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs)
+    qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
+    qGopherRules, qChunk, qTemperatureMix)
 }

@@ -82,6 +82,52 @@ object TextFunctions {
     * and DuckDB round() disagree on .00005 boundaries). */
   def r4ratio(x: Column): Column = floor(x * 10000 + lit(0.5)) / 10000
 
+  /** Gopher-style structural quality rules (Rae et al. 2021, appendix A —
+    * the rule battery later popularized by Dolma/FineWeb): per-document
+    * word count, mean word length, symbol-to-word ratio (`#` and `...`),
+    * alphabetic-word fraction, stopword hits, and the composite keep
+    * verdict. Complements [[repetitionStats]] (the repetition half of the
+    * Gopher battery). Thresholds are the published defaults; pass others
+    * to tune. Pure scan-stage column math — at 100 TB this is a
+    * projection fused into the parquet scan: no shuffle, no UDF, and the
+    * verdict can drive a pushed-down filter.
+    *
+    * Emitted columns: `n_words`, `mean_word_len`, `symbol_ratio`,
+    * `alpha_frac`, `stop_hits`, `gopher_pass` (BIGINT 0/1 — engine-
+    * portable, unlike booleans). */
+  def gopherStats(
+      text: Column,
+      stopwords: Seq[String] = defaultStopwords,
+      minWords: Long = 50,
+      maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaFrac: Double = 0.8,
+      minStopHits: Long = 2): Seq[Column] = {
+    val toks = tokenCount(text)
+    val toksD = greatest(toks, lit(1L)).cast("double")
+    val nonSpace = length(regexp_replace(text, "\\s", "")).cast("double")
+    val meanLen = r4ratio(nonSpace / toksD)
+    val symbols = countOccurrences(text, "#") + countOccurrences(text, "...")
+    val symRatio = r4ratio(symbols.cast("double") / toksD)
+    val alphaWords =
+      size(filter(split(trim(text), "\\s+"), w => w.rlike("[A-Za-z]"))).cast("long")
+    val alphaFrac = r4ratio(alphaWords.cast("double") / toksD)
+    val stops = stopwordCount(text, stopwords)
+    val pass = (toks >= minWords && toks <= maxWords &&
+      meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+      symRatio <= maxSymbolRatio && alphaFrac >= minAlphaFrac &&
+      stops >= minStopHits).cast("long")
+    Seq(
+      toks.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symRatio.as("symbol_ratio"),
+      alphaFrac.as("alpha_frac"),
+      stops.as("stop_hits"),
+      pass.as("gopher_pass"))
+  }
+
   /** Word-repetition profile (Gopher-style quality filters): fraction of
     * duplicated words and occurrence count of the most repeated word
     * bigram, from ONE native one-pass expression (graft.plans.

@@ -82,6 +82,36 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < rateExpr)
   }
 
+  /** Temperature-scaled source mixing — the multilingual-training
+    * convention (mBERT/XLM-R style exponent smoothing): sampled share of
+    * stratum `s` ∝ (n_s)^alpha, realized as a per-row keep rate
+    * r_s = (n_s / n_min)^(alpha-1) with the smallest stratum keeping
+    * everything. `alpha = 1` reproduces the natural mix; `alpha → 0`
+    * flattens toward uniform. Rates are integer bucket thresholds of 256
+    * applied with the same stable content-hash bucket as [[hashSample]].
+    *
+    * Scale shape: one tiny per-stratum count aggregate (rows = #strata),
+    * a 1-row global min, rates broadcast back onto the corpus — the
+    * corpus itself is never shuffled, and the filter is scan-stage.
+    * Returns the kept rows plus `n_s` and `rate` columns for accounting. */
+  def temperatureMix(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_s"))
+    val minN = counts.agg(min(col("n_s")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .withColumn("rate",
+        least(lit(256), greatest(lit(1),
+          floor(pow(col("n_s").cast("double") / col("n_min"), alpha - 1.0) * 256 + 0.5)
+            .cast("int"))))
+      .select(col(strataCol), col("n_s"), col("rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(hashBucket(col(keyCol)) < col("rate"))
+  }
+
   /** Deterministic global shuffle into training shards: shard and
     * within-shard position are pure functions of (seed, key), so an epoch's
     * read order reproduces across runs, clusters and task retries — what

@@ -51,6 +51,41 @@ class SamplingSpec extends SparkSpec {
     assert(frIds == viaHash)
   }
 
+  test("temperatureMix: alpha=1 keeps the natural mix, alpha<1 flattens toward uniform") {
+    val df = ((1 to 900).map(i => (i, "big")) ++ (901 to 1000).map(i => (i, "small")))
+      .toDF("id", "lang")
+    // alpha=1: every rate is 256 → nothing dropped
+    val natural = Sampling.temperatureMix(df, "id", "lang", alpha = 1.0)
+    assert(natural.count() == 1000)
+    // alpha=0.5: small stratum keeps all, big is downsampled by (9)^-0.5 ≈ 0.333
+    val mixed = Sampling.temperatureMix(df, "id", "lang", alpha = 0.5)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(mixed("small") == 100)
+    // rate = floor(256/3 + 0.5) = 85 of 256 ≈ 1/3 of 900 = 300 (hash noise band)
+    assert(math.abs(mixed("big") - 300) < 80, s"got ${mixed("big")}")
+    // reproducible: same call → identical selection
+    val again = Sampling.temperatureMix(df, "id", "lang", alpha = 0.5)
+      .agg(sum("id")).as[Long].head()
+    val first = Sampling.temperatureMix(df, "id", "lang", alpha = 0.5)
+      .agg(sum("id")).as[Long].head()
+    assert(again == first)
+  }
+
+  test("slidingChunks: full coverage, overlap, short tail, one chunk for short docs") {
+    import graft.ops.Chunking
+    val df = Seq(
+      (1L, (1 to 11).map(i => s"w$i").mkString(" ")), // 11 toks: starts 0,4,8
+      (2L, "a b c")).toDF("doc_id", "text")           // 3 toks: one chunk
+    val out = Chunking.slidingChunks(df, "doc_id", "text", window = 6, stride = 4)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, "w1 w2 w3 w4 w5 w6", 6L),
+      (1L, 1L, "w5 w6 w7 w8 w9 w10", 6L),
+      (1L, 2L, "w9 w10 w11", 3L),
+      (2L, 0L, "a b c", 3L)))
+  }
+
   test("shardShuffle: deterministic permutation, dense per-shard positions") {
     val df = (1 to 400).toDF("id")
     def run() = Sampling.shardShuffle(df, "id", "seedA", 4)

@@ -176,6 +176,23 @@ class TextDedupSpec extends SparkSpec {
     assert(rows(1) == ((2L, 4L, 4L, 0.0, 1L, 0.3333))) // 1 of 3 bigrams
   }
 
+  test("gopher rule battery: stats and composite verdict") {
+    import graft.functions.TextFunctions
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dogs today"),
+      (2L, "# ### 123 456 ...")).toDF("doc_id", "text")
+    val rows = df
+      .select(col("doc_id") +: TextFunctions.gopherStats(col("text"), minWords = 3): _*)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Double, Long, Long)].collect()
+    // doc1: 10 words, 41 non-space chars → 4.1 mean, no symbols, all alpha,
+    // 'the' ×2 → verdict pass
+    assert(rows(0) == ((1L, 10L, 4.1, 0.0, 1.0, 2L, 1L)))
+    // doc2: 5 tokens (#, ###, 123, 456, ...), 4 '#' + 1 '...' symbols → ratio 1.0,
+    // mean word len 13/5=2.6 < 3, zero alpha words, zero stopwords → fail
+    assert(rows(1) == ((2L, 5L, 2.6, 1.0, 0.0, 0L, 0L)))
+  }
+
   test("exact dedup keeps min id and counts copies") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("id", "text")
     val r = Dedup.exact(df, "id", "text").orderBy("keep_id")
