@@ -559,9 +559,35 @@ object DedupQueries {
             FROM v LEFT JOIN losers l ON v.id = l.id_b
             WHERE l.id_b IS NULL"""))
 
+  /** Native vector mean pooling (per-label centroids): the partial-
+    * aggregatable VecMean aggregate — only num_labels × dims doubles cross
+    * the shuffle, vectors come out assembled. Output exploded to
+    * (label, dim, v) so the oracle can rebuild the identical means
+    * relationally (zipped unnest + per-dim avg). */
+  val qVecPool = Q(
+    "q_vec_pool",
+    (s, dir) => {
+      Tables(s, dir).embeddings
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(graft.plans.VecMean.vecMean(col("embedding")).as("centroid"),
+          count(lit(1)).as("n_vecs"))
+        .select(col("label"), col("n_vecs"),
+          posexplode(col("centroid")).as(Seq("dim", "v")))
+        .select(col("label"), col("n_vecs"), col("dim").cast("long").as("dim"),
+          (floor(col("v") * 10000 + 0.5) / 10000).as("v"))
+    },
+    Some("""WITH z AS (
+              SELECT label, unnest(embedding) AS ev, unnest(range(len(embedding))) AS dim
+              FROM embeddings),
+            n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+            SELECT CAST(z.label AS BIGINT) AS label, n.n_vecs, CAST(z.dim AS BIGINT) AS dim,
+              floor(avg(ev::DOUBLE) * 10000 + 0.5) / 10000 AS v
+            FROM z JOIN n USING (label)
+            GROUP BY z.label, n.n_vecs, z.dim"""))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
     qQuantizeDot, qKnnJoin, qKnnIvf, qSemDedup, qDupNgrams, qIncrementalDedup,
-    qKnnClassify, qDedupKeepBest)
+    qKnnClassify, qDedupKeepBest, qVecPool)
 }

@@ -54,6 +54,23 @@ class KnnQuantizeSpec extends SparkSpec {
     assert(got == Seq(0L, 1L))
   }
 
+  test("vecMean: exact elementwise means, null vectors ignored, map-side partial agg") {
+    import graft.plans.VecMean.vecMean
+    val df = Seq(
+      ("a", Some(Seq(1.0f, 2.0f, 3.0f))),
+      ("a", Some(Seq(3.0f, 4.0f, 5.0f))),
+      ("a", None),
+      ("b", Some(Seq(10.0f, 0.0f, -2.0f)))).toDF("g", "v")
+    val out = df.groupBy("g").agg(vecMean(col("v")).as("m"))
+      .orderBy("g").as[(String, Seq[Double])].collect().toSeq
+    assert(out == Seq(("a", Seq(2.0, 3.0, 4.0)), ("b", Seq(10.0, 0.0, -2.0))))
+    // partial-aggregatable: the plan carries a partial vec_mean below the
+    // exchange (ObjectHashAggregate partial_vec_mean), not a full-row shuffle
+    val plan = df.groupBy("g").agg(vecMean(col("v")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_vec_mean"), s"no map-side partial:\n$plan")
+  }
+
   test("int8 quantization: exact codes on a hand vector, error bound on random") {
     val df = Seq((1L, Seq(127.0f, -127.0f, 63.5f, 0.0f))).toDF("id", "v")
     val (scale, q) = Quantize.quantizeInt8(df, "v")
