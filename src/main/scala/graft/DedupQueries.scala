@@ -585,9 +585,47 @@ object DedupQueries {
             FROM z JOIN n USING (label)
             GROUP BY z.label, n.n_vecs, z.dim"""))
 
+  /** Exact-substring span removal (Lee et al. 2022 at 5-gram granularity):
+    * duplicated token spans cut, docs reassembled in order — the oracle
+    * re-derives grams from TEXT (not hashes), so a hash-side error cannot
+    * self-confirm. */
+  val qSpanDedup = Q(
+    "q_span_dedup",
+    (s, dir) => {
+      Dedup.substringSpanDedup(
+        Tables(s, dir).documents.filter(col("doc_id") < 300),
+        "doc_id", "text", k = 5)
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE doc_id < 300 AND length(trim(text)) > 0),
+            sized AS (SELECT doc_id, t, len(t) AS n FROM d),
+            starts AS (
+              SELECT doc_id, t, unnest(range(0, greatest(n - 4, 0))) AS s
+              FROM sized),
+            g2 AS (
+              SELECT doc_id, s, array_to_string(list_slice(t, s + 1, s + 5), ' ') AS g
+              FROM starts),
+            dupg AS (SELECT g FROM g2 GROUP BY g HAVING count(*) > 1),
+            cov AS (SELECT DISTINCT doc_id, pos FROM (
+              SELECT doc_id, s + unnest(range(0, 5)) AS pos
+              FROM g2 JOIN dupg USING (g))),
+            covn AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+            toks AS (
+              SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS pos FROM d),
+            kept AS (
+              SELECT doc_id, tok, pos FROM toks ANTI JOIN cov USING (doc_id, pos)),
+            agg AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+              FROM kept GROUP BY doc_id)
+            SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+              CAST(coalesce(covn.n_removed, 0) AS BIGINT) AS n_removed,
+              coalesce(agg.clean_text, '') AS clean_text
+            FROM d LEFT JOIN covn USING (doc_id) LEFT JOIN agg USING (doc_id)"""))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
     qQuantizeDot, qKnnJoin, qKnnIvf, qSemDedup, qDupNgrams, qIncrementalDedup,
-    qKnnClassify, qDedupKeepBest, qVecPool)
+    qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup)
 }

@@ -269,6 +269,56 @@ object Dedup {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Exact-substring span removal (Lee et al. 2022 "Deduplicating Training
+    * Data", at token-k-gram granularity): any k-token substring occurring
+    * more than once in the corpus — across documents or within one — marks
+    * its token span as duplicated; duplicated spans are cut and documents
+    * reassembled from the surviving tokens, in order. The gram-hash
+    * map-reduce form of the paper's suffix-array pass.
+    *
+    * Scale shape: the gram relation carries (doc_id, start, xxhash64) —
+    * 8-byte hashes, never gram text — and is localCheckpointed once so the
+    * duplicate-count aggregate and the occurrence join don't re-derive the
+    * tokenize+explode work (same pattern as [[minhashLsh]]). Covered
+    * positions collapse map-side (distinct per doc bounded by doc length);
+    * the final doc_id-keyed join is the single corpus-bearing shuffle, and
+    * span cutting is per-row array math (index filter) on the doc's own
+    * token array.
+    *
+    * Output: doc_id, n_tokens, n_removed, clean_text. */
+  def substringSpanDedup(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val base = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), toks.as("__toks"))
+    val grams = base
+      .select(col("doc_id"), col("__toks"),
+        explode(when(size(col("__toks")) >= k,
+            sequence(lit(0), size(col("__toks")) - k))
+          .otherwise(array().cast("array<int>"))).as("__s"))
+      .select(col("doc_id"), col("__s"),
+        xxhash64(array_join(slice(col("__toks"), col("__s") + 1, lit(k)), " ")).as("__gh"))
+      .localCheckpoint(true)
+    val dupGrams = grams.groupBy(col("__gh"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1)
+      .select(col("__gh"))
+    val covered = grams.join(dupGrams, "__gh")
+      .select(col("doc_id"), explode(sequence(col("__s"), col("__s") + (k - 1))).as("__pos"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("__pos")).as("__cov"))
+    base.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        when(col("__cov").isNull, lit(0L))
+          .otherwise(size(col("__cov")).cast("long")).as("n_removed"),
+        array_join(
+          filter(col("__toks"),
+            (_, i) => !coalesce(array_contains(col("__cov"), i), lit(false))),
+          " ").as("clean_text"))
+  }
+
   /** Incremental exact dedup at ingest: drop incoming documents whose
     * content hash already exists in the seen-hash history, then keep the
     * first occurrence within the batch — the production shape of exact

@@ -193,6 +193,24 @@ class TextDedupSpec extends SparkSpec {
     assert(rows(1) == ((2L, 5L, 2.6, 1.0, 0.0, 0L, 0L)))
   }
 
+  test("substringSpanDedup cuts duplicated k-gram spans, keeps unique text") {
+    val df = Seq(
+      (1L, "one two three four five six"),
+      (2L, "zz one two three qq"),
+      (3L, "totally unique words here"),
+      (4L, "p q r p q r p q")).toDF("doc_id", "text")
+    val out = Dedup.substringSpanDedup(df, "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      // "one two three" shared with doc2 → covers positions 0-2
+      (1L, 6L, 3L, "four five six"),
+      (2L, 5L, 3L, "zz qq"),
+      (3L, 4L, 0L, "totally unique words here"),
+      // every 3-gram repeats within the doc → everything cut
+      (4L, 8L, 8L, "")))
+  }
+
   test("exact dedup keeps min id and counts copies") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("id", "text")
     val r = Dedup.exact(df, "id", "text").orderBy("keep_id")
