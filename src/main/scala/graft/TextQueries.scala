@@ -481,8 +481,42 @@ object TextQueries {
               count(*) AS n_kept, min(doc_id) AS min_id
             FROM k GROUP BY lang, n_s, rate"""))
 
+  /** DSIR importance weights (unigram feature space, target = English
+    * docs): vocabulary-sized smoothed log-ratio table broadcast onto the
+    * token stream; the oracle recomputes both language models and every
+    * per-doc sum relationally. */
+  val qDsirWeights = Q(
+    "q_dsir_weights",
+    (s, dir) => {
+      graft.ops.Curation.dsirWeights(
+        Tables(s, dir).documents, "doc_id", "text", col("lang") === "en")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, lang = 'en' AS t,
+                unnest(string_split_regex(trim(text), '\s+')) AS w
+              FROM documents),
+            wc AS (
+              SELECT w,
+                CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+                CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS c_r
+              FROM toks GROUP BY w),
+            consts AS (
+              SELECT CAST(sum(c_t) AS BIGINT) AS n_t,
+                     CAST(sum(c_r) AS BIGINT) AS n_r,
+                     count(*) AS v
+              FROM wc),
+            ratios AS (
+              SELECT w,
+                ln((c_t + 1)::DOUBLE / (n_t + v)::DOUBLE)
+                  - ln((c_r + 1)::DOUBLE / (n_r + v)::DOUBLE) AS lr
+              FROM wc, consts)
+            SELECT doc_id, count(*) AS n_toks,
+              floor(sum(lr) * 10000 + 0.5) / 10000 AS dsir_weight
+            FROM toks JOIN ratios USING (w)
+            GROUP BY doc_id"""))
+
   def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
-    qGopherRules, qChunk, qTemperatureMix)
+    qGopherRules, qChunk, qTemperatureMix, qDsirWeights)
 }

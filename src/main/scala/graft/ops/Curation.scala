@@ -45,4 +45,49 @@ object Curation {
       .filter(col("src_mean_quality") >= minMean && col("src_docs") >= minDocs)
     scored.join(broadcast(verdicts), Seq(srcCol))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", unigram feature space):
+    * score every document by how target-like its token distribution is —
+    * `weight(d) = Σ_tokens log P̂_target(w) / P̂_raw(w)` with add-1
+    * smoothing over the union vocabulary; words unseen on either side get
+    * the smoothed unseen ratio. Rank by weight (or hash-resample on it)
+    * to select raw-corpus documents that look like the target domain.
+    *
+    * Scale shape: the two unigram language models are partial-aggregatable
+    * word counts whose result is VOCABULARY-sized (Zipf: independent of
+    * corpus size, same argument as `bpePairStats`), broadcast back onto
+    * the exploded token stream; the per-doc sum then shuffles one
+    * (doc_id, partial-sum) row per map partition — uniform key, no skew.
+    * The corpus text itself crosses no exchange.
+    *
+    * Output: one row per input doc — doc_id, n_toks, dsir_weight
+    * (4-decimal-floored, summation-order-stable). */
+  def dsirWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("doc_id"), isTarget.as("__t"),
+      explode(split(trim(col(textCol)), "\\s+")).as("w"))
+    // vocabulary-sized: per-word counts on each side
+    val wordCounts = toks.groupBy(col("w")).agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("c_t"),
+      sum(when(col("__t"), 0L).otherwise(1L)).as("c_r"))
+      .localCheckpoint(true)
+    // smoothing constants: side totals + union vocab size (one tiny row)
+    val consts = wordCounts.agg(
+      sum(col("c_t")).as("n_t"), sum(col("c_r")).as("n_r"),
+      count(lit(1)).as("v"))
+    val ratios = wordCounts.crossJoin(broadcast(consts))
+      .select(col("w"),
+        (log((col("c_t") + 1).cast("double") / (col("n_t") + col("v")).cast("double"))
+          - log((col("c_r") + 1).cast("double") / (col("n_r") + col("v")).cast("double")))
+          .as("lr"))
+    toks.join(broadcast(ratios), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        (floor(sum(col("lr")) * 10000 + lit(0.5)) / 10000).as("dsir_weight"))
+  }
 }

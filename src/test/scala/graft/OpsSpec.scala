@@ -43,6 +43,25 @@ class OpsSpec extends SparkSpec {
   private def Channel0(nodes: graft.api.Node*) =
     graft.api.Channel("t").add(nodes: _*).runMain(msgs)
 
+  test("dsirWeights: target-like docs score higher than off-target docs") {
+    import graft.ops.Curation
+    val df = Seq(
+      (1L, "alpha beta alpha beta", true),   // target distribution: alpha/beta
+      (2L, "alpha beta gamma delta", true),
+      (3L, "alpha beta alpha gamma", false), // raw doc close to target
+      (4L, "omega sigma omega sigma", false) // raw doc far from target
+    ).toDF("id", "text", "is_t")
+    val w = Curation.dsirWeights(df, "id", "text", col("is_t"))
+      .select("doc_id", "dsir_weight").as[(Long, Double)].collect().toMap
+    assert(w.size == 4)
+    // the target-like raw doc must outscore the off-target raw doc
+    assert(w(3L) > w(4L), s"expected w(3) > w(4), got $w")
+    // weights are finite and deterministic across runs
+    val again = Curation.dsirWeights(df, "id", "text", col("is_t"))
+      .select("doc_id", "dsir_weight").as[(Long, Double)].collect().toMap
+    assert(w == again)
+  }
+
   test("combineCtx builds JSON payload from saved contexts") {
     val out = Channel0(
       CoreOps.setCtx("a"),
