@@ -623,9 +623,51 @@ object DedupQueries {
               coalesce(agg.clean_text, '') AS clean_text
             FROM d LEFT JOIN covn USING (doc_id) LEFT JOIN agg USING (doc_id)"""))
 
+  /** SRP-LSH near-dup over embeddings (2 bands × 8 hyperplane signs,
+    * md5-derived projections): the one LSH family whose ENTIRE pipeline —
+    * signature, banding, candidate join, cosine verify — is engine-
+    * portable, so unlike MinHash/SimHash (rows-only) it carries a full
+    * DuckDB oracle. */
+  val qSrpLsh = Q(
+    "q_srp_lsh",
+    (s, dir) => {
+      graft.sim.Srp.nearDups(Tables(s, dir).embeddings,
+        "vec_id", "embedding", dims = 64, nBands = 2, bitsPerBand = 8,
+        minCosine = 0.2)
+    },
+    Some("""WITH jd AS (
+              SELECT vec_id, g,
+                list_sum(list_transform(range(1, 65), i ->
+                  embedding[i]::DOUBLE *
+                  ((strpos('0123456789abcdef', substr(md5(g::VARCHAR || ':' || (i-1)::VARCHAR), 1, 1)) - 1) * 16
+                   + strpos('0123456789abcdef', substr(md5(g::VARCHAR || ':' || (i-1)::VARCHAR), 2, 1)) - 1
+                   - 127.5))) AS dot
+              FROM embeddings, unnest(range(0, 16)) AS t(g)),
+            sigs AS (
+              SELECT vec_id, CAST(g // 8 AS BIGINT) AS band,
+                CAST(sum(CASE WHEN dot >= 0 THEN CAST(power(2, g % 8) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS sig
+              FROM jd GROUP BY vec_id, g // 8),
+            cands AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM sigs a JOIN sigs b
+                ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+            cosv AS (
+              SELECT id_a, id_b,
+                list_sum(list_transform(range(1, 65),
+                  i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) /
+                (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> ea.embedding[i]::DOUBLE * ea.embedding[i]::DOUBLE))) *
+                 sqrt(list_sum(list_transform(range(1, 65),
+                  i -> eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)))) AS cos
+              FROM cands JOIN embeddings ea ON ea.vec_id = id_a
+                         JOIN embeddings eb ON eb.vec_id = id_b)
+            SELECT id_a, id_b, floor(cos * 10000 + 0.5) / 10000 AS cosine
+            FROM cosv WHERE floor(cos * 10000 + 0.5) / 10000 >= 0.2"""))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
     qQuantizeDot, qKnnJoin, qKnnIvf, qSemDedup, qDupNgrams, qIncrementalDedup,
-    qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup)
+    qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh)
 }

@@ -71,6 +71,33 @@ class KnnQuantizeSpec extends SparkSpec {
     assert(plan.contains("partial_vec_mean"), s"no map-side partial:\n$plan")
   }
 
+  test("SRP-LSH: identical vectors collide in every band, near pairs surface, far pairs verified out") {
+    import graft.sim.Srp
+    val a = vec(7L)
+    val near = a.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    val far = vec(99L)
+    val df = Seq((1L, a), (2L, a), (3L, near), (4L, far))
+      .toDF("vec_id", "embedding")
+    val sigs = Srp.signatures(df, "vec_id", "embedding", dims = 8, nBands = 2, bitsPerBand = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(sigs.size == 8) // one row per (id, band)
+    val byId = sigs.groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).toSet).toMap
+    assert(byId(1L) == byId(2L)) // identical vectors: identical signatures
+    val dups = Srp.nearDups(df, "vec_id", "embedding", dims = 8, nBands = 2,
+        bitsPerBand = 4, minCosine = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dups.contains((1L, 2L))) // exact dup always survives
+    assert(!dups.exists { case (x, y) => x == 4L || y == 4L } ||
+      VectorsClose(a, far), "far vector must not pass the 0.99 cosine verify")
+  }
+
+  private def VectorsClose(a: Seq[Float], b: Seq[Float]): Boolean = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+    dot / (na * nb) >= 0.99
+  }
+
   test("int8 quantization: exact codes on a hand vector, error bound on random") {
     val df = Seq((1L, Seq(127.0f, -127.0f, 63.5f, 0.0f))).toDF("id", "v")
     val (scale, q) = Quantize.quantizeInt8(df, "v")
