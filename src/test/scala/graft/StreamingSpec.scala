@@ -130,6 +130,50 @@ class StreamingSpec extends SparkSpec {
     assert(spark.sql("SELECT min(user_total) FROM enrich_out").as[Long].head() > 0)
   }
 
+  test("stream-stream interval join with watermarks matches the batch join") {
+    val base = Files.createTempDirectory("graft_ssjoin").toString
+    Tables(spark, sf).events.limit(2000).write.mode("overwrite").parquet(s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+    def streamSide(t: String, p: String) =
+      spark.readStream.schema(schema).parquet(s"$base/in")
+        .filter(col("event_type") === t)
+        .select(col("user_id").as(s"${p}_uid"), col("ts").as(s"${p}_ts"),
+          col("event_id").as(s"${p}_id"))
+        .withWatermark(s"${p}_ts", "2 days")
+    val cond = expr(
+      "c_uid = v_uid AND v_ts >= c_ts AND v_ts <= c_ts + INTERVAL 1 DAY")
+    val q = streamSide("click", "c").join(streamSide("view", "v"), cond)
+      .writeStream.format("memory").queryName("ssjoin_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // oracle: the same interval join in batch
+    val ev = spark.read.parquet(s"$base/in")
+    def batchSide(t: String, p: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id").as(s"${p}_uid"), col("ts").as(s"${p}_ts"),
+        col("event_id").as(s"${p}_id"))
+    val expected = batchSide("click", "c").join(batchSide("view", "v"), cond).count()
+    val got = spark.sql("SELECT count(*) FROM ssjoin_out").as[Long].head()
+    assert(got == expected && expected > 0, s"stream $got vs batch $expected")
+  }
+
+  test("dropDuplicatesWithinWatermark dedups late re-arrivals by key") {
+    val base = Files.createTempDirectory("graft_wmdedup").toString
+    val docs = Tables(spark, sf).documents.limit(50)
+    docs.write.mode("overwrite").parquet(s"$base/in")
+    docs.write.mode("append").parquet(s"$base/in") // same keys arrive again
+    val schema = spark.read.parquet(s"$base/in").schema
+    val src = spark.readStream.schema(schema).parquet(s"$base/in")
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("doc_id"))
+    val q = src.writeStream.format("memory").queryName("wmdedup_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT count(DISTINCT doc_id) FROM wmdedup_out").as[Long].head() == 50)
+    assert(spark.sql("SELECT count(*) FROM wmdedup_out").as[Long].head() == 50)
+  }
+
   test("streaming append into MessageStore with checkpoint") {
     val base = Files.createTempDirectory("graft_sstore").toString
     Tables(spark, sf).events.limit(200)
