@@ -14,19 +14,24 @@ class PretrainPipelineSpec extends SparkSpec {
       minSourceQuality = 0.0, langRates = Map("en" -> 256))
     val byStage = report.map(r => r.stage -> r.rows).toMap
     assert(byStage("input") == docs.count())
-    assert(byStage("line_dedup") <= byStage("input"))
-    assert(byStage("dup_text_filter") <= byStage("line_dedup"))
+    assert(byStage("gopher_gate") <= byStage("input"))
+    assert(byStage("gopher_gate") > 0)
+    assert(byStage("line_dedup") <= byStage("gopher_gate"))
+    assert(byStage("span_dedup") <= byStage("line_dedup"))
+    assert(byStage("dup_text_filter") <= byStage("span_dedup"))
     assert(byStage("domain_gate") <= byStage("dup_text_filter"))
     assert(byStage("sem_dedup") <= byStage("domain_gate"))
     assert(byStage("sem_dedup") > 0)
     assert(byStage("packed") == byStage("lang_rebalance"))
 
-    // packing invariant: within a (shard, bin), token sums fit the capacity
-    // (oversize docs are flagged, not silently split)
-    val bad = out.filter(!col("oversize"))
-      .groupBy(col("shard"), col("bin"))
-      .agg(sum(col("n_tokens")).as("t"))
-      .filter(col("t") > 512)
+    // packing invariant of contiguous fill: a bin's final doc may straddle
+    // the boundary (docs are never split), but everything BEFORE the last
+    // doc must fit the capacity — i.e. the bin was not already full when
+    // its last doc started
+    val bad = out
+      .groupBy(col("pack_shard"), col("bin"))
+      .agg((sum(col("n_tokens")) - max_by(col("n_tokens"), col("doc_id"))).as("before_last"))
+      .filter(col("before_last") >= 512)
       .count()
     assert(bad == 0)
 
