@@ -515,8 +515,64 @@ object TextQueries {
             FROM toks JOIN ratios USING (w)
             GROUP BY doc_id"""))
 
+  /** Greedy longest-match segmentation vocabulary for q_greedy_pieces:
+    * full corpus words plus letter fallbacks (letters missing here fall
+    * through to `<unk>`). */
+  private val pieceVocab: Seq[String] = Seq(
+    "the", "spark", "scan", "sort", "join", "stream", "batch", "window",
+    "query", "data", "table", "filter", "value", "group", "line", "customer",
+    "merge", "hash", "agg", "row", "key", "fast", "slow", "small", "big",
+    "column", "order", "part", "vector", "dup",
+    "s", "c", "a", "t", "e", "r", "o", "w", "m")
+
+  /** Tokenizer APPLY (greedy longest-match subword segmentation): the
+    * native expression segments whole documents in the scan stage (zero
+    * shuffle); the oracle independently segments the DISTINCT-word table
+    * with a recursive CTE and reassembles per doc — two formulations of
+    * the same greedy rule checking each other. */
+  val qGreedyPieces = Q(
+    "q_greedy_pieces",
+    (s, dir) => {
+      Tables(s, dir).documents.filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          graft.plans.TextNative.greedyPieces(col("text"), pieceVocab).as("__p"))
+        .select(col("doc_id"),
+          array_join(col("__p"), "|").as("pieces_str"),
+          size(col("__p")).cast("long").as("n_pieces"),
+          size(filter(col("__p"), p => p === "<unk>")).cast("long").as("n_unk"))
+    },
+    Some {
+      val vals = pieceVocab.map(t => s"('$t')").mkString(", ")
+      s"""WITH RECURSIVE
+            vocab(tok) AS (VALUES $vals),
+            d AS (SELECT doc_id, trim(text) AS tx FROM documents WHERE doc_id < 200),
+            toks AS (SELECT doc_id,
+                unnest(string_split_regex(tx, '\\s+')) AS w,
+                unnest(range(len(string_split_regex(tx, '\\s+')))) AS wpos
+              FROM d),
+            words AS (SELECT DISTINCT w FROM toks),
+            seg AS (
+              SELECT w, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM words
+              UNION ALL
+              SELECT seg.w, seg.pos + coalesce(length(b.tok), 1),
+                     list_append(seg.pieces, coalesce(b.tok, '<unk>'))
+              FROM seg LEFT JOIN LATERAL (
+                SELECT tok FROM vocab
+                WHERE substr(seg.w, seg.pos + 1, length(tok)) = tok
+                ORDER BY length(tok) DESC LIMIT 1) b ON true
+              WHERE seg.pos < length(seg.w)),
+            done AS (SELECT w, pieces FROM seg
+                     WHERE pos >= length(w) AND length(w) > 0),
+            perword AS (SELECT doc_id, wpos, pieces FROM toks JOIN done USING (w))
+          SELECT doc_id,
+            string_agg(array_to_string(pieces, '|'), '|' ORDER BY wpos) AS pieces_str,
+            CAST(sum(len(pieces)) AS BIGINT) AS n_pieces,
+            CAST(sum(len(list_filter(pieces, p -> p = '<unk>'))) AS BIGINT) AS n_unk
+          FROM perword GROUP BY doc_id"""
+    })
+
   def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
-    qGopherRules, qChunk, qTemperatureMix, qDsirWeights)
+    qGopherRules, qChunk, qTemperatureMix, qDsirWeights, qGreedyPieces)
 }

@@ -168,6 +168,60 @@ case class RepetitionProfile(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Greedy longest-match subword segmentation — the WordPiece matching
+  * algorithm (Wu et al. 2016) without the continuation-marker convention:
+  * per whitespace word, repeatedly emit the LONGEST vocabulary piece
+  * matching at the cursor; if nothing matches, emit "<unk>" and advance
+  * one character. Pieces concatenate in document order. This is the
+  * tokenizer-APPLY step (`bpePairStats` is the trainer side).
+  *
+  * One interpreted pass per row over a first-char-indexed vocab — pure
+  * scan-stage work, zero shuffle: the scalable alternative (segment
+  * DISTINCT words relationally, join back) shuffles every corpus token;
+  * the oracle uses exactly that relational form (recursive CTE over the
+  * distinct-word table), so the two independent formulations check each
+  * other. Vocab is a plan constant; segmentation is deterministic (among
+  * equal-length matches the matched text is identical, so longest-first
+  * is a total rule).
+  */
+case class GreedyPieces(child: Expression, vocab: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "greedy_pieces"
+
+  @transient private lazy val byFirst: Map[Char, Array[String]] =
+    vocab.filter(_.nonEmpty).distinct.groupBy(_.head)
+      .map { case (ch, ts) => ch -> ts.sortBy(t => -t.length).toArray }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      var pos = 0
+      while (pos < w.length) {
+        val cands = byFirst.getOrElse(w.charAt(pos), null)
+        var hit: String = null
+        if (cands != null) {
+          var ci = 0
+          while (hit == null && ci < cands.length) {
+            if (w.startsWith(cands(ci), pos)) hit = cands(ci)
+            ci += 1
+          }
+        }
+        if (hit != null) { out += UTF8String.fromString(hit); pos += hit.length }
+        else { out += UTF8String.fromString("<unk>"); pos += 1 }
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextNative {
   import ColumnBridge.{column => c, expression => e}
 
@@ -175,4 +229,5 @@ object TextNative {
   def minhashSig(shingleArr: Column, k: Int): Column = c(MinHashSig(e(shingleArr), k))
   def simhash64(text: Column): Column = c(SimHash64(e(text)))
   def repetitionProfile(text: Column, n: Int): Column = c(RepetitionProfile(e(text), n))
+  def greedyPieces(text: Column, vocab: Seq[String]): Column = c(GreedyPieces(e(text), vocab))
 }

@@ -211,6 +211,17 @@ class TextDedupSpec extends SparkSpec {
       (4L, 8L, 8L, "")))
   }
 
+  test("greedyPieces: longest-match wins, unk advances one char, doc order kept") {
+    import graft.plans.TextNative
+    val vocab = Seq("the", "spark", "sc", "an", "a", "t", "s", "h")
+    val df = Seq((1L, "thespark scant xyz"), (2L, "  ")).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextNative.greedyPieces(col("text"), vocab).as("p"))
+      .orderBy("id").as[(Long, Seq[String])].collect().toSeq
+    assert(out(0) == ((1L, Seq("the", "spark", "sc", "an", "t", "<unk>", "<unk>", "<unk>"))))
+    assert(out(1) == ((2L, Seq.empty[String]))) // blank text → no pieces
+  }
+
   test("exact dedup keeps min id and counts copies") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("id", "text")
     val r = Dedup.exact(df, "id", "text").orderBy("keep_id")
