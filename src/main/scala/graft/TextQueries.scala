@@ -571,8 +571,38 @@ object TextQueries {
           FROM perword GROUP BY doc_id"""
     })
 
+  /** CCNet-style bigram perplexity: vocabulary-bounded count tables
+    * broadcast onto the bigram stream; the oracle re-estimates the same
+    * smoothed LM and every per-doc perplexity relationally. */
+  val qPerplexity = Q(
+    "q_perplexity",
+    (s, dir) => {
+      graft.ops.Curation.bigramPerplexity(
+        Tables(s, dir).documents, "doc_id", "text")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+            bigrams AS (
+              SELECT doc_id,
+                t[s + 1] AS w1, t[s + 2] AS w2
+              FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS s
+                    FROM toks WHERE len(t) >= 2)),
+            bc AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY w1, w2),
+            hc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+            vs AS (SELECT count(DISTINCT w) AS v FROM (
+                     SELECT unnest(t) AS w FROM toks)),
+            probs AS (
+              SELECT bc.w1, bc.w2,
+                ln((c12 + 1)::DOUBLE / (c1 + v)::DOUBLE) AS lp
+              FROM bc JOIN hc USING (w1), vs)
+            SELECT doc_id, count(*) AS n_bigrams,
+              floor(exp(-sum(lp) / count(*)) * 10000 + 0.5) / 10000 AS ppl
+            FROM bigrams JOIN probs USING (w1, w2)
+            GROUP BY doc_id"""))
+
   def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
-    qGopherRules, qChunk, qTemperatureMix, qDsirWeights, qGreedyPieces)
+    qGopherRules, qChunk, qTemperatureMix, qDsirWeights, qGreedyPieces,
+    qPerplexity)
 }

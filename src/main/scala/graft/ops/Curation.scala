@@ -90,4 +90,49 @@ object Curation {
       .agg(count(lit(1)).as("n_toks"),
         (floor(sum(col("lr")) * 10000 + lit(0.5)) / 10000).as("dsir_weight"))
   }
+
+  /** Bigram-LM perplexity scoring (the CCNet quality signal, Wenzek et
+    * al. 2020, with an in-corpus bigram model instead of KenLM): per doc,
+    * `ppl = exp(-Σ ln P(w2|w1) / n_bigrams)` with add-1-smoothed bigram
+    * probabilities `P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V)` estimated from
+    * the corpus itself. Low perplexity ≈ fluent/common phrasing; high ≈
+    * boilerplate soup or noise. Filter or stratify on it as CCNet does.
+    *
+    * Scale shape: identical to [[dsirWeights]] — the bigram and history
+    * count tables are vocabulary-bounded partial aggs (Zipf), broadcast
+    * back onto the doc's bigram stream; the per-doc sum shuffles one
+    * partial row per map partition. Docs with fewer than two tokens have
+    * no bigrams and are absent from the output.
+    *
+    * Output: doc_id, n_bigrams, ppl (4-decimal-floored). */
+  def bigramPerplexity(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("__t"))
+    val bigrams = toks
+      .select(col("doc_id"),
+        explode(when(size(col("__t")) >= 2,
+            transform(sequence(lit(0), size(col("__t")) - 2),
+              i => struct(element_at(col("__t"), i + 1).as("w1"),
+                element_at(col("__t"), i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("__b"))
+      .select(col("doc_id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val bc = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    val hc = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocabSize = toks
+      .select(explode(col("__t")).as("w")).agg(countDistinct(col("w")).as("v"))
+    val probs = bc.join(hc, "w1").crossJoin(broadcast(vocabSize))
+      .select(col("w1"), col("w2"),
+        log((col("c12") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
+          .as("lp"))
+    bigrams.join(broadcast(probs), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(exp(-sum(col("lp")) / count(lit(1))) * 10000 + lit(0.5)) / 10000)
+          .as("ppl"))
+  }
 }

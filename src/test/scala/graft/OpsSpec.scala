@@ -62,6 +62,21 @@ class OpsSpec extends SparkSpec {
     assert(w == again)
   }
 
+  test("bigramPerplexity: common-phrasing docs score lower than rare-bigram docs") {
+    import graft.ops.Curation
+    val df = Seq(
+      (1L, "a b a b a b"),   // only the dominant bigrams
+      (2L, "a b a b c d"),   // tail bigrams (b,c),(c,d) raise ppl
+      (3L, "x")              // no bigrams → absent from output
+    ).toDF("id", "text")
+    val out = Curation.bigramPerplexity(df, "id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 5L && out(2L)._1 == 5L) // n-1 bigrams each
+    assert(out(1L)._2 < out(2L)._2, s"expected ppl(1) < ppl(2), got $out")
+    assert(out.values.forall(_._2 > 0))
+  }
+
   test("combineCtx builds JSON payload from saved contexts") {
     val out = Channel0(
       CoreOps.setCtx("a"),
