@@ -54,6 +54,31 @@ class ScalePathSpec extends SparkSpec {
       s"expected blocked pair join + anti join:\n$plan")
   }
 
+  test("round-4 operator plans: broadcasts where promised, no corpus cross joins") {
+    val docs = Tables(spark, sf).documents
+    // DSIR: the log-ratio table must come in as a broadcast, never an SMJ
+    // of the exploded token stream against it
+    val dsir = graft.ops.Curation.dsirWeights(docs, "doc_id", "text", $"lang" === "en")
+    val dsirPlan = dsir.queryExecution.executedPlan.toString
+    assert(dsirPlan.contains("BroadcastHashJoin"), s"DSIR ratios not broadcast:\n$dsirPlan")
+    // perplexity: same contract for the bigram-probability table
+    val ppl = graft.ops.Curation.bigramPerplexity(docs, "doc_id", "text")
+    val pplPlan = ppl.queryExecution.executedPlan.toString
+    assert(pplPlan.contains("BroadcastHashJoin"), s"bigram probs not broadcast:\n$pplPlan")
+    assert(!pplPlan.contains("CartesianProduct"), s"ppl cross join:\n$pplPlan")
+    // temperature mix: rates broadcast back, corpus never hash-repartitioned
+    val mix = graft.ops.Sampling.temperatureMix(docs, "doc_id", "lang", 0.5)
+    val mixPlan = mix.queryExecution.executedPlan.toString
+    assert(mixPlan.contains("BroadcastHashJoin"), s"mix rates not broadcast:\n$mixPlan")
+    // chunking and gopher stats are scan-stage only: no Exchange at all
+    val chunks = graft.ops.Chunking.slidingChunks(docs, "doc_id", "text", 32, 24)
+    assert(!chunks.queryExecution.executedPlan.toString.contains("Exchange"),
+      "chunking introduced a shuffle")
+    val gopher = docs.select($"doc_id" +: graft.functions.TextFunctions.gopherStats($"text"): _*)
+    assert(!gopher.queryExecution.executedPlan.toString.contains("Exchange"),
+      "gopher stats introduced a shuffle")
+  }
+
   test("repetition profile is a pure scan-stage projection (no Exchange)") {
     import graft.functions.TextFunctions
     val out = Tables(spark, sf).documents
