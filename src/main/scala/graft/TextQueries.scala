@@ -485,6 +485,49 @@ object TextQueries {
     * docs): vocabulary-sized smoothed log-ratio table broadcast onto the
     * token stream; the oracle recomputes both language models and every
     * per-doc sum relationally. */
+  /** C4 line-rule battery (Raffel et al. 2020 §2.2) over fabricated
+    * 3-word lines (the short tail line is KEPT here, so the min-words rule
+    * has something to drop, unlike q_line_dedup's exact-3 filter). Line
+    * ban on a corpus word exercises the substring rule; the page gate
+    * requires 5 surviving lines. Pure scan-stage array math — no shuffle
+    * (asserted in ScalePathSpec). */
+  val qC4Filter = Q(
+    "q_c4_filter",
+    (s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val lines = transform(
+        sequence(lit(0), floor((size(toks) - lit(1)) / lit(3)).cast("int")),
+        i => concat_ws(" ", slice(toks, i * 3 + 1, lit(3))))
+      val d = Tables(s, dir).documents.select(col("doc_id"), lines.as("lines"))
+      graft.ops.Curation.c4LineFilter(d, "doc_id", col("lines"),
+          minWords = 3, minLines = 5,
+          lineBanned = Seq("slow"), pageBanned = Seq("lorem ipsum"))
+        .select(col("doc_id"), col("clean_text"),
+          col("n_kept").cast("long").as("n_kept"),
+          col("n_dropped").cast("long").as("n_dropped"),
+          col("page_keep"))
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents),
+            lines AS (
+              SELECT doc_id, list_transform(range(1, len(t) + 1, 3),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS ls
+              FROM toks),
+            f AS (
+              SELECT doc_id,
+                list_filter(ls, l -> len(string_split(l, ' ')) >= 3
+                                 AND NOT contains(l, 'slow')) AS kept,
+                len(ls) AS n,
+                len(list_filter(ls, l -> contains(l, 'lorem ipsum'))) > 0 AS ban
+              FROM lines)
+            SELECT doc_id,
+              array_to_string(kept, chr(10)) AS clean_text,
+              CAST(len(kept) AS BIGINT) AS n_kept,
+              CAST(n - len(kept) AS BIGINT) AS n_dropped,
+              (len(kept) >= 5 AND NOT ban) AS page_keep
+            FROM f"""))
+
   val qDsirWeights = Q(
     "q_dsir_weights",
     (s, dir) => {
@@ -604,5 +647,5 @@ object TextQueries {
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
     qGopherRules, qChunk, qTemperatureMix, qDsirWeights, qGreedyPieces,
-    qPerplexity)
+    qPerplexity, qC4Filter)
 }

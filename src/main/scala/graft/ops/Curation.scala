@@ -135,4 +135,48 @@ object Curation {
         (floor(exp(-sum(col("lp")) / count(lit(1))) * 10000 + lit(0.5)) / 10000)
           .as("ppl"))
   }
+
+  /** C4 line-rule battery + page gate (Raffel et al. 2020, §2.2): keep a
+    * line iff it has at least `minWords` words, contains none of
+    * `lineBanned`, and (optionally) ends in terminal punctuation; drop the
+    * whole page if any line contains a `pageBanned` marker (C4: "lorem
+    * ipsum", "{") or fewer than `minLines` lines survive. Returns one row
+    * per input doc — cleaned text, kept/dropped line counts, and the
+    * page-level verdict — so callers can either filter on `page_keep` or
+    * audit the battery's effect.
+    *
+    * Scale shape: the entire battery is per-document array math —
+    * higher-order `filter`/`exists` over the lines array fused into the
+    * scan. No explode, no join, no shuffle of any kind; at 100 TB this is
+    * one linear pass. (Contrast lineDedup, which is inherently global.)
+    */
+  def c4LineFilter(
+      df: DataFrame,
+      idCol: String,
+      linesCol: Column,
+      minWords: Int,
+      minLines: Int,
+      lineBanned: Seq[String],
+      pageBanned: Seq[String],
+      requireTerminalPunct: Boolean = false): DataFrame = {
+    val lineOk: Column => Column = l => {
+      val words = size(split(l, " ")) >= minWords
+      val noBan = lineBanned.foldLeft(words)((acc, b) => acc && !l.contains(b))
+      if (requireTerminalPunct) noBan && l.rlike("[.!?\"']$") else noBan
+    }
+    val pageBan = pageBanned
+      .map(b => exists(linesCol, l => l.contains(b)))
+      .foldLeft(lit(false))(_ || _)
+    df.select(
+        col(idCol).as("doc_id"),
+        filter(linesCol, lineOk).as("__kept"),
+        size(linesCol).as("__n"),
+        pageBan.as("__ban"))
+      .select(
+        col("doc_id"),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        size(col("__kept")).as("n_kept"),
+        (col("__n") - size(col("__kept"))).as("n_dropped"),
+        (size(col("__kept")) >= minLines && !col("__ban")).as("page_keep"))
+  }
 }

@@ -62,6 +62,29 @@ class OpsSpec extends SparkSpec {
     assert(w == again)
   }
 
+  test("c4LineFilter: line rules, page ban and terminal-punct rule") {
+    import graft.ops.Curation
+    val df = Seq(
+      (1L, Seq("the cat sat down.", "ok", "no javascript here.", "one two three.")),
+      (2L, Seq("lorem ipsum dolor sit.", "a perfectly fine line here.")),
+      (3L, Seq("no terminal punctuation", "short"))
+    ).toDF("id", "lines")
+    val out = Curation.c4LineFilter(df, "id", col("lines"),
+        minWords = 3, minLines = 2,
+        lineBanned = Seq("javascript"), pageBanned = Seq("lorem ipsum"),
+        requireTerminalPunct = true)
+      .orderBy("doc_id").collect()
+    // doc 1: "ok" (<3 words) and the javascript line drop; 2 survive → keep
+    assert(out(0).getAs[String]("clean_text") == "the cat sat down.\none two three.")
+    assert(out(0).getAs[Int]("n_kept") == 2 && out(0).getAs[Int]("n_dropped") == 2)
+    assert(out(0).getAs[Boolean]("page_keep"))
+    // doc 2: both lines pass the LINE rules, but the page-level
+    // lorem-ipsum ban kills the whole page regardless
+    assert(out(1).getAs[Int]("n_kept") == 2 && !out(1).getAs[Boolean]("page_keep"))
+    // doc 3: no terminal punctuation anywhere → nothing survives
+    assert(out(2).getAs[Int]("n_kept") == 0 && !out(2).getAs[Boolean]("page_keep"))
+  }
+
   test("bigramPerplexity: common-phrasing docs score lower than rare-bigram docs") {
     import graft.ops.Curation
     val df = Seq(

@@ -77,6 +77,12 @@ class ScalePathSpec extends SparkSpec {
     val gopher = docs.select($"doc_id" +: graft.functions.TextFunctions.gopherStats($"text"): _*)
     assert(!gopher.queryExecution.executedPlan.toString.contains("Exchange"),
       "gopher stats introduced a shuffle")
+    // C4 line battery: per-doc array math only, never a shuffle
+    val c4 = graft.ops.Curation.c4LineFilter(
+      docs.select($"doc_id", split($"text", " ").as("lines")),
+      "doc_id", $"lines", 3, 5, Seq("slow"), Seq("lorem ipsum"))
+    assert(!c4.queryExecution.executedPlan.toString.contains("Exchange"),
+      "c4 line filter introduced a shuffle")
   }
 
   test("repetition profile is a pure scan-stage projection (no Exchange)") {
