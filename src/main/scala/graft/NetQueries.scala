@@ -55,5 +55,75 @@ object NetQueries {
               END AS payload
             FROM orders WHERE o_orderkey % 7 = 0"""))
 
-  def all: Seq[Q] = Seq(qHttpRoundtrip)
+  /** URL canonicalization + URL-level dedup. Raw URLs are fabricated with
+    * per-doc cosmetic variants (case, `www.`, default port, trailing
+    * slash, tracking params, param order, fragment) around a shared key
+    * `k = doc_id % 100`, so five raw spellings per key at sf0.01 collapse
+    * to ONE canonical URL iff every canonicalization rule fires — the
+    * group-by key hash-checks the whole rule battery against DuckDB. */
+  val qUrlDedup = Q(
+    "q_url_dedup",
+    (s, dir) => {
+      import graft.functions.Urls
+      val k = col("doc_id") % 100
+      val m3 = col("doc_id") % 3
+      val raw = concat(
+        when(m3 === 0, lit("HTTPS://WWW."))
+          .when(m3 === 1, lit("https://www."))
+          .otherwise(lit("Https://")),
+        lit("src"), (k % 20).cast("string"), lit(".Example.com"),
+        when(m3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/Docs/"), k.cast("string"),
+        when(m3 === 2, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+            concat(lit("?utm_source=feed&id="), (k % 7).cast("string"), lit("&z=1&utm_campaign=x")))
+          .otherwise(concat(lit("?z=1&id="), (k % 7).cast("string"))),
+        when(col("doc_id") % 5 === 0, lit("#top")).otherwise(lit("")))
+      val d = Tables(s, dir).documents.select(col("doc_id"), raw.as("url"))
+      Urls.urlDedup(d, "doc_id", col("url"))
+        .select(col("url_canon"),
+          col("keep_id").cast("long").as("keep_id"),
+          col("n_dupes").cast("long").as("n_dupes"))
+    },
+    Some("""WITH raw AS (
+              SELECT doc_id,
+                (CASE doc_id % 3 WHEN 0 THEN 'HTTPS://WWW.'
+                                 WHEN 1 THEN 'https://www.'
+                                 ELSE 'Https://' END)
+                || 'src' || CAST((doc_id % 100) % 20 AS VARCHAR) || '.Example.com'
+                || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+                || '/Docs/' || CAST(doc_id % 100 AS VARCHAR)
+                || (CASE WHEN doc_id % 3 = 2 THEN '/' ELSE '' END)
+                || (CASE WHEN doc_id % 2 = 0
+                      THEN '?utm_source=feed&id=' || CAST((doc_id % 100) % 7 AS VARCHAR) || '&z=1&utm_campaign=x'
+                      ELSE '?z=1&id=' || CAST((doc_id % 100) % 7 AS VARCHAR) END)
+                || (CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END) AS url
+              FROM documents),
+            parts AS (
+              SELECT doc_id,
+                lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 1)) AS scheme,
+                lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2)) AS hostport,
+                regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 3) AS path,
+                regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 4) AS query
+              FROM raw),
+            canon AS (
+              SELECT doc_id,
+                scheme || '://'
+                || (CASE scheme
+                      WHEN 'http'  THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':80$', '')
+                      WHEN 'https' THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':443$', '')
+                      ELSE regexp_replace(hostport, '^www\.', '') END)
+                || regexp_replace(path, '/+$', '')
+                || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS url_canon
+              FROM (
+                SELECT doc_id, scheme, hostport, path,
+                  array_to_string(list_sort(list_filter(string_split(query, '&'),
+                    p -> len(p) > 0 AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)='))), '&') AS q
+                FROM parts))
+            SELECT url_canon,
+              CAST(min(doc_id) AS BIGINT) AS keep_id,
+              CAST(count(*) AS BIGINT) AS n_dupes
+            FROM canon GROUP BY url_canon"""))
+
+  def all: Seq[Q] = Seq(qHttpRoundtrip, qUrlDedup)
 }
