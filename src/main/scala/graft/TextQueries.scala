@@ -481,10 +481,32 @@ object TextQueries {
               count(*) AS n_kept, min(doc_id) AS min_id
             FROM k GROUP BY lang, n_s, rate"""))
 
-  /** DSIR importance weights (unigram feature space, target = English
-    * docs): vocabulary-sized smoothed log-ratio table broadcast onto the
-    * token stream; the oracle recomputes both language models and every
-    * per-doc sum relationally. */
+  /** Fractional-epoch mixture upsampling: src0 upsampled 2.5×, src1
+    * downsampled to a quarter, everything else one epoch. The output is
+    * the replicated row set itself (doc_id, source, epoch_copy) — the
+    * oracle replays floor+hash-remainder replication with
+    * generate_series, so copy counts AND replica indexes hash-match. */
+  val qEpochMix = Q(
+    "q_epoch_mix",
+    (s, dir) => {
+      graft.ops.Sampling.epochUpsample(
+          Tables(s, dir).documents.select(col("doc_id"), col("source")),
+          "doc_id", "source", Map("src0" -> 2.5, "src1" -> 0.25))
+        .select(col("doc_id"), col("source"),
+          col("epoch_copy").cast("long").as("epoch_copy"))
+    },
+    Some("""WITH e AS (
+              SELECT doc_id, source,
+                CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END
+                  + CASE WHEN (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1
+                       < CASE source WHEN 'src0' THEN 128 WHEN 'src1' THEN 64 ELSE 0 END
+                    THEN 1 ELSE 0 END AS copies
+              FROM documents)
+            SELECT doc_id, source,
+              CAST(unnest(generate_series(1, copies)) AS BIGINT) AS epoch_copy
+            FROM e"""))
+
   /** C4 line-rule battery (Raffel et al. 2020 §2.2) over fabricated
     * 3-word lines (the short tail line is KEPT here, so the min-words rule
     * has something to drop, unlike q_line_dedup's exact-3 filter). Line
@@ -528,6 +550,10 @@ object TextQueries {
               (len(kept) >= 5 AND NOT ban) AS page_keep
             FROM f"""))
 
+  /** DSIR importance weights (unigram feature space, target = English
+    * docs): vocabulary-sized smoothed log-ratio table broadcast onto the
+    * token stream; the oracle recomputes both language models and every
+    * per-doc sum relationally. */
   val qDsirWeights = Q(
     "q_dsir_weights",
     (s, dir) => {
@@ -647,5 +673,5 @@ object TextQueries {
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
     qGopherRules, qChunk, qTemperatureMix, qDsirWeights, qGreedyPieces,
-    qPerplexity, qC4Filter)
+    qPerplexity, qC4Filter, qEpochMix)
 }

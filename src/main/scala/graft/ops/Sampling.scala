@@ -112,6 +112,41 @@ object Sampling {
       .filter(hashBucket(col(keyCol)) < col("rate"))
   }
 
+  /** Fractional-epoch source upsampling — the LLaMA/GPT-3 mixture recipe
+    * where source s is seen `epochs(s)` times per training pass, with
+    * fractional epochs allowed (2.45 epochs of Wikipedia, 0.64 of CC).
+    * Every row is replicated `floor(e)` times, and the stable
+    * hash-fraction of rows covering the remainder gets one copy more;
+    * e < 1 therefore downsamples, e > 1 upsamples, both reproducibly
+    * (same content-hash bucket as [[hashSample]], quantized to /256 so
+    * the selection is engine-portable integer math). Emitted copies carry
+    * an `epoch_copy` replica index so a downstream [[shardShuffle]] keyed
+    * on (key, epoch_copy) spreads them across shards.
+    *
+    * Scale shape: pure scan-stage — the epoch table is a literal CASE
+    * (tiny, driver-side), the replication is a local array explode; no
+    * shuffle, output volume = Σ_s e_s·|s| by construction. */
+  def epochUpsample(
+      df: DataFrame,
+      keyCol: String,
+      srcCol: String,
+      epochs: Map[String, Double],
+      defaultEpochs: Double = 1.0): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(_ >= 0), "epochs must be >= 0")
+    def whole(e: Double): Int = math.floor(e).toInt
+    def thr(e: Double): Int = math.floor((e - math.floor(e)) * 256 + 0.5).toInt
+    val base = epochs.foldLeft(lit(whole(defaultEpochs))) { case (acc, (k, v)) =>
+      when(col(srcCol) === k, lit(whole(v))).otherwise(acc)
+    }
+    val rem = epochs.foldLeft(lit(thr(defaultEpochs))) { case (acc, (k, v)) =>
+      when(col(srcCol) === k, lit(thr(v))).otherwise(acc)
+    }
+    val copies = base + when(hashBucket(col(keyCol)) < rem, 1).otherwise(0)
+    df.withColumn("epoch_copy",
+      explode(when(copies >= 1, sequence(lit(1), copies))
+        .otherwise(array().cast("array<int>"))))
+  }
+
   /** Deterministic global shuffle into training shards: shard and
     * within-shard position are pure functions of (seed, key), so an epoch's
     * read order reproduces across runs, clusters and task retries — what
