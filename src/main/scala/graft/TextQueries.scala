@@ -538,7 +538,8 @@ object TextQueries {
               FROM toks),
             f AS (
               SELECT doc_id,
-                list_filter(ls, l -> len(string_split(l, ' ')) >= 3
+                list_filter(ls, l -> len(list_filter(string_split_regex(l, '\s+'),
+                                           w -> length(w) > 0)) >= 3
                                  AND NOT contains(l, 'slow')) AS kept,
                 len(ls) AS n,
                 len(list_filter(ls, l -> contains(l, 'lorem ipsum'))) > 0 AS ban

@@ -49,9 +49,15 @@ object Urls {
   }
 
   /** URL-level dedup: one row per canonical URL with the smallest id kept
-    * and the duplicate count — run this before any content-level pass. */
-  def urlDedup(df: DataFrame, idCol: String, url: Column): DataFrame =
-    df.select(col(idCol).as("__id"), canonicalizeUrl(url).as("url_canon"))
+    * and the duplicate count — run this before any content-level pass.
+    * URLs that do not parse as absolute (canonical form '') fall back to
+    * the raw URL as their own key, so unparseable URLs are never merged
+    * into one group (and only merge with byte-identical spellings). */
+  def urlDedup(df: DataFrame, idCol: String, url: Column): DataFrame = {
+    val canon = canonicalizeUrl(url)
+    df.select(col(idCol).as("__id"),
+        when(length(canon) === 0, url).otherwise(canon).as("url_canon"))
       .groupBy(col("url_canon"))
       .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("n_dupes"))
+  }
 }

@@ -98,11 +98,16 @@ object Curation {
     * the corpus itself. Low perplexity ≈ fluent/common phrasing; high ≈
     * boilerplate soup or noise. Filter or stratify on it as CCNet does.
     *
-    * Scale shape: identical to [[dsirWeights]] — the bigram and history
-    * count tables are vocabulary-bounded partial aggs (Zipf), broadcast
-    * back onto the doc's bigram stream; the per-doc sum shuffles one
-    * partial row per map partition. Docs with fewer than two tokens have
-    * no bigrams and are absent from the output.
+    * Scale shape: like [[dsirWeights]] the count tables are partial aggs
+    * rejoined onto the doc's bigram stream, but unlike the unigram case
+    * the bigram-TYPE table is NOT vocabulary-bounded — distinct bigrams
+    * grow near-linearly with corpus size (Heaps' law), so the rejoin is
+    * left to AQE (broadcast when the model fits, shuffle join when it
+    * doesn't) rather than force-broadcast. A production CCNet setup
+    * prunes the table (min-count / top-K with backoff) before scoring;
+    * here the unpruned model keeps the oracle exact. The per-doc sum
+    * still shuffles one partial row per map partition. Docs with fewer
+    * than two tokens have no bigrams and are absent from the output.
     *
     * Output: doc_id, n_bigrams, ppl (4-decimal-floored). */
   def bigramPerplexity(
@@ -129,7 +134,7 @@ object Curation {
       .select(col("w1"), col("w2"),
         log((col("c12") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
           .as("lp"))
-    bigrams.join(broadcast(probs), Seq("w1", "w2"))
+    bigrams.join(probs, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         (floor(exp(-sum(col("lp")) / count(lit(1))) * 10000 + lit(0.5)) / 10000)
@@ -160,7 +165,8 @@ object Curation {
       pageBanned: Seq[String],
       requireTerminalPunct: Boolean = false): DataFrame = {
     val lineOk: Column => Column = l => {
-      val words = size(split(l, " ")) >= minWords
+      val words =
+        size(filter(split(l, "\\s+"), w => length(w) > 0)) >= minWords
       val noBan = lineBanned.foldLeft(words)((acc, b) => acc && !l.contains(b))
       if (requireTerminalPunct) noBan && l.rlike("[.!?\"']$") else noBan
     }

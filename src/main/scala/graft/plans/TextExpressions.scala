@@ -212,7 +212,14 @@ case class GreedyPieces(child: Expression, vocab: Seq[String])
           }
         }
         if (hit != null) { out += UTF8String.fromString(hit); pos += hit.length }
-        else { out += UTF8String.fromString("<unk>"); pos += 1 }
+        else {
+          // Advance one CODE POINT, not one UTF-16 unit: non-BMP input
+          // (emoji, rare CJK) must yield one <unk> per character — the
+          // relational oracle counts characters, and splitting surrogate
+          // pairs would double-count.
+          out += UTF8String.fromString("<unk>")
+          pos += Character.charCount(w.codePointAt(pos))
+        }
       }
       wi += 1
     }

@@ -93,7 +93,12 @@ case class VecMean(
     val buf = new VecMean.Buf
     buf.n = bb.getLong
     val d = bb.getInt
-    if (d > 0) {
+    // sum == null ⟺ n == 0 is the buffer invariant: a group whose rows
+    // are all zero-length arrays has d = 0 with n > 0 and must round-trip
+    // to a NON-null empty sum, or merge would drop its count and eval
+    // would return null after a shuffle of partials (but an empty array
+    // in map-side-only execution).
+    if (d > 0 || buf.n > 0) {
       buf.sum = new Array[Double](d)
       var i = 0
       while (i < d) { buf.sum(i) = bb.getDouble; i += 1 }

@@ -71,6 +71,19 @@ class KnnQuantizeSpec extends SparkSpec {
     assert(plan.contains("partial_vec_mean"), s"no map-side partial:\n$plan")
   }
 
+  test("vecMean: zero-dimension groups survive a partial-buffer round trip") {
+    import graft.plans.VecMean.vecMean
+    // All-empty-array group: d = 0 with n > 0 must serialize/merge to an
+    // empty (non-null) mean even when partials cross a shuffle — force
+    // many input partitions so map-side buffers are serialized and merged.
+    val df = Seq(
+      ("a", Seq.empty[Double]), ("a", Seq.empty[Double]),
+      ("b", Seq(2.0)), ("b", Seq(4.0))).toDF("g", "v").repartition(8)
+    val out = df.groupBy("g").agg(vecMean(col("v")).as("m"))
+      .orderBy("g").as[(String, Option[Seq[Double]])].collect().toSeq
+    assert(out == Seq(("a", Some(Seq.empty[Double])), ("b", Some(Seq(3.0)))))
+  }
+
   test("SRP-LSH: identical vectors collide in every band, near pairs surface, far pairs verified out") {
     import graft.sim.Srp
     val a = vec(7L)

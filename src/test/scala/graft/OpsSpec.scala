@@ -85,6 +85,21 @@ class OpsSpec extends SparkSpec {
     assert(out(2).getAs[Int]("n_kept") == 0 && !out(2).getAs[Boolean]("page_keep"))
   }
 
+  test("c4LineFilter: min-words counts real words, not space-split tokens") {
+    import graft.ops.Curation
+    val df = Seq(
+      (1L, Seq("one  two", "   ", "a\tb\tc d")) // double space, all-space, tabs
+    ).toDF("id", "lines")
+    val out = Curation.c4LineFilter(df, "id", col("lines"),
+        minWords = 3, minLines = 1,
+        lineBanned = Nil, pageBanned = Nil)
+      .collect()(0)
+    // "one  two" is 2 words (empty token from the double space must not
+    // count), "   " is 0 words, "a\tb\tc d" is 4 real words
+    assert(out.getAs[String]("clean_text") == "a\tb\tc d")
+    assert(out.getAs[Int]("n_kept") == 1 && out.getAs[Int]("n_dropped") == 2)
+  }
+
   test("bigramPerplexity: common-phrasing docs score lower than rare-bigram docs") {
     import graft.ops.Curation
     val df = Seq(

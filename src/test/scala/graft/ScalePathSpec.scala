@@ -61,11 +61,16 @@ class ScalePathSpec extends SparkSpec {
     val dsir = graft.ops.Curation.dsirWeights(docs, "doc_id", "text", $"lang" === "en")
     val dsirPlan = dsir.queryExecution.executedPlan.toString
     assert(dsirPlan.contains("BroadcastHashJoin"), s"DSIR ratios not broadcast:\n$dsirPlan")
-    // perplexity: same contract for the bigram-probability table
+    // perplexity: the bigram-prob rejoin is deliberately NOT hint-forced
+    // (bigram types grow ~linearly with corpus size — Heaps' law — so a
+    // forced broadcast would blow the driver at scale; AQE picks broadcast
+    // when the model actually fits). Contract: no cross join, no forced
+    // broadcast on the model side.
     val ppl = graft.ops.Curation.bigramPerplexity(docs, "doc_id", "text")
     val pplPlan = ppl.queryExecution.executedPlan.toString
-    assert(pplPlan.contains("BroadcastHashJoin"), s"bigram probs not broadcast:\n$pplPlan")
     assert(!pplPlan.contains("CartesianProduct"), s"ppl cross join:\n$pplPlan")
+    val pplLogical = ppl.queryExecution.optimizedPlan.toString
+    assert(!pplLogical.contains("ResolvedHint"), s"ppl model hint survived:\n$pplLogical")
     // temperature mix: rates broadcast back, corpus never hash-repartitioned
     val mix = graft.ops.Sampling.temperatureMix(docs, "doc_id", "lang", 0.5)
     val mixPlan = mix.queryExecution.executedPlan.toString

@@ -222,6 +222,17 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1) == ((2L, Seq.empty[String]))) // blank text → no pieces
   }
 
+  test("greedyPieces: unk advances one code point — non-BMP chars give ONE unk") {
+    import graft.plans.TextNative
+    val vocab = Seq("ok")
+    // 😀 is U+1F600 (a surrogate pair in UTF-16): must be a single <unk>,
+    // matching the oracle's character-based advance, not two.
+    val df = Seq((1L, "ok😀ok")).toDF("id", "text")
+    val out = df.select(TextNative.greedyPieces(col("text"), vocab).as("p"))
+      .as[Seq[String]].head()
+    assert(out == Seq("ok", "<unk>", "ok"))
+  }
+
   test("exact dedup keeps min id and counts copies") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("id", "text")
     val r = Dedup.exact(df, "id", "text").orderBy("keep_id")

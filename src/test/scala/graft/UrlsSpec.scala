@@ -41,6 +41,23 @@ class UrlsSpec extends SparkSpec {
     assert(out == Seq(("https://h.org/a", 1L, 3L), ("https://h.org/b", 4L, 1L)))
   }
 
+  test("urlDedup never merges unparseable URLs (raw-URL fallback key)") {
+    val df = Seq(
+      (1L, "example.com/x"),      // scheme-less: not absolute
+      (2L, "relative/path"),
+      (3L, "example.com/x"),      // byte-identical to #1 → same raw key
+      (4L, "https://h.org/a")
+    ).toDF("id", "url")
+    val out = Urls.urlDedup(df, "id", $"url")
+      .orderBy("url_canon").as[(String, Long, Long)].collect().toSeq
+    // distinct unparseable spellings stay distinct; identical raw
+    // spellings still collapse; nothing lands on an empty-string key
+    assert(out == Seq(
+      ("example.com/x", 1L, 2L),
+      ("https://h.org/a", 4L, 1L),
+      ("relative/path", 2L, 1L)))
+  }
+
   test("urlDedup plan: scan-stage canonicalization, single exchange") {
     val d = Tables(spark, sf).documents.select($"doc_id",
       concat(lit("https://h.org/"), $"doc_id").as("url"))
