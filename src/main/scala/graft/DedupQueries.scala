@@ -665,9 +665,35 @@ object DedupQueries {
             SELECT id_a, id_b, floor(cos * 10000 + 0.5) / 10000 AS cosine
             FROM cosv WHERE floor(cos * 10000 + 0.5) / 10000 >= 0.2"""))
 
+  /** Levenshtein near-dup over a 32-char normalized prefix sketch,
+    * blocked by (lang, source) + exact length buckets — the oracle runs
+    * the plain within-block O(pairs) join; the Spark side must reproduce
+    * it exactly through the adjacent-bucket explode (proving the length
+    * blocking loses no pairs). DuckDB's levenshtein and Spark's are the
+    * same unit-cost edit distance. */
+  val qEditDistance = Q(
+    "q_edit_distance",
+    (s, dir) => {
+      Dedup.editDistancePairs(
+          Tables(s, dir).documents, "doc_id", "text",
+          blockCols = Seq("lang", "source"), prefixLen = 32, maxDist = 16)
+        .select(col("id_a"), col("id_b"), col("dist"))
+    },
+    Some("""WITH p AS (
+              SELECT doc_id, lang, source,
+                substr(regexp_replace(trim(text), '\s+', ' ', 'g'), 1, 32) AS pre
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+            FROM p a JOIN p b
+              ON a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+             AND abs(length(a.pre) - length(b.pre)) <= 16
+            WHERE levenshtein(a.pre, b.pre) <= 16"""))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
     qQuantizeDot, qKnnJoin, qKnnIvf, qSemDedup, qDupNgrams, qIncrementalDedup,
-    qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh)
+    qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance)
 }

@@ -434,6 +434,119 @@ object Queries {
             USING (user_id)
             GROUP BY event_type"""))
 
+  /** GROUPING SETS: the general form ROLLUP/CUBE are shorthands of —
+    * three hand-picked grouping sets in ONE pass (a single Expand +
+    * partial agg + one shuffle, same plan shape as q_rollup; the naive
+    * alternative is one scan per set UNION ALL'd). `g_id` disambiguates
+    * which set a row belongs to, exactly as SQL GROUPING() does. */
+  val qGroupingSets = Q(
+    "q_grouping_sets",
+    (s, dir) => {
+      Tables(s, dir).lineitem
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .cast("long").as("g_id"),
+          r4(sum(col("l_quantity"))).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("g_id"),
+          col("sum_qty"), col("n"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+              CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS g_id,
+              round(sum(l_quantity), 4) AS sum_qty,
+              count(*) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())"""))
+
+  /** Correlated scalar subquery (TPC-H Q17 shape): small-order parts
+    * whose quantity is below 20% of that part's average. Catalyst
+    * decorrelates the subquery into an aggregate + join — the plan a
+    * hand-rolled self-join would produce, but declared, so the optimizer
+    * owns the join strategy (and AQE the build side) at any scale. */
+  val qScalarSubquery = Q(
+    "q_scalar_subquery",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem.createOrReplaceTempView("lineitem")
+      t.part.createOrReplaceTempView("part")
+      s.sql("""SELECT p_brand,
+                 count(*) AS n_small,
+                 floor(sum(l_extendedprice) / 7.0 * 10000 + 0.5) / 10000 AS avg_yearly
+               FROM lineitem JOIN part ON p_partkey = l_partkey
+               WHERE p_size <= 5
+                 AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                   FROM lineitem l2
+                                   WHERE l2.l_partkey = p_partkey)
+               GROUP BY p_brand""")
+    },
+    Some("""SELECT p_brand,
+              count(*) AS n_small,
+              floor(sum(l_extendedprice) / 7.0 * 10000 + 0.5) / 10000 AS avg_yearly
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_size <= 5
+              AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = p_partkey)
+            GROUP BY p_brand"""))
+
+  /** EXACT percentiles per group (Spark's sort-based `percentile`, linear
+    * interpolation — the same estimator as DuckDB's quantile_cont), the
+    * ground-truth companion to q_sketch's bounded-memory approximations:
+    * run this where exactness wins, q_sketch where 100 TB cardinality
+    * does. */
+  val qPercentiles = Q(
+    "q_percentiles",
+    (s, dir) => {
+      val fl = (c: Column) => floor(c * 10000 + lit(0.5)) / 10000
+      Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(
+          fl(expr("percentile(value, array(0.25D, 0.5D, 0.9D))")(0)).as("p25"),
+          fl(expr("percentile(value, array(0.25D, 0.5D, 0.9D))")(1)).as("p50"),
+          fl(expr("percentile(value, array(0.25D, 0.5D, 0.9D))")(2)).as("p90"),
+          count(lit(1)).as("n"))
+    },
+    Some("""SELECT event_type,
+              floor(quantile_cont(value, 0.25) * 10000 + 0.5) / 10000 AS p25,
+              floor(quantile_cont(value, 0.50) * 10000 + 0.5) / 10000 AS p50,
+              floor(quantile_cont(value, 0.90) * 10000 + 0.5) / 10000 AS p90,
+              count(*) AS n
+            FROM events GROUP BY event_type"""))
+
+  /** Declarative gaps-and-islands sessionization (30-min gap) — the
+    * batch/SQL twin of the stateful streaming sessionizer (same
+    * semantics, spec-asserted); ONE shuffle end-to-end: the window's
+    * hash partitioning on user_id already satisfies the final
+    * (user, session) grouping. */
+  val qSessionize = Q(
+    "q_sessionize",
+    (s, dir) => {
+      import graft.streaming.Sessionize
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), unix_seconds(col("ts").cast("timestamp")).as("ts_s"))
+      Sessionize.batchSessions(ev, "user_id", "ts_s", gapS = 1800L)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+    },
+    Some("""WITH e AS (SELECT user_id,
+                CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+            b AS (SELECT user_id, ts_s,
+                    CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s)
+                           <= 1800 THEN 0 ELSE 1 END AS nb
+                  FROM e),
+            s AS (SELECT user_id, ts_s,
+                    sum(nb) OVER (PARTITION BY user_id ORDER BY ts_s
+                                  ROWS UNBOUNDED PRECEDING) AS sess
+                  FROM b)
+            SELECT user_id, min(ts_s) AS session_start,
+              max(ts_s) AS session_end, count(*) AS n_events
+            FROM s GROUP BY user_id, sess"""))
+
   // -----------------------------------------------------------
   // registry
   // -----------------------------------------------------------
@@ -441,7 +554,8 @@ object Queries {
   def all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
     qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin,
-    qRollup, qCube, qRangeJoin, qMovingAvg, qPivot, qSetOps, qTopkAgg) ++
+    qRollup, qCube, qRangeJoin, qMovingAvg, qPivot, qSetOps, qTopkAgg,
+    qGroupingSets, qScalarSubquery, qPercentiles, qSessionize) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

@@ -670,9 +670,62 @@ object TextQueries {
             FROM bigrams JOIN probs USING (w1, w2)
             GROUP BY doc_id"""))
 
+  /** TF-IDF keyterm extraction: top-3 terms per document (smoothed idf,
+    * lexicographic tie-break → total order). The oracle recomputes tf,
+    * df and the windowed top-k relationally. */
+  val qTfidf = Q(
+    "q_tfidf",
+    (s, dir) => {
+      graft.functions.TermStats.tfidfTopTerms(
+        Tables(s, dir).documents.filter(col("doc_id") < 100),
+        "doc_id", "text", k = 3)
+    },
+    Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+            toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS term
+              FROM d),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks WHERE length(term) > 0 GROUP BY doc_id, term),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM d),
+            scored AS (
+              SELECT doc_id, term, tf,
+                tf * ln((n_docs + 1)::DOUBLE / (df + 1)::DOUBLE) AS score,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tf * ln((n_docs + 1)::DOUBLE / (df + 1)::DOUBLE) DESC,
+                           term) AS rank
+              FROM tf JOIN dfreq USING (term), n)
+            SELECT doc_id, term, tf, CAST(rank AS BIGINT) AS rank,
+              floor(score * 10000 + 0.5) / 10000 AS score
+            FROM scored WHERE rank <= 3"""))
+
+  /** PMI collocations over adjacent word pairs (min count 5): the
+    * oracle re-derives the pair table, both marginals and the total. */
+  val qPmi = Q(
+    "q_pmi",
+    (s, dir) => {
+      graft.functions.TermStats.pmiCollocations(
+        Tables(s, dir).documents, "text", minCount = 5L)
+    },
+    Some("""WITH toks AS (
+              SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+            pairs AS (
+              SELECT t[s + 1] AS w1, t[s + 2] AS w2
+              FROM (SELECT t, unnest(range(0, len(t) - 1)) AS s
+                    FROM toks WHERE len(t) >= 2)),
+            bc AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+            c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+            c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM bc GROUP BY w2),
+            n AS (SELECT CAST(sum(c12) AS BIGINT) AS n_pairs FROM bc)
+            SELECT w1, w2, c12,
+              floor(ln(c12::DOUBLE * n_pairs / (c1 * c2)) * 10000 + 0.5) / 10000
+                AS pmi
+            FROM bc JOIN c1 USING (w1) JOIN c2 USING (w2), n
+            WHERE c12 >= 5"""))
+
   def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
     qGopherRules, qChunk, qTemperatureMix, qDsirWeights, qGreedyPieces,
-    qPerplexity, qC4Filter, qEpochMix)
+    qPerplexity, qC4Filter, qEpochMix, qTfidf, qPmi)
 }

@@ -429,4 +429,51 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("cosine"), 4).as("cosine"))
   }
+
+  /** Edit-distance (Levenshtein) near-dup pairs over a normalized prefix
+    * sketch — the fuzzy-matching pass record-linkage pipelines run where
+    * token-set measures (Jaccard/MinHash) miss character-level edits
+    * (typos, OCR noise, template fill-ins).
+    *
+    * Candidates are bounded two ways, both exact (no recall loss):
+    *   - equality on caller-supplied block columns (language, source,
+    *     domain…) — never all-pairs;
+    *   - length blocking: `|len(a) − len(b)| > maxDist` implies
+    *     `levenshtein > maxDist`, so each side keys on
+    *     `floor(len / (maxDist+1))` and the left side explodes to its
+    *     adjacent buckets (length difference ≤ maxDist can never span
+    *     more than one bucket boundary when the bucket width exceeds it —
+    *     each qualifying pair meets in EXACTLY one bucket, no dedup pass
+    *     needed).
+    * The O(len²) Levenshtein DP runs only on surviving candidates, over
+    * the `prefixLen`-char sketch, not full documents.
+    *
+    * Scale shape: one equi-join shuffle on (block…, bucket) — a uniform
+    * key (3× explode on the left only); per-pair cost capped by
+    * `prefixLen²`. Output: id_a < id_b, dist ≤ maxDist. */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      prefixLen: Int,
+      maxDist: Int): DataFrame = {
+    val w = maxDist + 1
+    val base = df.select(
+      (col(idCol).as("id") +: blockCols.map(c => col(c))) :+
+        substring(regexp_replace(trim(col(textCol)), "\\s+", " "), 1, prefixLen)
+          .as("pre"): _*)
+      .withColumn("bkt", floor(length(col("pre")) / w))
+    val probe = base.withColumn("bkt",
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
+    val joinKeys = blockCols :+ "bkt"
+    probe.as("a").join(base.as("b"),
+        joinKeys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col("a.id") < col("b.id") &&
+          abs(length(col("a.pre")) - length(col("b.pre"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("a.pre"), col("b.pre")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("dist").cast("long").as("dist"))
+  }
 }

@@ -20,6 +20,39 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Sessionize {
 
+  /** Declarative batch sessionization (gaps-and-islands): a session
+    * boundary opens wherever a key's gap to the previous event exceeds
+    * `gapS`; the running sum of boundary flags is the session number and
+    * a plain groupBy collapses each island. Same semantics as
+    * [[sessions]]' stateful form (a spec asserts agreement) but fully
+    * relational — Catalyst sees through it, and the window's
+    * hash-partitioning on the key already satisfies the final
+    * (key, session) grouping, so the whole operator is ONE shuffle:
+    * exchange on key → sort → lag/sum window → partial agg. At 100 TB
+    * that is the floor for an order-dependent per-key computation.
+    *
+    * `tsCol` must be numeric seconds (cast timestamps up front). Output:
+    * one row per session — key, session_start, session_end, n_events. */
+  def batchSessions(
+      events: org.apache.spark.sql.DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapS: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val boundary = when(
+      col(tsCol) - lag(col(tsCol), 1).over(w) <= gapS, lit(0)).otherwise(lit(1))
+    events
+      .withColumn("__sess", sum(boundary).over(
+        Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("__sess"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("__sess")
+  }
+
   final case class Event(userId: Long, tsMs: Long, eventType: String)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class Session(userId: Long, startMs: Long, endMs: Long, nEvents: Int)

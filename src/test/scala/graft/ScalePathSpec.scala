@@ -111,6 +111,34 @@ class ScalePathSpec extends SparkSpec {
       Sessionize.Session(2, 500L, 500L, 1)))
   }
 
+  test("batchSessions agrees with the stateful sessionizer and is one shuffle") {
+    val evs = Tables(spark, sf).events.limit(2000)
+      .select(col("user_id").as("userId"), unix_millis(col("ts")).as("tsMs"),
+        col("event_type").as("eventType"))
+      .as[Sessionize.Event]
+    val gap = 3600 * 1000L
+    val stateful = Sessionize.sessions(evs, gap).collect()
+      .map(s => (s.userId, s.startMs, s.endMs, s.nEvents.toLong)).sorted.toSeq
+    val declarative = Sessionize.batchSessions(
+        evs.toDF(), "userId", "tsMs", gapS = gap) // units cancel: both ms
+      .select(col("userId"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(declarative == stateful && declarative.nonEmpty)
+    // the window's hash partitioning on the key must satisfy the final
+    // (key, session) grouping: exactly ONE exchange end-to-end
+    val plan = Sessionize.batchSessions(evs.toDF(), "userId", "tsMs", gap)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1, s"expected one exchange:\n$plan")
+  }
+
+  test("grouping sets expand to ONE pass (single Expand, single agg shuffle)") {
+    val gs = Queries.qGroupingSets.run(spark, sf)
+    val plan = gs.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"no Expand:\n$plan")
+    assert(plan.split("Exchange").length - 1 == 1, s"expected one exchange:\n$plan")
+  }
+
   test("gap sessionization over real events agrees with window-based count") {
     val evs = Tables(spark, sf).events.limit(2000)
       .select(col("user_id").as("userId"), unix_millis(col("ts")).as("tsMs"),

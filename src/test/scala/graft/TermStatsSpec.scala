@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.TermStats
+import org.apache.spark.sql.functions._
+
+class TermStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tfidfTopTerms: rare terms outrank frequent ones, ties break on term") {
+    // "x" appears in 1 of 3 docs (high idf); "the" in all 3 (idf
+    // ln(4/4)=0 → score 0 even with tf 2)
+    val df = Seq(
+      (1L, "the the x a"),
+      (2L, "the a b"),
+      (3L, "the b c")).toDF("id", "text")
+    val out = TermStats.tfidfTopTerms(df, "id", "text", k = 2)
+      .select("doc_id", "rank", "term", "score")
+      .as[(Long, Long, String, Double)].collect()
+      .sortBy(r => (r._1, r._2)).toList
+    val ln2 = math.floor(math.log(2.0) * 10000 + 0.5) / 10000
+    // doc 3: "c" (df 1, idf ln 2) outranks "b" (df 2, idf ln(4/3))
+    assert(out.map(r => (r._1, r._2, r._3)) == List(
+      (1L, 1L, "x"), (1L, 2L, "a"),
+      (2L, 1L, "a"), (2L, 2L, "b"),
+      (3L, 1L, "c"), (3L, 2L, "b")))
+    assert(out.head._4 == ln2) // tf=1 · ln((3+1)/(1+1))
+    // "the" never makes top-2 despite the highest tf anywhere
+    assert(!out.exists(_._3 == "the"))
+  }
+
+  test("tfidfTopTerms: blank docs contribute nothing; k caps output") {
+    val df = Seq((1L, "  "), (2L, "a b c d e")).toDF("id", "text")
+    val out = TermStats.tfidfTopTerms(df, "id", "text", k = 3).collect()
+    assert(out.forall(_.getAs[Long]("doc_id") == 2L) && out.length == 3)
+  }
+
+  test("pmiCollocations matches a naive reference; exclusive pair beats free mixers") {
+    val texts = Seq(
+      "new york a b a a b b",
+      "b a new york b b a a",
+      "a a b new york a b b")
+    val df = texts.map(Tuple1.apply).toDF("text")
+    val out = TermStats.pmiCollocations(df, "text", minCount = 1)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // naive reference over the same corpus — marginals and total on the
+    // full pair multiset
+    val pairs = texts.flatMap(t => t.split(" ").sliding(2).map(p => (p(0), p(1))))
+    val c12 = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = pairs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val c2 = pairs.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val n = pairs.size.toDouble
+    val want = c12.map { case (k @ (w1, w2), c) =>
+      k -> (c, math.floor(math.log(c * n / (c1(w1) * c2(w2))) * 10000 + 0.5) / 10000)
+    }
+    assert(out == want)
+    // "new york" is exclusive (always adjacent) → outscores the free mixers
+    assert(out(("new", "york"))._2 > out(("a", "b"))._2)
+  }
+
+  test("pmiCollocations: single-token docs are ignored") {
+    val df = Seq("only", "a b").map(Tuple1.apply).toDF("text")
+    val out = TermStats.pmiCollocations(df, "text", minCount = 1)
+      .as[(String, String, Long, Double)].collect().toList
+    assert(out.map(r => (r._1, r._2, r._3)) == List(("a", "b", 1L)))
+  }
+}

@@ -233,6 +233,31 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Seq("ok", "<unk>", "ok"))
   }
 
+  test("editDistancePairs: typo pairs surface once, blocks and buckets bound the join") {
+    val df = Seq(
+      (1L, "en", "web", "the quick brown fox"),
+      (2L, "en", "web", "the quick brown fux"),   // dist 1 → pair (1,2)
+      (3L, "en", "web", "completely different words"), // far from both
+      (4L, "en", "books", "the quick brown fox"), // other block: no pair with 1
+      (5L, "de", "web", "the quick brown fox")    // other block: no pair with 1
+    ).toDF("id", "lang", "source", "text")
+    val out = graft.dedup.Dedup.editDistancePairs(
+        df, "id", "text", Seq("lang", "source"), prefixLen = 32, maxDist = 3)
+      .as[(Long, Long, Long)].collect().toList
+    assert(out == List((1L, 2L, 1L)))
+  }
+
+  test("editDistancePairs: adjacent length buckets meet exactly once (no dup pairs)") {
+    // len 4 (bucket 1) vs len 6 (bucket 2) with W = maxDist+1 = 3:
+    // the pair crosses a bucket boundary and must appear exactly once
+    val df = Seq((1L, "abcd"), (2L, "abcdef")).toDF("id", "text")
+      .withColumn("blk", org.apache.spark.sql.functions.lit("x"))
+    val out = graft.dedup.Dedup.editDistancePairs(
+        df, "id", "text", Seq("blk"), prefixLen = 32, maxDist = 2)
+      .as[(Long, Long, Long)].collect().toList
+    assert(out == List((1L, 2L, 2L)))
+  }
+
   test("exact dedup keeps min id and counts copies") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("id", "text")
     val r = Dedup.exact(df, "id", "text").orderBy("keep_id")
