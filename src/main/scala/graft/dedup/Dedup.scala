@@ -445,8 +445,10 @@ object Dedup {
     *     more than one bucket boundary when the bucket width exceeds it —
     *     each qualifying pair meets in EXACTLY one bucket, no dedup pass
     *     needed).
-    * The O(len²) Levenshtein DP runs only on surviving candidates, over
-    * the `prefixLen`-char sketch, not full documents.
+    * The Levenshtein DP runs only on surviving candidates, over the
+    * `prefixLen`-char sketch (not full documents), and in the banded
+    * threshold form — O(len·maxDist) per pair with early exit, not
+    * O(len²).
     *
     * Scale shape: one equi-join shuffle on (block…, bucket) — a uniform
     * key (3× explode on the left only); per-pair cost capped by
@@ -464,15 +466,29 @@ object Dedup {
         substring(regexp_replace(trim(col(textCol)), "\\s+", " "), 1, prefixLen)
           .as("pre"): _*)
       .withColumn("bkt", floor(length(col("pre")) / w))
-    val probe = base.withColumn("bkt",
-      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
     val joinKeys = blockCols :+ "bkt"
+    // Hash-repartition the probe (streamed, DP-carrying) side on the join
+    // keys: a big-big run shuffles there anyway, and when AQE broadcasts
+    // the build side instead (small corpus), this keeps the Levenshtein
+    // work spread across cores rather than serialized into however few
+    // splits the input file happens to have. The partition count is given
+    // EXPLICITLY (shuffle.partitions): by-column repartition is subject to
+    // AQE coalescing, which optimizes for bytes and would re-serialize
+    // this CPU-bound stage back into one tiny partition.
+    val nShuffle = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val probe = base.withColumn("bkt",
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
+      .repartition(nShuffle, joinKeys.map(col): _*)
     probe.as("a").join(base.as("b"),
         joinKeys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
           col("a.id") < col("b.id") &&
           abs(length(col("a.pre")) - length(col("b.pre"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("a.pre"), col("b.pre")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("a.pre"), col("b.pre"), maxDist))
+      // threshold form returns -1 iff dist > maxDist, so ONE predicate
+      // suffices — a second bound would re-evaluate the DP per pair
+      // (Catalyst does not CSE inside join conditions)
+      .filter(col("dist") =!= -1)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("dist").cast("long").as("dist"))
   }
