@@ -547,6 +547,141 @@ object Queries {
               max(ts_s) AS session_end, count(*) AS n_events
             FROM s GROUP BY user_id, sess"""))
 
+  /** Spark's built-in `session_window` (gap-merged event-time windows) —
+    * the native form of q_sessionize's hand-rolled gaps-and-islands, and
+    * the one that runs UNCHANGED on a stream (watermark + append mode).
+    * Window end = last event + gap, end-exclusive; the oracle re-derives
+    * exactly that from lag() boundaries at microsecond precision. */
+  val qSessionWindow = Q(
+    "q_session_window",
+    (s, dir) => {
+      Tables(s, dir).events
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_seconds(col("session_window.start").cast("timestamp")).as("start_s"),
+          unix_seconds(col("session_window.end").cast("timestamp")).as("end_s"),
+          col("n_events"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+            b AS (SELECT user_id, us,
+                    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                           < 1800000000 THEN 0 ELSE 1 END AS nb
+                  FROM e),
+            s AS (SELECT user_id, us,
+                    sum(nb) OVER (PARTITION BY user_id ORDER BY us
+                                  ROWS UNBOUNDED PRECEDING) AS sess
+                  FROM b)
+            SELECT user_id,
+              CAST(floor(min(us) / 1000000) AS BIGINT) AS start_s,
+              CAST(floor((max(us) + 1800000000) / 1000000) AS BIGINT) AS end_s,
+              count(*) AS n_events
+            FROM s GROUP BY user_id, sess"""))
+
+  /** Ordered conversion funnel (view → click → purchase): stage k counts
+    * users whose first qualifying stage-k event STRICTLY FOLLOWS their
+    * stage-(k−1) time. Each stage is a shuffle join on user_id against a
+    * per-user 1-row table that shrinks monotonically — uniform key, no
+    * broadcast assumption needed at any scale. */
+  val qFunnel = Q(
+    "q_funnel",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      v.agg(lit("1_view").as("stage"), count(lit(1)).as("n_users"))
+        .unionAll(c.agg(lit("2_click").as("stage"), count(lit(1)).as("n_users")))
+        .unionAll(p.agg(lit("3_purchase").as("stage"), count(lit(1)).as("n_users")))
+    },
+    Some("""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v USING (user_id)
+                  WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN c USING (user_id)
+                  WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+            SELECT '1_view' AS stage, count(*) AS n_users FROM v
+            UNION ALL SELECT '2_click', count(*) FROM c
+            UNION ALL SELECT '3_purchase', count(*) FROM p"""))
+
+  /** Weekly cohort retention: users bucketed by the ISO week of their
+    * first event; n_users = distinct users from cohort week `cohort_week`
+    * active in week `cohort_week + week_n`. The (user, cohort, week)
+    * distinct bounds the final agg input at users × weeks — tiny next to
+    * the event table it came from. */
+  val qCohort = Q(
+    "q_cohort",
+    (s, dir) => {
+      val ev = Tables(s, dir).events.select(col("user_id"), col("ts"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cw"))
+      ev.join(first, "user_id")
+        .select(col("user_id"), col("cw"),
+          datediff(date_trunc("week", col("ts")), col("cw")).as("dd"))
+        .distinct()
+        .groupBy(col("cw").cast("date").as("cohort_week"),
+          (col("dd") / 7).cast("long").as("week_n"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+    Some("""WITH first AS (
+              SELECT user_id, date_trunc('week', min(ts)) AS cw
+              FROM events GROUP BY user_id),
+            act AS (
+              SELECT DISTINCT e.user_id, cw,
+                datediff('day', cw, date_trunc('week', ts)) AS dd
+              FROM events e JOIN first USING (user_id))
+            SELECT CAST(cw AS DATE) AS cohort_week,
+              CAST(dd / 7 AS BIGINT) AS week_n,
+              count(*) AS n_users
+            FROM act GROUP BY cw, dd"""))
+
+  /** Correlation / covariance aggregates (price elasticity shape):
+    * single-pass partial-aggregatable moments per group. */
+  val qCorrCov = Q(
+    "q_corr_cov",
+    (s, dir) => {
+      val fl = (c: Column) => floor(c * 10000 + lit(0.5)) / 10000
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          fl(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+          fl(covar_samp(col("l_quantity"), col("l_discount"))).as("cov_qd"),
+          fl(stddev_samp(col("l_extendedprice"))).as("sd_price"),
+          count(lit(1)).as("n"))
+    },
+    Some("""SELECT l_returnflag,
+              floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS corr_qp,
+              floor(covar_samp(l_quantity, l_discount) * 10000 + 0.5) / 10000 AS cov_qd,
+              floor(stddev_samp(l_extendedprice) * 10000 + 0.5) / 10000 AS sd_price,
+              count(*) AS n
+            FROM lineitem GROUP BY l_returnflag"""))
+
+  /** Equi-width histogram of a measure: global [min, max] from a tiny
+    * 1-row agg broadcast back, then a scan-stage bucket projection and a
+    * 10-group count — the profile query every numeric column gets before
+    * curation thresholds are chosen. */
+  val qHistogram = Q(
+    "q_histogram",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      ev.crossJoin(broadcast(bounds))
+        .select(least(lit(9), floor((col("value") - col("lo")) * 10
+            / (col("hi") - col("lo"))).cast("long")).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+            SELECT least(9, CAST(floor((value - lo) * 10 / (hi - lo)) AS BIGINT)) AS bucket,
+              count(*) AS n
+            FROM events, bounds GROUP BY 1"""))
+
   // -----------------------------------------------------------
   // registry
   // -----------------------------------------------------------
@@ -555,7 +690,8 @@ object Queries {
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
     qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin,
     qRollup, qCube, qRangeJoin, qMovingAvg, qPivot, qSetOps, qTopkAgg,
-    qGroupingSets, qScalarSubquery, qPercentiles, qSessionize) ++
+    qGroupingSets, qScalarSubquery, qPercentiles, qSessionize,
+    qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }
