@@ -723,9 +723,24 @@ object TextQueries {
             FROM bc JOIN c1 USING (w1) JOIN c2 USING (w2), n
             WHERE c12 >= 5"""))
 
+  /** Full BPE merge-learning loop (10 rounds over the vocabulary-bounded
+    * word table). The learned merge table is deterministic (count-desc,
+    * lexicographic tiebreak) but the iterative state update is not
+    * SQL-expressible → rows-only; BpeSpec checks the merge sequence
+    * against a from-scratch reference implementation. */
+  val qBpeTrain = Q(
+    "q_bpe_train",
+    (s, dir) => {
+      val (merges, _) = graft.functions.Bpe.train(
+        Tables(s, dir).documents, "text", nMerges = 10)
+      import s.implicits._
+      merges.toDF().select(col("step").cast("long").as("step"),
+        col("left"), col("right"), col("freq"))
+    })
+
   def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
     qGopherRules, qChunk, qTemperatureMix, qDsirWeights, qGreedyPieces,
-    qPerplexity, qC4Filter, qEpochMix, qTfidf, qPmi)
+    qPerplexity, qC4Filter, qEpochMix, qTfidf, qPmi, qBpeTrain)
 }

@@ -229,6 +229,45 @@ case class GreedyPieces(child: Expression, vocab: Seq[String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One BPE merge step applied to a symbol array: every non-overlapping
+  * adjacent (left, right) occurrence becomes the concatenated symbol,
+  * scanning left to right — the exact update rule of Sennrich et al. 2016
+  * BPE training. Runs over the DISTINCT-word table (vocabulary-bounded),
+  * never the corpus, so the CodegenFallback virtual call is irrelevant;
+  * the declarative alternative (aggregate-HOF fold with a pending-slot
+  * struct) evaluates a lambda per element interpretively and cannot skip
+  * the merged element. */
+case class MergePair(child: Expression, left: String, right: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "merge_pair"
+
+  @transient private lazy val l = UTF8String.fromString(left)
+  @transient private lazy val r = UTF8String.fromString(right)
+  @transient private lazy val lr = UTF8String.fromString(left + right)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+    var i = 0
+    while (i < n) {
+      val cur = arr.getUTF8String(i)
+      if (i + 1 < n && cur == l && arr.getUTF8String(i + 1) == r) {
+        out += lr
+        i += 2 // non-overlapping: the merged symbol cannot re-pair with itself
+      } else {
+        out += cur
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextNative {
   import ColumnBridge.{column => c, expression => e}
 
@@ -237,4 +276,6 @@ object TextNative {
   def simhash64(text: Column): Column = c(SimHash64(e(text)))
   def repetitionProfile(text: Column, n: Int): Column = c(RepetitionProfile(e(text), n))
   def greedyPieces(text: Column, vocab: Seq[String]): Column = c(GreedyPieces(e(text), vocab))
+  def mergePair(pieces: Column, left: String, right: String): Column =
+    c(MergePair(e(pieces), left, right))
 }
