@@ -682,6 +682,123 @@ object Queries {
               count(*) AS n
             FROM events, bounds GROUP BY 1"""))
 
+  /** Unpivot (inverse of q_pivot): wide per-flag measures back to long
+    * (flag, measure, value) triples — `Dataset.unpivot` is a zero-shuffle
+    * Expand over the (already tiny) aggregate. */
+  val qUnpivot = Q(
+    "q_unpivot",
+    (s, dir) => {
+      val wide = Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(r4(sum(col("l_quantity"))).as("sum_qty"),
+          r4(sum(col("l_extendedprice"))).as("sum_price"),
+          r4(avg(col("l_discount"))).as("avg_disc"))
+      wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+        "measure", "value")
+    },
+    Some("""WITH wide AS (
+              SELECT l_returnflag,
+                round(sum(l_quantity), 4) AS sum_qty,
+                round(sum(l_extendedprice), 4) AS sum_price,
+                round(avg(l_discount), 4) AS avg_disc
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, measure, value
+            FROM wide UNPIVOT (value FOR measure IN (sum_qty, sum_price, avg_disc))"""))
+
+  /** FULL OUTER join with nulls fabricated on BOTH sides (disjoint key
+    * subsets), plus null-side classification — the join type q3/semi/anti
+    * don't exercise. */
+  val qOuterJoin = Q(
+    "q_outer_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val custSub = t.customer.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      val ordAgg = t.orders.filter(col("o_custkey") % 5 === 0)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"),
+          r4(sum(col("o_totalprice"))).as("sum_price"))
+      custSub.join(ordAgg, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          when(col("c_custkey").isNull, lit("orders_only"))
+            .when(col("o_custkey").isNull, lit("customer_only"))
+            .otherwise(lit("both")).as("side"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("sum_price"), lit(0.0)).as("sum_price"))
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0),
+            o AS (SELECT o_custkey, count(*) AS n_orders,
+                    round(sum(o_totalprice), 4) AS sum_price
+                  FROM orders WHERE o_custkey % 5 = 0 GROUP BY o_custkey)
+            SELECT coalesce(c_custkey, o_custkey) AS custkey,
+              CASE WHEN c_custkey IS NULL THEN 'orders_only'
+                   WHEN o_custkey IS NULL THEN 'customer_only'
+                   ELSE 'both' END AS side,
+              coalesce(n_orders, 0) AS n_orders,
+              coalesce(sum_price, 0.0) AS sum_price
+            FROM c FULL OUTER JOIN o ON c_custkey = o_custkey"""))
+
+  /** Ranking-window battery: dense_rank / percent_rank / cume_dist /
+    * ntile in one window pass (single sort per partition), total-ordered
+    * by a key tiebreak so every engine agrees row for row. */
+  val qWindowRank = Q(
+    "q_window_rank",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val fl = (c: Column) => floor(c * 10000 + lit(0.5)) / 10000
+      Tables(s, dir).events
+        .select(col("event_id"), col("event_type"),
+          dense_rank().over(w).cast("long").as("drank"),
+          fl(percent_rank().over(w)).as("prank"),
+          fl(cume_dist().over(w)).as("cdist"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .filter(col("event_id") % 50 === 0)
+    },
+    Some("""SELECT event_id, event_type, drank, prank, cdist, quartile FROM (
+              SELECT event_id, event_type,
+                CAST(dense_rank() OVER w AS BIGINT) AS drank,
+                floor(percent_rank() OVER w * 10000 + 0.5) / 10000 AS prank,
+                floor(cume_dist() OVER w * 10000 + 0.5) / 10000 AS cdist,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
+            WHERE event_id % 50 = 0"""))
+
+  /** Time-series gap fill: a per-user date spine (`sequence` over the
+    * user's own [first, last] day span, exploded in the scan stage) left-
+    * joined to daily counts, missing days zero-filled — the resampling
+    * step time-series features need before window math. Spine size is
+    * bounded by span × users, not events. */
+  val qGapFill = Q(
+    "q_gap_fill",
+    (s, dir) => {
+      val ev = Tables(s, dir).events.filter(col("user_id") < 40)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+      val daily = ev.groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val spine = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+    },
+    Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day
+                        FROM events WHERE user_id < 40),
+            daily AS (SELECT user_id, day, count(*) AS n
+                      FROM ev GROUP BY user_id, day),
+            spine AS (
+              SELECT user_id,
+                CAST(unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS DATE) AS day
+              FROM ev GROUP BY user_id)
+            SELECT user_id, day, coalesce(n, 0) AS n_events
+            FROM spine LEFT JOIN daily USING (user_id, day)"""))
+
   // -----------------------------------------------------------
   // registry
   // -----------------------------------------------------------
@@ -691,7 +808,8 @@ object Queries {
     qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin,
     qRollup, qCube, qRangeJoin, qMovingAvg, qPivot, qSetOps, qTopkAgg,
     qGroupingSets, qScalarSubquery, qPercentiles, qSessionize,
-    qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram) ++
+    qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram,
+    qUnpivot, qOuterJoin, qWindowRank, qGapFill) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }
