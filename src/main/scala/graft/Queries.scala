@@ -799,6 +799,108 @@ object Queries {
             SELECT user_id, day, coalesce(n, 0) AS n_events
             FROM spine LEFT JOIN daily USING (user_id, day)"""))
 
+  /** Data-quality audit battery: five checks (null/bound/set/range rules
+    * + event_id uniqueness) folded into ONE aggregate over ONE scan;
+    * output is one verdict row per check. The oracle recomputes each
+    * check as an independent SELECT. */
+  val qDqAudit = Q(
+    "q_dq_audit",
+    (s, dir) => {
+      graft.ops.Audit.audit(
+        Tables(s, dir).events,
+        rowChecks = Seq(
+          "value_not_null" -> col("value").isNull,
+          "value_nonneg" -> (col("value") < 0),
+          "type_known" -> !col("event_type").isin("click", "view", "purchase", "error", "signup"),
+          "ts_in_2024" -> (col("ts") < lit("2024-01-01").cast("timestamp")
+            || col("ts") >= lit("2025-01-01").cast("timestamp"))),
+        uniqueCols = Seq("event_id"))
+    },
+    Some("""SELECT 'value_not_null' AS check_name,
+              CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+              count(*) AS n_rows,
+              sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+            FROM events
+            UNION ALL
+            SELECT 'value_nonneg',
+              CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT),
+              count(*),
+              sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) = 0
+            FROM events
+            UNION ALL
+            SELECT 'type_known',
+              CAST(sum(CASE WHEN event_type NOT IN
+                ('click','view','purchase','error','signup') THEN 1 ELSE 0 END) AS BIGINT),
+              count(*),
+              sum(CASE WHEN event_type NOT IN
+                ('click','view','purchase','error','signup') THEN 1 ELSE 0 END) = 0
+            FROM events
+            UNION ALL
+            SELECT 'ts_in_2024',
+              CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-01'
+                OR ts >= TIMESTAMP '2025-01-01' THEN 1 ELSE 0 END) AS BIGINT),
+              count(*),
+              sum(CASE WHEN ts < TIMESTAMP '2024-01-01'
+                OR ts >= TIMESTAMP '2025-01-01' THEN 1 ELSE 0 END) = 0
+            FROM events
+            UNION ALL
+            SELECT 'unique_event_id',
+              CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT),
+              count(*),
+              count(event_id) = count(DISTINCT event_id)
+            FROM events"""))
+
+  /** CDC compaction: latest change per (user, type) via the partial-
+    * aggregatable `max(struct(version…))` reduction; the oracle runs the
+    * textbook window row_number form — two independent formulations of
+    * "latest row per key". */
+  val qCdcSnapshot = Q(
+    "q_cdc_snapshot",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+        .withColumn("us", unix_micros(col("ts")))
+      graft.ops.Cdc.latestSnapshot(ev,
+          keyCols = Seq("user_id", "event_type"),
+          versionCols = Seq("us", "event_id"),
+          payloadCols = Seq("value"))
+        .select(col("user_id"), col("event_type"), col("us"),
+          col("event_id"), col("value"))
+    },
+    Some("""SELECT user_id, event_type, us, event_id, value FROM (
+              SELECT user_id, event_type, epoch_us(ts) AS us, event_id, value,
+                row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+              FROM events)
+            WHERE rn = 1"""))
+
+  /** Hopping (sliding) time windows: 1-hour windows every 15 minutes —
+    * each event lands in exactly 4 windows (Spark `window(ts, w, slide)`
+    * explodes in the scan stage; one shuffle on window start). The
+    * oracle re-derives epoch-aligned window starts with integer µs
+    * arithmetic. */
+  val qHopping = Q(
+    "q_hopping",
+    (s, dir) => {
+      Tables(s, dir).events
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"),
+          (floor(avg(col("value")) * 10000 + lit(0.5)) / 10000).as("avg_value"))
+        .select(
+          unix_seconds(col("window.start").cast("timestamp")).as("start_s"),
+          unix_seconds(col("window.end").cast("timestamp")).as("end_s"),
+          col("n"), col("avg_value"))
+    },
+    Some("""WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
+            j AS (SELECT unnest([0, 1, 2, 3]) AS k),
+            w AS (SELECT (CAST(floor(us / 900000000) AS BIGINT) - k) * 900000000 AS st,
+                    value
+                  FROM e, j)
+            SELECT CAST(st / 1000000 AS BIGINT) AS start_s,
+              CAST((st + 3600000000) / 1000000 AS BIGINT) AS end_s,
+              count(*) AS n,
+              floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value
+            FROM w GROUP BY st"""))
+
   // -----------------------------------------------------------
   // registry
   // -----------------------------------------------------------
@@ -809,7 +911,8 @@ object Queries {
     qRollup, qCube, qRangeJoin, qMovingAvg, qPivot, qSetOps, qTopkAgg,
     qGroupingSets, qScalarSubquery, qPercentiles, qSessionize,
     qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram,
-    qUnpivot, qOuterJoin, qWindowRank, qGapFill) ++
+    qUnpivot, qOuterJoin, qWindowRank, qGapFill,
+    qDqAudit, qCdcSnapshot, qHopping) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture compaction: reduce an append-only change log to
+  * the latest row per key — the batch form of the message store's
+  * replay-to-current semantics (reference: pypeman msgstore keeps every
+  * message and surfaces the latest state via search/replay;
+  * pypeman/msgstore.py).
+  *
+  * Implemented as `max(struct(version, payload))` — a PARTIAL-
+  * aggregatable reduction (map-side combine leaves one candidate row per
+  * key per partition; the exchange carries keys, not history), unlike
+  * the textbook `row_number() OVER (ORDER BY version DESC)` form, which
+  * sorts every change of a key just to take one row. The version struct
+  * must totally order changes: pass a tiebreak column (sequence /
+  * offset) after the timestamp. The DuckDB oracle runs the window form —
+  * two independent formulations checking each other.
+  */
+object Cdc {
+
+  /** Latest row per key. `versionCols` order changes (later = newer,
+    * compared lexicographically as a struct); `payloadCols` are carried.
+    * Rows where `deletedCol` is true in the LATEST version are dropped
+    * (tombstone compaction). */
+  def latestSnapshot(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      versionCols: Seq[String],
+      payloadCols: Seq[String],
+      deletedCol: Option[String] = None): DataFrame = {
+    val carried = versionCols ++ payloadCols ++ deletedCol.toSeq
+    val packed = struct(carried.map(col): _*)
+    val out = changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(packed).as("__last"))
+      .select(keyCols.map(col) ++ carried.map(c => col(s"__last.$c").as(c)): _*)
+    deletedCol match {
+      case Some(d) => out.filter(!col(d)).drop(d)
+      case None => out
+    }
+  }
+}

@@ -115,6 +115,55 @@ class OpsSpec extends SparkSpec {
     assert(out.values.forall(_._2 > 0))
   }
 
+  test("audit: one-pass battery counts violations and uniqueness dupes") {
+    import graft.ops.Audit
+    val df = Seq(
+      (1L, Some(5.0), "click"),
+      (2L, None, "click"),          // null value
+      (2L, Some(-1.0), "view"),     // negative + duplicate id
+      (4L, Some(2.0), "weird")      // unknown type
+    ).toDF("id", "value", "typ")
+    val out = Audit.audit(df,
+        rowChecks = Seq(
+          "value_not_null" -> col("value").isNull,
+          "value_nonneg" -> (col("value") < 0),
+          "type_known" -> !col("typ").isin("click", "view")),
+        uniqueCols = Seq("id"))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._4)).toMap
+    assert(out == Map(
+      "value_not_null" -> (1L, false),
+      "value_nonneg" -> (1L, false),
+      "type_known" -> (1L, false),
+      "unique_id" -> (1L, false)))
+    // all-clean input passes everything
+    val clean = Audit.audit(df.filter(col("id") === 1),
+      Seq("value_not_null" -> col("value").isNull), Seq("id"))
+    assert(clean.select("passed").as[Boolean].collect().forall(identity))
+  }
+
+  test("cdc latestSnapshot: max-struct reduction, tombstones drop keys, no Window in plan") {
+    import graft.ops.Cdc
+    val changes = Seq(
+      ("k1", 1L, 10L, "v1", false),
+      ("k1", 2L, 11L, "v2", false),  // latest for k1
+      ("k2", 1L, 12L, "x1", false),
+      ("k2", 3L, 13L, "x3", true),   // latest is a tombstone → k2 gone
+      ("k3", 5L, 14L, "z", false)
+    ).toDF("key", "ver", "seq", "payload", "deleted")
+    val out = Cdc.latestSnapshot(changes, Seq("key"), Seq("ver", "seq"),
+        Seq("payload"), deletedCol = Some("deleted"))
+      .select("key", "ver", "payload")
+      .as[(String, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(("k1", 2L, "v2"), ("k3", 5L, "z")))
+    // the reduction must be a partial-aggregatable max, never a window sort
+    val plan = Cdc.latestSnapshot(changes, Seq("key"), Seq("ver", "seq"),
+      Seq("payload")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window sort in CDC plan:\n$plan")
+    assert(plan.contains("partial_max") || plan.toLowerCase.contains("partial"),
+      s"no map-side partial max:\n$plan")
+  }
+
   test("combineCtx builds JSON payload from saved contexts") {
     val out = Channel0(
       CoreOps.setCtx("a"),
