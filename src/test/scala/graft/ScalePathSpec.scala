@@ -139,6 +139,27 @@ class ScalePathSpec extends SparkSpec {
     assert(plan.split("Exchange").length - 1 == 1, s"expected one exchange:\n$plan")
   }
 
+  test("round-5 operator plans: no cross joins, bounded shuffles") {
+    // funnel: three shrinking user_id joins — never a cartesian
+    val funnel = Queries.qFunnel.run(spark, sf)
+    assert(!funnel.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    // hopping windows: scan-stage explode + ONE shuffle on window start
+    val hop = Queries.qHopping.run(spark, sf)
+    val hopPlan = hop.queryExecution.executedPlan.toString
+    assert(hopPlan.split("Exchange").length - 1 == 1, s"hopping shuffles:\n$hopPlan")
+    // audit: one scan of events — a per-check UNION of scans would show
+    // one FileScan per check
+    val audit = Queries.qDqAudit.run(spark, sf)
+    val auditPlan = audit.queryExecution.executedPlan.toString
+    assert(auditPlan.split("FileScan|Scan parquet").length - 1 <= 1,
+      s"audit re-scans input:\n$auditPlan")
+    // unpivot: Expand over the aggregate, no extra exchange beyond the agg's
+    val unp = Queries.qUnpivot.run(spark, sf)
+    val unpPlan = unp.queryExecution.executedPlan.toString
+    assert(unpPlan.contains("Expand") && unpPlan.split("Exchange").length - 1 == 1,
+      s"unpivot plan:\n$unpPlan")
+  }
+
   test("gap sessionization over real events agrees with window-based count") {
     val evs = Tables(spark, sf).events.limit(2000)
       .select(col("user_id").as("userId"), unix_millis(col("ts")).as("tsMs"),

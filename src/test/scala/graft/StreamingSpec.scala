@@ -282,6 +282,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window runs UNCHANGED on a stream (watermark + append)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (userId, tsMs)
+    val sessions = mem.toDF().toDF("user_id", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        unix_millis(col("session_window.end")).as("end_ms"), col("n"))
+    val q = sessions.writeStream.format("memory").queryName("sw_out")
+      .outputMode("append").start()
+    try {
+      // session spans two micro-batches; emitted once the watermark
+      // passes its end
+      mem.addData((1L, 10000L), (1L, 20000L))
+      q.processAllAvailable()
+      mem.addData((1L, 25000L), (2L, 500000L)) // user 2 advances watermark
+      q.processAllAvailable()
+      mem.addData((2L, 900000L))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT start_ms, end_ms, n FROM sw_out WHERE user_id = 1")
+        .as[(Long, Long, Long)].collect().toSeq
+      // one merged session: start 10s, end = last(25s) + 30s gap
+      assert(got == Seq((10000L, 55000L, 3L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("LSH parameter chooser hits the S-curve midpoint") {
     assert(graft.dedup.Dedup.lshParamsFor(16, 0.7) == ((4, 4))) // midpoint .707
     assert(graft.dedup.Dedup.lshParamsFor(16, 0.9) == ((2, 8))) // midpoint .917
