@@ -62,7 +62,10 @@ object Bpe {
         merges += Merge(step, a, b, cnt)
         words = words
           .withColumn("pieces", TextNative.mergePair(col("pieces"), a, b))
-          .localCheckpoint(true)
+        // Checkpoint every 4th round: each un-checkpointed round only adds
+        // one cheap vocab-bounded projection to the lineage, so eager
+        // materialization per round costs more than the bounded recompute.
+        if (step % 4 == 0) words = words.localCheckpoint(true)
         step += 1
       }
     }
