@@ -100,7 +100,7 @@ object NetQueries {
                 || (CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END) AS url
               FROM documents),
             parts AS (
-              SELECT doc_id,
+              SELECT doc_id, url,
                 lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 1)) AS scheme,
                 lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2)) AS hostport,
                 regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 3) AS path,
@@ -108,15 +108,17 @@ object NetQueries {
               FROM raw),
             canon AS (
               SELECT doc_id,
-                scheme || '://'
-                || (CASE scheme
-                      WHEN 'http'  THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':80$', '')
-                      WHEN 'https' THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':443$', '')
-                      ELSE regexp_replace(hostport, '^www\.', '') END)
-                || regexp_replace(path, '/+$', '')
-                || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS url_canon
+                CASE WHEN scheme = '' THEN url  -- raw-URL fallback: unparseable URLs keep their own key
+                ELSE scheme || '://'
+                  || (CASE scheme
+                        WHEN 'http'  THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':80$', '')
+                        WHEN 'https' THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':443$', '')
+                        ELSE regexp_replace(hostport, '^www\.', '') END)
+                  || regexp_replace(path, '/+$', '')
+                  || (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+                END AS url_canon
               FROM (
-                SELECT doc_id, scheme, hostport, path,
+                SELECT doc_id, url, scheme, hostport, path,
                   array_to_string(list_sort(list_filter(string_split(query, '&'),
                     p -> len(p) > 0 AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)='))), '&') AS q
                 FROM parts))

@@ -23,6 +23,11 @@ object Queries {
   /** round(x, 4) — FP-stable cross-engine compare for double aggregates. */
   private def r4(c: Column): Column = round(c, 4)
 
+  /** floor(x·10⁴ + ½)/10⁴ — the floor-form 4-decimal convention (used
+    * where engines' round() semantics can differ at .5 boundaries); the
+    * DuckDB oracle must spell the identical expression. */
+  private def fl4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
+
   // ===========================================================
   // §2.5 analytics core
   // ===========================================================
@@ -471,16 +476,19 @@ object Queries {
   val qScalarSubquery = Q(
     "q_scalar_subquery",
     (s, dir) => {
+      // view names are namespaced so registering them as a side effect of
+      // building the query cannot capture other queries' spark.sql lookups
+      // (Verify runs builders concurrently against one session)
       val t = Tables(s, dir)
-      t.lineitem.createOrReplaceTempView("lineitem")
-      t.part.createOrReplaceTempView("part")
+      t.lineitem.createOrReplaceTempView("graft_q17_lineitem")
+      t.part.createOrReplaceTempView("graft_q17_part")
       s.sql("""SELECT p_brand,
                  count(*) AS n_small,
                  floor(sum(l_extendedprice) / 7.0 * 10000 + 0.5) / 10000 AS avg_yearly
-               FROM lineitem JOIN part ON p_partkey = l_partkey
+               FROM graft_q17_lineitem JOIN graft_q17_part ON p_partkey = l_partkey
                WHERE p_size <= 5
                  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
-                                   FROM lineitem l2
+                                   FROM graft_q17_lineitem l2
                                    WHERE l2.l_partkey = p_partkey)
                GROUP BY p_brand""")
     },
@@ -502,13 +510,12 @@ object Queries {
   val qPercentiles = Q(
     "q_percentiles",
     (s, dir) => {
-      val fl = (c: Column) => floor(c * 10000 + lit(0.5)) / 10000
       Tables(s, dir).events
         .groupBy(col("event_type"))
         .agg(
-          fl(expr("percentile(value, array(0.25D, 0.5D, 0.9D))")(0)).as("p25"),
-          fl(expr("percentile(value, array(0.25D, 0.5D, 0.9D))")(1)).as("p50"),
-          fl(expr("percentile(value, array(0.25D, 0.5D, 0.9D))")(2)).as("p90"),
+          fl4(expr("percentile(value, array(0.25D, 0.5D, 0.9D))")(0)).as("p25"),
+          fl4(expr("percentile(value, array(0.25D, 0.5D, 0.9D))")(1)).as("p50"),
+          fl4(expr("percentile(value, array(0.25D, 0.5D, 0.9D))")(2)).as("p90"),
           count(lit(1)).as("n"))
     },
     Some("""SELECT event_type,
@@ -646,13 +653,12 @@ object Queries {
   val qCorrCov = Q(
     "q_corr_cov",
     (s, dir) => {
-      val fl = (c: Column) => floor(c * 10000 + lit(0.5)) / 10000
       Tables(s, dir).lineitem
         .groupBy(col("l_returnflag"))
         .agg(
-          fl(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
-          fl(covar_samp(col("l_quantity"), col("l_discount"))).as("cov_qd"),
-          fl(stddev_samp(col("l_extendedprice"))).as("sd_price"),
+          fl4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+          fl4(covar_samp(col("l_quantity"), col("l_discount"))).as("cov_qd"),
+          fl4(stddev_samp(col("l_extendedprice"))).as("sd_price"),
           count(lit(1)).as("n"))
     },
     Some("""SELECT l_returnflag,
@@ -671,14 +677,19 @@ object Queries {
     (s, dir) => {
       val ev = Tables(s, dir).events
       val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      // hi == lo (constant batch) must be guarded: 0/0 is NaN in Spark but
+      // NULL in DuckDB, and neither is a bucket — define it as bucket 0
       ev.crossJoin(broadcast(bounds))
-        .select(least(lit(9), floor((col("value") - col("lo")) * 10
-            / (col("hi") - col("lo"))).cast("long")).as("bucket"))
+        .select(when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(9), floor((col("value") - col("lo")) * 10
+            / (col("hi") - col("lo"))).cast("long"))).as("bucket"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"))
     },
     Some("""WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
-            SELECT least(9, CAST(floor((value - lo) * 10 / (hi - lo)) AS BIGINT)) AS bucket,
+            SELECT CASE WHEN hi = lo THEN 0
+                        ELSE least(9, CAST(floor((value - lo) * 10 / (hi - lo)) AS BIGINT))
+                   END AS bucket,
               count(*) AS n
             FROM events, bounds GROUP BY 1"""))
 
@@ -749,12 +760,11 @@ object Queries {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col("value"), col("event_id"))
-      val fl = (c: Column) => floor(c * 10000 + lit(0.5)) / 10000
       Tables(s, dir).events
         .select(col("event_id"), col("event_type"),
           dense_rank().over(w).cast("long").as("drank"),
-          fl(percent_rank().over(w)).as("prank"),
-          fl(cume_dist().over(w)).as("cdist"),
+          fl4(percent_rank().over(w)).as("prank"),
+          fl4(cume_dist().over(w)).as("cdist"),
           ntile(4).over(w).cast("long").as("quartile"))
         .filter(col("event_id") % 50 === 0)
     },
@@ -884,7 +894,7 @@ object Queries {
       Tables(s, dir).events
         .groupBy(window(col("ts"), "1 hour", "15 minutes"))
         .agg(count(lit(1)).as("n"),
-          (floor(avg(col("value")) * 10000 + lit(0.5)) / 10000).as("avg_value"))
+          fl4(avg(col("value"))).as("avg_value"))
         .select(
           unix_seconds(col("window.start").cast("timestamp")).as("start_s"),
           unix_seconds(col("window.end").cast("timestamp")).as("end_s"),

@@ -708,7 +708,9 @@ object TextQueries {
         Tables(s, dir).documents, "text", minCount = 5L)
     },
     Some("""WITH toks AS (
-              SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+              SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                       w -> length(w) > 0) AS t
+              FROM documents),
             pairs AS (
               SELECT t[s + 1] AS w1, t[s + 2] AS w2
               FROM (SELECT t, unnest(range(0, len(t) - 1)) AS s

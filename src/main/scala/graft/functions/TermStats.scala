@@ -70,7 +70,8 @@ object TermStats {
       df: DataFrame,
       textCol: String,
       minCount: Long): DataFrame = {
-    val toks = df.select(split(trim(col(textCol)), "\\s+").as("__t"))
+    val toks = df.select(
+      filter(split(trim(col(textCol)), "\\s+"), w => length(w) > 0).as("__t"))
     val pairs = toks
       .select(explode(when(size(col("__t")) >= 2,
           transform(sequence(lit(0), size(col("__t")) - 2),

@@ -26,17 +26,22 @@ object Audit {
       df: DataFrame,
       rowChecks: Seq[(String, Column)],
       uniqueCols: Seq[String] = Nil): DataFrame = {
+    // row checks and uniqueness checks get DISJOINT alias prefixes so a
+    // row check literally named "unique_<col>" cannot collide with the
+    // uniqueness aggregate for <col> (ambiguous-reference at analysis)
     val rowAggs = rowChecks.map { case (name, bad) =>
-      sum(when(bad, 1L).otherwise(0L)).as(s"__bad_$name")
+      sum(when(bad, 1L).otherwise(0L)).as(s"__bad_row_$name")
     }
     val uniqAggs = uniqueCols.map { c =>
-      (count(col(c)) - countDistinct(col(c))).as(s"__bad_unique_$c")
+      (count(col(c)) - countDistinct(col(c))).as(s"__bad_uniq_$c")
     }
     val agged = df.agg(count(lit(1)).as("__n"), (rowAggs ++ uniqAggs): _*)
-    val names = rowChecks.map(_._1) ++ uniqueCols.map(c => s"unique_$c")
-    val entries = names.map { n =>
-      struct(lit(n).as("check_name"), col(s"__bad_$n").as("n_bad"))
-    }
+    val entries =
+      rowChecks.map { case (name, _) =>
+        struct(lit(name).as("check_name"), col(s"__bad_row_$name").as("n_bad"))
+      } ++ uniqueCols.map { c =>
+        struct(lit(s"unique_$c").as("check_name"), col(s"__bad_uniq_$c").as("n_bad"))
+      }
     agged
       .select(explode(array(entries: _*)).as("e"), col("__n"))
       .select(col("e.check_name").as("check_name"),

@@ -37,7 +37,9 @@ object Cdc {
       .agg(max(packed).as("__last"))
       .select(keyCols.map(col) ++ carried.map(c => col(s"__last.$c").as(c)): _*)
     deletedCol match {
-      case Some(d) => out.filter(!col(d)).drop(d)
+      // NULL deleted flags (upserts that never set it) must KEEP the row:
+      // a bare !col(d) is NULL for them and the filter would drop the key
+      case Some(d) => out.filter(!coalesce(col(d), lit(false))).drop(d)
       case None => out
     }
   }

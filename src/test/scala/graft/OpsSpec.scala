@@ -145,11 +145,11 @@ class OpsSpec extends SparkSpec {
   test("cdc latestSnapshot: max-struct reduction, tombstones drop keys, no Window in plan") {
     import graft.ops.Cdc
     val changes = Seq(
-      ("k1", 1L, 10L, "v1", false),
-      ("k1", 2L, 11L, "v2", false),  // latest for k1
-      ("k2", 1L, 12L, "x1", false),
-      ("k2", 3L, 13L, "x3", true),   // latest is a tombstone → k2 gone
-      ("k3", 5L, 14L, "z", false)
+      ("k1", 1L, 10L, "v1", Some(false)),
+      ("k1", 2L, 11L, "v2", None),         // NULL deleted flag = upsert, must KEEP
+      ("k2", 1L, 12L, "x1", Some(false)),
+      ("k2", 3L, 13L, "x3", Some(true)),   // latest is a tombstone → k2 gone
+      ("k3", 5L, 14L, "z", Some(false))
     ).toDF("key", "ver", "seq", "payload", "deleted")
     val out = Cdc.latestSnapshot(changes, Seq("key"), Seq("ver", "seq"),
         Seq("payload"), deletedCol = Some("deleted"))

@@ -69,8 +69,16 @@ class ScalePathSpec extends SparkSpec {
     val ppl = graft.ops.Curation.bigramPerplexity(docs, "doc_id", "text")
     val pplPlan = ppl.queryExecution.executedPlan.toString
     assert(!pplPlan.contains("CartesianProduct"), s"ppl cross join:\n$pplPlan")
+    // a reintroduced broadcast(probs) hint folds into the Join node as
+    // leftHint/rightHint=(strategy=broadcast) in the optimized plan
+    // (EliminateResolvedHint always removes the ResolvedHint node itself).
+    // Exactly ONE broadcast hint is legitimate: the 1-row vocab-size
+    // constants cross join; a second means the Heaps'-law-unbounded model
+    // table got force-broadcast again.
     val pplLogical = ppl.queryExecution.optimizedPlan.toString
-    assert(!pplLogical.contains("ResolvedHint"), s"ppl model hint survived:\n$pplLogical")
+    val nHints = pplLogical.sliding("strategy=broadcast".length)
+      .count(_ == "strategy=broadcast")
+    assert(nHints <= 1, s"ppl model force-broadcast hint survived:\n$pplLogical")
     // temperature mix: rates broadcast back, corpus never hash-repartitioned
     val mix = graft.ops.Sampling.temperatureMix(docs, "doc_id", "lang", 0.5)
     val mixPlan = mix.queryExecution.executedPlan.toString
