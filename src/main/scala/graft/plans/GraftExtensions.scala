@@ -31,10 +31,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "simhash64" -> (es => SimHash64(es(0))),
     "repetition_profile" -> (es => RepetitionProfile(es(0),
       es(1).eval().asInstanceOf[Int])),
-    "jpeg_meta" -> (es => JpegMeta(es(0))))
+    "jpeg_meta" -> (es => JpegMeta(es(0))),
+    "greedy_pieces" -> (es => GreedyPieces(es(0),
+      GraftExtensions.stringArrayLiteral(es(1)))),
+    "merge_pair" -> (es => MergePair(es(0),
+      GraftExtensions.stringLiteral(es(1)), GraftExtensions.stringLiteral(es(2)))),
+    "vec_mean" -> (es => VecMean(es(0))))
 
   override def apply(e: SparkSessionExtensions): Unit =
     fns.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name), info(name, name), builder))
     }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Fold a foldable string argument (SQL literal) to a Scala String. */
+  private[plans] def stringLiteral(e: Expression): String =
+    e.eval().asInstanceOf[UTF8String].toString
+
+  /** Fold a foldable array<string> argument to Seq[String]. */
+  private[plans] def stringArrayLiteral(e: Expression): Seq[String] = {
+    val a = e.eval().asInstanceOf[ArrayData]
+    (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+  }
 }

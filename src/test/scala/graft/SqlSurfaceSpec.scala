@@ -33,7 +33,14 @@ class SqlSurfaceSpec extends SparkSpec {
       "word_shingles" -> (es => graft.plans.WordShingles(es(0), es(1).eval().asInstanceOf[Int])),
       "repetition_profile" -> (es => graft.plans.RepetitionProfile(es(0), es(1).eval().asInstanceOf[Int])),
       "simhash64" -> (es => graft.plans.SimHash64(es(0))),
-      "jpeg_meta" -> (es => graft.plans.JpegMeta(es(0)))
+      "jpeg_meta" -> (es => graft.plans.JpegMeta(es(0))),
+      "greedy_pieces" -> (es => graft.plans.GreedyPieces(es(0),
+        es(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq)),
+      "merge_pair" -> (es => graft.plans.MergePair(es(0),
+        es(1).eval().toString, es(2).eval().toString)),
+      "vec_mean" -> (es => graft.plans.VecMean(es(0)))
     ).foreach { case (n, b) => reg.createOrReplaceTempFunction(n, b, "scala_udf") }
 
     val cid = spark.sql(
@@ -57,6 +64,20 @@ class SqlSurfaceSpec extends SparkSpec {
       """SELECT jpeg_meta(unhex('FFD8FFC000110800080010' ||
         |'03011100021101031101')).width AS w""".stripMargin).as[Long].head()
     assert(jm == 16L)
+    val gp = spark.sql(
+      "SELECT greedy_pieces('thex', array('the', 't', 'h')) AS p")
+      .as[Seq[String]].head()
+    assert(gp == Seq("the", "<unk>")) // longest-match, then unk for 'x'
+    val mp = spark.sql(
+      "SELECT merge_pair(array('a', 'b', 'a', 'b', 'c'), 'a', 'b') AS m")
+      .as[Seq[String]].head()
+    assert(mp == Seq("ab", "ab", "c"))
+    val vm = spark.sql(
+      """SELECT g, vec_mean(v) AS m FROM VALUES
+        |  (1, array(1.0D, 3.0D)), (1, array(3.0D, 5.0D)) AS t(g, v)
+        |GROUP BY g""".stripMargin)
+      .select("m").as[Seq[Double]].head()
+    assert(vm == Seq(2.0, 4.0))
     assert(ext != null)
   }
 
