@@ -911,6 +911,66 @@ object Queries {
               floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value
             FROM w GROUP BY st"""))
 
+  /** TPC-H Q5 shape: six-table join through the region→nation→supplier
+    * snowflake with the local-supplier predicate (c_nationkey =
+    * s_nationkey). All four dimensions broadcast; the fact-fact
+    * orders⋈lineitem join shuffles once on orderkey. Catalyst owns the
+    * join order — the query only states the algebra. */
+  val q5Revenue = Q(
+    "q5_revenue",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val asia = t.region.filter(col("r_name") === "ASIA")
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier),
+          col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("date")
+          && col("o_orderdate") < lit("1997-01-01").cast("date"))
+        .groupBy(col("n_name"))
+        .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"))
+    },
+    Some("""SELECT n_name,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY n_name"""))
+
+  /** TPC-H Q13 shape (customer distribution): LEFT OUTER join so
+    * zero-order customers keep a 0 count, then a second aggregation over
+    * the first — the double-agg pattern where the outer groupBy input is
+    * already customer-sized, not fact-sized. */
+  val q13Custdist = Q(
+    "q13_custdist",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val open = t.orders.filter(col("o_orderstatus") =!= "F")
+      t.customer.join(open, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+    Some("""SELECT c_count, count(*) AS custdist FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN (
+                SELECT * FROM orders WHERE o_orderstatus <> 'F') o
+                ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+            GROUP BY c_count"""))
+
   // -----------------------------------------------------------
   // registry
   // -----------------------------------------------------------
@@ -922,7 +982,7 @@ object Queries {
     qGroupingSets, qScalarSubquery, qPercentiles, qSessionize,
     qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram,
     qUnpivot, qOuterJoin, qWindowRank, qGapFill,
-    qDqAudit, qCdcSnapshot, qHopping) ++
+    qDqAudit, qCdcSnapshot, qHopping, q5Revenue, q13Custdist) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }
