@@ -971,6 +971,50 @@ object Queries {
               GROUP BY c_custkey)
             GROUP BY c_count"""))
 
+  /** NOT IN subquery → Spark's null-aware anti join (a distinct physical
+    * plan from the plain LEFT ANTI of q_semi_anti: one NULL in the
+    * subquery legally empties the result, so the build side must track
+    * null presence). Parts never sold in bulk. */
+  val qNotIn = Q(
+    "q_not_in",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.part.createOrReplaceTempView("graft_notin_part")
+      t.lineitem.createOrReplaceTempView("graft_notin_lineitem")
+      s.sql("""SELECT p_brand, count(*) AS n_parts
+               FROM graft_notin_part
+               WHERE p_partkey NOT IN (SELECT l_partkey FROM graft_notin_lineitem
+                                       WHERE l_quantity >= 48)
+               GROUP BY p_brand""")
+    },
+    Some("""SELECT p_brand, count(*) AS n_parts
+            FROM part
+            WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                                    WHERE l_quantity >= 48)
+            GROUP BY p_brand"""))
+
+  /** Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL) — duplicate
+    * counts preserved, unlike q_set_ops' DISTINCT forms. Spark lowers
+    * both to a count-compare aggregate + generate, never a join blowup. */
+  val qSetOpsAll = Q(
+    "q_set_ops_all",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select((col("user_id") % 100).as("bucket"))
+      val views = ev.filter(col("event_type") === "view")
+        .select((col("user_id") % 100).as("bucket"))
+      clicks.exceptAll(views)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_excess_clicks"))
+    },
+    Some("""WITH c AS (SELECT user_id % 100 AS bucket FROM events
+                       WHERE event_type = 'click'),
+            v AS (SELECT user_id % 100 AS bucket FROM events
+                  WHERE event_type = 'view')
+            SELECT bucket, count(*) AS n_excess_clicks
+            FROM (SELECT bucket FROM c EXCEPT ALL SELECT bucket FROM v)
+            GROUP BY bucket"""))
+
   // -----------------------------------------------------------
   // registry
   // -----------------------------------------------------------
@@ -982,7 +1026,8 @@ object Queries {
     qGroupingSets, qScalarSubquery, qPercentiles, qSessionize,
     qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram,
     qUnpivot, qOuterJoin, qWindowRank, qGapFill,
-    qDqAudit, qCdcSnapshot, qHopping, q5Revenue, q13Custdist) ++
+    qDqAudit, qCdcSnapshot, qHopping, q5Revenue, q13Custdist,
+    qNotIn, qSetOpsAll) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

@@ -78,4 +78,68 @@ class PropertySpec extends SparkSpec {
     val got = corpus.toDF("t").select(qualityScore(col("t"))).as[Double].collect()
     got.foreach(q => assert(q >= 0.0 && q <= 1.0))
   }
+
+  test("editDistancePairs equals brute force on a generated corpus") {
+    // random short strings over a tiny alphabet → plenty of near pairs
+    val genS: Gen[String] =
+      Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val strs = Gen.listOfN(80, genS).apply(Gen.Parameters.default, Seed(7L)).get
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+      .withColumn("blk", lit("all"))
+    val maxDist = 3
+    val got = graft.dedup.Dedup.editDistancePairs(
+        df, "id", "text", Seq("blk"), prefixLen = 32, maxDist = maxDist)
+      .as[(Long, Long, Long)].collect().toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // the operator normalizes whitespace; these strings have none, so the
+    // brute force runs on raw strings
+    val want = (for {
+      i <- strs.indices; j <- strs.indices if i < j
+      d = lev(strs(i), strs(j)) if d <= maxDist
+    } yield (i.toLong, j.toLong, d.toLong)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("batchSessions equals the stateful sessionizer on generated event times") {
+    import graft.streaming.Sessionize
+    val genEv: Gen[(Long, Long)] = for {
+      u <- Gen.chooseNum(1L, 8L)
+      t <- Gen.chooseNum(0L, 2000L)
+    } yield (u, t * 100) // coarse grid → gap boundary cases occur
+    val evs = Gen.listOfN(300, genEv).apply(Gen.Parameters.default, Seed(11L)).get
+      .distinct // duplicate (user, ts) rows have no defined session count
+    val gap = 5000L
+    val stateful = Sessionize.sessions(
+        evs.map { case (u, t) => Sessionize.Event(u, t, "e") }.toDS(), gap)
+      .collect().map(s => (s.userId, s.startMs, s.endMs, s.nEvents.toLong)).sorted.toSeq
+    val declarative = Sessionize.batchSessions(
+        evs.toDF("userId", "tsMs"), "userId", "tsMs", gap)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(declarative == stateful && declarative.nonEmpty)
+  }
+
+  test("Cdc.latestSnapshot equals the window row_number form on generated changes") {
+    import org.apache.spark.sql.expressions.Window
+    val genC: Gen[(Long, Long, Long)] = for {
+      k <- Gen.chooseNum(1L, 20L)
+      v <- Gen.chooseNum(1L, 50L)
+      p <- Gen.chooseNum(0L, 999L)
+    } yield (k, v, p)
+    val raw = Gen.listOfN(200, genC).apply(Gen.Parameters.default, Seed(13L)).get
+    // make (key, ver) unique so "latest" is well-defined without a seq col
+    val changes = raw.groupBy(c => (c._1, c._2)).map(_._2.head).toSeq
+      .toDF("key", "ver", "payload")
+    val got = graft.ops.Cdc.latestSnapshot(changes, Seq("key"), Seq("ver"), Seq("payload"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val w = Window.partitionBy(col("key")).orderBy(col("ver").desc)
+    val want = changes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("key", "ver", "payload").as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
 }
