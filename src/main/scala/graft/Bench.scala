@@ -25,6 +25,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
+    GraftSession.install(spark)
     spark.sparkContext.setLogLevel("WARN")
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

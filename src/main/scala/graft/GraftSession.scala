@@ -20,6 +20,17 @@ object GraftSession {
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.ui.enabled", "false")
 
+  /** Post-build session setup: installs graft's optimizer rules (inert
+    * until their confs are set — see `plans.RangeJoinRule`). Idempotent;
+    * needed because `withExtensions` cannot apply to an already-built
+    * session and the shared-JVM `getOrCreate` usually returns one. */
+  def install(s: SparkSession): SparkSession = {
+    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.RangeJoinRule]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.RangeJoinRule()
+    s
+  }
+
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val s = configure(
       SparkSession.builder()
@@ -27,6 +38,6 @@ object GraftSession {
         .config("spark.sql.shuffle.partitions", cores.toString))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    install(s)
   }
 }

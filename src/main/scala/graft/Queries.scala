@@ -1015,6 +1015,37 @@ object Queries {
             FROM (SELECT bucket FROM c EXCEPT ALL SELECT bucket FROM v)
             GROUP BY bucket"""))
 
+  /** PURE interval join (no equi key) — the shape Spark can only plan as
+    * a nested-loop join. graft's `RangeJoinRule` (installed by
+    * `GraftSession.install`, activated by the binWidth conf) rewrites it
+    * to a bin-bucketed equi join; the oracle is DuckDB's own native
+    * range-join path — two engines' interval-join implementations
+    * checking each other. RangeJoinRuleSpec proves the rewrite fires and
+    * matches the un-rewritten results. */
+  val qIntervalJoin = Q(
+    "q_interval_join",
+    (s, dir) => {
+      // session-level switch: inert for every other query (the rule only
+      // matches joins whose WHOLE condition is a two-sided range)
+      s.conf.set("spark.graft.rangeJoin.binWidth", "3600")
+      val ev = Tables(s, dir).events
+        .select(col("event_id"), unix_seconds(col("ts").cast("timestamp")).as("p"))
+      val iv = Tables(s, dir).events
+        .groupBy(col("user_id").as("iv_id"))
+        .agg(unix_seconds(min(col("ts")).cast("timestamp")).as("lo"))
+        .withColumn("hi", col("lo") + 7200L)
+      ev.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+        .select(col("event_id"), col("iv_id"))
+    },
+    Some("""WITH p AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS p
+                       FROM events),
+            iv AS (SELECT user_id AS iv_id,
+                     CAST(floor(epoch(min(ts))) AS BIGINT) AS lo,
+                     CAST(floor(epoch(min(ts))) AS BIGINT) + 7200 AS hi
+                   FROM events GROUP BY user_id)
+            SELECT event_id, iv_id
+            FROM p JOIN iv ON p.p >= iv.lo AND p.p <= iv.hi"""))
+
   // -----------------------------------------------------------
   // registry
   // -----------------------------------------------------------
@@ -1027,7 +1058,7 @@ object Queries {
     qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram,
     qUnpivot, qOuterJoin, qWindowRank, qGapFill,
     qDqAudit, qCdcSnapshot, qHopping, q5Revenue, q13Custdist,
-    qNotIn, qSetOpsAll) ++
+    qNotIn, qSetOpsAll, qIntervalJoin) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

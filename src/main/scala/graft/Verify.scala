@@ -16,6 +16,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
+    GraftSession.install(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // run queries concurrently (Spark schedules jobs from multiple threads

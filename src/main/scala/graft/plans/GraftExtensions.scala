@@ -38,10 +38,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftExtensions.stringLiteral(es(1)), GraftExtensions.stringLiteral(es(2)))),
     "vec_mean" -> (es => VecMean(es(0))))
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     fns.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name), info(name, name), builder))
     }
+    // interval-join binning rewrite (active only when
+    // spark.graft.rangeJoin.binWidth is set — see RangeJoinRule)
+    e.injectOptimizerRule(_ => RangeJoinRule())
+  }
 }
 
 object GraftExtensions {
