@@ -691,9 +691,39 @@ object DedupQueries {
              AND abs(length(a.pre) - length(b.pre)) <= 16
             WHERE levenshtein(a.pre, b.pre) <= 16"""))
 
+  /** Embedding covariance entries (dims 0–3) from ONE VecGram/VecMean
+    * pass — the sufficient statistic PCA fits on (`sim.Pca`); the oracle
+    * recomputes each covariance entry relationally per pair. */
+  val qVecCov = Q(
+    "q_vec_cov",
+    (s, dir) => {
+      import graft.plans.{VecGram, VecMean}
+      val d = 64
+      val agg = Tables(s, dir).embeddings.agg(
+        VecGram.vecGram(col("embedding")).as("g"),
+        VecMean.vecMean(col("embedding")).as("m"),
+        count(col("embedding")).as("n"))
+      val entries = for (i <- 0 to 3; j <- i to 3) yield struct(
+        lit(i).cast("long").as("i"), lit(j).cast("long").as("j"),
+        (floor((element_at(col("g"), i * d + j + 1) / col("n")
+          - element_at(col("m"), i + 1) * element_at(col("m"), j + 1)) * 10000
+          + lit(0.5)) / 10000).as("cov"))
+      agg.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
+    },
+    Some("""SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+              floor((sum(embedding[i + 1]::DOUBLE * embedding[j + 1]::DOUBLE) / count(*)
+                - avg(embedding[i + 1]::DOUBLE) * avg(embedding[j + 1]::DOUBLE)) * 10000
+                + 0.5) / 10000 AS cov
+            FROM embeddings,
+              (SELECT unnest(range(0, 4)) AS i) ti,
+              (SELECT unnest(range(0, 4)) AS j) tj
+            WHERE j >= i
+            GROUP BY i, j"""))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
     qQuantizeDot, qKnnJoin, qKnnIvf, qSemDedup, qDupNgrams, qIncrementalDedup,
-    qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance)
+    qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance,
+    qVecCov)
 }

@@ -125,3 +125,119 @@ object VecMean {
     ColumnBridge.column(
       VecMean(ColumnBridge.expression(v)).toAggregateExpression())
 }
+
+/** Partial-aggregatable Gram matrix Σ v·vᵀ — the one-pass sufficient
+  * statistic for covariance/PCA over an embedding column. Output is the
+  * flattened row-major d×d matrix (plus the count as element 0 is NOT
+  * included — pair with count()/VecMean in the same agg). The buffer is
+  * d² doubles (64-dim → 32 KB) per partition — constant in corpus size,
+  * so 100 TB costs one scan and a d²-wide exchange of num-partition
+  * partials. Null vectors are ignored; mixed dimensionality is an error.
+  */
+case class VecGram(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VecGram.Buf] {
+
+  override def prettyName: String = "vec_gram"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private lazy val elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"vec_gram needs array<float|double>, got $t")
+  }
+
+  override def createAggregationBuffer(): VecGram.Buf = new VecGram.Buf
+
+  override def update(buf: VecGram.Buf, input: InternalRow): VecGram.Buf = {
+    val v = child.eval(input).asInstanceOf[ArrayData]
+    if (v != null) {
+      val d = v.numElements()
+      if (buf.g == null) { buf.d = d; buf.g = new Array[Double](d * d) }
+      require(buf.d == d, s"vec_gram: mixed dimensionality ${buf.d} vs $d")
+      val x = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        x(i) = if (elemIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        i += 1
+      }
+      i = 0
+      while (i < d) {
+        var j = 0
+        val xi = x(i)
+        while (j < d) { buf.g(i * d + j) += xi * x(j); j += 1 }
+        i += 1
+      }
+      buf.n += 1
+    }
+    buf
+  }
+
+  override def merge(buf: VecGram.Buf, other: VecGram.Buf): VecGram.Buf = {
+    if (other.g != null) {
+      if (buf.g == null) { buf.d = other.d; buf.g = other.g.clone(); buf.n = other.n }
+      else {
+        require(buf.d == other.d, s"vec_gram: mixed dimensionality ${buf.d} vs ${other.d}")
+        var i = 0
+        while (i < buf.g.length) { buf.g(i) += other.g(i); i += 1 }
+        buf.n += other.n
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: VecGram.Buf): Any =
+    if (buf.g == null) null else new GenericArrayData(buf.g.map(identity))
+
+  override def serialize(buf: VecGram.Buf): Array[Byte] = {
+    val len = if (buf.g == null) 0 else buf.g.length
+    val bb = java.nio.ByteBuffer.allocate(16 + len * 8)
+    bb.putLong(buf.n)
+    bb.putInt(buf.d)
+    bb.putInt(len)
+    var i = 0
+    while (i < len) { bb.putDouble(buf.g(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): VecGram.Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new VecGram.Buf
+    buf.n = bb.getLong
+    buf.d = bb.getInt
+    val len = bb.getInt
+    // same invariant as VecMean: n > 0 must round-trip a non-null matrix
+    // even when d = 0, or merge drops the count
+    if (len > 0 || buf.n > 0) {
+      buf.g = new Array[Double](len)
+      var i = 0
+      while (i < len) { buf.g(i) = bb.getDouble; i += 1 }
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VecGram =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VecGram =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs(0))
+}
+
+object VecGram {
+  final class Buf {
+    var g: Array[Double] = null
+    var d: Int = 0
+    var n: Long = 0L
+  }
+
+  /** Column API: flattened row-major Σ v·vᵀ per group, as array<double>. */
+  def vecGram(v: Column): Column =
+    ColumnBridge.column(
+      VecGram(ColumnBridge.expression(v)).toAggregateExpression())
+}

@@ -84,6 +84,43 @@ class KnnQuantizeSpec extends SparkSpec {
     assert(out == Seq(("a", Some(Seq.empty[Double])), ("b", Some(Seq(3.0)))))
   }
 
+  test("PCA: recovers a planted principal axis; components orthonormal; transform centers") {
+    import graft.sim.Pca
+    // points along a fixed 8-dim axis + small deterministic off-axis noise
+    val d = 8
+    val axis = Array.tabulate(d)(i => if (i == 2) 3.0 else if (i == 5) 4.0 else 0.0)
+    val axisN = axis.map(_ / 5.0) // unit
+    val rows = (0 until 400).map { r =>
+      val t = (r % 40) - 20.0 // spread along the axis
+      val noise = 0.05 * math.sin(r * 2.399)
+      val v = Array.tabulate(d)(i => t * axisN(i) + (if (i == (r % d)) noise else 0.0))
+      Tuple1(v.toSeq)
+    }
+    val df = rows.toDF("v")
+    val model = Pca.fit(df, "v", k = 2)
+    // first component aligns with the planted axis (sign-free)
+    val align = math.abs(model.components(0).zip(axisN).map { case (a, b) => a * b }.sum)
+    assert(align > 0.999, s"axis alignment $align")
+    assert(model.variances(0) > 10 * model.variances(1).max(1e-12))
+    // orthonormal
+    val c0 = model.components(0); val c1 = model.components(1)
+    assert(math.abs(c0.map(x => x * x).sum - 1.0) < 1e-6)
+    assert(math.abs(c0.zip(c1).map { case (a, b) => a * b }.sum) < 1e-6)
+    // transform: mean of coordinates is ~0 (centered projection)
+    val coords = Pca.transform(df, "v", model, "pc")
+      .select(col("pc")(0)).as[Double].collect()
+    assert(math.abs(coords.sum / coords.length) < 1e-9)
+    assert(coords.max - coords.min > 30) // the planted spread survives
+  }
+
+  test("vecGram: exact Gram matrix on a hand example across partitions") {
+    import graft.plans.VecGram.vecGram
+    val df = Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)).map(Tuple1.apply).toDF("v").repartition(4)
+    val g = df.agg(vecGram(col("v"))).as[Seq[Double]].head()
+    // [1,2]·[1,2]ᵀ + [3,4]·[3,4]ᵀ = [[10,14],[14,20]]
+    assert(g == Seq(10.0, 14.0, 14.0, 20.0))
+  }
+
   test("SRP-LSH: identical vectors collide in every band, near pairs surface, far pairs verified out") {
     import graft.sim.Srp
     val a = vec(7L)
