@@ -1046,6 +1046,32 @@ object Queries {
             SELECT event_id, iv_id
             FROM p JOIN iv ON p.p >= iv.lo AND p.p <= iv.hi"""))
 
+  /** Z-order clustering value (data-skipping layout for the write path):
+    * bit-interleaved (value, user_id) buckets — the oracle replicates the
+    * normalization and every shift/mask term bit for bit. */
+  val qZorder = Q(
+    "q_zorder",
+    (s, dir) => {
+      graft.ops.Layout.withZValue(
+          Tables(s, dir).events.select(col("event_id"), col("value"), col("user_id")),
+          "value", "user_id", bits = 16)
+        .select(col("event_id"), col("z"))
+        .orderBy(col("z"), col("event_id"))
+        .limit(64)
+    },
+    Some("""WITH b AS (SELECT min(value) AS xlo, max(value) AS xhi,
+                     min(user_id) AS ylo, max(user_id) AS yhi FROM events),
+            z AS (SELECT event_id,
+                    least(65535, CAST(floor((value - xlo) * 65536 / (xhi - xlo + 1e-12)) AS BIGINT)) AS xb,
+                    least(65535, CAST(floor((user_id - ylo) * 65536 / (yhi - ylo + 1e-12)) AS BIGINT)) AS yb
+                  FROM events, b)
+            SELECT event_id,
+              CAST((SELECT sum(
+                      (((xb >> i) & 1) << (2 * i)) | (((yb >> i) & 1) << (2 * i + 1)))
+                    FROM range(16) t(i)) AS BIGINT) AS z
+            FROM z
+            ORDER BY z, event_id LIMIT 64"""))
+
   // -----------------------------------------------------------
   // registry
   // -----------------------------------------------------------
@@ -1058,7 +1084,7 @@ object Queries {
     qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram,
     qUnpivot, qOuterJoin, qWindowRank, qGapFill,
     qDqAudit, qCdcSnapshot, qHopping, q5Revenue, q13Custdist,
-    qNotIn, qSetOpsAll, qIntervalJoin) ++
+    qNotIn, qSetOpsAll, qIntervalJoin, qZorder) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

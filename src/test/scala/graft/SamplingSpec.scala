@@ -117,4 +117,38 @@ class SamplingSpec extends SparkSpec {
     assert(packed.map(_._2) == Seq(0L, 0L, 0L, 1L, 2L))
     assert(packed.map(_._3) == Seq(false, false, false, true, false))
   }
+
+  test("zInterleave: known bit patterns interleave exactly") {
+    import graft.ops.Layout
+    // x = 0b101, y = 0b011 → z bits: x at even, y at odd positions
+    // = 1(0) 1(1) 0(2) 1(3) 1(4) 0(5) = 0b011011 = 27
+    val z = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zInterleave(col("x"), col("y"), 8)).as[Long].head()
+    assert(z == 27L)
+  }
+
+  test("clusterByZ tightens per-file bounds on BOTH dimensions vs single-column sort") {
+    import graft.ops.Layout
+    val ev = Tables(spark, sf).events.select(col("event_id"), col("value"), col("user_id"))
+    val files = 8
+    def spreads(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      import org.apache.spark.sql.functions.spark_partition_id
+      val rows = df.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg((max(col("value")) - min(col("value"))).as("vs"),
+          (max(col("user_id")) - min(col("user_id"))).as("us"))
+        .agg(avg(col("vs")), avg(col("us"))).collect()(0)
+      (rows.getDouble(0), rows.getDouble(1))
+    }
+    val (vz, uz) = spreads(Layout.clusterByZ(ev, "value", "user_id", files))
+    val (vs, us) = spreads(ev.repartitionByRange(files, col("value")))
+    // value-only sort: value spread tiny, user spread ≈ full range.
+    // z-order: BOTH spreads well below the full range (the point of the
+    // layout: min/max file stats prune on either column)
+    val fullU = ev.agg(max(col("user_id")) - min(col("user_id"))).collect()(0).getLong(0).toDouble
+    val fullV = ev.agg(max(col("value")) - min(col("value"))).collect()(0).getDouble(0)
+    assert(us > 0.9 * fullU, "sanity: single-column sort scatters the other dim")
+    assert(uz < 0.6 * fullU, s"z-order user spread $uz vs full $fullU")
+    assert(vz < 0.6 * fullV, s"z-order value spread $vz vs full $fullV")
+  }
 }
