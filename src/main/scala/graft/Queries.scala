@@ -1072,6 +1072,146 @@ object Queries {
             FROM z
             ORDER BY z, event_id LIMIT 64"""))
 
+  /** Tukey-fence outlier profile per event type: exact quartiles → IQR
+    * fences → per-type outlier accounting. The quartile table is rows =
+    * #types (tiny) and broadcasts back onto the fact scan — the events
+    * table itself is never shuffled (the final agg exchanges #types
+    * rows). Fences are rounded to 4 decimals on BOTH sides before the
+    * comparison so the in/out verdict is engine-exact (values carry 2
+    * decimals, so a 4-decimal fence can never sit on a data point). */
+  val qOutliers = Q(
+    "q_outliers",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val fences = ev.groupBy(col("event_type")).agg(
+          percentile(col("value"), lit(0.25)).as("q1"),
+          percentile(col("value"), lit(0.75)).as("q3"))
+        .select(col("event_type"),
+          r4(col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+          r4(col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+      ev.join(broadcast(fences), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          r4(max(when(col("value") > col("hi"), col("value")))).as("max_outlier"))
+        .select(col("event_type"), col("n_total"), col("n_outliers"),
+          col("max_outlier"))
+    },
+    Some("""WITH f AS (
+              SELECT event_type,
+                round(quantile_cont(value, 0.25)
+                  - (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) * 1.5, 4) AS lo,
+                round(quantile_cont(value, 0.75)
+                  + (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) * 1.5, 4) AS hi
+              FROM events GROUP BY event_type)
+            SELECT e.event_type, count(*) AS n_total,
+              CAST(sum(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+              round(max(CASE WHEN e.value > f.hi THEN e.value END), 4) AS max_outlier
+            FROM events e JOIN f ON e.event_type = f.event_type
+            GROUP BY e.event_type"""))
+
+  /** Forward fill (last-observation-carried-forward): each event carries
+    * the value of the user's most recent purchase. One shuffle on
+    * user_id serves the single window; the IGNORE NULLS last() is
+    * running-frame, so no second pass. The classic as-of enrichment when
+    * source and target are the SAME ordered stream (the two-table form
+    * is `q_asof_join`). */
+  val qFfill = Q(
+    "q_ffill",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).events
+        .withColumn("pv",
+          when(col("event_type") === "purchase", col("value")))
+        .withColumn("last_purchase", last(col("pv"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("event_id"),
+          r4(coalesce(col("last_purchase"), lit(-1.0))).as("last_purchase"))
+    },
+    Some("""SELECT user_id, event_id,
+              round(coalesce(
+                last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                -1.0), 4) AS last_purchase
+            FROM events"""))
+
+  /** Rolling z-score anomaly detection: value vs the trailing-20-row
+    * mean/stddev per user; rows more than 2.5 rounded sigmas out are
+    * anomalies. Shares one user_id sort for both window aggregates; the
+    * z-score is rounded to 4 decimals on both sides BEFORE the threshold
+    * test so frame-accumulation-order ulps can't flip a verdict. */
+  val qAnomaly = Q(
+    "q_anomaly",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-19, Window.currentRow)
+      Tables(s, dir).events
+        .withColumn("mu", avg(col("value")).over(w))
+        .withColumn("sd", stddev_samp(col("value")).over(w))
+        .withColumn("z", r4((col("value") - col("mu")) / col("sd")))
+        .filter(col("sd") > 0 && abs(col("z")) > 2.5)
+        .select(col("user_id"), col("event_id"), col("z"))
+    },
+    Some("""SELECT user_id, event_id, z FROM (
+              SELECT user_id, event_id, sd,
+                round((value - mu) / sd, 4) AS z
+              FROM (
+                SELECT user_id, event_id, value,
+                  avg(value) OVER w AS mu, stddev_samp(value) OVER w AS sd
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)))
+            WHERE sd > 0 AND abs(z) > 2.5"""))
+
+  /** PageRank (3 power iterations, d = 0.85) over the customer–supplier
+    * purchase graph (undirected; supplier ids offset into their own node
+    * range). Per iteration: one uniform-key shuffle (edges ⋈ ranks on
+    * src), lineage checkpointed per round — the CC loop shape. The
+    * oracle unrolls the identical three iterations as CTEs; all rank
+    * arithmetic is explicit DOUBLE on both sides (DuckDB decimal
+    * division would otherwise diverge). Emits every node (no top-k, so
+    * near-tie rank order can't flip a selection boundary). */
+  val qPagerank = Q(
+    "q_pagerank",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val raw = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      graft.graph.Graph.pageRank(graft.graph.Graph.undirected(raw), iters = 3)
+        .select(col("id"), r4(col("pr") * 1000).as("pr_x1000"))
+    },
+    Some("""WITH eb AS (
+              SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            e AS (SELECT src, dst FROM eb UNION SELECT dst, src FROM eb),
+            deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+            ew AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / outdeg AS w
+                   FROM e JOIN deg USING (src)),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+            p0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr
+                   FROM deg),
+            p1 AS (SELECT ew.dst AS id,
+                     (CAST(1.0 AS DOUBLE) - 0.85) / (SELECT n FROM nn)
+                       + 0.85 * sum(p0.pr * ew.w) AS pr
+                   FROM ew JOIN p0 ON p0.id = ew.src GROUP BY ew.dst),
+            p2 AS (SELECT ew.dst AS id,
+                     (CAST(1.0 AS DOUBLE) - 0.85) / (SELECT n FROM nn)
+                       + 0.85 * sum(p1.pr * ew.w) AS pr
+                   FROM ew JOIN p1 ON p1.id = ew.src GROUP BY ew.dst),
+            p3 AS (SELECT ew.dst AS id,
+                     (CAST(1.0 AS DOUBLE) - 0.85) / (SELECT n FROM nn)
+                       + 0.85 * sum(p2.pr * ew.w) AS pr
+                   FROM ew JOIN p2 ON p2.id = ew.src GROUP BY ew.dst)
+            SELECT id, round(pr * 1000, 4) AS pr_x1000 FROM p3"""))
+
   // -----------------------------------------------------------
   // registry
   // -----------------------------------------------------------
@@ -1084,7 +1224,8 @@ object Queries {
     qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram,
     qUnpivot, qOuterJoin, qWindowRank, qGapFill,
     qDqAudit, qCdcSnapshot, qHopping, q5Revenue, q13Custdist,
-    qNotIn, qSetOpsAll, qIntervalJoin, qZorder) ++
+    qNotIn, qSetOpsAll, qIntervalJoin, qZorder,
+    qOutliers, qFfill, qAnomaly, qPagerank) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

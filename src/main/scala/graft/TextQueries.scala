@@ -178,6 +178,31 @@ object TextQueries {
               FROM documents)
             GROUP BY 1"""))
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis
+    * exponential keys over the stable md5 uniform): 50 documents drawn
+    * ∝ n_chars. Selection order compares the UNROUNDED score on both
+    * sides (doc_id tiebreak); only the emitted score is rounded. */
+  val qWeightedSample = Q(
+    "q_weighted_sample",
+    (s, dir) => {
+      graft.ops.Sampling
+        .weightedSample(Tables(s, dir).documents, "doc_id", "n_chars", 50)
+        .select(col("doc_id"), round(col("es_score") * 1000, 4).as("score_x1000"))
+    },
+    Some("""WITH s AS (
+              SELECT doc_id,
+                -ln((((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576
+                    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536
+                    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096
+                    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256
+                    + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)
+                    ) + 0.5) / 16777216.0) / n_chars AS es_score
+              FROM (SELECT doc_id, n_chars, md5(doc_id::VARCHAR) AS h
+                    FROM documents))
+            SELECT doc_id, round(es_score * 1000, 4) AS score_x1000
+            FROM s ORDER BY es_score, doc_id LIMIT 50"""))
+
   /** Gopher-style repetition filters: duplicated-word fraction + most
     * repeated bigram, per doc — pure scan-stage array work on the Spark
     * side (sorted run-length scan, no explode/shuffle); the oracle derives
@@ -744,5 +769,6 @@ object TextQueries {
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
     qGopherRules, qChunk, qTemperatureMix, qDsirWeights, qGreedyPieces,
-    qPerplexity, qC4Filter, qEpochMix, qTfidf, qPmi, qBpeTrain)
+    qPerplexity, qC4Filter, qEpochMix, qTfidf, qPmi, qBpeTrain,
+    qWeightedSample)
 }

@@ -147,6 +147,38 @@ object Sampling {
         .otherwise(array().cast("array<int>"))))
   }
 
+  /** Stable uniform in (0, 1) from the first 6 md5 hex chars of the key —
+    * a 24-bit value v mapped to (v + 0.5) / 2²⁴ (never exactly 0 or 1, so
+    * ln() below is always finite). Same portable hex-char arithmetic as
+    * [[hashBucket]]: any SQL engine reproduces it digit for digit. */
+  def hashUniform(key: Column): Column = {
+    val h = md5(key.cast("string"))
+    val v = (0 until 6).map { i =>
+      (instr(lit(HEX), substring(h, i + 1, 1)) - 1) *
+        lit(math.pow(16, 5 - i).toLong)
+    }.reduce(_ + _)
+    (v.cast("double") + 0.5) / lit((1L << 24).toDouble)
+  }
+
+  /** Weighted sampling without replacement (Efraimidis & Spirakis 2006):
+    * each row draws its stable uniform u and scores −ln(u)/w; the k
+    * smallest scores are exactly a w-weighted draw of k rows. The usual
+    * formulation (`rand()` keys) is retry-unstable and unverifiable;
+    * hash-derived u makes the draw a pure function of the row key, so the
+    * same k rows come back across runs, engines, and task retries.
+    *
+    * Scale shape: score is scan-stage column math; selection is a global
+    * top-k (TakeOrderedAndProject — k rows per partition to the driver
+    * merge, never a full sort). Weights must be strictly positive. */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      k: Int): DataFrame =
+    df.withColumn("es_score", -log(hashUniform(col(keyCol))) / col(weightCol))
+      .orderBy(col("es_score"), col(keyCol))
+      .limit(k)
+
   /** Deterministic global shuffle into training shards: shard and
     * within-shard position are pure functions of (seed, key), so an epoch's
     * read order reproduces across runs, clusters and task retries — what

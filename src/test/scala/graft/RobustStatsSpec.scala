@@ -1,0 +1,111 @@
+package graft
+
+import graft.ops.Sampling
+import org.apache.spark.sql.functions._
+
+/** Exact-recomputation checks for the robust-stats / sampling wave:
+  * each query runs on sf0.001 and is re-derived driver-side from the raw
+  * rows (independent Scala implementation, not the Spark plan). */
+class RobustStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("weightedSample: deterministic, k rows, weight-tilted") {
+    val df = (1 to 1000).map(i => (i, if (i <= 200) 50.0 else 1.0))
+      .toDF("id", "w")
+    val a = Sampling.weightedSample(df, "id", "w", 100)
+      .select("id").as[Int].collect()
+    val b = Sampling.weightedSample(df, "id", "w", 100)
+      .select("id").as[Int].collect()
+    assert(a.toSeq == b.toSeq, "draw must be stable across runs")
+    assert(a.length == 100)
+    // 200 heavy rows at weight 50 vs 800 at weight 1 → heavy mass is
+    // 10000/10800 ≈ 93%; the sample should be overwhelmingly heavy.
+    val heavy = a.count(_ <= 200)
+    assert(heavy > 70, s"expected heavy-weight dominance, got $heavy/100")
+    // scale invariance: multiplying every weight by a constant divides
+    // every score by it — the selected set and order cannot change
+    val scaled = Sampling.weightedSample(
+        df.withColumn("w", col("w") * 7.0), "id", "w", 100)
+      .select("id").as[Int].collect()
+    assert(scaled.toSeq == a.toSeq)
+  }
+
+  test("q_ffill: carries the last purchase value, -1 before any purchase") {
+    val rows = Queries.qFfill.run(spark, sf)
+      .select("user_id", "event_id", "last_purchase")
+      .as[(Long, Long, Double)].collect()
+    val raw = Tables(spark, sf).events
+      .select("user_id", "event_id", "event_type", "value")
+      .as[(Long, Long, String, Double)].collect()
+    val order = Tables(spark, sf).events
+      .select("user_id", "event_id", "ts")
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+      .map { case (u, e, t) => (u, e) -> t }.toMap
+    val expected = raw
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (u, evs) =>
+        var last = -1.0
+        evs.sortBy { case (_, e, _, _) => (order((u, e)), e) }
+          .map { case (_, e, typ, v) =>
+            if (typ == "purchase") last = v
+            (u, e) -> math.floor(last * 10000 + 0.5) / 10000
+          }
+          .toSeq
+      }
+      .toMap
+    assert(rows.length == raw.length)
+    rows.foreach { case (u, e, got) =>
+      val want = expected((u, e))
+      assert(math.abs(got - want) < 1e-9, s"user $u event $e: $got != $want")
+    }
+  }
+
+  test("q_outliers: Tukey fences match a driver-side recomputation") {
+    val got = Queries.qOutliers.run(spark, sf)
+      .select("event_type", "n_total", "n_outliers")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val raw = Tables(spark, sf).events
+      .select("event_type", "value").as[(String, Double)].collect()
+    def quantile(xs: Array[Double], q: Double): Double = {
+      val s = xs.sorted
+      val pos = q * (s.length - 1)
+      val lo = pos.toInt
+      val g = pos - lo
+      if (lo + 1 < s.length) s(lo) * (1 - g) + s(lo + 1) * g else s(lo)
+    }
+    raw.groupBy(_._1).foreach { case (typ, rows) =>
+      val vs = rows.map(_._2)
+      val (q1, q3) = (quantile(vs, 0.25), quantile(vs, 0.75))
+      def r4d(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (lo, hi) = (r4d(q1 - (q3 - q1) * 1.5), r4d(q3 + (q3 - q1) * 1.5))
+      val nOut = vs.count(v => v < lo || v > hi).toLong
+      assert(got(typ) == ((vs.length.toLong, nOut)),
+        s"$typ: got ${got(typ)}, want (${vs.length}, $nOut)")
+    }
+  }
+
+  test("q_anomaly: every flagged row's trailing-window z recomputes") {
+    val flagged = Queries.qAnomaly.run(spark, sf)
+      .select("user_id", "event_id", "z").as[(Long, Long, Double)].collect()
+    assert(flagged.nonEmpty, "sf0.001 should surface at least one anomaly")
+    val raw = Tables(spark, sf).events
+      .select("user_id", "event_id", "ts", "value")
+      .as[(Long, Long, java.sql.Timestamp, Double)].collect()
+      .groupBy(_._1).map { case (u, evs) =>
+        u -> evs.sortBy { case (_, e, t, _) => (t, e) }
+      }
+    flagged.foreach { case (u, e, z) =>
+      val series = raw(u)
+      val i = series.indexWhere(_._2 == e)
+      val window = series.slice(math.max(0, i - 19), i + 1).map(_._4)
+      val mu = window.sum / window.length
+      val sd = math.sqrt(
+        window.map(v => (v - mu) * (v - mu)).sum / (window.length - 1))
+      val zExp = BigDecimal((window.last - mu) / sd)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(z - zExp) < 1e-9, s"user $u event $e: z=$z, want $zExp")
+      assert(math.abs(z) > 2.5)
+    }
+  }
+}
