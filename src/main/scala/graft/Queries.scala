@@ -1212,6 +1212,157 @@ object Queries {
                    FROM ew JOIN p2 ON p2.id = ew.src GROUP BY ew.dst)
             SELECT id, round(pr * 1000, 4) AS pr_x1000 FROM p3"""))
 
+  /** TPC-H Q14 shape (promo revenue share): one fact–dim join, ratio of a
+    * conditional sum to the total — both numerator and denominator come
+    * from the SAME aggregate over one scan. part broadcasts; at scale the
+    * join is the only exchange and produces a single row. */
+  val q14Promo = Q(
+    "q14_promo",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val li = t.lineitem.filter(
+        col("l_shipdate") >= lit("1995-09-01").cast("date") &&
+        col("l_shipdate") < lit("1995-10-01").cast("date"))
+      li.join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          r4(sum(when(col("p_type").startsWith("PROMO"),
+              col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(lit(0.0))) * 100.0
+            / sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("promo_revenue_pct"))
+    },
+    Some("""SELECT round(
+              100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+              / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= DATE '1995-09-01'
+              AND l_shipdate < DATE '1995-10-01'"""))
+
+  /** TPC-H Q18 shape (large-volume orders): semi join against an
+    * AGGREGATED subquery (HAVING sum > threshold) — the filter relation
+    * is derived by a groupBy, not a scan, so Catalyst plans agg → join
+    * rather than a pushed predicate. The qualifying-order set is tiny →
+    * broadcast semi join at any scale. */
+  val q18LargeOrders = Q(
+    "q18_large_orders",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val big = t.lineitem.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("tq"))
+        .filter(col("tq") > 150)
+        .select(col("l_orderkey").as("bk"))
+      t.lineitem
+        .join(broadcast(big), col("l_orderkey") === col("bk"), "left_semi")
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(s, dir).customer),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"), col("o_totalprice"))
+        .agg(r4(sum(col("l_quantity"))).as("total_qty"))
+        .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+          r4(col("o_totalprice")).as("o_totalprice"), col("total_qty"))
+    },
+    Some("""SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+              round(o_totalprice, 4) AS o_totalprice,
+              round(sum(l_quantity), 4) AS total_qty
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_orderkey IN (
+              SELECT l_orderkey FROM lineitem
+              GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+            GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice"""))
+
+  /** TPC-H Q21 core shape: correlated NOT EXISTS on the SAME fact table
+    * with a key-equality + attribute-INEQUALITY condition — "orders this
+    * supplier serves alone". Catalyst plans a null-safe self anti join
+    * on orderkey with the suppkey inequality as residual; the self join
+    * keys on the uniform orderkey, so it shuffles clean at scale. */
+  val qSoloSupplier = Q(
+    "q_solo_supplier",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val l1 = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      val l2 = l1.select(col("l_orderkey").as("r_orderkey"),
+        col("l_suppkey").as("r_suppkey"))
+      val solo = l1.join(l2,
+          col("l_orderkey") === col("r_orderkey") &&
+          col("l_suppkey") =!= col("r_suppkey"),
+          "left_anti")
+        .distinct()
+      solo.join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(countDistinct(col("l_orderkey")).as("n_solo_orders"))
+        .orderBy(col("n_solo_orders").desc, col("s_name"))
+        .limit(10)
+    },
+    Some("""SELECT s_name, count(DISTINCT l1.l_orderkey) AS n_solo_orders
+            FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE NOT EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+            GROUP BY s_name
+            ORDER BY n_solo_orders DESC, s_name LIMIT 10"""))
+
+  /** First-order event-transition matrix (Markov chain estimate): lead()
+    * pairs each event with the user's next event, then global pair
+    * counts and per-source transition probabilities. One shuffle on
+    * user_id for the lead, one tiny (#type² rows) aggregate; the
+    * probability normalizer is a window over the pair table (no second
+    * scan of events). */
+  val qTransitions = Q(
+    "q_transitions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = Tables(s, dir).events
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val wt = Window.partitionBy(col("event_type"))
+      pairs
+        .withColumn("p", r4(col("n").cast("double") / sum(col("n")).over(wt)))
+        .select(col("event_type"), col("next_type"), col("n"), col("p"))
+    },
+    Some("""WITH pairs AS (
+              SELECT event_type,
+                lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS next_type
+              FROM events),
+            c AS (SELECT event_type, next_type, count(*) AS n
+                  FROM pairs WHERE next_type IS NOT NULL
+                  GROUP BY event_type, next_type)
+            SELECT event_type, next_type, n,
+              round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 4) AS p
+            FROM c"""))
+
+  /** Per-user modal event type: groupBy counts, then a partial-
+    * aggregatable max(struct(n, type)) per user — deterministic ties
+    * (greatest type at equal count), no window sort. The oracle takes
+    * the row_number form over the same ordering — two engines, two
+    * formulations, same argmax. */
+  val qMode = Q(
+    "q_mode",
+    (s, dir) => {
+      Tables(s, dir).events
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("m.event_type").as("mode_type"),
+          col("m.n").as("n"))
+    },
+    Some("""SELECT user_id, event_type AS mode_type, n FROM (
+              SELECT user_id, event_type, n,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, event_type DESC) AS rn
+              FROM (SELECT user_id, event_type, count(*) AS n
+                    FROM events GROUP BY user_id, event_type))
+            WHERE rn = 1"""))
+
   // -----------------------------------------------------------
   // registry
   // -----------------------------------------------------------
@@ -1225,7 +1376,8 @@ object Queries {
     qUnpivot, qOuterJoin, qWindowRank, qGapFill,
     qDqAudit, qCdcSnapshot, qHopping, q5Revenue, q13Custdist,
     qNotIn, qSetOpsAll, qIntervalJoin, qZorder,
-    qOutliers, qFfill, qAnomaly, qPagerank) ++
+    qOutliers, qFfill, qAnomaly, qPagerank,
+    q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

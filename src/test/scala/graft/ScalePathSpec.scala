@@ -168,6 +168,34 @@ class ScalePathSpec extends SparkSpec {
       s"unpivot plan:\n$unpPlan")
   }
 
+  test("robust-stats/TPC-H wave plans: broadcasts + bounded shuffles") {
+    // q18: the qualifying-order set joins as a broadcast SEMI join
+    val q18 = Queries.q18LargeOrders.run(spark, sf)
+    val p18 = q18.queryExecution.executedPlan.toString
+    assert(p18.contains("BroadcastHashJoin") && p18.contains("LeftSemi"),
+      s"q18 semi join not broadcast:\n$p18")
+    // solo-supplier: self anti join must stay an equi join on orderkey,
+    // never a nested loop over the fact table
+    val solo = Queries.qSoloSupplier.run(spark, sf)
+    val pSolo = solo.queryExecution.executedPlan.toString
+    assert(!pSolo.contains("CartesianProduct") &&
+      !pSolo.contains("BroadcastNestedLoop"),
+      s"solo-supplier anti join degenerated:\n$pSolo")
+    assert(pSolo.contains("LeftAnti"), s"expected anti join:\n$pSolo")
+    // outliers: fence table broadcasts back; events are never shuffled
+    // before the join (only the tiny per-type aggregates exchange)
+    val out = Queries.qOutliers.run(spark, sf)
+    val pOut = out.queryExecution.executedPlan.toString
+    assert(pOut.contains("BroadcastHashJoin"), s"fences not broadcast:\n$pOut")
+    // transitions + anomaly + ffill: exactly one user_id sort feeds the
+    // window work (one Exchange hashpartitioning(user_id...))
+    Seq(Queries.qTransitions, Queries.qAnomaly, Queries.qFfill).foreach { q =>
+      val p = q.run(spark, sf).queryExecution.executedPlan.toString
+      assert(p.split("Exchange hashpartitioning\\(user_id").length - 1 == 1,
+        s"${q.name}: expected one user_id exchange:\n$p")
+    }
+  }
+
   test("gap sessionization over real events agrees with window-based count") {
     val evs = Tables(spark, sf).events.limit(2000)
       .select(col("user_id").as("userId"), unix_millis(col("ts")).as("tsMs"),
