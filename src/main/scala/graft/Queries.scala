@@ -1363,6 +1363,84 @@ object Queries {
                     FROM events GROUP BY user_id, event_type))
             WHERE rn = 1"""))
 
+  /** Grouped ordinary-least-squares fit (price ~ quantity per return
+    * flag): regr_slope/intercept/r2 are single-pass partial-aggregatable
+    * moment aggregates in both engines — one scan, one #groups-row
+    * exchange. The cross-engine check exercises two independent
+    * implementations of the same moment algebra. */
+  val qRegression = Q(
+    "q_regression",
+    (s, dir) => {
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          r4(regr_slope(col("l_extendedprice"), col("l_quantity"))).as("slope"),
+          r4(regr_intercept(col("l_extendedprice"), col("l_quantity"))).as("intercept"),
+          r4(regr_r2(col("l_extendedprice"), col("l_quantity"))).as("r2"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+              round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+              round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+              round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+            FROM lineitem GROUP BY l_returnflag"""))
+
+  /** Welch two-sample t statistic per event type (variant = user-id
+    * parity — the deterministic stand-in for an assignment column).
+    * Everything reduces to per-(type, variant) count/mean/variance — one
+    * partial agg over one scan, then a #types-row pivot; the t and df
+    * formulas are plain column math on the tiny aggregate. */
+  val qAbTest = Q(
+    "q_ab_test",
+    (s, dir) => {
+      val stats = Tables(s, dir).events
+        .withColumn("variant", pmod(col("user_id"), lit(2)))
+        .groupBy(col("event_type"), col("variant"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          avg(col("value")).as("m"),
+          var_samp(col("value")).as("v"))
+      val wide = stats.groupBy(col("event_type"))
+        .agg(
+          max(when(col("variant") === 0, col("n"))).as("n_a"),
+          max(when(col("variant") === 0, col("m"))).as("m_a"),
+          max(when(col("variant") === 0, col("v"))).as("v_a"),
+          max(when(col("variant") === 1, col("n"))).as("n_b"),
+          max(when(col("variant") === 1, col("m"))).as("m_b"),
+          max(when(col("variant") === 1, col("v"))).as("v_b"))
+      val se2 = col("v_a") / col("n_a") + col("v_b") / col("n_b")
+      wide.select(
+        col("event_type"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        r4(col("m_a") - col("m_b")).as("mean_diff"),
+        r4((col("m_a") - col("m_b")) / sqrt(se2)).as("t_stat"),
+        r4(pow(se2, 2) / (
+          pow(col("v_a") / col("n_a"), 2) / (col("n_a") - 1) +
+          pow(col("v_b") / col("n_b"), 2) / (col("n_b") - 1))).as("welch_df"))
+    },
+    Some("""WITH s AS (
+              SELECT event_type, user_id % 2 AS variant,
+                CAST(count(*) AS DOUBLE) AS n, avg(value) AS m,
+                var_samp(value) AS v
+              FROM events GROUP BY event_type, user_id % 2),
+            w AS (
+              SELECT event_type,
+                max(CASE WHEN variant = 0 THEN n END) AS n_a,
+                max(CASE WHEN variant = 0 THEN m END) AS m_a,
+                max(CASE WHEN variant = 0 THEN v END) AS v_a,
+                max(CASE WHEN variant = 1 THEN n END) AS n_b,
+                max(CASE WHEN variant = 1 THEN m END) AS m_b,
+                max(CASE WHEN variant = 1 THEN v END) AS v_b
+              FROM s GROUP BY event_type)
+            SELECT event_type,
+              CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+              round(m_a - m_b, 4) AS mean_diff,
+              round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS t_stat,
+              round(pow(v_a / n_a + v_b / n_b, 2) / (
+                  pow(v_a / n_a, 2) / (n_a - 1)
+                + pow(v_b / n_b, 2) / (n_b - 1)), 4) AS welch_df
+            FROM w"""))
+
   // -----------------------------------------------------------
   // registry
   // -----------------------------------------------------------
@@ -1377,7 +1455,8 @@ object Queries {
     qDqAudit, qCdcSnapshot, qHopping, q5Revenue, q13Custdist,
     qNotIn, qSetOpsAll, qIntervalJoin, qZorder,
     qOutliers, qFfill, qAnomaly, qPagerank,
-    q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode) ++
+    q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
+    qRegression, qAbTest) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

@@ -126,6 +126,62 @@ object TextQueries {
                   FROM documents GROUP BY source) d
             USING (source)"""))
 
+  /** Information-theoretic corpus profile: per-source unigram entropy and
+    * KL divergence from the whole-corpus distribution — the drift/mixture
+    * diagnostics run before re-weighting a training mix. Token tables are
+    * vocabulary-bounded (Heaps' law), so every aggregate after the
+    * explode is small; the source↔corpus join keys on the token (uniform
+    * — no broadcast assumption, AQE picks the strategy at real scale).
+    * Both engines sum −p·ln p over identical count tables; only the
+    * final sums are rounded. */
+  val qEntropy = Q(
+    "q_entropy",
+    (s, dir) => {
+      val toks = Tables(s, dir).documents
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val st = toks.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("n_st"))
+      val sTot = st.groupBy(col("source")).agg(sum(col("n_st")).as("n_s"))
+      val ct = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_ct"))
+      val nTot = ct.agg(sum(col("n_ct")).as("n_c"))
+      val joined = st
+        .join(sTot, "source")
+        .join(ct, "tok")
+        .crossJoin(broadcast(nTot))
+        .withColumn("p_s", col("n_st").cast("double") / col("n_s"))
+        .withColumn("p_c", col("n_ct").cast("double") / col("n_c"))
+      joined.groupBy(col("source"))
+        .agg(
+          max(col("n_s")).as("n_tokens"),
+          round(-sum(col("p_s") * log(col("p_s"))), 4).as("entropy"),
+          round(sum(col("p_s") * log(col("p_s") / col("p_c"))), 4).as("kl_vs_corpus"))
+    },
+    Some("""WITH toks AS (
+              SELECT source, tok
+              FROM (SELECT source,
+                      unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                    FROM documents)
+              WHERE length(tok) > 0),
+            st AS (SELECT source, tok, count(*) AS n_st
+                   FROM toks GROUP BY source, tok),
+            stot AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s
+                     FROM st GROUP BY source),
+            ct AS (SELECT tok, count(*) AS n_ct FROM toks GROUP BY tok),
+            ntot AS (SELECT sum(n_ct) AS n_c FROM ct)
+            SELECT st.source, max(n_s) AS n_tokens,
+              round(-sum((CAST(n_st AS DOUBLE) / n_s)
+                         * ln(CAST(n_st AS DOUBLE) / n_s)), 4) AS entropy,
+              round(sum((CAST(n_st AS DOUBLE) / n_s)
+                        * ln((CAST(n_st AS DOUBLE) / n_s)
+                           / (CAST(n_ct AS DOUBLE) / n_c))), 4) AS kl_vs_corpus
+            FROM st
+            JOIN stot USING (source)
+            JOIN ct USING (tok)
+            CROSS JOIN ntot
+            GROUP BY st.source"""))
+
   /** PII scrubbing + normalization over synthetic contact strings (the
     * corpus itself is clean, so the query constructs realistic dirty text
     * from customer fields, then scrubs it). */
@@ -770,5 +826,5 @@ object TextQueries {
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
     qGopherRules, qChunk, qTemperatureMix, qDsirWeights, qGreedyPieces,
     qPerplexity, qC4Filter, qEpochMix, qTfidf, qPmi, qBpeTrain,
-    qWeightedSample)
+    qWeightedSample, qEntropy)
 }

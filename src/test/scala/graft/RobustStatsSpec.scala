@@ -85,6 +85,61 @@ class RobustStatsSpec extends SparkSpec {
     }
   }
 
+  test("q_regression: OLS slope/intercept recompute from raw moments") {
+    val got = Queries.qRegression.run(spark, sf)
+      .select("l_returnflag", "slope", "intercept")
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val raw = Tables(spark, sf).lineitem
+      .select("l_returnflag", "l_quantity", "l_extendedprice")
+      .as[(String, Double, Double)].collect()
+    raw.groupBy(_._1).foreach { case (flag, rows) =>
+      val xs = rows.map(_._2); val ys = rows.map(_._3); val n = rows.length
+      val mx = xs.sum / n; val my = ys.sum / n
+      val sxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+      val slope = sxy / sxx
+      val intercept = my - slope * mx
+      val (gs, gi) = got(flag)
+      assert(math.abs(gs - slope) < 1e-3, s"$flag slope $gs vs $slope")
+      assert(math.abs(gi - intercept) < 1e-2, s"$flag intercept $gi vs $intercept")
+    }
+  }
+
+  test("q_ab_test: Welch t recomputes; parity split is near-null effect") {
+    val got = Queries.qAbTest.run(spark, sf)
+      .select("event_type", "n_a", "n_b", "t_stat")
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.length == 5)
+    val raw = Tables(spark, sf).events
+      .select("event_type", "user_id", "value")
+      .as[(String, Long, Double)].collect()
+    got.foreach { case (typ, nA, nB, t) =>
+      val vs = raw.filter(_._1 == typ)
+      val a = vs.filter(_._2 % 2 == 0).map(_._3)
+      val b = vs.filter(_._2 % 2 == 1).map(_._3)
+      assert(a.length == nA && b.length == nB)
+      def meanVar(x: Array[Double]) = {
+        val m = x.sum / x.length
+        (m, x.map(v => (v - m) * (v - m)).sum / (x.length - 1))
+      }
+      val (ma, va) = meanVar(a); val (mb, vb) = meanVar(b)
+      val tExp = (ma - mb) / math.sqrt(va / a.length + vb / b.length)
+      assert(math.abs(t - tExp) < 1e-3, s"$typ: t=$t vs $tExp")
+    }
+  }
+
+  test("q_entropy: KL nonnegative, entropy bounded by ln(vocab)") {
+    val rows = TextQueries.qEntropy.run(spark, sf)
+      .select("source", "n_tokens", "entropy", "kl_vs_corpus")
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, h, kl) =>
+      assert(h >= 0 && kl >= -1e-9, s"$src: H=$h KL=$kl")
+      assert(h <= math.log(n.toDouble) + 1e-9,
+        s"$src: entropy $h exceeds ln(n_tokens=$n)")
+    }
+  }
+
   test("q_anomaly: every flagged row's trailing-window z recomputes") {
     val flagged = Queries.qAnomaly.run(spark, sf)
       .select("user_id", "event_id", "z").as[(Long, Long, Double)].collect()
