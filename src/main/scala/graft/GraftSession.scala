@@ -28,6 +28,9 @@ object GraftSession {
     if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.RangeJoinRule]))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ graft.plans.RangeJoinRule()
+    if (!s.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
     s
   }
 

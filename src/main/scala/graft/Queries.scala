@@ -244,6 +244,32 @@ object Queries {
                ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS asof_purchase_id
             FROM events e WHERE e.event_type = 'error'"""))
 
+  /** The native as-of join (custom LogicalPlan + Strategy + SparkPlan —
+    * `plans.AsOfJoin`): same semantics and oracle as `q_asof_join`, but
+    * executed as a streamed one-pass merge over the two key-sorted sides
+    * instead of the union+window composition. At scale this shuffles each
+    * side once on its own key and never carries probe columns through a
+    * window buffer. */
+  val qAsofNative = Q(
+    "q_asof_native",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val probes = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val refs = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.plans.AsOf
+        .joinBackward(probes, refs, "user_id", "ts", "ts", "event_id")
+        .select(col("user_id"), col("event_id"),
+          col("event_id_r").as("asof_purchase_id"))
+    },
+    Some("""SELECT e.user_id, e.event_id,
+              (SELECT p.event_id FROM events p
+               WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+                 AND p.ts <= e.ts
+               ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS asof_purchase_id
+            FROM events e WHERE e.event_type = 'error'"""))
+
   /** Top-k per group via the custom partial-aggregatable TopKByScore
     * aggregate (graft.plans) — map-side heaps shuffle k rows per group per
     * partition instead of every row (same result as the window form,
@@ -1184,7 +1210,8 @@ object Queries {
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + lit(1000000L)).as("dst"))
-        .distinct()
+      // no pre-distinct: undirected()'s own distinct dedupes the raw
+      // pairs and both orientations in ONE shuffle
       graft.graph.Graph.pageRank(graft.graph.Graph.undirected(raw), iters = 3)
         .select(col("id"), r4(col("pr") * 1000).as("pr_x1000"))
     },
@@ -1456,7 +1483,7 @@ object Queries {
     qNotIn, qSetOpsAll, qIntervalJoin, qZorder,
     qOutliers, qFfill, qAnomaly, qPagerank,
     q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
-    qRegression, qAbTest) ++
+    qRegression, qAbTest, qAsofNative) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

@@ -37,9 +37,16 @@ object Graph {
     * keyed on src, uniform), re-agg by dst — no broadcast of anything
     * node-count-sized, so the same plan runs at 10⁹ nodes. Degrees are
     * computed once and reused; ranks are checkpointed per round. */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+  def pageRank(
+      edges: DataFrame,
+      iters: Int,
+      damping: Double = 0.85,
+      checkpointEvery: Int = 4): DataFrame = {
     require(iters >= 1, "need at least one iteration")
-    val e = edges.toDF("src", "dst")
+    // materialize the edge list once: it feeds the degree agg, the
+    // weighted-edge join AND the node count — without the checkpoint a
+    // union+distinct upstream would run three times
+    val e = edges.toDF("src", "dst").localCheckpoint()
     // weighted edge list: w = 1/outdeg(src), computed ONCE and reused by
     // every iteration (the per-round join then carries a single relation)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -48,14 +55,17 @@ object Graph {
       .localCheckpoint()
     val n = deg.count() // every node has an out-edge → deg carries all nodes
     var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       ranks = ew
         .join(ranks, ew("src") === ranks("id"))
         .groupBy(col("dst"))
         .agg(sum(col("pr") * col("w")).as("contrib"))
         .select(col("dst").as("id"),
           (lit((1.0 - damping) / n) + lit(damping) * col("contrib")).as("pr"))
-        .localCheckpoint()
+      // truncate lineage periodically, not per round: a checkpoint is an
+      // eager job, and a handful of chained join+agg stages is exactly
+      // what Catalyst pipelines well — only unbounded chains need cutting
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -45,6 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // interval-join binning rewrite (active only when
     // spark.graft.rangeJoin.binWidth is set — see RangeJoinRule)
     e.injectOptimizerRule(_ => RangeJoinRule())
+    // physical planning for the native as-of join node (AsOfJoin.scala)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 

@@ -1,8 +1,9 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, ExpressionUtils, SparkSession => ClassicSparkSession}
 
 /** Bridge to the `private[sql]` Column↔Expression converters — the standard
   * pattern for libraries that define custom Catalyst expressions (a file in
@@ -11,4 +12,9 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame over a custom LogicalPlan (for operators that introduce
+    * their own plan nodes, e.g. the native as-of join). */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
 }
