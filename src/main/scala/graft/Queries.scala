@@ -1468,6 +1468,25 @@ object Queries {
                 + pow(v_b / n_b, 2) / (n_b - 1)), 4) AS welch_df
             FROM w"""))
 
+  /** Exact heavy hitters via the Misra–Gries candidate pass
+    * (`ops.HeavyHitters` + native `plans.MgSketch` aggregate): sketch →
+    * ≤k candidate keys → exact recount of candidates only (broadcast
+    * join; the corpus is never shuffled, and no full per-key table is
+    * ever built). k=128 over ~300 distinct keys exercises real counter
+    * eviction; the result is provably EXACT, so the oracle is the plain
+    * GROUP BY / HAVING. */
+  val qHeavyHitters = Q(
+    "q_heavy_hitters",
+    (s, dir) => {
+      val keyed = Tables(s, dir).events
+        .select(floor(col("value")).cast("long").as("vkey"))
+      graft.ops.HeavyHitters.exact(keyed, "vkey", phi = 0.01, k = 128)
+    },
+    Some("""SELECT CAST(floor(value) AS BIGINT) AS vkey, count(*) AS cnt
+            FROM events
+            GROUP BY 1
+            HAVING count(*) > 0.01 * CAST((SELECT count(*) FROM events) AS DOUBLE)"""))
+
   // -----------------------------------------------------------
   // registry
   // -----------------------------------------------------------
@@ -1483,7 +1502,7 @@ object Queries {
     qNotIn, qSetOpsAll, qIntervalJoin, qZorder,
     qOutliers, qFfill, qAnomaly, qPagerank,
     q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
-    qRegression, qAbTest, qAsofNative) ++
+    qRegression, qAbTest, qAsofNative, qHeavyHitters) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

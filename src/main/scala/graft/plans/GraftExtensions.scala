@@ -36,7 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftExtensions.stringArrayLiteral(es(1)))),
     "merge_pair" -> (es => MergePair(es(0),
       GraftExtensions.stringLiteral(es(1)), GraftExtensions.stringLiteral(es(2)))),
-    "vec_mean" -> (es => VecMean(es(0))))
+    "vec_mean" -> (es => VecMean(es(0))),
+    "mg_sketch" -> (es => MgSketch(es(0), es(1).eval().asInstanceOf[Int])))
 
   override def apply(e: SparkSessionExtensions): Unit = {
     fns.foreach { case (name, builder) =>
