@@ -1487,6 +1487,33 @@ object Queries {
             GROUP BY 1
             HAVING count(*) > 0.01 * CAST((SELECT count(*) FROM events) AS DOUBLE)"""))
 
+  /** SCD type-2 dimension reconstruction from a change log: each change
+    * opens a validity interval closed by the user's next change
+    * (lead()); the latest row per key is current. One shuffle on the
+    * key serves the single window — the complement of `q_cdc_snapshot`
+    * (which keeps only the latest): this keeps full history queryable
+    * by validity range. */
+  val qScd2 = Q(
+    "q_scd2",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events
+        .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+        .withColumn("valid_from", unix_micros(col("ts")))
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .select(
+          col("user_id"), col("event_id"), col("value"), col("valid_from"),
+          coalesce(unix_micros(col("next_ts")), lit(-1L)).as("valid_to"),
+          col("next_ts").isNull.as("is_current"))
+    },
+    Some("""SELECT user_id, event_id, value,
+              epoch_us(ts) AS valid_from,
+              coalesce(lead(epoch_us(ts), 1) OVER w, -1) AS valid_to,
+              (lead(ts, 1) OVER w) IS NULL AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
+
   // -----------------------------------------------------------
   // registry
   // -----------------------------------------------------------
@@ -1502,7 +1529,7 @@ object Queries {
     qNotIn, qSetOpsAll, qIntervalJoin, qZorder,
     qOutliers, qFfill, qAnomaly, qPagerank,
     q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
-    qRegression, qAbTest, qAsofNative, qHeavyHitters) ++
+    qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

@@ -406,6 +406,77 @@ object TextQueries {
             ORDER BY 2 DESC, doc_id
             LIMIT 10"""))
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    * rankings — the standard hybrid-search combiner (lexical × prior
+    * here; same algebra fuses BM25 × ANN). Each ranker is first cut to
+    * its own top-N via sort+limit (TakeOrderedAndProject — never a
+    * global row_number over the corpus); ranks are then assigned INSIDE
+    * the N-row shortlists, fused over a full outer join, missing lists
+    * contributing zero. */
+  val qRrfFusion = Q(
+    "q_rrf_fusion",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir).documents
+      val topN = 50
+      val lex = graft.sim.Bm25.scores(docs, "doc_id", "text",
+          query = Seq("hash", "join", "vector"))
+        .select(col("id").as("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(topN)
+        .withColumn("rank_lex",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank_lex"))
+      val prior = docs
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("n_chars").desc, col("doc_id")).limit(topN)
+        .withColumn("rank_prior",
+          row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id"))))
+        .select(col("doc_id").as("p_doc_id"), col("rank_prior"))
+      lex.join(prior, col("doc_id") === col("p_doc_id"), "full_outer")
+        .select(
+          coalesce(col("doc_id"), col("p_doc_id")).as("doc_id"),
+          round((coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0))
+               + coalesce(lit(1.0) / (lit(60) + col("rank_prior")), lit(0.0)))
+            * 1000, 4).as("rrf_x1000"))
+        .orderBy(col("rrf_x1000").desc, col("doc_id"))
+        .limit(15)
+    },
+    Some("""WITH base AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> len(t) > 0) AS toks
+              FROM documents),
+            dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM base),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            post AS (
+              SELECT doc_id, term, count(*)::BIGINT AS tf
+              FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+              WHERE term IN ('hash', 'join', 'vector')
+              GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1),
+            scored AS (
+              SELECT p.doc_id,
+                sum(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                    * (p.tf * 2.2)
+                    / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+              FROM post p
+              JOIN dfreq f USING (term)
+              JOIN dl USING (doc_id)
+              CROSS JOIN stats s
+              GROUP BY 1),
+            lex AS (
+              SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex
+              FROM scored ORDER BY score DESC, doc_id LIMIT 50),
+            prior AS (
+              SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank_prior
+              FROM documents ORDER BY n_chars DESC, doc_id LIMIT 50)
+            SELECT coalesce(l.doc_id, p.doc_id) AS doc_id,
+              round((coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rank_lex), 0.0)
+                   + coalesce(CAST(1.0 AS DOUBLE) / (60 + p.rank_prior), 0.0))
+                * 1000, 4) AS rrf_x1000
+            FROM lex l FULL OUTER JOIN prior p ON l.doc_id = p.doc_id
+            ORDER BY rrf_x1000 DESC, doc_id LIMIT 15"""))
+
   /** Domain-level quality gate (RefinedWeb-style): documents survive iff
     * their whole SOURCE clears a mean-quality floor and a minimum volume —
     * the "bad neighborhood" curation step no per-row filter expresses.
@@ -826,5 +897,5 @@ object TextQueries {
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
     qGopherRules, qChunk, qTemperatureMix, qDsirWeights, qGreedyPieces,
     qPerplexity, qC4Filter, qEpochMix, qTfidf, qPmi, qBpeTrain,
-    qWeightedSample, qEntropy)
+    qWeightedSample, qEntropy, qRrfFusion)
 }

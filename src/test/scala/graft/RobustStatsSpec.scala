@@ -140,6 +140,35 @@ class RobustStatsSpec extends SparkSpec {
     }
   }
 
+  test("q_scd2: intervals chain per key, exactly one current row") {
+    val rows = Queries.qScd2.run(spark, sf)
+      .select("user_id", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Long, Boolean)].collect()
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      assert(rs.count(_._4) == 1, s"user $u: expected exactly one current row")
+      val sorted = rs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, to, _), (_, from, _, _)) =>
+          assert(to == from, s"user $u: interval chain broken ($to != $from)")
+        case _ =>
+      }
+      assert(sorted.last._3 == -1L, s"user $u: current row must be open-ended")
+    }
+  }
+
+  test("q_rrf_fusion: docs in both shortlists outrank single-list docs at equal rank") {
+    val out = TextQueries.qRrfFusion.run(spark, sf)
+      .select("doc_id", "rrf_x1000").as[(Long, Double)].collect()
+    assert(out.length == 15)
+    // scores are within RRF bounds: one list gives at most 1000/61,
+    // two lists at most 2000/61
+    out.foreach { case (id, sc) =>
+      assert(sc > 0 && sc <= 2000.0 / 61 + 1e-9, s"doc $id score $sc out of range")
+    }
+    // descending with doc_id tiebreak (deterministic presentation order)
+    assert(out.sortBy { case (id, sc) => (-sc, id) }.toSeq == out.toSeq)
+  }
+
   test("q_anomaly: every flagged row's trailing-window z recomputes") {
     val flagged = Queries.qAnomaly.run(spark, sf)
       .select("user_id", "event_id", "z").as[(Long, Long, Double)].collect()
