@@ -282,6 +282,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("MG sketch runs as a streaming aggregate: hot keys across micro-batches") {
+    import graft.plans.MgSketch.mgSketch
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    // streaming hot-key detection: the mergeable sketch aggregates
+    // incrementally in update mode — state is k counters, not a per-key
+    // table, however many distinct keys the stream carries
+    val hot = mem.toDF().toDF("key")
+      .agg(mgSketch(col("key"), 8).as("cands"))
+    val q = hot.writeStream.format("memory").queryName("mg_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(Seq.fill(50)(7L) ++ (100L to 140L): _*)
+      q.processAllAvailable()
+      mem.addData(Seq.fill(60)(9L) ++ (200L to 240L): _*)
+      q.processAllAvailable()
+      val cands = spark.sql("SELECT explode(cands) AS c FROM mg_out")
+        .select("c.id", "c.est").as[(Long, Long)].collect().toMap
+      // n = 192, k = 8 → every key with count > n/9 ≈ 21 must be present
+      assert(cands.contains(7L) && cands.contains(9L),
+        s"hot keys lost across micro-batches: $cands")
+      assert(cands.size <= 8)
+      // estimates undercount by at most n/(k+1)
+      assert(cands(7L) <= 50 && cands(7L) >= 50 - 192 / 9)
+      assert(cands(9L) <= 60 && cands(9L) >= 60 - 192 / 9)
+    } finally q.stop()
+  }
+
   test("native session_window runs UNCHANGED on a stream (watermark + append)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
