@@ -1195,8 +1195,8 @@ object Queries {
             WHERE sd > 0 AND abs(z) > 2.5"""))
 
   /** PageRank (3 power iterations, d = 0.85) over the customer–supplier
-    * purchase graph (undirected; supplier ids offset into their own node
-    * range). Per iteration: one uniform-key shuffle (edges ⋈ ranks on
+    * purchase graph (undirected; supplier ids negated into their own node
+    * range — disjoint from custkeys at every scale factor). Per iteration: one uniform-key shuffle (edges ⋈ ranks on
     * src), lineage checkpointed per round — the CC loop shape. The
     * oracle unrolls the identical three iterations as CTEs; all rank
     * arithmetic is explicit DOUBLE on both sides (DuckDB decimal
@@ -1208,15 +1208,17 @@ object Queries {
       val t = Tables(s, dir)
       val raw = t.lineitem
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        // suppliers map to STRICTLY NEGATIVE ids (−(k+1)): disjoint from
+        // custkeys at every SF (a fixed offset collides once custkey
+        // exceeds it, and bare negation collides at key 0)
+        .select(col("o_custkey").as("src"), (-(col("l_suppkey") + 1)).as("dst"))
       // no pre-distinct: undirected()'s own distinct dedupes the raw
       // pairs and both orientations in ONE shuffle
       graft.graph.Graph.pageRank(graft.graph.Graph.undirected(raw), iters = 3)
         .select(col("id"), r4(col("pr") * 1000).as("pr_x1000"))
     },
     Some("""WITH eb AS (
-              SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+              SELECT DISTINCT o_custkey AS src, -(l_suppkey + 1) AS dst
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
             e AS (SELECT src, dst FROM eb UNION SELECT dst, src FROM eb),
             deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
@@ -1282,8 +1284,7 @@ object Queries {
       t.lineitem
         .join(broadcast(big), col("l_orderkey") === col("bk"), "left_semi")
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables(s, dir).customer),
-          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("o_orderkey"),
           col("o_orderdate").cast("date").as("o_orderdate"), col("o_totalprice"))
         .agg(r4(sum(col("l_quantity"))).as("total_qty"))

@@ -421,7 +421,11 @@ object TextQueries {
       val topN = 50
       val lex = graft.sim.Bm25.scores(docs, "doc_id", "text",
           query = Seq("hash", "join", "vector"))
-        .select(col("id").as("doc_id"), col("score"))
+        // quantize BEFORE the cut and the ranks (q_bm25's fl4 convention):
+        // ordering on the raw float sum would let cross-engine ulps flip
+        // a rank at the shortlist boundary
+        .select(col("id").as("doc_id"),
+          (floor(col("score") * 10000 + 0.5) / 10000).as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(topN)
         .withColumn("rank_lex",
           row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
@@ -466,7 +470,9 @@ object TextQueries {
               GROUP BY 1),
             lex AS (
               SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex
-              FROM scored ORDER BY score DESC, doc_id LIMIT 50),
+              FROM (SELECT doc_id, floor(score * 10000 + 0.5) / 10000 AS score
+                    FROM scored)
+              ORDER BY score DESC, doc_id LIMIT 50),
             prior AS (
               SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank_prior
               FROM documents ORDER BY n_chars DESC, doc_id LIMIT 50)

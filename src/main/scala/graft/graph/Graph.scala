@@ -54,14 +54,21 @@ object Graph {
       .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
       .localCheckpoint()
     val n = deg.count() // every node has an out-edge → deg carries all nodes
-    var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("pr"))
+    val nodes = deg.select(col("src").as("nid")).localCheckpoint()
+    var ranks = nodes.select(col("nid").as("id"), lit(1.0 / n).as("pr"))
     for (i <- 1 to iters) {
-      ranks = ew
+      // left join back onto the node set: a node with no IN-edges still
+      // holds (1−d)/n and keeps feeding its out-edges next round —
+      // an inner join would silently drop it (and its rank mass) here
+      val contribs = ew
         .join(ranks, ew("src") === ranks("id"))
         .groupBy(col("dst"))
         .agg(sum(col("pr") * col("w")).as("contrib"))
-        .select(col("dst").as("id"),
-          (lit((1.0 - damping) / n) + lit(damping) * col("contrib")).as("pr"))
+      ranks = nodes
+        .join(contribs, col("nid") === col("dst"), "left")
+        .select(col("nid").as("id"),
+          (lit((1.0 - damping) / n)
+            + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("pr"))
       // truncate lineage periodically, not per round: a checkpoint is an
       // eager job, and a handful of chained join+agg stages is exactly
       // what Catalyst pipelines well — only unbounded chains need cutting

@@ -25,7 +25,9 @@ object HeavyHitters {
   def exact(df: DataFrame, keyCol: String, phi: Double, k: Int = 0): DataFrame = {
     require(phi > 0 && phi < 1, s"need 0 < phi < 1, got $phi")
     val cap = if (k <= 0) math.ceil(1.0 / phi).toInt else k
-    require(cap + 1 >= 1.0 / phi,
+    // tolerance on the reciprocal: 1.0/(1.0/m) rounds above m in doubles,
+    // which would spuriously reject the mathematically minimal capacity
+    require(cap + 1 >= 1.0 / phi - 1e-9,
       s"capacity $cap too small for phi=$phi (needs >= ${1.0 / phi - 1})")
     val sketch = df.agg(
       mgSketch(col(keyCol), cap).as("cands"),

@@ -22,6 +22,28 @@ class GraphSpec extends SparkSpec {
     pr.values.foreach(v => assert(math.abs(v - 0.25) < 1e-12))
   }
 
+  test("pageRank: zero-in-degree node keeps its rank and feeds its out-edge") {
+    // directed: 1↔2 plus 3→1. Node 3 satisfies the out-edge precondition
+    // but receives nothing — it must stay in the result at (1−d)/n and
+    // its mass must keep flowing into node 1 every round.
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val got = Graph.pageRank(e, iters = 3).as[(Long, Double)].collect().toMap
+    assert(got.size == 3, s"node set shrank: $got")
+    val n = 3.0
+    var pr = Map(1L -> 1 / n, 2L -> 1 / n, 3L -> 1 / n)
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L))
+    val outdeg = Map(1L -> 1, 2L -> 1, 3L -> 1)
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(_._2).view
+        .mapValues(_.map(ed => pr(ed._1) / outdeg(ed._1)).sum).toMap
+      pr = pr.keys.map(v => v -> (0.15 / n + 0.85 * contrib.getOrElse(v, 0.0))).toMap
+    }
+    pr.foreach { case (v, want) =>
+      assert(math.abs(got(v) - want) < 1e-12, s"node $v: ${got(v)} vs $want")
+    }
+    assert(math.abs(got(3L) - 0.15 / n) < 1e-12, "sink-fed node holds (1-d)/n")
+  }
+
   test("pageRank: star center outranks leaves; matches driver recompute") {
     val edges = (2L to 6L).map(l => (1L, l))
     val e = edges.toDF("src", "dst")

@@ -146,7 +146,9 @@ class RobustStatsSpec extends SparkSpec {
       .as[(Long, Long, Long, Boolean)].collect()
     rows.groupBy(_._1).foreach { case (u, rs) =>
       assert(rs.count(_._4) == 1, s"user $u: expected exactly one current row")
-      val sorted = rs.sortBy(_._2)
+      // order zero-length intervals (duplicate ts) before their closer and
+      // the open row (-1) last — collect() order is not a sort
+      val sorted = rs.sortBy { case (_, from, to, _) => (from, to == -1L, to) }
       sorted.sliding(2).foreach {
         case Array((_, _, to, _), (_, from, _, _)) =>
           assert(to == from, s"user $u: interval chain broken ($to != $from)")
