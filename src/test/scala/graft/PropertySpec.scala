@@ -124,6 +124,57 @@ class PropertySpec extends SparkSpec {
     assert(declarative == stateful && declarative.nonEmpty)
   }
 
+  test("native as-of join equals the window composition on generated streams") {
+    import org.apache.spark.sql.expressions.Window
+    val genE: Gen[(Long, Long, Long)] = for {
+      u <- Gen.chooseNum(1L, 12L)   // few keys → dense time collisions
+      t <- Gen.chooseNum(0L, 40L)   // narrow range → frequent exact ties
+      id <- Gen.chooseNum(0L, 9999L)
+    } yield (u, t, id)
+    val raw = Gen.listOfN(400, genE).apply(Gen.Parameters.default, Seed(99L)).get
+      .groupBy(_._3).map(_._2.head).toSeq // unique ids
+    val (probes, refs) = raw.partition(_._3 % 2 == 0)
+    val pDf = probes.toDF("user_id", "t", "event_id")
+    val rDf = refs.toDF("user_id", "t", "event_id")
+
+    val native = graft.plans.AsOf
+      .joinBackward(pDf, rDf, "user_id", "t", "t", "event_id")
+      .select(col("event_id"), col("event_id_r"))
+      .as[(Long, Option[Long])].collect().toMap
+
+    // window form: union both sides, carry the last ref id forward
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("is_probe"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val composed = pDf.select(col("user_id"), col("t"), col("event_id"),
+        lit(1).as("is_probe"), lit(null).cast("long").as("rid"))
+      .unionByName(rDf.select(col("user_id"), col("t"), col("event_id"),
+        lit(0).as("is_probe"), col("event_id").as("rid")))
+      .withColumn("asof", last(col("rid"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select(col("event_id"), col("asof"))
+      .as[(Long, Option[Long])].collect().toMap
+
+    assert(native.size == probes.size)
+    assert(native == composed)
+  }
+
+  test("HeavyHitters.exact equals brute force on generated Zipf-ish streams") {
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val genK: Gen[Long] = Gen.frequency(
+        (6, Gen.chooseNum(1L, 4L)),      // few hot keys
+        (4, Gen.chooseNum(100L, 900L)))  // long tail
+      val data = Gen.listOfN(1500, genK).apply(Gen.Parameters.default, Seed(seed)).get
+      val phi = 0.05
+      val got = graft.ops.HeavyHitters.exact(data.toDF("key"), "key", phi)
+        .as[(Long, Long)].collect().toMap
+      val want = data.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 > phi * data.size).toMap
+      assert(got == want, s"seed=$seed: $got != $want")
+      assert(want.nonEmpty, s"seed=$seed generated no heavy keys")
+    }
+  }
+
   test("Cdc.latestSnapshot equals the window row_number form on generated changes") {
     import org.apache.spark.sql.expressions.Window
     val genC: Gen[(Long, Long, Long)] = for {
