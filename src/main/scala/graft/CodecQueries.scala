@@ -253,8 +253,59 @@ object CodecQueries {
               doc_id % 3 = 0 AS progressive
             FROM documents"""))
 
+  /** MP4 movie-header decode: per-row ISO-BMFF streams SYNTHESIZED from
+    * doc_id — an `ftyp`, a variable-length `free` box that switches to
+    * the 64-bit largesize encoding every 5th id, then `moov`/`mvhd` in
+    * version 0 or 1 by id parity, timescale/duration closed functions of
+    * the id. Parsed back by the real box-walking expression
+    * (graft.plans.Mp4Meta); the oracle states the closed form, so a
+    * mismatch means the walker mis-stepped the chain. */
+  val qMp4Meta = Q(
+    "q_mp4_meta",
+    (s, dir) => {
+      val id = col("doc_id")
+      val ts = pmod(id, lit(48000)) + 600
+      val dur = pmod(id * 37, lit(1000000)) + 100
+      val nPad = pmod(id, lit(7)) // 0..6 bytes of free-box payload
+      val pad = lit("00" * 6).substr(lit(1), nPad * 2)
+      val free = when(pmod(id, lit(5)) === 0,
+          // largesize form: size=1, fourcc, 64-bit size = 16 + pad
+          concat(lit("00000001"), lit("66726565"),
+            lpad(hex(nPad + 16), 16, "0"), pad))
+        .otherwise(
+          concat(lpad(hex(nPad + 8), 8, "0"), lit("66726565"), pad))
+      val zeros80 = lit("00" * 80)
+      val mvhd = when(pmod(id, lit(2)) === 0,
+          // version 0: 32-bit times, box size 108
+          concat(lit("0000006C"), lit("6D766864"), lit("00000000"),
+            lit("00000000"), lit("00000000"),
+            lpad(hex(ts), 8, "0"), lpad(hex(dur), 8, "0"), zeros80))
+        .otherwise(
+          // version 1: 64-bit times, box size 120
+          concat(lit("00000078"), lit("6D766864"), lit("01000000"),
+            lit("00" * 16),
+            lpad(hex(ts), 8, "0"), lpad(hex(dur), 16, "0"), zeros80))
+      val moovSize = when(pmod(id, lit(2)) === 0, lit("00000074"))
+        .otherwise(lit("00000080"))
+      val bytes = unhex(concat(
+        lit("00000010"), lit("66747970"), lit("69736F6D"), lit("00000200"),
+        free,
+        moovSize, lit("6D6F6F76"), mvhd))
+      val meta = graft.multimodal.Multimodal.mp4Meta(bytes)
+      Tables(s, dir).documents.select(
+        id.as("doc_id"),
+        meta.getField("timescale").as("timescale"),
+        meta.getField("duration").as("duration"),
+        meta.getField("version").as("version"))
+    },
+    Some("""SELECT doc_id,
+              doc_id % 48000 + 600 AS timescale,
+              (doc_id * 37) % 1000000 + 100 AS duration,
+              CAST(doc_id % 2 = 1 AS INT) AS version
+            FROM documents"""))
+
   def all: Seq[Q] = Seq(
     qJsonParse, qJsonFormat, qEncodeDecode, qB64Roundtrip, qCsvFormat,
     qCsvParse, qXmlFormat, qXmlParse, qHl7Parse, qEmailFormat, qHttpUrl,
-    qSourceRoundtrip, qMultimodalMeta, qJpegMeta)
+    qSourceRoundtrip, qMultimodalMeta, qJpegMeta, qMp4Meta)
 }

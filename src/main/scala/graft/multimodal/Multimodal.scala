@@ -106,6 +106,13 @@ object Multimodal {
   def isJpeg(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     hex(substring(bin, 1, 2)) === "FFD8"
 
+  /** MP4/ISO-BMFF movie metadata: timescale/duration/version from the
+    * mvhd box, found by walking the variable-size box chain into moov
+    * (graft.plans.Mp4Meta — largesize and to-EOF boxes handled, null on
+    * malformed input). The video-container sibling of [[jpegMeta]]. */
+  def mp4Meta(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.plans.MediaNative.mp4Meta(bin)
+
   /** Frame/chunk sampling: split a binary payload into fixed-size chunks
     * (video frame / audio window stand-in), exploded one row per chunk —
     * pure expressions, no UDF. */

@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "repetition_profile" -> (es => RepetitionProfile(es(0),
       es(1).eval().asInstanceOf[Int])),
     "jpeg_meta" -> (es => JpegMeta(es(0))),
+    "mp4_meta" -> (es => Mp4Meta(es(0))),
     "greedy_pieces" -> (es => GreedyPieces(es(0),
       GraftExtensions.stringArrayLiteral(es(1)))),
     "merge_pair" -> (es => MergePair(es(0),

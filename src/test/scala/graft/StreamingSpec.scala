@@ -248,6 +248,40 @@ class StreamingSpec extends SparkSpec {
     assert(out(3L).isEmpty && out(4L).isEmpty)
   }
 
+  test("MP4 box walk finds mvhd through largesize and to-EOF boxes") {
+    def hexBytes(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val ftyp = "0000001066747970" + "69736F6D00000200"
+    // mvhd v0: ts=90000 (0x00015F90), dur=30000 (0x00007530)
+    val mvhd0 = "0000006C6D766864" + "00000000" + "00000000" + "00000000" +
+      "00015F90" + "00007530" + "00" * 80
+    val plain = hexBytes(ftyp + "000000746D6F6F76" + mvhd0)
+    // free box in 64-bit largesize form before moov
+    val large = hexBytes(ftyp +
+      "0000000166726565" + "0000000000000014" + "00" * 4 +
+      "000000746D6F6F76" + mvhd0)
+    // moov with size==0 (runs to EOF)
+    val toEof = hexBytes(ftyp + "000000006D6F6F76" + mvhd0)
+    // mvhd v1: 64-bit times, ts=600, dur=2^32 + 5 (needs the 64-bit read)
+    val mvhd1 = "000000786D766864" + "01000000" + "00" * 16 +
+      "00000258" + "0000000100000005" + "00" * 80
+    val v1 = hexBytes(ftyp + "000000806D6F6F76" + mvhd1)
+    val truncated = plain.take(40)
+    val notMp4 = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)
+    val df = Seq((1L, plain), (2L, large), (3L, toEof), (4L, v1),
+      (5L, truncated), (6L, notMp4)).toDF("id", "bin")
+    val out = df.select(col("id"), Multimodal.mp4Meta(col("bin")).as("m"))
+      .select(col("id"), col("m.timescale"), col("m.duration"), col("m.version"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2), r.getInt(3)))))
+      .toMap
+    assert(out(1L).contains((90000L, 30000L, 0)))
+    assert(out(2L).contains((90000L, 30000L, 0)), "largesize box mis-stepped")
+    assert(out(3L).contains((90000L, 30000L, 0)), "to-EOF moov mis-sized")
+    assert(out(4L).contains((600L, 4294967301L, 1)), "v1 64-bit duration")
+    assert(out(5L).isEmpty && out(6L).isEmpty)
+  }
+
   test("streaming sessionization holds an open session across micro-batches") {
     import graft.streaming.Sessionize
     // NOTE: MemoryStream lives in a private[sql] runtime package whose path
