@@ -720,10 +720,56 @@ object DedupQueries {
             WHERE j >= i
             GROUP BY i, j"""))
 
+  /** Product-quantization ANN (Jégou et al. 2011): deterministic first-16
+    * codebook per 16-dim subspace, scan-stage encoding via the constant-
+    * plan-size argmin expression, asymmetric-distance search from inlined
+    * lookup tables. The oracle re-derives codebook, assignment and ADC
+    * relationally (correlated argmin + ordered list_sum so every float
+    * operation matches the expression's accumulation order); both sides
+    * sort on the ROUNDED distance with an id tiebreak. */
+  val qAnnPq = Q(
+    "q_ann_pq",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val cb = graft.sim.Pq.fixedCodebook(emb, "vec_id", "embedding", m = 4, k = 16)
+      val query = Ann.queryVector(s, emb, "vec_id", 0L, "embedding")
+      graft.sim.Pq.adcTopK(emb, "vec_id", "embedding", cb, query, 10)
+    },
+    Some("""WITH cb AS (SELECT vec_id AS code, embedding AS cv
+                        FROM embeddings WHERE vec_id < 16),
+            sub AS (SELECT CAST(s AS BIGINT) AS s FROM range(4) t(s)),
+            dists AS (
+              SELECT e.vec_id, s.s, c.code,
+                list_sum(list_transform(range(1, 17),
+                  i -> (e.embedding[s.s * 16 + i]::DOUBLE - c.cv[s.s * 16 + i]::DOUBLE)
+                     * (e.embedding[s.s * 16 + i]::DOUBLE - c.cv[s.s * 16 + i]::DOUBLE))) AS dist
+              FROM embeddings e CROSS JOIN sub s CROSS JOIN cb c),
+            assign AS (
+              SELECT vec_id, s, code FROM (
+                SELECT vec_id, s, code,
+                  row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY dist ASC, code ASC) AS rn
+                FROM dists)
+              WHERE rn = 1),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            lut AS (
+              SELECT s.s, c.code,
+                list_sum(list_transform(range(1, 17),
+                  i -> (q.qv[s.s * 16 + i]::DOUBLE - c.cv[s.s * 16 + i]::DOUBLE)
+                     * (q.qv[s.s * 16 + i]::DOUBLE - c.cv[s.s * 16 + i]::DOUBLE))) AS d
+              FROM cb c CROSS JOIN sub s CROSS JOIN q),
+            adc AS (
+              SELECT a.vec_id,
+                round(list_sum(list(l.d ORDER BY l.s)), 4) AS adc_dist
+              FROM assign a JOIN lut l ON a.s = l.s AND a.code = l.code
+              GROUP BY a.vec_id)
+            SELECT vec_id, adc_dist FROM adc
+            ORDER BY adc_dist, vec_id LIMIT 10"""))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
     qQuantizeDot, qKnnJoin, qKnnIvf, qSemDedup, qDupNgrams, qIncrementalDedup,
     qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance,
-    qVecCov)
+    qVecCov, qAnnPq)
 }

@@ -1,0 +1,89 @@
+package graft.sim
+
+import graft.plans.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011): split each d-dim vector into m
+  * subspaces, quantize every sub-vector to one of k codebook centroids,
+  * and search with asymmetric distance (ADC) — the query stays exact and
+  * per-candidate distance is m table lookups instead of d multiplies.
+  * A d=64 float vector becomes m=4 bytes of codes: 64× less memory/IO —
+  * the technique that makes billion-vector indexes fit a cluster.
+  *
+  * Scale shape: encoding is scan-stage (one constant-plan-size argmin
+  * expression per subspace — same NearestCentroid machinery as IVF);
+  * the ADC lookup tables are m·k doubles computed driver-side from the
+  * query (microseconds) and inlined as literal arrays, so search is one
+  * scan + TakeOrderedAndProject. Nothing shuffles.
+  *
+  * The codebook here is the deterministic first-k-by-id choice (exactly
+  * the convention `Ann.ivfBuild` established for oracle reproducibility);
+  * production training swaps in `Ann.kmeansCentroids` per subspace
+  * without changing any downstream shape.
+  */
+object Pq {
+
+  /** Per-subspace codebooks: codes(s) = Seq of (code id, sub-centroid). */
+  final case class Codebook(m: Int, subDim: Int, codes: Seq[Seq[(Long, Seq[Double])]])
+
+  /** Deterministic codebook: the first k vectors by id supply the
+    * centroids of every subspace (scalar parameter fetch — k rows). */
+  def fixedCodebook(
+      df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int): Codebook = {
+    val rows = df.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+    require(rows.nonEmpty, "empty codebook source")
+    val d = rows.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val subDim = d / m
+    val codes = (0 until m).map { s =>
+      rows.zipWithIndex.map { case (v, j) =>
+        (j.toLong, v.slice(s * subDim, (s + 1) * subDim))
+      }.toSeq
+    }
+    Codebook(m, subDim, codes)
+  }
+
+  /** Scan-stage encoding: code_s = argmin_j L2(sub-vector, codebook_j)
+    * (ties → lowest code, matching the relational formulation). Appends
+    * columns code_0 .. code_{m-1}. */
+  def encode(df: DataFrame, vecCol: String, cb: Codebook): DataFrame =
+    (0 until cb.m).foldLeft(df) { (acc, s) =>
+      acc.withColumn(s"code_$s",
+        VectorFunctions.nearestCentroid(
+          slice(col(vecCol), s * cb.subDim + 1, cb.subDim), cb.codes(s)))
+    }
+
+  private def l2sq(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** ADC distance column for `query` over encoded rows: Σ_s lut_s[code_s],
+    * with the m·k lookup tables inlined as literal arrays. */
+  def adcDistance(query: Seq[Double], cb: Codebook): Column = {
+    require(query.length == cb.m * cb.subDim, "query/codebook dim mismatch")
+    (0 until cb.m).map { s =>
+      val qSub = query.slice(s * cb.subDim, (s + 1) * cb.subDim)
+      val lut = cb.codes(s).sortBy(_._1).map { case (_, c) => l2sq(qSub, c) }
+      element_at(array(lut.map(lit): _*), col(s"code_$s").cast("int") + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Top-k by asymmetric distance: encode → lookup-sum → sort+limit on
+    * the ROUNDED distance (id tiebreak) so the selection boundary is
+    * engine-exact. */
+  def adcTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      cb: Codebook, query: Seq[Double], k: Int): DataFrame =
+    encode(df, vecCol, cb)
+      .withColumn("adc_dist", round(adcDistance(query, cb), 4))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("adc_dist"))
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.sim.{Ann, Pq}
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables(spark, sf).embeddings
+  private lazy val cb = Pq.fixedCodebook(emb, "vec_id", "embedding", m = 4, k = 16)
+
+  test("codebook shape: m subspaces × k codes × subDim dims") {
+    assert(cb.m == 4 && cb.subDim == 16)
+    assert(cb.codes.forall(_.size == 16))
+    assert(cb.codes.forall(_.forall(_._2.length == 16)))
+    assert(cb.codes.head.map(_._1) == (0L until 16L))
+  }
+
+  test("codebook members encode to their own code (distance 0 to self)") {
+    val codes = Pq.encode(emb.filter($"vec_id" < 16), "embedding", cb)
+      .select($"vec_id", $"code_0", $"code_1", $"code_2", $"code_3")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(codes.length == 16)
+    codes.foreach { case (id, c0, c1, c2, c3) =>
+      assert(Seq(c0, c1, c2, c3).forall(_ == id),
+        s"vec $id should be its own nearest code, got ($c0,$c1,$c2,$c3)")
+    }
+  }
+
+  test("ADC distance equals a driver-side recomputation for every row") {
+    val query = Ann.queryVector(spark, emb, "vec_id", 0L, "embedding")
+    val got = Pq.encode(emb, "embedding", cb)
+      .withColumn("adc", Pq.adcDistance(query, cb))
+      .select($"vec_id", $"adc").as[(Long, Double)].collect().toMap
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    vecs.foreach { case (id, vf) =>
+      val v = vf.map(_.toDouble)
+      val want = (0 until 4).map { s =>
+        val sub = v.slice(s * 16, (s + 1) * 16)
+        val qSub = query.slice(s * 16, (s + 1) * 16)
+        val code = cb.codes(s).minBy { case (c, cv) => (l2(sub, cv), c) }._1
+        l2(qSub, cb.codes(s)(code.toInt)._2)
+      }.sum
+      assert(math.abs(got(id) - want) < 1e-9, s"vec $id: ${got(id)} vs $want")
+    }
+  }
+
+  test("ADC top-10 recall against exact L2 top-10 is non-degenerate") {
+    val query = Ann.queryVector(spark, emb, "vec_id", 0L, "embedding")
+    val pq = Pq.adcTopK(emb, "vec_id", "embedding", cb, query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = emb
+      .withColumn("d", graft.plans.VectorFunctions.vecL2Sq(
+        col("embedding"), array(query.map(lit): _*)))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    // vec 0 IS the query: its ADC distance is the minimum possible for
+    // its codes, and exact rank 0 — a sane index must retrieve it
+    assert(pq.contains(0L), "query vector itself not retrieved")
+    assert((pq & exact).nonEmpty, "zero overlap with exact top-10")
+  }
+}
