@@ -766,10 +766,77 @@ object DedupQueries {
             SELECT vec_id, adc_dist FROM adc
             ORDER BY adc_dist, vec_id LIMIT 10"""))
 
+  /** IVF-PQ composition: coarse-quantizer pruning (q_ann_ivf's exact
+    * assignment/probe derivation) + ADC scoring over the survivors
+    * (q_ann_pq's exact PQ derivation) — the two proven oracles fused
+    * end to end. */
+  val qAnnIvfPq = Q(
+    "q_ann_ivfpq",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val query = Ann.queryVector(s, emb, "vec_id", 0L, "embedding")
+      val index = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 16)
+      val cb = graft.sim.Pq.fixedCodebook(emb, "vec_id", "embedding", m = 4, k = 16)
+      graft.sim.Pq.ivfPqTopK(index, cb, query, nprobe = 4, k = 10)
+    },
+    Some("""WITH cents AS (
+              SELECT vec_id AS cid, embedding AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 16),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            cdists AS (
+              SELECT e.vec_id AS id, c.cid,
+                list_sum(list_transform(range(1, 65),
+                  i -> (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE)
+                     * (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE))) AS dist
+              FROM embeddings e, cents c),
+            assigned AS (
+              SELECT id, (min(struct_pack(dist := dist, cid := cid))).cid AS cid
+              FROM cdists GROUP BY id),
+            probe AS (
+              SELECT c.cid FROM cents c, q
+              ORDER BY list_sum(list_transform(range(1, 65),
+                i -> (c.cv[i]::DOUBLE - qv[i]::DOUBLE)
+                   * (c.cv[i]::DOUBLE - qv[i]::DOUBLE))), c.cid
+              LIMIT 4),
+            cand AS (
+              SELECT e.vec_id, e.embedding
+              FROM embeddings e
+              JOIN assigned a ON e.vec_id = a.id
+              JOIN probe p ON a.cid = p.cid),
+            cb AS (SELECT vec_id AS code, embedding AS cv
+                   FROM embeddings WHERE vec_id < 16),
+            sub AS (SELECT CAST(s AS BIGINT) AS s FROM range(4) t(s)),
+            pdists AS (
+              SELECT e.vec_id, s.s, c.code,
+                list_sum(list_transform(range(1, 17),
+                  i -> (e.embedding[s.s * 16 + i]::DOUBLE - c.cv[s.s * 16 + i]::DOUBLE)
+                     * (e.embedding[s.s * 16 + i]::DOUBLE - c.cv[s.s * 16 + i]::DOUBLE))) AS dist
+              FROM cand e CROSS JOIN sub s CROSS JOIN cb c),
+            passign AS (
+              SELECT vec_id, s, code FROM (
+                SELECT vec_id, s, code,
+                  row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY dist ASC, code ASC) AS rn
+                FROM pdists)
+              WHERE rn = 1),
+            lut AS (
+              SELECT s.s, c.code,
+                list_sum(list_transform(range(1, 17),
+                  i -> (q.qv[s.s * 16 + i]::DOUBLE - c.cv[s.s * 16 + i]::DOUBLE)
+                     * (q.qv[s.s * 16 + i]::DOUBLE - c.cv[s.s * 16 + i]::DOUBLE))) AS d
+              FROM cb c CROSS JOIN sub s CROSS JOIN q),
+            adc AS (
+              SELECT a.vec_id,
+                round(list_sum(list(l.d ORDER BY l.s)), 4) AS adc_dist
+              FROM passign a JOIN lut l ON a.s = l.s AND a.code = l.code
+              GROUP BY a.vec_id)
+            SELECT vec_id, adc_dist FROM adc
+            ORDER BY adc_dist, vec_id LIMIT 10"""))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
     qQuantizeDot, qKnnJoin, qKnnIvf, qSemDedup, qDupNgrams, qIncrementalDedup,
     qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance,
-    qVecCov, qAnnPq)
+    qVecCov, qAnnPq, qAnnIvfPq)
 }

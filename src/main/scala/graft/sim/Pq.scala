@@ -86,4 +86,22 @@ object Pq {
       .orderBy(col("adc_dist"), col(idCol))
       .limit(k)
       .select(col(idCol), col("adc_dist"))
+
+  /** IVF-PQ: the standard billion-scale layout — the coarse (IVF)
+    * quantizer prunes to `nprobe` cells via a pushed-down `cid IN`
+    * filter over the materialized index, and the product codes score
+    * the survivors by ADC. Scans nprobe/nlist of the corpus AND touches
+    * m bytes per candidate instead of d floats. */
+  def ivfPqTopK(
+      index: Ann.IvfIndex, cb: Codebook, query: Seq[Double],
+      nprobe: Int, k: Int): DataFrame = {
+    val probed = index.centroids
+      .map { case (cid, cv) => (l2sq(query, cv), cid) }
+      .sorted.take(nprobe).map(_._2)
+    encode(index.assigned.filter(col("cid").isin(probed: _*)), "v", cb)
+      .withColumn("adc_dist", round(adcDistance(query, cb), 4))
+      .orderBy(col("adc_dist"), col("id"))
+      .limit(k)
+      .select(col("id").as("vec_id"), col("adc_dist"))
+  }
 }

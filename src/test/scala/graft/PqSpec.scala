@@ -48,6 +48,27 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ results are the PQ scores restricted to the probed cells") {
+    val query = Ann.queryVector(spark, emb, "vec_id", 0L, "embedding")
+    val index = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 16)
+    val got = Pq.ivfPqTopK(index, cb, query, nprobe = 4, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    // reference: full PQ scores joined to the IVF assignment, filtered to
+    // the 4 cells nearest the query, top-10 by (rounded dist, id)
+    val allPq = Pq.encode(emb, "embedding", cb)
+      .withColumn("adc_dist", round(Pq.adcDistance(query, cb), 4))
+      .select($"vec_id", $"adc_dist").as[(Long, Double)].collect().toMap
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val probed = index.centroids
+      .map { case (cid, cv) => (l2(query, cv), cid) }.sorted.take(4).map(_._2).toSet
+    val cells = index.assigned.select($"id", $"cid").as[(Long, Long)].collect().toMap
+    val want = allPq.toSeq
+      .filter { case (id, _) => probed.contains(cells(id)) }
+      .sortBy { case (id, d) => (d, id) }.take(10)
+    assert(got == want)
+  }
+
   test("ADC top-10 recall against exact L2 top-10 is non-degenerate") {
     val query = Ann.queryVector(spark, emb, "vec_id", 0L, "embedding")
     val pq = Pq.adcTopK(emb, "vec_id", "embedding", cb, query, 10)
