@@ -711,7 +711,7 @@ object DedupQueries {
       agg.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
     },
     Some("""SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-              floor((sum(embedding[i + 1]::DOUBLE * embedding[j + 1]::DOUBLE) / count(*)
+              floor((sum(embedding[i + 1]::DOUBLE * embedding[j + 1]::DOUBLE) / count(embedding)
                 - avg(embedding[i + 1]::DOUBLE) * avg(embedding[j + 1]::DOUBLE)) * 10000
                 + 0.5) / 10000 AS cov
             FROM embeddings,

@@ -1051,17 +1051,21 @@ object Queries {
   val qIntervalJoin = Q(
     "q_interval_join",
     (s, dir) => {
-      // session-level switch: inert for every other query (the rule only
-      // matches joins whose WHOLE condition is a two-sided range)
-      s.conf.set("spark.graft.rangeJoin.binWidth", "3600")
       val ev = Tables(s, dir).events
         .select(col("event_id"), unix_seconds(col("ts").cast("timestamp")).as("p"))
       val iv = Tables(s, dir).events
         .groupBy(col("user_id").as("iv_id"))
         .agg(unix_seconds(min(col("ts")).cast("timestamp")).as("lo"))
         .withColumn("hi", col("lo") + 7200L)
-      ev.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+      val joined = ev.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
         .select(col("event_id"), col("iv_id"))
+      // apply the rewrite EXPLICITLY at build time (fixed width) instead
+      // of arming the session-wide conf switch: a conf set here would
+      // persist past this builder and silently rewrite any later pure
+      // range join run in the same session (Verify/Bench share one)
+      org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(s,
+        graft.plans.RangeJoinRule(fixedWidth = Some(3600L))
+          .apply(joined.queryExecution.analyzed))
     },
     Some("""WITH p AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS p
                        FROM events),

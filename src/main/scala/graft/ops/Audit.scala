@@ -26,6 +26,12 @@ object Audit {
       df: DataFrame,
       rowChecks: Seq[(String, Column)],
       uniqueCols: Seq[String] = Nil): DataFrame = {
+    require(rowChecks.nonEmpty || uniqueCols.nonEmpty,
+      "audit needs at least one check (explode over an empty check array " +
+        "has no row type and fails analysis)")
+    val names = rowChecks.map(_._1) ++ uniqueCols
+    require(names.distinct.size == names.size,
+      s"duplicate check names: ${names.diff(names.distinct).distinct.mkString(", ")}")
     // row checks and uniqueness checks get DISJOINT alias prefixes so a
     // row check literally named "unique_<col>" cannot collide with the
     // uniqueness aggregate for <col> (ambiguous-reference at analysis)

@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
 object Cdc {
 
   /** Latest row per key. `versionCols` order changes (later = newer,
-    * compared lexicographically as a struct); `payloadCols` are carried.
-    * Rows where `deletedCol` is true in the LATEST version are dropped
-    * (tombstone compaction). */
+    * compared lexicographically as a struct) and MUST totally order each
+    * key's changes — on a version tie the winner is undefined, exactly as
+    * in the window formulation. `payloadCols` are carried but NEVER
+    * compared (payloads may be unorderable types like map, and data must
+    * not decide recency). Rows where `deletedCol` is true in the LATEST
+    * version are dropped (tombstone compaction). */
   def latestSnapshot(
       changes: DataFrame,
       keyCols: Seq[String],
@@ -31,10 +34,13 @@ object Cdc {
       payloadCols: Seq[String],
       deletedCol: Option[String] = None): DataFrame = {
     val carried = versionCols ++ payloadCols ++ deletedCol.toSeq
-    val packed = struct(carried.map(col): _*)
+    // max_by keeps the comparator to the version struct alone; payloads
+    // ride along uncompared (max(struct(version ++ payload)) would let
+    // payload values break version ties and chokes on unorderable types)
     val out = changes
       .groupBy(keyCols.map(col): _*)
-      .agg(max(packed).as("__last"))
+      .agg(max_by(struct(carried.map(col): _*),
+        struct(versionCols.map(col): _*)).as("__last"))
       .select(keyCols.map(col) ++ carried.map(c => col(s"__last.$c").as(c)): _*)
     deletedCol match {
       // NULL deleted flags (upserts that never set it) must KEEP the row:

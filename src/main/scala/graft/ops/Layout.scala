@@ -25,11 +25,17 @@ object Layout {
         .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(1), 2 * b + 1))
     }.reduce(_.bitwiseOR(_)).cast("long")
 
-  /** Normalize a numeric column to an integer bucket in [0, 2^bits). */
+  /** Normalize a numeric column to an integer bucket in [0, 2^bits).
+    * The scaling runs in DOUBLE: long math would overflow (v−lo)·2¹⁶ for
+    * ranges ≥ 2⁴⁷ — e.g. a unix-micros column spanning years — which
+    * under ANSI mode throws and otherwise wraps into garbage buckets.
+    * Doubles are exact here up to 2⁵³, far past any bucket boundary's
+    * needed precision. */
   def zBucket(v: Column, lo: Column, hi: Column, bits: Int): Column = {
     val buckets = 1L << bits
+    val vd = v.cast("double"); val lod = lo.cast("double"); val hid = hi.cast("double")
     least(lit(buckets - 1),
-      floor((v - lo) * buckets / (hi - lo + lit(1e-12))).cast("long"))
+      floor((vd - lod) * buckets / (hid - lod + lit(1e-12))).cast("long"))
   }
 
   /** Z-value for two numeric columns with bounds from a single 1-row

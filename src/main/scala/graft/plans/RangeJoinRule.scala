@@ -41,7 +41,7 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * Registered by [[GraftExtensions]] (injectOptimizerRule) and usable ad
   * hoc via `spark.experimental.extraOptimizations`.
   */
-case class RangeJoinRule() extends Rule[LogicalPlan] {
+case class RangeJoinRule(fixedWidth: Option[Long] = None) extends Rule[LogicalPlan] {
 
   private val confKey = "spark.graft.rangeJoin.binWidth"
 
@@ -76,7 +76,7 @@ case class RangeJoinRule() extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = conf.getConfString(confKey, "0").toLong
+    val w = fixedWidth.getOrElse(conf.getConfString(confKey, "0").toLong)
     if (w <= 0) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(And(c1, c2)), hint) if j.resolved =>
@@ -91,8 +91,19 @@ case class RangeJoinRule() extends Rule[LogicalPlan] {
             // Sequence is TimeZoneAwareExpression: the analyzer's
             // ResolveTimeZone has already run, so assign the session tz
             // here or the expression stays unresolved
-            val seqExpr = Sequence(floorDiv(lo, w), floorDiv(hi, w),
-              Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
+            val binLo = floorDiv(lo, w)
+            val binHi = floorDiv(hi, w)
+            // inverted intervals (hi < lo) are legal data that the
+            // original join answers with zero matches; step-1 Sequence
+            // would THROW on them, so guard with an empty-bins branch
+            // (null bounds also fall through to the empty branch and the
+            // Generate drops the row — same as the original predicates)
+            val seqExpr = If(
+              LessThanOrEqual(binLo, binHi),
+              Sequence(binLo, binHi,
+                Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
+              Literal.create(Array.empty[Long],
+                org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
             val genOut = DataTypeUtils.toAttributes(
               StructType(Seq(StructField("__graft_rbin", LongType, nullable = false))))
             val boundSide = Generate(Explode(seqExpr), unrequiredChildIndex = Nil,

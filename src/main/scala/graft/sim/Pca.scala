@@ -31,6 +31,8 @@ object Pca {
       VecMean.vecMean(col(vecCol)).as("mean"),
       VecGram.vecGram(col(vecCol)).as("gram"),
       count(col(vecCol)).as("n")).collect()(0)
+    require(row.getLong(2) > 0 && !row.isNullAt(0) && !row.isNullAt(1),
+      s"Pca.fit: no non-null '$vecCol' rows to fit on")
     val mean = row.getSeq[Double](0).toArray
     val gram = row.getSeq[Double](1).toArray
     val n = row.getLong(2).toDouble
@@ -42,7 +44,8 @@ object Pca {
     var c = 0
     while (c < comps.length) {
       // deterministic start: basis vector with max diagonal remaining
-      var v = Array.tabulate(d)(i => if (i == argmaxDiag(cov)) 1.0 else 1e-4)
+      val seedIdx = argmaxDiag(cov)
+      var v = Array.tabulate(d)(i => if (i == seedIdx) 1.0 else 1e-4)
       var it = 0
       var converged = false
       while (it < iters && !converged) {

@@ -82,4 +82,37 @@ class RangeJoinRuleSpec extends SparkSpec {
         spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[RangeJoinRule])
     }
   }
+
+  test("inverted intervals (hi < lo) yield zero matches, not a Sequence crash") {
+    val pts = Seq(0L, 10L, 100L).toDF("p").withColumn("pid", col("p"))
+    val ivs = Seq((7200L, 0L), (5L, 15L), (50L, 20L))
+      .toDF("lo", "hi").withColumn("iid", col("lo"))
+    val j = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select(col("pid"), col("iid"))
+    val want = j.collect().map(_.toSeq).toSet // only (10, 5) qualifies
+    assert(want == Set(Seq(10L, 5L)))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RangeJoinRule()
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "4")
+    try {
+      val got = j.collect().map(_.toSeq).toSet // would throw pre-guard
+      assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.binWidth")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[RangeJoinRule])
+    }
+  }
+
+  test("build-time fixed-width rewrite leaves no session conf behind") {
+    assert(spark.conf.getOption("spark.graft.rangeJoin.binWidth").isEmpty)
+    val df = Queries.qIntervalJoin.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Cartesian"),
+      s"explicit rewrite did not fire:\n$plan")
+    assert(df.count() > 0)
+    // the builder must NOT have armed the session-wide switch
+    assert(spark.conf.getOption("spark.graft.rangeJoin.binWidth").isEmpty,
+      "q_interval_join leaked the rangeJoin conf into the session")
+  }
 }
