@@ -833,10 +833,56 @@ object DedupQueries {
             SELECT vec_id, adc_dist FROM adc
             ORDER BY adc_dist, vec_id LIMIT 10"""))
 
+  /** One Lloyd iteration of k-means (assign → update), the training step
+    * SemDeDup / IVF / PQ centroids build on: deterministic first-8 init,
+    * EXACT engine-parallel assignment (the L2 argmin both engines compute
+    * identically — proven by the IVF/PQ oracles), then the centroid
+    * update as per-dim means. Assignment is discrete (no float-boundary
+    * risk); only the ROUNDED update values are compared, so the float
+    * summation order may differ freely. Emits cluster sizes + the first
+    * four centroid dims. */
+  val qKmeansStep = Q(
+    "q_kmeans_step",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val cents = emb.orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("cid"),
+          transform(col("embedding"), _.cast("double")).as("cv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+      emb.withColumn("cid",
+          graft.plans.VectorFunctions.nearestCentroid(col("embedding"), cents))
+        .groupBy(col("cid"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(element_at(col("embedding"), 1)), 4).as("c0"),
+          round(avg(element_at(col("embedding"), 2)), 4).as("c1"),
+          round(avg(element_at(col("embedding"), 3)), 4).as("c2"),
+          round(avg(element_at(col("embedding"), 4)), 4).as("c3"))
+    },
+    Some("""WITH cents AS (
+              SELECT vec_id AS cid, embedding AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 8),
+            dists AS (
+              SELECT e.vec_id AS id, c.cid,
+                list_sum(list_transform(range(1, 65),
+                  i -> (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE)
+                     * (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE))) AS dist
+              FROM embeddings e, cents c),
+            assigned AS (
+              SELECT id, (min(struct_pack(dist := dist, cid := cid))).cid AS cid
+              FROM dists GROUP BY id)
+            SELECT a.cid, count(*) AS n,
+              round(avg(e.embedding[1]::DOUBLE), 4) AS c0,
+              round(avg(e.embedding[2]::DOUBLE), 4) AS c1,
+              round(avg(e.embedding[3]::DOUBLE), 4) AS c2,
+              round(avg(e.embedding[4]::DOUBLE), 4) AS c3
+            FROM assigned a JOIN embeddings e ON a.id = e.vec_id
+            GROUP BY a.cid"""))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
     qQuantizeDot, qKnnJoin, qKnnIvf, qSemDedup, qDupNgrams, qIncrementalDedup,
     qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance,
-    qVecCov, qAnnPq, qAnnIvfPq)
+    qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep)
 }
