@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   *      joined back to "what was the user's state AT THAT TIME" with the
   *      native as-of join.
   *
-  * Scale shape: one user_id window sort serves stages 1 and 3; stage 2
-  * ships k counters per partition + a broadcast recount; stage 4 is one
-  * lead() pass. Nothing in the report holds driver-side data beyond the
-  * heavy-hitter candidate set (≤ k rows).
+  * Scale shape: every stage is a bounded-shuffle pass over the (cached)
+  * batch — stages 1, 3 and 4 each run one user_id window sort, stage 2
+  * ships k counters per partition + a broadcast recount. Nothing in the
+  * report holds driver-side data beyond the heavy-hitter candidate set
+  * (≤ k rows).
   */
 object IncidentOpsExample {
 
@@ -63,12 +64,15 @@ object IncidentOpsExample {
     events
       .withColumn("valid_from", unix_micros(col("ts")))
       .withColumn("next_ts", lead(col("ts"), 1).over(w))
-      .select(col("user_id"), col("value"), col("valid_from"),
+      .select(col("user_id"), col("event_id"), col("value"), col("valid_from"),
         coalesce(unix_micros(col("next_ts")), lit(-1L)).as("valid_to"))
   }
 
   /** Enrich each anomaly with the state valid AT its time via the native
-    * as-of join (the history row opening at-or-before the anomaly). */
+    * as-of join (the history row opening at-or-before the anomaly).
+    * Equal-valid_from ties (duplicate timestamps) break on EVENT ORDER —
+    * a valid_to tiebreak would invert at the stream tail, where the open
+    * interval's -1 sentinel sorts below a superseded zero-length one. */
   def anomaliesWithState(events: DataFrame): DataFrame = {
     val an = anomalies(events)
       .withColumn("at_us", unix_micros(col("ts"))).drop("ts")
@@ -76,11 +80,19 @@ object IncidentOpsExample {
     graft.plans.AsOf.joinBackward(
       an, hist, key = "user_id",
       leftTimeCol = "at_us", rightTimeCol = "valid_from",
-      tiebreak = "valid_to")
+      tiebreak = "event_id")
   }
 
   def run(spark: SparkSession, sfDir: String): Report = {
-    val events = graft.Tables(spark, sfDir).events
+    // the four stages are independent actions over the same batch —
+    // cache it once so each pays its own shuffle but not its own scan
+    val events = graft.Tables(spark, sfDir).events.cache()
+    try {
+      runOn(events)
+    } finally events.unpersist()
+  }
+
+  private def runOn(events: DataFrame): Report = {
     val hot = hotBuckets(events, phi = 0.01)
       .orderBy(col("cnt").desc, col("vkey")).limit(5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

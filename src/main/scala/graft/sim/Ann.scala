@@ -51,11 +51,19 @@ object Ann {
   /** Driver-side L2²: sequential left-to-right sum, the same order the
     * codegen'd L2SquaredDistance loop and DuckDB's list_sum use — keeps
     * centroid selection bit-deterministic across engines. */
-  private def l2sqLocal(a: Seq[Double], b: Seq[Double]): Double = {
+  private[sim] def l2sqLocal(a: Seq[Double], b: Seq[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
     s
   }
+
+  /** The nprobe cells nearest `query` (driver-side; ascending-L2 with cid
+    * tiebreak) — ONE definition of the probe convention shared by
+    * [[ivfTopK]] and `Pq.ivfPqTopK` so the tie-break can never diverge. */
+  private[sim] def probeCells(
+      centroids: Seq[(Long, Seq[Double])], query: Seq[Double], nprobe: Int): Seq[Long] =
+    centroids.map { case (cid, cv) => (l2sqLocal(cv, query), cid) }
+      .sorted.take(nprobe).map(_._2)
 
   /** Fetch a (cid, cv) centroid table to the driver — nlist × dims doubles,
     * a scalar-sized parameter like a query vector. */
@@ -138,9 +146,7 @@ object Ann {
     * vectors in those lists via a pushed-down `cid IN (...)` filter. Scans
     * nprobe/nlist of the corpus instead of all of it. */
   def ivfTopK(index: IvfIndex, query: Seq[Double], nprobe: Int, k: Int): DataFrame = {
-    val probed = index.centroids
-      .map { case (cid, cv) => (l2sqLocal(cv, query), cid) }
-      .sorted.take(nprobe).map(_._2)
+    val probed = probeCells(index.centroids, query, nprobe)
     val q = array(query.map(lit): _*)
     index.assigned
       .filter(col("cid").isin(probed: _*))

@@ -32,9 +32,11 @@ object Pq {
     * centroids of every subspace (scalar parameter fetch — k rows). */
   def fixedCodebook(
       df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int): Codebook = {
+    // normalize to double BEFORE collecting (array<float> and
+    // array<double> vector columns both accepted — the Ann convention)
     val rows = df.orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+      .select(transform(col(vecCol), _.cast("double"))).collect()
+      .map(_.getSeq[Double](0).toSeq)
     require(rows.nonEmpty, "empty codebook source")
     val d = rows.head.length
     require(d % m == 0, s"dim $d not divisible by m=$m")
@@ -57,20 +59,15 @@ object Pq {
           slice(col(vecCol), s * cb.subDim + 1, cb.subDim), cb.codes(s)))
     }
 
-  private def l2sq(a: Seq[Double], b: Seq[Double]): Double = {
-    var acc = 0.0
-    var i = 0
-    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
-    acc
-  }
-
   /** ADC distance column for `query` over encoded rows: Σ_s lut_s[code_s],
-    * with the m·k lookup tables inlined as literal arrays. */
+    * with the m·k lookup tables inlined as literal arrays. L2 uses
+    * [[Ann.l2sqLocal]] — the one accumulation-order definition shared
+    * with every other centroid path (oracle parity). */
   def adcDistance(query: Seq[Double], cb: Codebook): Column = {
     require(query.length == cb.m * cb.subDim, "query/codebook dim mismatch")
     (0 until cb.m).map { s =>
       val qSub = query.slice(s * cb.subDim, (s + 1) * cb.subDim)
-      val lut = cb.codes(s).sortBy(_._1).map { case (_, c) => l2sq(qSub, c) }
+      val lut = cb.codes(s).sortBy(_._1).map { case (_, c) => Ann.l2sqLocal(qSub, c) }
       element_at(array(lut.map(lit): _*), col(s"code_$s").cast("int") + 1)
     }.reduce(_ + _)
   }
@@ -95,9 +92,7 @@ object Pq {
   def ivfPqTopK(
       index: Ann.IvfIndex, cb: Codebook, query: Seq[Double],
       nprobe: Int, k: Int): DataFrame = {
-    val probed = index.centroids
-      .map { case (cid, cv) => (l2sq(query, cv), cid) }
-      .sorted.take(nprobe).map(_._2)
+    val probed = Ann.probeCells(index.centroids, query, nprobe)
     encode(index.assigned.filter(col("cid").isin(probed: _*)), "v", cb)
       .withColumn("adc_dist", round(adcDistance(query, cb), 4))
       .orderBy(col("adc_dist"), col("id"))

@@ -19,6 +19,26 @@ class IncidentOpsExampleSpec extends SparkSpec {
     assert(r.nOpenStates == users)
   }
 
+  test("duplicate-timestamp tail: enrichment picks the CURRENT state, not the superseded one") {
+    // user 9000001's last two events share a timestamp; the open (current)
+    // state must win the tie — a valid_to tiebreak would pick the
+    // superseded zero-length interval (its -1 sentinel sorts below t)
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val ev = Seq(
+      // trailing-window history: 21 calm readings then a spike (anomaly)
+      (1L to 21L).map(i => (9000001L, i, ts(i * 1000), "view", 10.0)),
+      Seq((9000001L, 22L, ts(30000L), "error", 9999.0),   // anomaly at t=30s
+          (9000001L, 23L, ts(30000L), "view", 42.0))      // same ts, later event
+    ).flatten.toDF("user_id", "event_id", "ts", "event_type", "value")
+    val out = IncidentOpsExample.anomaliesWithState(ev)
+      .select($"event_id", $"event_id_r", $"value_r", $"valid_to_r")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.map(_._1).toSet.contains(22L), "spike not flagged")
+    val (_, matchedId, matchedVal, matchedTo) = out.find(_._1 == 22L).get
+    assert(matchedId == 23L && matchedVal == 42.0 && matchedTo == -1L,
+      s"anomaly matched superseded state: event $matchedId val $matchedVal to $matchedTo")
+  }
+
   test("anomaly enrichment: every anomaly gets the state valid at its time") {
     val events = Tables(spark, sf).events
     val enriched = IncidentOpsExample.anomaliesWithState(events)
