@@ -2,6 +2,7 @@ package graft
 
 import graft.dedup.Dedup
 import graft.sim.Ann
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import Queries.Q
 
@@ -838,9 +839,25 @@ object DedupQueries {
     * EXACT engine-parallel assignment (the L2 argmin both engines compute
     * identically — proven by the IVF/PQ oracles), then the centroid
     * update as per-dim means. Assignment is discrete (no float-boundary
-    * risk); only the ROUNDED update values are compared, so the float
-    * summation order may differ freely. Emits cluster sizes + the first
+    * risk). The mean itself is computed in ORDER-INDEPENDENT fixed point:
+    * each float32 element is scaled by 1e7 and rounded to a long BEFORE
+    * summation (rounding a double mean AFTER a nondeterministic partial-agg
+    * merge can flip at a .00005 boundary between runs — the r5 flake), so
+    * the per-cluster sum is exact integer arithmetic on both engines and
+    * the final divide/round is run-stable. float32 elements are exactly
+    * representable as doubles and |sum| stays far below 2^53, so the
+    * fixed-point path loses nothing. Emits cluster sizes + the first
     * four centroid dims. */
+  /** Mean of embedding dim `i` in 1e7 fixed point: round each element to a
+    * long FIRST (exact for float32 in [-200, 200]), sum the longs (integer
+    * addition — associative, so partial-agg merge order cannot change the
+    * result), divide once at the end. */
+  private def fixedPointMean(i: Int): Column =
+    round(
+      sum(round(element_at(col("embedding"), i).cast("double") * 1e7).cast("long"))
+        / (count(lit(1)) * 1e7),
+      4)
+
   val qKmeansStep = Q(
     "q_kmeans_step",
     (s, dir) => {
@@ -854,10 +871,10 @@ object DedupQueries {
         .groupBy(col("cid"))
         .agg(
           count(lit(1)).as("n"),
-          round(avg(element_at(col("embedding"), 1)), 4).as("c0"),
-          round(avg(element_at(col("embedding"), 2)), 4).as("c1"),
-          round(avg(element_at(col("embedding"), 3)), 4).as("c2"),
-          round(avg(element_at(col("embedding"), 4)), 4).as("c3"))
+          fixedPointMean(1).as("c0"),
+          fixedPointMean(2).as("c1"),
+          fixedPointMean(3).as("c2"),
+          fixedPointMean(4).as("c3"))
     },
     Some("""WITH cents AS (
               SELECT vec_id AS cid, embedding AS cv
@@ -872,10 +889,10 @@ object DedupQueries {
               SELECT id, (min(struct_pack(dist := dist, cid := cid))).cid AS cid
               FROM dists GROUP BY id)
             SELECT a.cid, count(*) AS n,
-              round(avg(e.embedding[1]::DOUBLE), 4) AS c0,
-              round(avg(e.embedding[2]::DOUBLE), 4) AS c1,
-              round(avg(e.embedding[3]::DOUBLE), 4) AS c2,
-              round(avg(e.embedding[4]::DOUBLE), 4) AS c3
+              round(CAST(sum(CAST(round(e.embedding[1]::DOUBLE * 1e7) AS BIGINT)) AS BIGINT) / (count(*) * 1e7), 4) AS c0,
+              round(CAST(sum(CAST(round(e.embedding[2]::DOUBLE * 1e7) AS BIGINT)) AS BIGINT) / (count(*) * 1e7), 4) AS c1,
+              round(CAST(sum(CAST(round(e.embedding[3]::DOUBLE * 1e7) AS BIGINT)) AS BIGINT) / (count(*) * 1e7), 4) AS c2,
+              round(CAST(sum(CAST(round(e.embedding[4]::DOUBLE * 1e7) AS BIGINT)) AS BIGINT) / (count(*) * 1e7), 4) AS c3
             FROM assigned a JOIN embeddings e ON a.id = e.vec_id
             GROUP BY a.cid"""))
 
