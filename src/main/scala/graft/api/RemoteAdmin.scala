@@ -119,13 +119,14 @@ final class RemoteAdmin(spark: SparkSession) {
     }
 
   /** remoteadmin.py:169 replay_msg — re-run the channel on the stored
-    * message; reply with the (renewed) message dict or {"error": ...}. */
+    * message via the store's replay path (the renewed result is saved back
+    * to the durable store as `processed`, like the reference's handle()
+    * flow); reply with the renewed message dict or {"error": ...}. */
   def replayMsg(channel: String, msgId: String): AnyRef =
     try {
       val ch = Channels.get(channel)
         .getOrElse(throw new NoSuchElementException(s"no channel $channel"))
-      val replayed = ch.runMain(
-        store(channel).all().filter(col("uuid") === msgId))
+      val replayed = store(channel).replayById(msgId, ch)
       rowToDict(headOr(replayed, msgId))
     } catch {
       case e: Exception => toJava(linked("error" -> e.getMessage))

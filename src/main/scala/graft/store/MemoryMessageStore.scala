@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   * the store owns its data (caller plans can be unpersisted freely).
   *
   * `changeMessageState` mirrors msgstore.py change_message_state — a
-  * column rewrite, cheap here; the parquet store intentionally has no
-  * in-place update (state transitions at scale are derived at read time
-  * via worst-state aggregation, see CoreOps.worstStatePerKey).
+  * column rewrite, cheap here; the parquet store implements the same
+  * surface as an append-only mutation log reconciled at read time (see
+  * [[MessageStore]]).
   */
 final class MemoryMessageStore(spark: SparkSession) {
 
@@ -46,6 +46,16 @@ final class MemoryMessageStore(spark: SparkSession) {
     msgs = msgs.map(_.filter(col("uuid") =!= uuid).localCheckpoint(true))
   }
 
-  def replay(q: Search, channel: Channel): DataFrame =
-    channel.runMain(search(q))
+  /** Replay with reference handle()-flow parity: results renewed (fresh
+    * uuid + timestamp, message.py:80) and saved back as processed — same
+    * contract as the durable store's replay. */
+  def replay(q: Search, channel: Channel): DataFrame = {
+    val renewed = channel.runMain(search(q))
+      .withColumn("uuid", md5(concat(col("uuid"), lit(s":replay:${System.nanoTime()}"))))
+      .withColumn("ts", current_timestamp())
+      .withColumn("state", lit(graft.model.Msg.PROCESSED))
+      .localCheckpoint(true)
+    save(renewed)
+    renewed
+  }
 }

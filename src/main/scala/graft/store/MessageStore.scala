@@ -1,6 +1,6 @@
 package graft.store
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Message-store search — graft's `MessageStore.search` (reference:
@@ -68,13 +68,37 @@ final case class Search(
 }
 
 /** Parquet-backed message store (reference msgstore.py FileMessageStore —
-  * re-expressed as a columnar table instead of one file per message). */
+  * re-expressed as a columnar table instead of one file per message).
+  *
+  * State mutation (`changeMessageState`, msgstore.py:66/:704) and `delete`
+  * (msgstore.py:297/:553) are APPEND-ONLY on parquet too: each call appends
+  * one row to a `_mutations` side log under the store path (Spark's file
+  * index skips `_`-prefixed dirs, so the base scan never sees it) and reads
+  * reconcile latest-wins via a broadcast left join — the standard columnar
+  * upsert/tombstone pattern. At 100 TB this is the only shape that works:
+  * a point update rewrites ~100 bytes, not a partition, and the log (admin
+  * actions — replays, acks, purges) stays orders of magnitude smaller than
+  * the store, so the reconcile join is map-side. `compact()` folds the log
+  * into the base table when it grows. Mutations are sequenced by an
+  * in-process monotonic counter seeded from wall-clock micros (single
+  * admin writer, the reference's deployment shape too). */
 final class MessageStore(spark: SparkSession, path: String) {
 
-  /** Append messages, partitioned by day for time-range pruning. */
-  def save(msgs: DataFrame): Unit =
-    msgs.withColumn("day", to_date(col("ts")))
+  private val mutPath = s"$path/_mutations"
+  private val seqGen =
+    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis() * 1000L)
+
+  /** Append messages, partitioned by day for time-range pruning. A frame
+    * without a `state` column is stored all-PENDING — the reference marks
+    * every stored message pending at store time (msgstore.py:630) — so the
+    * table schema stays uniform across appends. */
+  def save(msgs: DataFrame): Unit = {
+    val withState =
+      if (msgs.columns.contains("state")) msgs
+      else msgs.withColumn("state", lit(graft.model.Msg.PENDING))
+    withState.withColumn("day", to_date(col("ts")))
       .write.mode("append").partitionBy("day").parquet(path)
+  }
 
   /** Streaming append into the store (exactly-once via checkpoint) — the
     * channel-attached message store, continuously fed. */
@@ -88,15 +112,102 @@ final class MessageStore(spark: SparkSession, path: String) {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
-  def all(): DataFrame = spark.read.parquet(path).drop("day")
+  def all(): DataFrame = applyMutations(spark.read.parquet(path).drop("day"))
 
   def search(q: Search): DataFrame = MessageStore.search(all(), q)
 
   def total(): Long = all().count()
 
-  /** Replay (channels.py:857): re-run a channel on stored messages. */
+  /** change_message_state (msgstore.py:66, FileMessageStore :704): set one
+    * message's state. Appends to the mutation log; visible to every
+    * subsequent read. */
+  def changeMessageState(uuid: String, newState: String): Unit =
+    appendMutation(uuid, Some(newState), tombstone = false)
+
+  /** delete (msgstore.py:297, FileMessageStore :553): drop a message by id.
+    * A tombstone is terminal — later state changes cannot resurrect the
+    * row (reference semantics: change_message_state on a deleted id is an
+    * operator error). */
+  def delete(uuid: String): Unit = appendMutation(uuid, None, tombstone = true)
+
+  /** get (msgstore.py:132): one message with its current (reconciled)
+    * state, or None if absent/deleted. */
+  def get(uuid: String): Option[Row] =
+    all().filter(col("uuid") === uuid).limit(1).collect().headOption
+
+  private def appendMutation(
+      uuid: String, newState: Option[String], tombstone: Boolean): Unit = {
+    import spark.implicits._
+    Seq((uuid, newState.orNull, tombstone, seqGen.incrementAndGet()))
+      .toDF("uuid", "new_state", "tombstone", "seq")
+      .coalesce(1)
+      .write.mode("append").parquet(mutPath)
+  }
+
+  private def hadoopFs = {
+    val p = new org.apache.hadoop.fs.Path(mutPath)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def hasMutations: Boolean = { val (fs, p) = hadoopFs; fs.exists(p) }
+
+  /** Latest-wins reconcile: any tombstone kills the row; otherwise the
+    * highest-seq state change overrides the stored state. The log is tiny
+    * relative to the store, so the join side is broadcast — no shuffle of
+    * the base table. A store written without a `state` column (bare Msg
+    * frames in tests) is treated as all-PENDING, the state the reference
+    * assigns at store time (msgstore.py:630). */
+  private def applyMutations(base: DataFrame): DataFrame =
+    if (!hasMutations) base
+    else {
+      val latest = spark.read.parquet(mutPath)
+        .groupBy("uuid")
+        .agg(
+          max(col("tombstone")).as("_mut_tombstone"),
+          max(when(!col("tombstone"), struct(col("seq"), col("new_state")))).as("_mut"))
+        .select(col("uuid"), col("_mut_tombstone"), col("_mut.new_state").as("_mut_state"))
+      val withState =
+        if (base.columns.contains("state")) base
+        else base.withColumn("state", lit(graft.model.Msg.PENDING))
+      withState.join(broadcast(latest), Seq("uuid"), "left")
+        .filter(col("_mut_tombstone").isNull || !col("_mut_tombstone"))
+        .withColumn("state", coalesce(col("_mut_state"), col("state")))
+        .drop("_mut_tombstone", "_mut_state")
+    }
+
+  /** Fold the mutation log into the base table and clear it (the periodic
+    * maintenance job a long-lived store runs: rewrite once, reads stop
+    * paying the reconcile join). */
+  def compact(): Unit = {
+    val folded = all().localCheckpoint(true)
+    folded.withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+  }
+
+  /** Replay (channels.py:857): re-run a channel on stored messages. The
+    * results are RENEWED (fresh uuid + timestamp, message.py:80) and saved
+    * back as `processed` — the reference flow, where handle() stores the
+    * renewed message and the worst-sub-state recompute marks it processed
+    * (channels.py:697-714, :828-832). */
   def replay(q: Search, channel: graft.api.Channel): DataFrame =
-    channel.runMain(search(q))
+    replayFrame(search(q), channel)
+
+  /** Replay one message by id (the remote-admin `replay_msg` path,
+    * remoteadmin.py:169). */
+  def replayById(msgId: String, channel: graft.api.Channel): DataFrame =
+    replayFrame(all().filter(col("uuid") === msgId), channel)
+
+  private def replayFrame(src: DataFrame, channel: graft.api.Channel): DataFrame = {
+    val nonce = seqGen.incrementAndGet()
+    // renew(): new uuid (deterministic per replay call) + now() timestamp
+    val renewed = channel.runMain(src)
+      .withColumn("uuid", md5(concat(col("uuid"), lit(s":replay:$nonce"))))
+      .withColumn("ts", current_timestamp())
+      .withColumn("state", lit(graft.model.Msg.PROCESSED))
+      .localCheckpoint(true) // pin uuid/ts before the side-effecting save
+    save(renewed)
+    renewed
+  }
 
   /** `pypeman.tools.send_from_store` parity: POST each selected message's
     * payload to `url`, optionally pre-filtered by a payload JSON field

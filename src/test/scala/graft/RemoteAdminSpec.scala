@@ -124,12 +124,17 @@ class RemoteAdminSpec extends SparkSpec {
     assert(resp.endsWith(""","id":9}"""))
   }
 
-  test("replay_msg: channel re-runs the stored message, reply is message dict") {
-    val (admin, _) = freshStore()
+  test("replay_msg: channel re-runs the stored message, reply is the RENEWED dict") {
+    val (admin, store) = freshStore()
     val resp = admin.dispatch(
       """{"jsonrpc":"2.0","method":"replay_msg","params":["chan1","m1"],"id":6}""")
     assert(resp.contains(""""payload":"HELLO PAYLOAD""""))
-    assert(resp.contains(""""uuid":"m1""""))
+    // message.py:80 renew(): the replayed message carries a NEW uuid
+    assert(!resp.contains(""""uuid":"m1""""))
     assert(resp.endsWith(""","id":6}"""))
+    // and the renewed result landed in the durable store as processed
+    val saved = store.all().filter(col("payload") === "HELLO PAYLOAD")
+    assert(saved.count() == 1)
+    assert(saved.select("state").as[String].head() == "processed")
   }
 }

@@ -153,6 +153,50 @@ class StoreSpec extends SparkSpec {
     assert(replayed.select("payload").as[String].collect().forall(_.head.isUpper))
   }
 
+  test("MessageStore (parquet): changeMessageState/delete/get parity with the memory store") {
+    val dir = Files.createTempDirectory("graft_store_mut").toString
+    val store = new MessageStore(spark, s"$dir/msgs")
+    store.save(msgs.withColumn("state", lit("pending")))
+    assert(store.total() == 4)
+    // change_message_state: latest mutation wins across multiple appends
+    store.changeMessageState("b", "error")
+    store.changeMessageState("b", "processed")
+    assert(store.get("b").map(_.getAs[String]("state")) == Some("processed"))
+    assert(store.get("a").map(_.getAs[String]("state")) == Some("pending"))
+    // delete: tombstone is terminal — a later state change cannot resurrect
+    store.delete("d")
+    store.changeMessageState("d", "processed")
+    assert(store.total() == 3)
+    assert(store.get("d").isEmpty)
+    // search sees reconciled state
+    val errFree = store.search(Search(count = 10))
+    assert(errFree.filter(col("state") === "processed").count() == 1)
+    // compact folds the log into the base table and clears it
+    store.compact()
+    assert(store.total() == 3)
+    assert(store.get("b").map(_.getAs[String]("state")) == Some("processed"))
+    assert(store.get("d").isEmpty)
+  }
+
+  test("MessageStore (parquet): replay renews and saves results back as processed") {
+    val dir = Files.createTempDirectory("graft_store_replay").toString
+    val store = new MessageStore(spark, s"$dir/msgs")
+    store.save(msgs) // no state column → stored as pending (msgstore.py:630)
+    val replayed = store.replay(
+      Search(metaExact = Map("et" -> "click"), count = 10),
+      graft.api.Channel("re2").add(graft.ops.CoreOps.mapPayload("u")(upper)))
+    assert(replayed.count() == 2)
+    // renewed: fresh uuids, state processed, persisted as new store entries
+    assert(store.total() == 6)
+    val processed = store.search(Search(metaExact = Map("et" -> "click"), count = 10))
+      .filter(col("state") === "processed")
+    assert(processed.count() == 2)
+    assert(processed.select("payload").as[String].collect().forall(_.head.isUpper))
+    val originals = replayed.select("uuid").as[String].collect().toSet
+      .intersect(Set("a", "c"))
+    assert(originals.isEmpty) // uuids were renewed
+  }
+
   test("KVState store/get latest-version semantics") {
     val dir = Files.createTempDirectory("graft_kv").toString
     val kv = new KVState(spark, s"$dir/state")
