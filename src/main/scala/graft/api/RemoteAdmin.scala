@@ -184,6 +184,66 @@ final class RemoteAdmin(spark: SparkSession) {
   }
 
   def json(v: AnyRef): String = mapper.writeValueAsString(v)
+
+  /** Mount the dispatcher on a live HTTP endpoint — the deployable admin
+    * socket. The reference serves the identical JSON-RPC envelope over
+    * websockets (remoteadmin.py:44-82, `websockets.serve` at :66); graft
+    * serves it over HTTP POST (same request/response bodies, JDK-built-in
+    * transport), so a real client can drive channels/list_msgs/view/replay
+    * end-to-end over a port. Call `endpoint.start()` to begin serving. */
+  def serve(endpoint: graft.net.HttpEndpoint, path: String = "/rpc"): Unit =
+    endpoint.addHandler(path)(dispatch)
+}
+
+/** Operator-side admin client (reference RemoteAdminClient,
+  * remoteadmin.py:231-341): builds the JSON-RPC envelope, sends it over a
+  * pluggable [[graft.net.HttpTransport]] (live JDK client by default), and
+  * returns the parsed `result` node. Method surface mirrors the
+  * reference's shell client 1:1. */
+final class RemoteAdminClient(
+    url: String,
+    transport: graft.net.HttpTransport = graft.net.JdkHttpTransport) {
+  import com.fasterxml.jackson.databind.JsonNode
+  private val mapper = new ObjectMapper()
+  private val nextId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** remoteadmin.py:244 send_command: one RPC round-trip → `result`. */
+  def sendCommand(method: String, args: Seq[Any] = Seq.empty): JsonNode = {
+    val req = mapper.createObjectNode()
+    req.put("jsonrpc", "2.0")
+    req.put("method", method)
+    val params = req.putArray("params")
+    args.foreach {
+      case null => params.addNull()
+      case i: Int => params.add(i)
+      case l: Long => params.add(l)
+      case s: String => params.add(s)
+      case other => params.add(String.valueOf(other))
+    }
+    req.put("id", nextId.incrementAndGet())
+    val resp = transport.send(graft.net.HttpRequest(
+      url = url, method = "POST", body = Some(mapper.writeValueAsString(req))))
+    require(resp.status == 200, s"admin rpc failed: ${resp.status} ${resp.body}")
+    mapper.readTree(resp.body).get("result")
+  }
+
+  def channels(): JsonNode = sendCommand("channels")
+  def start(channel: String): JsonNode = sendCommand("start_channel", Seq(channel))
+  def stop(channel: String): JsonNode = sendCommand("stop_channel", Seq(channel))
+  def listMsgs(
+      channel: String, start: Int = 0, count: Int = 10,
+      orderBy: String = "timestamp", startDt: String = null, endDt: String = null,
+      text: String = null, rtext: String = null, startId: String = null): JsonNode =
+    sendCommand("list_msgs",
+      Seq(channel, start, count, orderBy, startDt, endDt, text, rtext, startId))
+  def viewMsg(channel: String, msgId: String): JsonNode =
+    sendCommand("view_msg", Seq(channel, msgId))
+  def previewMsg(channel: String, msgId: String): JsonNode =
+    sendCommand("preview_msg", Seq(channel, msgId))
+  def replayMsg(channel: String, msgId: String): JsonNode =
+    sendCommand("replay_msg", Seq(channel, msgId))
+  def pushMsg(channel: String, text: String): JsonNode =
+    sendCommand("push_msg", Seq(channel, text))
 }
 
 object RemoteAdmin {

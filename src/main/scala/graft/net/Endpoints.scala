@@ -69,6 +69,17 @@ final class HttpEndpoint(spark: SparkSession, host: String = "127.0.0.1", port: 
       }
     })
 
+  /** Mount a raw request-body → response-body handler on a route — the
+    * remote-admin JSON-RPC mount point (the reference mounts its dispatcher
+    * on a websocket server the same way, remoteadmin.py:66). Handler
+    * exceptions reply 500 with the message; nothing is swallowed. */
+  def addHandler(path: String)(f: String => String): Unit =
+    server.createContext(path, (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      try respond(ex, 200, f(body))
+      catch { case e: Exception => respond(ex, 500, String.valueOf(e.getMessage)) }
+    })
+
   private def headerMap(ex: HttpExchange): Map[String, String] = {
     import scala.jdk.CollectionConverters._
     ex.getRequestHeaders.asScala.map { case (k, vs) =>

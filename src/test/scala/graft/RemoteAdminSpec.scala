@@ -124,6 +124,38 @@ class RemoteAdminSpec extends SparkSpec {
     assert(resp.endsWith(""","id":9}"""))
   }
 
+  test("live endpoint: full admin session over a real socket (remoteadmin.py:66 parity)") {
+    val (admin, store) = freshStore()
+    val ep = new graft.net.HttpEndpoint(spark)
+    admin.serve(ep)
+    ep.start()
+    try {
+      val client = new graft.api.RemoteAdminClient(ep.url("/rpc"))
+      // channels
+      val chans = client.channels()
+      assert(chans.size() == 1 && chans.get(0).get("name").asText() == "chan1")
+      // start/stop lifecycle
+      assert(client.start("chan1").get("status").asText() == "WAITING")
+      assert(client.stop("chan1").get("status").asText() == "STOPPED")
+      // list_msgs with text filter: narrows messages, total stays store-wide
+      val listed = client.listMsgs("chan1", text = "second")
+      assert(listed.get("messages").size() == 1)
+      assert(listed.get("messages").get(0).get("id").asText() == "m2")
+      assert(listed.get("total").asLong() == 2L)
+      // view + preview
+      assert(client.viewMsg("chan1", "m1").get("payload").asText() == "hello payload")
+      assert(client.previewMsg("chan1", "m2").get("payload").asText() == "second one")
+      // replay end-to-end: renewed uuid, durable store gains the processed copy
+      val replayed = client.replayMsg("chan1", "m1")
+      assert(replayed.get("payload").asText() == "HELLO PAYLOAD")
+      assert(replayed.get("uuid").asText() != "m1")
+      assert(store.get(replayed.get("uuid").asText())
+        .map(_.getAs[String]("state")) == Some("processed"))
+      // unknown method → error dict in result
+      assert(client.sendCommand("bogus").get("error").asText().contains("not a valid method"))
+    } finally ep.stop()
+  }
+
   test("replay_msg: channel re-runs the stored message, reply is the RENEWED dict") {
     val (admin, store) = freshStore()
     val resp = admin.dispatch(
