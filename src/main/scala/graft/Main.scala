@@ -1,0 +1,157 @@
+package graft
+
+import graft.api.{Channels, GraftProject, RemoteAdmin, Settings}
+import org.apache.spark.sql.SparkSession
+
+/** The deployable CLI — the reference's `pypeman` command group
+  * (commands.py:225-419): `start` boots the project's channels and serves
+  * the remote-admin RPC on a live socket, `stop` terminates a started
+  * instance via its pidfile (mk_daemon, commands.py:208), `graph` prints
+  * the channel topology, `printsettings` dumps resolved settings,
+  * `startproject` scaffolds a new project (pjt_templates.py:4-40).
+  *
+  * `start` here is foreground-with-pidfile rather than a double-fork
+  * daemon: cluster deploys run under a supervisor (spark-submit,
+  * Kubernetes, systemd) that owns daemonization — a self-forking JVM
+  * would fight it. The pidfile keeps `stop` parity for bare-metal use. */
+object Main {
+
+  final case class RunningApp(
+      settings: Settings,
+      admin: RemoteAdmin,
+      endpoint: graft.net.HttpEndpoint,
+      pidFile: java.nio.file.Path) {
+    /** ws://host:port analog — the admin RPC URL a client connects to. */
+    def adminUrl: String = endpoint.url("/rpc")
+    def stop(): Unit = {
+      endpoint.stop()
+      java.nio.file.Files.deleteIfExists(pidFile)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = run(args.toSeq, Settings.load(), () => GraftSession.local())
+    out match {
+      case Right(lines) => lines.foreach(println)
+      case Left(err) => System.err.println(err); sys.exit(1)
+    }
+  }
+
+  /** Dispatch one CLI invocation. Injectable settings/session for specs;
+    * `start` blocks until the endpoint is externally stopped (SIGTERM via
+    * `stop`, or supervisor kill), every other command returns its output
+    * lines. */
+  def run(
+      args: Seq[String],
+      settings: Settings,
+      session: () => SparkSession): Either[String, Seq[String]] =
+    args match {
+      case Seq("start", rest @ _*) =>
+        val app = startApp(settings, session())
+        if (!rest.contains("--no-wait")) awaitStopped(app)
+        Right(Seq(s"started; admin rpc at ${app.adminUrl}"))
+      case Seq("stop") => stopByPidFile()
+      case Seq("graph", rest @ _*) =>
+        Right(graphLines(settings, session(), dot = rest.contains("--dot")))
+      case Seq("printsettings") => Right(settings.printLines)
+      case Seq("startproject", dirname) => Right(startProject(dirname))
+      case other =>
+        Left(s"unknown command '${other.mkString(" ")}'; " +
+          "expected start|stop|graph|printsettings|startproject")
+    }
+
+  /** commands.py:265 start → main (commands.py:81): load the project,
+    * start its channels, mount the remote admin on a live socket, record
+    * the pid. Returns the running handle (specs drive it; `run` blocks on
+    * it like the reference's event loop). */
+  def startApp(settings: Settings, spark: SparkSession): RunningApp = {
+    val project = GraftProject.load(settings.projectModule)
+    val stores = project.configure(spark, settings)
+    val admin = new RemoteAdmin(spark)
+    stores.foreach { case (chan, store) => admin.bind(chan, store) }
+    val endpoint = new graft.net.HttpEndpoint(
+      spark, settings.remoteAdminHost, settings.remoteAdminPort)
+    admin.serve(endpoint)
+    endpoint.start()
+    // reference main() starts every registered channel (commands.py:116)
+    Channels.all.foreach(c => admin.startChannel(c.name))
+    val pidFile = java.nio.file.Paths.get("graft.pid")
+    java.nio.file.Files.write(pidFile,
+      String.valueOf(ProcessHandle.current().pid()).getBytes("UTF-8"))
+    RunningApp(settings, admin, endpoint, pidFile)
+  }
+
+  private def awaitStopped(app: RunningApp): Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => app.stop()))
+    while (java.nio.file.Files.exists(app.pidFile)) Thread.sleep(500)
+    app.stop()
+  }
+
+  /** commands.py:318 stop: signal the instance recorded in the pidfile.
+    * Removing the pidfile also stops a foreground `start` loop, so stop
+    * works for both deployment shapes. */
+  private def stopByPidFile(): Either[String, Seq[String]] = {
+    val pidFile = java.nio.file.Paths.get("graft.pid")
+    if (!java.nio.file.Files.exists(pidFile)) Left("no graft.pid — not running?")
+    else {
+      val pid = new String(java.nio.file.Files.readAllBytes(pidFile), "UTF-8").trim.toLong
+      java.nio.file.Files.deleteIfExists(pidFile)
+      if (pid != ProcessHandle.current().pid())
+        ProcessHandle.of(pid).ifPresent(h => h.destroy())
+      Right(Seq(s"stopped pid $pid"))
+    }
+  }
+
+  /** commands.py:313 graph / --dot: print each channel's topology. */
+  def graphLines(settings: Settings, spark: SparkSession, dot: Boolean): Seq[String] = {
+    GraftProject.load(settings.projectModule).configure(spark, settings)
+    if (dot)
+      Seq("digraph testgraph{") ++
+        Channels.all.flatMap(_.graphDot) ++ Seq("}")
+    else Channels.all.flatMap(c => s"${c.name}:" +: c.graph().linesIterator.toSeq)
+  }
+
+  /** startproject (pjt_templates.py:4-40): scaffold settings + project +
+    * test stubs into `dirname`. Returns the created paths. */
+  def startProject(dirname: String): Seq[String] = {
+    val dir = java.nio.file.Paths.get(dirname)
+    java.nio.file.Files.createDirectories(dir)
+    def write(name: String, content: String): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+      p.toString
+    }
+    Seq(
+      write("settings.properties",
+        """# graft project settings (see graft.api.Settings for keys)
+          |DEBUG = false
+          |PROJECT_MODULE = project.Project
+          |REMOTE_ADMIN_HOST = localhost
+          |REMOTE_ADMIN_PORT = 8091
+          |""".stripMargin),
+      write("Project.scala",
+        """package project
+          |
+          |import graft.api.{Channel, Channels, GraftProject, Settings}
+          |import graft.ops.CoreOps
+          |import graft.store.MessageStore
+          |import org.apache.spark.sql.SparkSession
+          |
+          |/** Example project: one channel with a durable message store. */
+          |final class Project extends GraftProject {
+          |  def configure(spark: SparkSession, settings: Settings): Map[String, MessageStore] = {
+          |    val chan = Channels.register(
+          |      Channel("example").add(CoreOps.mapPayload("upper")(org.apache.spark.sql.functions.upper)))
+          |    val store = new MessageStore(spark, settings.storePath.getOrElse("./store/example"))
+          |    Map(chan.name -> store)
+          |  }
+          |}
+          |""".stripMargin),
+      write("ProjectSpec.scala",
+        """package project
+          |
+          |// Test stub (pjt_templates tests.py analog): drive the channel
+          |// through Channel.run and assert on the main output.
+          |""".stripMargin))
+  }
+}
