@@ -37,14 +37,42 @@ object Pq {
     val rows = df.orderBy(col(idCol)).limit(k)
       .select(transform(col(vecCol), _.cast("double"))).collect()
       .map(_.getSeq[Double](0).toSeq)
-    require(rows.nonEmpty, "empty codebook source")
+    require(rows.length == k,
+      s"codebook needs k=$k source rows, got ${rows.length} — a silently " +
+        "shrunken codebook yields wrong-but-plausible codes")
     val d = rows.head.length
+    require(rows.forall(_.length == d),
+      s"ragged vector lengths in codebook source (expected $d)")
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val subDim = d / m
     val codes = (0 until m).map { s =>
       rows.zipWithIndex.map { case (v, j) =>
         (j.toLong, v.slice(s * subDim, (s + 1) * subDim))
       }.toSeq
+    }
+    Codebook(m, subDim, codes)
+  }
+
+  /** Trained codebooks (Jégou et al. §III-A): per-subspace Lloyd k-means
+    * via [[Ann.kmeansCentroids]] over the sliced sub-vectors, centroids
+    * renumbered 0..k-1 (ADC LUT indexing is positional). Training cost is
+    * m small k-means runs; each round's only shuffle carries (cid, dim)
+    * partial sums — k × subDim rows, independent of corpus size — so
+    * training at 100 TB is m·iters cheap aggregation passes. Swaps into
+    * every downstream shape ([[encode]], [[adcTopK]], [[ivfPqTopK]])
+    * unchanged. */
+  def trainedCodebook(
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int): Codebook = {
+    val d = df.select(size(col(vecCol))).head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val subDim = d / m
+    val codes = (0 until m).map { s =>
+      Ann.kmeansCentroids(
+        df.select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as("sub")),
+        idCol, "sub", k, iters)
+        .sortBy(_._1).zipWithIndex
+        .map { case ((_, c), j) => (j.toLong, c) }.toSeq
     }
     Codebook(m, subDim, codes)
   }

@@ -69,6 +69,56 @@ class PqSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("trained codebook: per-subspace k-means, positional codes, recall@10 floor") {
+    val query = Ann.queryVector(spark, emb, "vec_id", 0L, "embedding")
+    val trained = Pq.trainedCodebook(emb, "vec_id", "embedding", m = 4, k = 16, iters = 2)
+    // same downstream shape as the fixed codebook: positional 0..k-1 codes
+    assert(trained.m == 4 && trained.subDim == 16)
+    assert(trained.codes.forall(_.map(_._1) == (0L until 16L)))
+    val exact = emb
+      .withColumn("d", graft.plans.VectorFunctions.vecL2Sq(
+        col("embedding"), array(query.map(lit): _*)))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    // Jégou et al. R@R: the ADC pass produces a shortlist of R candidates
+    // which an exact pass re-ranks — recall@10 is measured on the reranked
+    // list. (Raw ADC top-10 on these near-random synthetic vectors is
+    // ~0.1-0.2 for ANY codebook — quantization error dominates when all
+    // pairwise distances concentrate; the shortlist+rerank shape is how PQ
+    // is actually deployed.)
+    def recallAt10(c: Pq.Codebook, shortlist: Int): Double = {
+      val ids = Pq.adcTopK(emb, "vec_id", "embedding", c, query, shortlist)
+        .select("vec_id").as[Long].collect()
+      val reranked = emb.filter($"vec_id".isin(ids: _*))
+        .withColumn("d", graft.plans.VectorFunctions.vecL2Sq(
+          col("embedding"), array(query.map(lit): _*)))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id").as[Long].collect().toSet
+      (reranked & exact).size / 10.0
+    }
+    val rTrained = recallAt10(trained, 100)
+    val rFixed = recallAt10(cb, 100)
+    info(f"recall@10 (R=100 rerank) trained=$rTrained%.2f fixed=$rFixed%.2f")
+    assert(rTrained >= 0.5, f"trained recall@10 $rTrained%.2f below floor 0.5")
+    assert(rTrained >= rFixed,
+      f"training made the codebook worse: $rTrained%.2f < $rFixed%.2f")
+    assert(Pq.adcTopK(emb, "vec_id", "embedding", trained, query, 10)
+      .select("vec_id").as[Long].collect().toSet.contains(0L))
+  }
+
+  test("fixedCodebook validates source size and rejects ragged vectors") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Pq.fixedCodebook(emb.filter($"vec_id" < 5), "vec_id", "embedding", m = 4, k = 16)
+    }
+    val ragged = Seq(
+      (0L, Seq(1.0, 2.0, 3.0, 4.0)),
+      (1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Pq.fixedCodebook(ragged, "vec_id", "embedding", m = 2, k = 2)
+    }
+  }
+
   test("ADC top-10 recall against exact L2 top-10 is non-degenerate") {
     val query = Ann.queryVector(spark, emb, "vec_id", 0L, "embedding")
     val pq = Pq.adcTopK(emb, "vec_id", "embedding", cb, query, 10)
