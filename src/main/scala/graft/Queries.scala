@@ -380,6 +380,37 @@ object Queries {
                            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
             WHERE event_id % 20 = 0"""))
 
+  /** EWMA (recursive exponential smoothing) per user over the event
+    * stream — see [[graft.ops.Smoothing.ewma]] for the per-key fold shape.
+    * Oracle is a recursive CTE walking the same (ts, id) order. Parity
+    * note: the decay factor is computed as 1.0 − α IN DOUBLE ARITHMETIC on
+    * both engines (a `0.85` literal is one ulp away from `1.0 - 0.15` —
+    * enough to flip a 4-decimal rounding after a long fold). */
+  val qEwma = Q(
+    "q_ewma",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+        .withColumn("ts_s", unix_seconds(col("ts").cast("timestamp")))
+      graft.ops.Smoothing.ewma(ev, "user_id", "ts_s", "event_id", "value", alpha = 0.15)
+        .filter(col("event_id") % 20 === 0)
+        .select(col("user_id"), col("event_id"), r4(col("ewma")).as("ewma"))
+    },
+    Some("""WITH RECURSIVE src AS (
+              SELECT user_id, event_id, value::DOUBLE AS x,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY epoch(ts)::BIGINT, event_id) AS rn
+              FROM events),
+            rec AS (
+              SELECT user_id, event_id, rn, x AS s FROM src WHERE rn = 1
+              UNION ALL
+              SELECT src.user_id, src.event_id, src.rn,
+                CAST(0.15 AS DOUBLE) * src.x
+                  + (CAST(1.0 AS DOUBLE) - CAST(0.15 AS DOUBLE)) * rec.s
+              FROM src JOIN rec
+                ON src.user_id = rec.user_id AND src.rn = rec.rn + 1)
+            SELECT user_id, event_id, round(s, 4) AS ewma
+            FROM rec WHERE event_id % 20 = 0"""))
+
   /** Pivot: event counts per user bucketed by type as columns (expressed
     * with FILTER-style conditional aggregation for engine portability). */
   val qPivot = Q(
@@ -1534,7 +1565,7 @@ object Queries {
     qNotIn, qSetOpsAll, qIntervalJoin, qZorder,
     qOutliers, qFfill, qAnomaly, qPagerank,
     q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
-    qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2) ++
+    qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

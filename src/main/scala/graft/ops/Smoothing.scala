@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Recursive smoothing — the classic awkward-relational operator family:
+  * s_i = α·x_i + (1−α)·s_{i−1} with s_0 = x_0 cannot be a plain window
+  * aggregate (every row depends on the previous RESULT, not the previous
+  * input). graft computes it as an exact per-key left fold: gather one
+  * key's series (sorted), fold it inside a single codegen'd `aggregate`
+  * expression, explode the result back to rows.
+  *
+  * Why this shape at 100 TB: one shuffle (the groupBy key — same exchange
+  * any per-key op pays), then the fold is embarrassingly parallel across
+  * keys with NO window sort-spill and no O(n) self-joins. Memory holds one
+  * key's series at a time, which is the right trade when series are
+  * bounded (events per user, metrics per host — Heaps'-law-ish corpora);
+  * an unbounded per-key stream belongs to the streaming form
+  * (mapGroupsWithState) instead. The log-domain closed form
+  * (s_i = (1−α)^i·[x_0 + Σ α·x_j·(1−α)^{−j}]) would window-scan without
+  * the gather but overflows (1−α)^{−j} past j ≈ 4000 — rejected for being
+  * silently wrong on exactly the long series where it would matter.
+  *
+  * The fold order (ord, id) and the arithmetic (α·x + (1−α)·s, one fma-free
+  * expression) are deterministic and engine-portable: a sequential SQL
+  * recursion (DuckDB recursive CTE) reproduces the values bit-for-bit.
+  */
+object Smoothing {
+
+  /** EWMA per key. `idCol` must be castable to long and unique within a
+    * key (the emitted row identity); ties on `ordCol` break by id. Output:
+    * (key, id, ewma) with ewma UNROUNDED — callers round for display. */
+  def ewma(
+      df: DataFrame, keyCol: String, ordCol: String,
+      idCol: String, valCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val series = sort_array(collect_list(struct(
+      col(ordCol).as("o"), col(idCol).cast("long").as("i"),
+      col(valCol).cast("double").as("x"))))
+    val zero = array().cast("array<struct<i:bigint,s:double>>")
+    val fold = (acc: Column, e: Column) =>
+      concat(acc, array(struct(
+        e.getField("i").as("i"),
+        when(size(acc) === 0, e.getField("x"))
+          .otherwise(lit(alpha) * e.getField("x")
+            + lit(1.0 - alpha) * element_at(acc, -1).getField("s"))
+          .as("s"))))
+    df.groupBy(col(keyCol))
+      .agg(series.as("series"))
+      .select(col(keyCol), explode(aggregate(col("series"), zero, fold)).as("e"))
+      .select(col(keyCol), col("e.i").as(idCol), col("e.s").as("ewma"))
+  }
+}

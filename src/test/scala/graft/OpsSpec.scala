@@ -217,4 +217,28 @@ class OpsSpec extends SparkSpec {
     val w2 = Msg.wrap(df).select("uuid").as[String].head()
     assert(w1 == w2 && w1.length == 32)
   }
+
+  test("ewma: exact recursive fold per key, ordered, s0 = x0") {
+    val df = Seq(
+      ("a", 1L, 10L, 10.0), ("a", 2L, 20L, 20.0), ("a", 3L, 30L, 5.0),
+      ("b", 1L, 40L, 8.0),
+      // out-of-order arrival: ord decides, not input order
+      ("c", 2L, 60L, 4.0), ("c", 1L, 50L, 2.0))
+      .toDF("k", "o", "id", "x")
+    val got = graft.ops.Smoothing.ewma(df, "k", "o", "id", "x", alpha = 0.5)
+      .orderBy("k", "id")
+      .select("k", "id", "ewma").as[(String, Long, Double)].collect().toSeq
+    // a: s=10; 0.5*20+0.5*10=15; 0.5*5+0.5*15=10 | b: 8 | c: 2; 0.5*4+0.5*2=3
+    assert(got == Seq(
+      ("a", 10L, 10.0), ("a", 20L, 15.0), ("a", 30L, 10.0),
+      ("b", 40L, 8.0),
+      ("c", 50L, 2.0), ("c", 60L, 3.0)))
+  }
+
+  test("ewma rejects alpha outside (0, 1]") {
+    val df = Seq(("a", 1L, 1L, 1.0)).toDF("k", "o", "id", "x")
+    intercept[IllegalArgumentException] {
+      graft.ops.Smoothing.ewma(df, "k", "o", "id", "x", alpha = 0.0)
+    }
+  }
 }
