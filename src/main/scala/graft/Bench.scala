@@ -35,7 +35,12 @@ object Bench {
     }
 
     var failed = Vector.empty[(String, String)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: bench only the named queries (iteration aid; the
+    // driver always runs the full battery)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         timeOnce(fn) // untimed warmup: JIT + codegen compile
         val times = (1 to reps).map(_ => timeOnce(fn)).sorted

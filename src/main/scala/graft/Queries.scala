@@ -1554,6 +1554,44 @@ object Queries {
   // registry
   // -----------------------------------------------------------
 
+  /** Triangle count over the customer co-purchase graph (customers joined
+    * by having bought the same part; partkeys sampled 1-in-50 to keep the
+    * graph sparse — each part's buyer set is a clique, so triangles are
+    * plentiful without the graph densifying into K_n). The operator is
+    * [[graft.graph.Graph.triangles]] (degree-ordered orientation — see
+    * there for the skew-proof scale argument); the oracle unrolls the
+    * same count as the classic three-way canonical-edge self-join. Emits
+    * (edges, triangles) so the oracle also pins the graph itself. */
+  val qTriangles = Q(
+    "q_triangles",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val buyers = t.lineitem.filter(col("l_partkey") % 50 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("p"), col("o_custkey").as("c")).distinct()
+      val edges = buyers.as("b1")
+        .join(buyers.as("b2"), col("b1.p") === col("b2.p") && col("b1.c") < col("b2.c"))
+        .select(col("b1.c").as("src"), col("b2.c").as("dst")).distinct()
+      val tris = graft.graph.Graph.triangles(edges)
+      edges.agg(count(lit(1)).as("edges"))
+        .crossJoin(tris.agg(count(lit(1)).as("triangles")))
+    },
+    Some("""WITH buyers AS (
+              SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_partkey % 50 = 0),
+            e AS (
+              SELECT DISTINCT b1.c AS a, b2.c AS b
+              FROM buyers b1 JOIN buyers b2 ON b1.p = b2.p AND b1.c < b2.c),
+            tri AS (
+              SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+            SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS edges,
+                   CAST(count(*) AS BIGINT) AS triangles
+            FROM tri"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
     qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin,
@@ -1565,7 +1603,8 @@ object Queries {
     qNotIn, qSetOpsAll, qIntervalJoin, qZorder,
     qOutliers, qFfill, qAnomaly, qPagerank,
     q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
-    qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma) ++
+    qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma,
+    qTriangles) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

@@ -68,4 +68,31 @@ class GraphSpec extends SparkSpec {
     assert(leaves.forall(l => got(1L) > l * 2), "hub must dominate leaves")
     assert(leaves.distinct.size == 1, "symmetric leaves must tie exactly")
   }
+
+  test("triangles: two bowtie triangles listed once each, id-sorted") {
+    import spark.implicits._
+    // bowtie: {1,2,3} and {3,4,5} share node 3; edge direction/duplication
+    // in the input must not matter
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), // triangle A, mixed orientations
+      (3L, 4L), (5L, 4L), (3L, 5L), // triangle B
+      (2L, 1L) // duplicate reversed edge
+    ).toDF("src", "dst")
+    val got = graft.graph.Graph.triangles(edges)
+      .orderBy("n1", "n2", "n3")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3L), (3L, 4L, 5L)))
+  }
+
+  test("triangles: stars have none, K4 has four, self-loops ignored") {
+    import spark.implicits._
+    val star = (2L to 8L).map(v => (1L, v)).toDF("src", "dst")
+    assert(graft.graph.Graph.triangles(star).count() == 0)
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
+      .toDF("src", "dst")
+    val withLoop = k4.unionAll(Seq((2L, 2L)).toDF("src", "dst"))
+    val got = graft.graph.Graph.triangles(withLoop)
+      .orderBy("n1", "n2", "n3").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
 }
