@@ -132,8 +132,11 @@ object TextQueries {
     * vocabulary-bounded (Heaps' law), so every aggregate after the
     * explode is small; the source↔corpus join keys on the token (uniform
     * — no broadcast assumption, AQE picks the strategy at real scale).
-    * Both engines sum −p·ln p over identical count tables; only the
-    * final sums are rounded. */
+    * Both engines sum −p·ln p over identical count tables in 1e12
+    * FIXED POINT: each term is rounded to a long before summation, so the
+    * per-source sum is exact integer arithmetic — immune to partial-agg
+    * merge order (the q_kmeans_step r5 flake class) and to last-ulp
+    * engine-libm ln() disagreement at the final 4-decimal rounding. */
   val qEntropy = Q(
     "q_entropy",
     (s, dir) => {
@@ -155,8 +158,10 @@ object TextQueries {
       joined.groupBy(col("source"))
         .agg(
           max(col("n_s")).as("n_tokens"),
-          round(-sum(col("p_s") * log(col("p_s"))), 4).as("entropy"),
-          round(sum(col("p_s") * log(col("p_s") / col("p_c"))), 4).as("kl_vs_corpus"))
+          round(-(sum(round(col("p_s") * log(col("p_s")) * 1e12).cast("long")) / 1e12), 4)
+            .as("entropy"),
+          round(sum(round(col("p_s") * log(col("p_s") / col("p_c")) * 1e12).cast("long")) / 1e12, 4)
+            .as("kl_vs_corpus"))
     },
     Some("""WITH toks AS (
               SELECT source, tok
@@ -171,11 +176,13 @@ object TextQueries {
             ct AS (SELECT tok, count(*) AS n_ct FROM toks GROUP BY tok),
             ntot AS (SELECT sum(n_ct) AS n_c FROM ct)
             SELECT st.source, max(n_s) AS n_tokens,
-              round(-sum((CAST(n_st AS DOUBLE) / n_s)
-                         * ln(CAST(n_st AS DOUBLE) / n_s)), 4) AS entropy,
-              round(sum((CAST(n_st AS DOUBLE) / n_s)
+              round(-(CAST(sum(CAST(round((CAST(n_st AS DOUBLE) / n_s)
+                         * ln(CAST(n_st AS DOUBLE) / n_s) * 1e12) AS BIGINT))
+                      AS BIGINT) / 1e12), 4) AS entropy,
+              round(CAST(sum(CAST(round((CAST(n_st AS DOUBLE) / n_s)
                         * ln((CAST(n_st AS DOUBLE) / n_s)
-                           / (CAST(n_ct AS DOUBLE) / n_c))), 4) AS kl_vs_corpus
+                           / (CAST(n_ct AS DOUBLE) / n_c)) * 1e12) AS BIGINT))
+                    AS BIGINT) / 1e12, 4) AS kl_vs_corpus
             FROM st
             JOIN stot USING (source)
             JOIN ct USING (tok)
@@ -257,7 +264,7 @@ object TextQueries {
               FROM (SELECT doc_id, n_chars, md5(doc_id::VARCHAR) AS h
                     FROM documents))
             SELECT doc_id, round(es_score * 1000, 4) AS score_x1000
-            FROM s ORDER BY es_score, doc_id LIMIT 50"""))
+            FROM s ORDER BY round(es_score * 1000, 4), doc_id LIMIT 50"""))
 
   /** Gopher-style repetition filters: duplicated-word fraction + most
     * repeated bigram, per doc — pure scan-stage array work on the Spark

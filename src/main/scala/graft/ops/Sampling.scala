@@ -169,15 +169,26 @@ object Sampling {
     *
     * Scale shape: score is scan-stage column math; selection is a global
     * top-k (TakeOrderedAndProject — k rows per partition to the driver
-    * merge, never a full sort). Weights must be strictly positive. */
+    * merge, never a full sort). Weights must be strictly positive.
+    *
+    * Selection runs on the score QUANTIZED to 4 decimals of
+    * score × `selectionScale` (key tiebreak) — ln() is engine-libm math
+    * that can differ in the last ulp, and an unrounded top-k boundary
+    * would ride on cross-engine transcendental parity; after quantizing,
+    * near-ties at the boundary resolve by key identically everywhere
+    * (the repo's round-before-selection convention). `es_score` itself is
+    * emitted raw. */
   def weightedSample(
       df: DataFrame,
       keyCol: String,
       weightCol: String,
-      k: Int): DataFrame =
+      k: Int,
+      selectionScale: Double = 1000.0): DataFrame =
     df.withColumn("es_score", -log(hashUniform(col(keyCol))) / col(weightCol))
-      .orderBy(col("es_score"), col(keyCol))
+      .withColumn("es_rank", round(col("es_score") * lit(selectionScale), 4))
+      .orderBy(col("es_rank"), col(keyCol))
       .limit(k)
+      .drop("es_rank")
 
   /** Deterministic global shuffle into training shards: shard and
     * within-shard position are pure functions of (seed, key), so an epoch's

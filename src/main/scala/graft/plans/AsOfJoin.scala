@@ -112,7 +112,14 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
 
-      val buffered = rIter.buffered
+      // NULL semantics (pandas merge_asof / the SQL subquery oracle): a
+      // NULL key or NULL time NEVER matches. Without this filter the
+      // nulls-first sort ordering would make a NULL-time right row sort
+      // before every real time and qualify as a candidate for all of them,
+      // and NULL keys on both sides would compare equal and "match".
+      val buffered = rIter
+        .filter(r => !rKeyProj(r).anyNull && !rTimeProj(r).isNullAt(0))
+        .buffered
       // one-candidate state: the latest right row whose (key, time) is
       // <= the current left row's; `candKey` guards against key changes
       var candidate: InternalRow = null
@@ -121,25 +128,30 @@ case class AsOfJoinExec(
       lIter.map { lRow =>
         val lk = lKeyProj(lRow)
         val lt = lTimeProj(lRow)
-        // drop right rows (and any stale candidate) for keys before lk
-        while (buffered.hasNext && keyOrd.compare(rKeyProj(buffered.head), lk) < 0) {
-          buffered.next()
-          candidate = null
-          candKey = null
-        }
-        // consume equal-key rows with time <= lt; last one wins
-        var advanced = true
-        while (advanced && buffered.hasNext) {
-          val h = buffered.head
-          if (keyOrd.compare(rKeyProj(h), lk) == 0 &&
-              timeOrd.compare(rTimeProj(h), lt) <= 0) {
-            candidate = buffered.next().copy()
-            candKey = rKeyProj(candidate).copy()
-          } else {
-            advanced = false
+        // a NULL-keyed/timed left row matches nothing; it also consumes no
+        // right rows (nulls sort first, so no right row precedes it)
+        val lNull = lk.anyNull || lt.isNullAt(0)
+        if (!lNull) {
+          // drop right rows (and any stale candidate) for keys before lk
+          while (buffered.hasNext && keyOrd.compare(rKeyProj(buffered.head), lk) < 0) {
+            buffered.next()
+            candidate = null
+            candKey = null
+          }
+          // consume equal-key rows with time <= lt; last one wins
+          var advanced = true
+          while (advanced && buffered.hasNext) {
+            val h = buffered.head
+            if (keyOrd.compare(rKeyProj(h), lk) == 0 &&
+                timeOrd.compare(rTimeProj(h), lt) <= 0) {
+              candidate = buffered.next().copy()
+              candKey = rKeyProj(candidate).copy()
+            } else {
+              advanced = false
+            }
           }
         }
-        val matched =
+        val matched = !lNull &&
           candidate != null && candKey != null && keyOrd.compare(candKey, lk) == 0
         resultProj(joined(lRow, if (matched) candidate else nullRight))
       }
@@ -159,7 +171,10 @@ object AsOf {
     * `rightTimeCol <= leftTimeCol` for its key (ties on time: greatest
     * `tiebreak`), or nulls. Right columns come back suffixed with
     * `rightSuffix` (also guarantees fresh attribute ids, so self-as-of
-    * over one table is safe). */
+    * over one table is safe). NULL key or time on EITHER side never
+    * matches (pandas merge_asof semantics): null-keyed/timed left rows
+    * emit all-null right columns, null-keyed/timed right rows are never
+    * candidates. */
   def joinBackward(
       left: DataFrame,
       right: DataFrame,

@@ -31,12 +31,19 @@ case class MgSketch(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.HashMap[Long, Long]] {
+  extends TypedImperativeAggregate[java.util.HashMap[Long, Long]]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   require(k > 0, "k must be positive")
 
   override def prettyName: String = "mg_sketch"
   override def children: Seq[Expression] = Seq(child)
+  // update() reads the child as a Long: declare it, so a non-long column
+  // (easy to hit via the SQL-registered mg_sketch) coerces when implicit
+  // casting allows and fails ANALYSIS with a readable message when it
+  // doesn't — instead of a runtime ClassCastException inside the aggregate
+  // (narrowed to Seq[DataType]: AbstractDataType is private[sql])
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("id", LongType), StructField("est", LongType))),

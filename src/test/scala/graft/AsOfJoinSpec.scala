@@ -36,6 +36,27 @@ class AsOfJoinSpec extends SparkSpec {
     ))
   }
 
+  test("NULL key/time never matches on either side (merge_asof semantics)") {
+    val probesN = Seq(
+      (Some(1L), Some(25L), 100L), // normal: matches ref id 200 at t=20
+      (None, Some(25L), 101L),     // null key → null match
+      (Some(1L), None, 102L)       // null time → null match
+    ).toDF("user_id", "t", "event_id")
+    val refsN = Seq(
+      (Some(1L), Some(20L), 200L),
+      (None, Some(5L), 201L),      // null key: never a candidate
+      (Some(1L), None, 202L)       // null time: would sort first and
+                                   // qualify for every probe if unfiltered
+    ).toDF("user_id", "t", "event_id")
+    val out = AsOf.joinBackward(probesN, refsN, "user_id", "t", "t", "event_id")
+      .select($"event_id", $"event_id_r")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(
+      100L -> Some(200L),
+      101L -> None,
+      102L -> None))
+  }
+
   test("every probe row survives exactly once (left-outer cardinality)") {
     val out = AsOf.joinBackward(probes, refs, "user_id", "t", "t", "event_id")
     assert(out.count() == 5)

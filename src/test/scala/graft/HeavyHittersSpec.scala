@@ -70,6 +70,22 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("mg_sketch declares LongType input: ints coerce, bad types fail analysis") {
+    import graft.plans.MgSketch.mgSketch
+    import spark.implicits._
+    val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "s")
+    // int column: implicit upcast in analysis (no runtime ClassCastException)
+    val viaInt = df.agg(mgSketch(col("k"), 4).as("sk"))
+      .selectExpr("size(sk)").as[Int].head()
+    assert(viaInt == 2)
+    // array column: not coercible to long → readable ANALYSIS error,
+    // not a ClassCastException inside the aggregate
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(mgSketch(array(col("k")), 4)).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("type"))
+  }
+
   test("plan: candidate recount join is broadcast; corpus never shuffled") {
     val keyed = Tables(spark, sf).events
       .select(floor(col("value")).cast("long").as("vkey"))
