@@ -20,10 +20,12 @@ object Main {
       settings: Settings,
       admin: RemoteAdmin,
       endpoint: graft.net.HttpEndpoint,
-      pidFile: java.nio.file.Path) {
+      pidFile: java.nio.file.Path,
+      pluginMgr: graft.api.PluginManager) {
     /** ws://host:port analog — the admin RPC URL a client connects to. */
     def adminUrl: String = endpoint.url("/rpc")
     def stop(): Unit = {
+      pluginMgr.stopPlugins() // before the loop stops, like main()'s teardown
       endpoint.stop()
       java.nio.file.Files.deleteIfExists(pidFile)
     }
@@ -67,18 +69,25 @@ object Main {
   def startApp(settings: Settings, spark: SparkSession): RunningApp = {
     val project = GraftProject.load(settings.projectModule)
     val stores = project.configure(spark, settings)
+    // plugin lifecycle mirrors commands.py main(): import/init, ready after
+    // the graph is configured, start before channels serve
+    val pluginMgr = new graft.api.PluginManager
+    pluginMgr.importPlugins(settings)
+    pluginMgr.initPlugins(graft.api.Plugin.Context(spark, settings))
+    pluginMgr.readyPlugins()
     val admin = new RemoteAdmin(spark)
     stores.foreach { case (chan, store) => admin.bind(chan, store) }
     val endpoint = new graft.net.HttpEndpoint(
       spark, settings.remoteAdminHost, settings.remoteAdminPort)
     admin.serve(endpoint)
     endpoint.start()
+    pluginMgr.startPlugins()
     // reference main() starts every registered channel (commands.py:116)
     Channels.all.foreach(c => admin.startChannel(c.name))
     val pidFile = java.nio.file.Paths.get("graft.pid")
     java.nio.file.Files.write(pidFile,
       String.valueOf(ProcessHandle.current().pid()).getBytes("UTF-8"))
-    RunningApp(settings, admin, endpoint, pidFile)
+    RunningApp(settings, admin, endpoint, pidFile, pluginMgr)
   }
 
   private def awaitStopped(app: RunningApp): Unit = {

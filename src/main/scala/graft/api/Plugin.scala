@@ -1,0 +1,106 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+
+/** Plugin surface — the reference's plugin system (pypeman/plugins/base.py
+  * BasePlugin, pypeman/plugin_mgr.py PluginManager): sidecar code that
+  * rides along the app for monitoring/debugging without being part of the
+  * channel graph. Same lifecycle and state machine, minus asyncio:
+  *
+  *   INITIALIZED → READY → STARTING → STARTED → STOPPED → DESTROYED
+  *
+  * `ready()` runs after the whole project graph is configured and before
+  * anything starts (plugins/base.py:36-44); `start()` after the app's
+  * serving machinery exists (do_start, :62); `stop()` before shutdown
+  * (:106); `destroy()` after every plugin has stopped (:122). Hooks see
+  * the live session and settings via `context`. */
+abstract class Plugin {
+  import Plugin._
+
+  @volatile var status: State = Initialized
+  /** set by the manager before any hook runs (the reference's set_loop). */
+  @volatile var context: Context = null
+
+  def ready(): Unit = ()
+  def start(): Unit = ()
+  def stop(): Unit = ()
+  def destroy(): Unit = ()
+
+  /** do_ready (plugins/base.py:36): INITIALIZED → READY. */
+  final def doReady(): Unit = {
+    require(status == Initialized, s"ready() from $status")
+    ready()
+    status = Ready
+  }
+
+  /** do_start (plugins/base.py:62): READY → STARTING → STARTED. */
+  final def doStart(): Unit = {
+    require(status == Ready, s"start() from $status")
+    status = Starting
+    start()
+    status = Started
+  }
+
+  /** do_stop (plugins/base.py:106): STARTED → STOPPED; stopping a plugin
+    * that never started is a no-op, like the reference's INITIALIZED
+    * branch. */
+  final def doStop(): Unit =
+    if (status == Started) {
+      stop()
+      status = Stopped
+    }
+
+  /** do_destroy (plugins/base.py:122): STOPPED/INITIALIZED → DESTROYED. */
+  final def doDestroy(): Unit = {
+    require(status == Stopped || status == Initialized, s"destroy() from $status")
+    destroy()
+    status = Destroyed
+  }
+}
+
+object Plugin {
+  sealed abstract class State(val name: String) { override def toString: String = name }
+  case object Initialized extends State("INITIALIZED")
+  case object Ready extends State("READY")
+  case object Starting extends State("STARTING")
+  case object Started extends State("STARTED")
+  case object Stopped extends State("STOPPED")
+  case object Destroyed extends State("DESTROYED")
+
+  final case class Context(spark: SparkSession, settings: Settings)
+}
+
+/** plugin_mgr.py PluginManager: resolves the settings' PLUGINS class list,
+  * instantiates, and drives every plugin through the shared lifecycle.
+  * Instantiation is by reflective FQCN — the analog of the reference's
+  * `import_module` + getattr (plugin_mgr.py:38-43). */
+final class PluginManager {
+
+  private var pluginClasses = Vector.empty[Class[_]]
+  private var _plugins = Vector.empty[Plugin]
+
+  def plugins: Seq[Plugin] = _plugins
+
+  /** import_plugins (plugin_mgr.py:33): resolve classes once. */
+  def importPlugins(settings: Settings): Unit =
+    if (pluginClasses.isEmpty)
+      pluginClasses = settings.plugins.map(Class.forName).toVector
+
+  /** init_plugins (plugin_mgr.py:45): stop+destroy any previous
+    * generation, then instantiate fresh. */
+  def initPlugins(ctx: Plugin.Context): Unit = {
+    _plugins.foreach(_.doStop())
+    _plugins.filter(p => p.status == Plugin.Stopped || p.status == Plugin.Initialized)
+      .foreach(_.doDestroy())
+    _plugins = pluginClasses.map { c =>
+      val p = c.getDeclaredConstructor().newInstance().asInstanceOf[Plugin]
+      p.context = ctx
+      p
+    }
+  }
+
+  def readyPlugins(): Unit = _plugins.foreach(_.doReady())
+  def startPlugins(): Unit = _plugins.foreach(_.doStart())
+  def stopPlugins(): Unit = _plugins.foreach(_.doStop())
+  def destroyPlugins(): Unit = _plugins.foreach(_.doDestroy())
+}

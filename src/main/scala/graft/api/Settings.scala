@@ -22,6 +22,9 @@ final case class Settings(
     httpEndpointPort: Int = 8080,
     retryStorePath: Option[String] = None,
     storePath: Option[String] = None,
+    /** FQCNs of [[Plugin]] classes — the reference's PLUGINS list
+      * (default_settings.py:31), comma-separated in properties/env. */
+    plugins: Seq[String] = Seq.empty,
     /** unrecognized keys pass through untouched, like extra UPPERCASE
       * attributes on a reference settings module. */
     extra: Map[String, String] = Map.empty) {
@@ -37,7 +40,8 @@ final case class Settings(
       "HTTP_ENDPOINT_HOST" -> httpEndpointHost,
       "HTTP_ENDPOINT_PORT" -> httpEndpointPort.toString,
       "RETRY_STORE_PATH" -> retryStorePath.getOrElse("None"),
-      "STORE_PATH" -> storePath.getOrElse("None")) ++ extra
+      "STORE_PATH" -> storePath.getOrElse("None"),
+      "PLUGINS" -> plugins.mkString("[", ", ", "]")) ++ extra
     kv.toSeq.sortBy(_._1).map { case (k, v) => s"$k = $v" }
   }
 }
@@ -47,7 +51,7 @@ object Settings {
   private val known = Set(
     "DEBUG", "TESTING", "PROJECT_MODULE", "REMOTE_ADMIN_HOST",
     "REMOTE_ADMIN_PORT", "HTTP_ENDPOINT_HOST", "HTTP_ENDPOINT_PORT",
-    "RETRY_STORE_PATH", "STORE_PATH")
+    "RETRY_STORE_PATH", "STORE_PATH", "PLUGINS")
 
   /** Layered load. `env` is injectable for tests; the real CLI passes
     * sys.env. Missing file → ConfigError, like the reference's
@@ -79,6 +83,8 @@ object Settings {
       httpEndpointPort = get("HTTP_ENDPOINT_PORT").map(_.toInt).getOrElse(d.httpEndpointPort),
       retryStorePath = get("RETRY_STORE_PATH"),
       storePath = get("STORE_PATH"),
+      plugins = get("PLUGINS").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
       extra = props.stringPropertyNames().asScala.toSeq
         .filterNot(known).map(k => k -> props.getProperty(k)).toMap)
   }
