@@ -393,7 +393,11 @@ object Queries {
         .withColumn("ts_s", unix_seconds(col("ts").cast("timestamp")))
       graft.ops.Smoothing.ewma(ev, "user_id", "ts_s", "event_id", "value", alpha = 0.15)
         .filter(col("event_id") % 20 === 0)
-        .select(col("user_id"), col("event_id"), r4(col("ewma")).as("ewma"))
+        // fl4, not round(): the raw folds agree bit-for-bit, but engine
+        // round() implementations disagree at .00005 boundaries (one sf0.1
+        // row flipped in r6); the floor form is the same double ops on
+        // both engines
+        .select(col("user_id"), col("event_id"), fl4(col("ewma")).as("ewma"))
     },
     Some("""WITH RECURSIVE src AS (
               SELECT user_id, event_id, value::DOUBLE AS x,
@@ -408,7 +412,7 @@ object Queries {
                   + (CAST(1.0 AS DOUBLE) - CAST(0.15 AS DOUBLE)) * rec.s
               FROM src JOIN rec
                 ON src.user_id = rec.user_id AND src.rn = rec.rn + 1)
-            SELECT user_id, event_id, round(s, 4) AS ewma
+            SELECT user_id, event_id, floor(s * 10000 + 0.5) / 10000 AS ewma
             FROM rec WHERE event_id % 20 = 0"""))
 
   /** Pivot: event counts per user bucketed by type as columns (expressed

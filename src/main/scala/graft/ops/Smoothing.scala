@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Recursive smoothing — the classic awkward-relational operator family:
   * s_i = α·x_i + (1−α)·s_{i−1} with s_0 = x_0 cannot be a plain window
@@ -49,5 +50,44 @@ object Smoothing {
       .agg(series.as("series"))
       .select(col(keyCol), explode(aggregate(col("series"), zero, fold)).as("e"))
       .select(col(keyCol), col("e.i").as(idCol), col("e.s").as("ewma"))
+  }
+
+  final case class Point(key: Long, ts: Long, id: Long, x: Double)
+  final case class EwmaState(lastTs: Long, lastId: Long, s: Double)
+  final case class Smoothed(key: Long, id: Long, ewma: Double)
+
+  /** Streaming EWMA — the unbounded-series form [[ewma]]'s scaladoc defers
+    * to: the running smoothed value is per-key `GroupState` carried across
+    * micro-batches (`flatMapGroupsWithState`), so a key's series never
+    * materializes anywhere. Events inside one invocation fold in (ts, id)
+    * order; an event at or before the state's high-water mark is DROPPED
+    * (the recursion is already past it — replaying it would double-count;
+    * same discard semantics watermarked aggregations apply to late rows).
+    * On a batch Dataset each key sees all its events in one invocation, so
+    * the result equals the relational [[ewma]] exactly (spec-pinned). */
+  def ewmaStream(points: Dataset[Point], alpha: Double): Dataset[Smoothed] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    implicit val stateEnc = Encoders.product[EwmaState]
+    implicit val outEnc = Encoders.product[Smoothed]
+    points
+      .groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[EwmaState, Smoothed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        case (key, evs, state: GroupState[EwmaState]) =>
+          var st = state.getOption
+          val sorted = evs.toSeq.sortBy(e => (e.ts, e.id))
+            .filter(e => st.forall(p =>
+              e.ts > p.lastTs || (e.ts == p.lastTs && e.id > p.lastId)))
+          val out = sorted.map { e =>
+            val s = st match {
+              case Some(p) => alpha * e.x + (1.0 - alpha) * p.s
+              case None => e.x // s_0 = x_0
+            }
+            st = Some(EwmaState(e.ts, e.id, s))
+            Smoothed(key, e.id, s)
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
   }
 }

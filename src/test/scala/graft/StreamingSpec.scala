@@ -389,4 +389,39 @@ class StreamingSpec extends SparkSpec {
     val sizes = out.select("chunk_bytes").as[Int].collect().toSeq
     assert(sizes == Seq(256, 256, 88))
   }
+
+  test("streaming EWMA carries the running value across micro-batches") {
+    import graft.ops.Smoothing
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Smoothing.Point]
+    val q = Smoothing.ewmaStream(mem.toDS(), alpha = 0.5)
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: s=10, then 0.5*20+0.5*10=15
+      mem.addData(Smoothing.Point(1L, 100L, 1L, 10.0), Smoothing.Point(1L, 200L, 2L, 20.0))
+      q.processAllAvailable()
+      // batch 2: recursion must CONTINUE from 15 → 0.5*5+0.5*15=10;
+      // a replayed/late event at ts<=200 must be dropped, not re-folded
+      mem.addData(Smoothing.Point(1L, 300L, 3L, 5.0), Smoothing.Point(1L, 150L, 9L, 99.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id, ewma FROM ewma_out ORDER BY id")
+        .as[(Long, Double)].collect().toSeq
+      assert(got == Seq((1L, 10.0), (2L, 15.0), (3L, 10.0)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("batch-mode streaming EWMA equals the relational fold exactly") {
+    import graft.ops.Smoothing
+    val pts = Seq(
+      Smoothing.Point(1L, 10L, 100L, 4.0), Smoothing.Point(1L, 20L, 101L, 8.0),
+      Smoothing.Point(1L, 30L, 102L, 1.0), Smoothing.Point(2L, 10L, 103L, 7.0))
+    val viaState = Smoothing.ewmaStream(pts.toDS(), alpha = 0.25)
+      .collect().map(s => (s.key, s.id, s.ewma)).toSeq.sorted
+    val viaFold = Smoothing.ewma(
+        pts.toDF(), "key", "ts", "id", "x", alpha = 0.25)
+      .select("key", "id", "ewma").as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(viaState == viaFold)
+  }
 }
