@@ -196,6 +196,29 @@ class ScalePathSpec extends SparkSpec {
     }
   }
 
+  test("round-6 operator plans: EWMA one shuffle, triangles no cartesian") {
+    // EWMA: the groupBy(key) exchange is the ONLY shuffle — the fold is a
+    // codegen'd aggregate over the gathered series, and explode adds no
+    // exchange. (An accidental window/self-join formulation would add
+    // sort-spill exchanges here.)
+    val ev = Tables(spark, sf).events
+      .withColumn("ts_s", unix_seconds(col("ts").cast("timestamp")))
+    val ewma = graft.ops.Smoothing.ewma(ev, "user_id", "ts_s", "event_id", "value", 0.15)
+    val ewmaPlan = ewma.queryExecution.executedPlan.toString
+    assert(ewmaPlan.split("Exchange").length - 1 == 1,
+      s"ewma should be exactly one exchange:\n$ewmaPlan")
+    // triangles: every join is a hash/merge join on real keys — the wedge
+    // and closure joins must never degrade to a cartesian product, and no
+    // node-count-sized relation is broadcast (degree table joins shuffle)
+    import spark.implicits._
+    val edges = (1L to 400L).flatMap(a => Seq((a, a % 97 + 1000L), (a, a % 89 + 2000L)))
+      .toDF("src", "dst")
+    val tri = graft.graph.Graph.triangles(edges)
+    val triPlan = tri.queryExecution.executedPlan.toString
+    assert(!triPlan.contains("CartesianProduct") && !triPlan.contains("BroadcastNestedLoop"),
+      s"triangles degraded to a product join:\n$triPlan")
+  }
+
   test("gap sessionization over real events agrees with window-based count") {
     val evs = Tables(spark, sf).events.limit(2000)
       .select(col("user_id").as("userId"), unix_millis(col("ts")).as("tsMs"),
