@@ -36,7 +36,10 @@ object Bench {
 
     var failed = Vector.empty[(String, String)]
     // optional args: bench only the named queries (iteration aid; the
-    // driver always runs the full battery)
+    // driver always runs the full battery). Unknown names are an error —
+    // a typo must not emit a zero-query success JSON
+    val unknown = args.toSet -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap

@@ -851,12 +851,15 @@ object DedupQueries {
   /** Mean of embedding dim `i` in 1e7 fixed point: round each element to a
     * long FIRST (exact for float32 in [-200, 200]), sum the longs (integer
     * addition — associative, so partial-agg merge order cannot change the
-    * result), divide once at the end. */
+    * result), divide once at the end. The final 4-decimal quantization is
+    * the FLOOR form, not round(): fixed-point division makes exact .00005
+    * boundaries reachable, where Spark (BigDecimal shortest-repr HALF_UP)
+    * and DuckDB (std::round on the binary double) disagree — the floor
+    * form is the same double ops on both engines. */
   private def fixedPointMean(i: Int): Column =
-    round(
+    floor(
       sum(round(element_at(col("embedding"), i).cast("double") * 1e7).cast("long"))
-        / (count(lit(1)) * 1e7),
-      4)
+        / (count(lit(1)) * 1e7) * 10000 + lit(0.5)) / 10000
 
   val qKmeansStep = Q(
     "q_kmeans_step",
@@ -889,10 +892,10 @@ object DedupQueries {
               SELECT id, (min(struct_pack(dist := dist, cid := cid))).cid AS cid
               FROM dists GROUP BY id)
             SELECT a.cid, count(*) AS n,
-              round(CAST(sum(CAST(round(e.embedding[1]::DOUBLE * 1e7) AS BIGINT)) AS BIGINT) / (count(*) * 1e7), 4) AS c0,
-              round(CAST(sum(CAST(round(e.embedding[2]::DOUBLE * 1e7) AS BIGINT)) AS BIGINT) / (count(*) * 1e7), 4) AS c1,
-              round(CAST(sum(CAST(round(e.embedding[3]::DOUBLE * 1e7) AS BIGINT)) AS BIGINT) / (count(*) * 1e7), 4) AS c2,
-              round(CAST(sum(CAST(round(e.embedding[4]::DOUBLE * 1e7) AS BIGINT)) AS BIGINT) / (count(*) * 1e7), 4) AS c3
+              floor(CAST(sum(CAST(round(e.embedding[1]::DOUBLE * 1e7) AS BIGINT)) AS BIGINT) / (count(*) * 1e7) * 10000 + 0.5) / 10000 AS c0,
+              floor(CAST(sum(CAST(round(e.embedding[2]::DOUBLE * 1e7) AS BIGINT)) AS BIGINT) / (count(*) * 1e7) * 10000 + 0.5) / 10000 AS c1,
+              floor(CAST(sum(CAST(round(e.embedding[3]::DOUBLE * 1e7) AS BIGINT)) AS BIGINT) / (count(*) * 1e7) * 10000 + 0.5) / 10000 AS c2,
+              floor(CAST(sum(CAST(round(e.embedding[4]::DOUBLE * 1e7) AS BIGINT)) AS BIGINT) / (count(*) * 1e7) * 10000 + 0.5) / 10000 AS c3
             FROM assigned a JOIN embeddings e ON a.id = e.vec_id
             GROUP BY a.cid"""))
 

@@ -81,13 +81,22 @@ object Main {
       spark, settings.remoteAdminHost, settings.remoteAdminPort)
     admin.serve(endpoint)
     endpoint.start()
-    pluginMgr.startPlugins()
-    // reference main() starts every registered channel (commands.py:116)
-    Channels.all.foreach(c => admin.startChannel(c.name))
-    val pidFile = java.nio.file.Paths.get("graft.pid")
-    java.nio.file.Files.write(pidFile,
-      String.valueOf(ProcessHandle.current().pid()).getBytes("UTF-8"))
-    RunningApp(settings, admin, endpoint, pidFile, pluginMgr)
+    try {
+      pluginMgr.startPlugins()
+      // reference main() starts every registered channel (commands.py:116)
+      Channels.all.foreach(c => admin.startChannel(c.name))
+      val pidFile = java.nio.file.Paths.get("graft.pid")
+      java.nio.file.Files.write(pidFile,
+        String.valueOf(ProcessHandle.current().pid()).getBytes("UTF-8"))
+      RunningApp(settings, admin, endpoint, pidFile, pluginMgr)
+    } catch {
+      // a failed boot must not leak a bound port serving RPC with no
+      // handle and no pidfile to stop it with
+      case e: Throwable =>
+        endpoint.stop()
+        pluginMgr.stopPlugins()
+        throw e
+    }
   }
 
   private def awaitStopped(app: RunningApp): Unit = {
@@ -103,11 +112,17 @@ object Main {
     val pidFile = java.nio.file.Paths.get("graft.pid")
     if (!java.nio.file.Files.exists(pidFile)) Left("no graft.pid — not running?")
     else {
-      val pid = new String(java.nio.file.Files.readAllBytes(pidFile), "UTF-8").trim.toLong
-      java.nio.file.Files.deleteIfExists(pidFile)
-      if (pid != ProcessHandle.current().pid())
-        ProcessHandle.of(pid).ifPresent(h => h.destroy())
-      Right(Seq(s"stopped pid $pid"))
+      val raw = new String(java.nio.file.Files.readAllBytes(pidFile), "UTF-8").trim
+      raw.toLongOption match {
+        case None => Left(s"graft.pid is corrupt ('$raw') — remove it manually")
+        case Some(pid) =>
+          // signal FIRST, delete after — a failed destroy must not leave
+          // 'not running' reports while the instance keeps serving
+          if (pid != ProcessHandle.current().pid())
+            ProcessHandle.of(pid).ifPresent(h => h.destroy())
+          java.nio.file.Files.deleteIfExists(pidFile)
+          Right(Seq(s"stopped pid $pid"))
+      }
     }
   }
 

@@ -374,7 +374,8 @@ object Queries {
               SELECT event_id, user_id,
                 round(avg(value) OVER w, 4) AS avg_1h,
                 count(*) OVER w AS n_1h
-              FROM (SELECT event_id, user_id, value, epoch(ts)::BIGINT AS ts_s
+              FROM (SELECT event_id, user_id, value,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
                     FROM events)
               WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
                            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
@@ -402,7 +403,8 @@ object Queries {
     Some("""WITH RECURSIVE src AS (
               SELECT user_id, event_id, value::DOUBLE AS x,
                 row_number() OVER (PARTITION BY user_id
-                                   ORDER BY epoch(ts)::BIGINT, event_id) AS rn
+                                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                            event_id) AS rn
               FROM events),
             rec AS (
               SELECT user_id, event_id, rn, x AS s FROM src WHERE rn = 1

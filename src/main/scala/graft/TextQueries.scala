@@ -158,10 +158,12 @@ object TextQueries {
       joined.groupBy(col("source"))
         .agg(
           max(col("n_s")).as("n_tokens"),
-          round(-(sum(round(col("p_s") * log(col("p_s")) * 1e12).cast("long")) / 1e12), 4)
-            .as("entropy"),
-          round(sum(round(col("p_s") * log(col("p_s") / col("p_c")) * 1e12).cast("long")) / 1e12, 4)
-            .as("kl_vs_corpus"))
+          // fl4 floor form, not round(): fixed-point sums make exact
+          // .00005 boundaries reachable, where engine round()s disagree
+          (floor(-(sum(round(col("p_s") * log(col("p_s")) * 1e12).cast("long")) / 1e12)
+            * 10000 + lit(0.5)) / 10000).as("entropy"),
+          (floor(sum(round(col("p_s") * log(col("p_s") / col("p_c")) * 1e12).cast("long")) / 1e12
+            * 10000 + lit(0.5)) / 10000).as("kl_vs_corpus"))
     },
     Some("""WITH toks AS (
               SELECT source, tok
@@ -176,13 +178,13 @@ object TextQueries {
             ct AS (SELECT tok, count(*) AS n_ct FROM toks GROUP BY tok),
             ntot AS (SELECT sum(n_ct) AS n_c FROM ct)
             SELECT st.source, max(n_s) AS n_tokens,
-              round(-(CAST(sum(CAST(round((CAST(n_st AS DOUBLE) / n_s)
+              floor(-(CAST(sum(CAST(round((CAST(n_st AS DOUBLE) / n_s)
                          * ln(CAST(n_st AS DOUBLE) / n_s) * 1e12) AS BIGINT))
-                      AS BIGINT) / 1e12), 4) AS entropy,
-              round(CAST(sum(CAST(round((CAST(n_st AS DOUBLE) / n_s)
+                      AS BIGINT) / 1e12) * 10000 + 0.5) / 10000 AS entropy,
+              floor(CAST(sum(CAST(round((CAST(n_st AS DOUBLE) / n_s)
                         * ln((CAST(n_st AS DOUBLE) / n_s)
                            / (CAST(n_ct AS DOUBLE) / n_c)) * 1e12) AS BIGINT))
-                    AS BIGINT) / 1e12, 4) AS kl_vs_corpus
+                    AS BIGINT) / 1e12 * 10000 + 0.5) / 10000 AS kl_vs_corpus
             FROM st
             JOIN stot USING (source)
             JOIN ct USING (tok)

@@ -50,9 +50,13 @@ abstract class Plugin {
       status = Stopped
     }
 
-  /** do_destroy (plugins/base.py:122): STOPPED/INITIALIZED → DESTROYED. */
+  /** do_destroy (plugins/base.py:122): STOPPED/INITIALIZED/READY →
+    * DESTROYED. READY is destroyable because a boot can fail between
+    * ready and start — those plugins still own whatever ready() acquired
+    * and must get their destroy() hook. */
   final def doDestroy(): Unit = {
-    require(status == Stopped || status == Initialized, s"destroy() from $status")
+    require(status == Stopped || status == Initialized || status == Ready,
+      s"destroy() from $status")
     destroy()
     status = Destroyed
   }
@@ -87,11 +91,11 @@ final class PluginManager {
       pluginClasses = settings.plugins.map(Class.forName).toVector
 
   /** init_plugins (plugin_mgr.py:45): stop+destroy any previous
-    * generation, then instantiate fresh. */
+    * generation — EVERY member, whatever state its boot reached — then
+    * instantiate fresh. */
   def initPlugins(ctx: Plugin.Context): Unit = {
     _plugins.foreach(_.doStop())
-    _plugins.filter(p => p.status == Plugin.Stopped || p.status == Plugin.Initialized)
-      .foreach(_.doDestroy())
+    _plugins.filterNot(_.status == Plugin.Destroyed).foreach(_.doDestroy())
     _plugins = pluginClasses.map { c =>
       val p = c.getDeclaredConstructor().newInstance().asInstanceOf[Plugin]
       p.context = ctx

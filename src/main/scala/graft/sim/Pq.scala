@@ -64,6 +64,11 @@ object Pq {
   def trainedCodebook(
       df: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, iters: Int): Codebook = {
+    // same shrunken-codebook guard as fixedCodebook: k-means seeds from
+    // the first k rows, so fewer than k source rows would silently yield
+    // a smaller codebook with wrong-but-plausible codes
+    require(df.limit(k).count() == k,
+      s"codebook training needs at least k=$k source rows")
     val d = df.select(size(col(vecCol))).head().getInt(0)
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val subDim = d / m

@@ -47,13 +47,11 @@ final class MemoryMessageStore(spark: SparkSession) {
   }
 
   /** Replay with reference handle()-flow parity: results renewed (fresh
-    * uuid + timestamp, message.py:80) and saved back as processed — same
-    * contract as the durable store's replay. */
+    * uuid + timestamp, message.py:80) and saved back as processed — the
+    * same [[MessageStore.renewProcessed]] the durable store's replay uses. */
   def replay(q: Search, channel: Channel): DataFrame = {
-    val renewed = channel.runMain(search(q))
-      .withColumn("uuid", md5(concat(col("uuid"), lit(s":replay:${System.nanoTime()}"))))
-      .withColumn("ts", current_timestamp())
-      .withColumn("state", lit(graft.model.Msg.PROCESSED))
+    val renewed = MessageStore
+      .renewProcessed(channel.runMain(search(q)), System.nanoTime())
       .localCheckpoint(true)
     save(renewed)
     renewed

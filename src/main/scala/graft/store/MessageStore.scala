@@ -112,11 +112,19 @@ final class MessageStore(spark: SparkSession, path: String) {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
-  def all(): DataFrame = applyMutations(spark.read.parquet(path).drop("day"))
+  private def baseExists: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  def all(): DataFrame =
+    if (!baseExists)
+      throw new NoSuchElementException(s"message store at $path is empty")
+    else applyMutations(spark.read.parquet(path).drop("day"))
 
   def search(q: Search): DataFrame = MessageStore.search(all(), q)
 
-  def total(): Long = all().count()
+  def total(): Long = if (!baseExists) 0L else all().count()
 
   /** change_message_state (msgstore.py:66, FileMessageStore :704): set one
     * message's state. Appends to the mutation log; visible to every
@@ -177,11 +185,35 @@ final class MessageStore(spark: SparkSession, path: String) {
 
   /** Fold the mutation log into the base table and clear it (the periodic
     * maintenance job a long-lived store runs: rewrite once, reads stop
-    * paying the reconcile join). */
+    * paying the reconcile join).
+    *
+    * Crash-safe by staging: the folded table is written to a SIBLING
+    * directory first and swapped in via delete+rename, so a failure at any
+    * point leaves either the original store (base + log, still correct
+    * through the reconcile path) or the completed compact — never a
+    * half-deleted store whose only copy was executor memory. A store whose
+    * every row is tombstoned compacts to the removed directory (the empty
+    * store); `total()` reads that as 0. */
   def compact(): Unit = {
-    val folded = all().localCheckpoint(true)
-    folded.withColumn("day", to_date(col("ts")))
-      .write.mode("overwrite").partitionBy("day").parquet(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val storeDir = new org.apache.hadoop.fs.Path(path)
+    val fs = storeDir.getFileSystem(conf)
+    val staging = new org.apache.hadoop.fs.Path(path + ".compacting")
+    fs.delete(staging, true) // clear any dead previous attempt
+    if (!baseExists) return // already the empty store
+    if (all().isEmpty) {
+      fs.delete(storeDir, true)
+    } else {
+      // write staging straight from the reconciled read of the UNTOUCHED
+      // base — no checkpoint needed, the durable copy is the base itself
+      all().withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(staging.toString)
+      if (!fs.delete(storeDir, true))
+        throw new java.io.IOException(s"compact: could not remove $storeDir")
+      if (!fs.rename(staging, storeDir))
+        throw new java.io.IOException(
+          s"compact: rename $staging -> $storeDir failed; staged copy retained")
+    }
   }
 
   /** Replay (channels.py:857): re-run a channel on stored messages. The
@@ -198,12 +230,8 @@ final class MessageStore(spark: SparkSession, path: String) {
     replayFrame(all().filter(col("uuid") === msgId), channel)
 
   private def replayFrame(src: DataFrame, channel: graft.api.Channel): DataFrame = {
-    val nonce = seqGen.incrementAndGet()
-    // renew(): new uuid (deterministic per replay call) + now() timestamp
-    val renewed = channel.runMain(src)
-      .withColumn("uuid", md5(concat(col("uuid"), lit(s":replay:$nonce"))))
-      .withColumn("ts", current_timestamp())
-      .withColumn("state", lit(graft.model.Msg.PROCESSED))
+    val renewed = MessageStore
+      .renewProcessed(channel.runMain(src), seqGen.incrementAndGet())
       .localCheckpoint(true) // pin uuid/ts before the side-effecting save
     save(renewed)
     renewed
@@ -255,6 +283,15 @@ object MessageStore {
 
   /** get_preview_str (msgstore.py:140). */
   def preview(payload: Column, n: Int = 1000): Column = substring(payload, 1, n)
+
+  /** message.py:80 renew() + the handle()-flow save-back state: fresh uuid
+    * (deterministic per nonce) + now() timestamp, marked processed. Shared
+    * by the parquet and memory stores' replay paths so the renewal
+    * semantics cannot drift between them. */
+  private[store] def renewProcessed(df: DataFrame, nonce: Long): DataFrame =
+    df.withColumn("uuid", md5(concat(col("uuid"), lit(s":replay:$nonce"))))
+      .withColumn("ts", current_timestamp())
+      .withColumn("state", lit(graft.model.Msg.PROCESSED))
 
   /** Store meta-infos for nodes' `store_meta` option (nodes.py:117,215-220):
     * for each message id and requested meta name, the stored values as a

@@ -80,6 +80,19 @@ class PluginSpec extends SparkSpec {
     assert(mgr.plugins.head.status == Plugin.Initialized)
   }
 
+  test("re-init destroys a generation that only reached READY (failed boot)") {
+    JournalPlugin.clear()
+    val mgr = new PluginManager
+    mgr.importPlugins(settingsWith(classOf[JournalPlugin].getName))
+    val ctx = Plugin.Context(spark, settingsWith())
+    mgr.initPlugins(ctx)
+    mgr.readyPlugins() // boot dies between ready and start
+    val gen1 = mgr.plugins.head
+    mgr.initPlugins(ctx)
+    assert(gen1.status == Plugin.Destroyed, "READY gen must still be destroyed")
+    assert(JournalPlugin.events == Seq("ready", "destroy"))
+  }
+
   test("settings PLUGINS key: comma-separated FQCNs reach Main.startApp") {
     JournalPlugin.clear()
     val app = Main.startApp(

@@ -178,6 +178,20 @@ class StoreSpec extends SparkSpec {
     assert(store.get("d").isEmpty)
   }
 
+  test("MessageStore (parquet): compact of an all-tombstoned store is the empty store") {
+    val dir = Files.createTempDirectory("graft_store_empty").toString
+    val store = new MessageStore(spark, s"$dir/msgs")
+    store.save(msgs.limit(1).withColumn("state", lit("pending")))
+    store.delete("a")
+    assert(store.total() == 0)
+    store.compact() // must not leave an uninferrable schema-less directory
+    assert(store.total() == 0)
+    intercept[NoSuchElementException](store.all())
+    // the empty store accepts new messages again
+    store.save(msgs.limit(2).withColumn("state", lit("pending")))
+    assert(store.total() == 2)
+  }
+
   test("MessageStore (parquet): replay renews and saves results back as processed") {
     val dir = Files.createTempDirectory("graft_store_replay").toString
     val store = new MessageStore(spark, s"$dir/msgs")
