@@ -1598,6 +1598,55 @@ object Queries {
                    CAST(count(*) AS BIGINT) AS triangles
             FROM tri"""))
 
+  /** Local clustering coefficient over a sparser co-purchase graph
+    * (partkeys 1-in-100 — half q_triangles' graph, since this query pays
+    * the triangle listing AND a per-node rollup). coef quantizes fl4 on
+    * both engines; the 2·T/(d·(d−1)) arithmetic is explicit DOUBLE in the
+    * oracle (a bare `2.0` literal is DECIMAL in DuckDB and would divide
+    * under decimal semantics). */
+  val qClusteringCoef = Q(
+    "q_clustering_coef",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val buyers = t.lineitem.filter(col("l_partkey") % 100 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("p"), col("o_custkey").as("c")).distinct()
+      val edges = buyers.as("b1")
+        .join(buyers.as("b2"), col("b1.p") === col("b2.p") && col("b1.c") < col("b2.c"))
+        .select(col("b1.c").as("src"), col("b2.c").as("dst")).distinct()
+      graft.graph.Graph.clusteringCoefficient(edges)
+        .select(col("n"), col("degree"), col("tri_count"),
+          (floor(col("coef") * 10000 + lit(0.5)) / 10000).as("coef"))
+    },
+    Some("""WITH buyers AS (
+              SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_partkey % 100 = 0),
+            e AS (
+              SELECT DISTINCT b1.c AS a, b2.c AS b
+              FROM buyers b1 JOIN buyers b2 ON b1.p = b2.p AND b1.c < b2.c),
+            deg AS (
+              SELECT n, count(*) AS degree
+              FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+              GROUP BY n),
+            tri AS (
+              SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            tpn AS (
+              SELECT n, CAST(count(*) AS BIGINT) AS tri_count
+              FROM (SELECT n1 AS n FROM tri
+                    UNION ALL SELECT n2 FROM tri
+                    UNION ALL SELECT n3 FROM tri)
+              GROUP BY n)
+            SELECT d.n, d.degree, coalesce(t.tri_count, 0) AS tri_count,
+              CASE WHEN d.degree >= 2
+                THEN floor(CAST(2.0 AS DOUBLE) * coalesce(t.tri_count, 0)
+                       / (d.degree * (d.degree - 1)) * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS coef
+            FROM deg d LEFT JOIN tpn t ON d.n = t.n"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
     qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin,
@@ -1610,7 +1659,7 @@ object Queries {
     qOutliers, qFfill, qAnomaly, qPagerank,
     q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
     qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma,
-    qTriangles) ++
+    qTriangles, qClusteringCoef) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

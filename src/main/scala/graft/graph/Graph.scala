@@ -41,13 +41,21 @@ object Graph {
     * superlinear step) is skew-proof where a naive neighbor self-join
     * explodes on hubs. Three uniform-key shuffles total: degree agg,
     * wedge self-join on u, closure join on (x, y). */
-  def triangles(edges: DataFrame): DataFrame = {
-    // canonical undirected edge set: a < b, self-loops dropped, deduped;
+  /** Canonical undirected edge set: a < b, self-loops dropped, deduped. */
+  private def canonical(edges: DataFrame): DataFrame =
+    edges.toDF("a", "b").filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+
+  def triangles(edges: DataFrame): DataFrame =
     // checkpointed once — it feeds the degree agg, the orientation and
     // the closure join
-    val e = edges.toDF("a", "b").filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct().localCheckpoint()
+    trianglesCanonical(canonical(edges).localCheckpoint())
+
+  /** [[triangles]] over an ALREADY canonical (a < b, distinct,
+    * materialized) edge relation — shared with [[clusteringCoefficient]]
+    * so composites don't pay the canonicalize+checkpoint twice. */
+  private def trianglesCanonical(e: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val oriented = e
@@ -71,6 +79,33 @@ object Graph {
       .select(element_at(col("t"), 1).as("n1"),
         element_at(col("t"), 2).as("n2"),
         element_at(col("t"), 3).as("n3"))
+  }
+
+  /** Local clustering coefficient per node: c(v) = 2·T(v) / (deg(v)·
+    * (deg(v)−1)), the fraction of a node's neighbor pairs that are
+    * themselves connected (Watts & Strogatz 1998) — the link-farm /
+    * community-density signal in graph curation. T(v) comes from
+    * [[triangles]] (each listed triangle credits all three members), so
+    * the cost profile is the oriented wedge join plus one explode +
+    * count; degree-<2 nodes have no neighbor pair and emit 0. Returns
+    * (n, degree, tri_count, coef) with coef UNROUNDED — callers quantize
+    * for display. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    // ONE canonical materialization feeds both the degree table and the
+    // whole triangle pipeline
+    val e = canonical(edges).localCheckpoint()
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+    val triPerNode = trianglesCanonical(e)
+      .select(explode(array(col("n1"), col("n2"), col("n3"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("tri_count"))
+    deg.join(triPerNode, Seq("n"), "left")
+      .select(col("n"), col("degree"),
+        coalesce(col("tri_count"), lit(0L)).as("tri_count"),
+        when(col("degree") >= 2,
+          lit(2.0) * coalesce(col("tri_count"), lit(0L))
+            / (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)).as("coef"))
   }
 
   /** PageRank with damping `d` over a directed edge list in which every

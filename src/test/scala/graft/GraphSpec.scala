@@ -84,6 +84,23 @@ class GraphSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 3L), (3L, 4L, 5L)))
   }
 
+  test("clustering coefficient: K4 members 1.0, bridge dilutes, pendant 0") {
+    import spark.implicits._
+    // K4 {1,2,3,4} + bridge 4-5 + pendant 5-6:
+    //   nodes 1,2,3: deg 3, T=3 (every neighbor pair linked) → coef 1.0
+    //   node 4: deg 4, T=3 → 2·3/(4·3) = 0.5
+    //   node 5: deg 2, T=0 → 0.0; node 6: deg 1 → 0.0 (no neighbor pair)
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val got = graft.graph.Graph.clusteringCoefficient(edges)
+      .orderBy("n")
+      .select("n", "degree", "tri_count", "coef")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L, 1.0), (2L, 3L, 3L, 1.0), (3L, 3L, 3L, 1.0),
+      (4L, 4L, 3L, 0.5), (5L, 2L, 0L, 0.0), (6L, 1L, 0L, 0.0)))
+  }
+
   test("triangles: stars have none, K4 has four, self-loops ignored") {
     import spark.implicits._
     val star = (2L to 8L).map(v => (1L, v)).toDF("src", "dst")
