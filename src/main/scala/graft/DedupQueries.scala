@@ -857,9 +857,9 @@ object DedupQueries {
     * and DuckDB (std::round on the binary double) disagree — the floor
     * form is the same double ops on both engines. */
   private def fixedPointMean(i: Int): Column =
-    floor(
+    graft.functions.TextFunctions.r4ratio(
       sum(round(element_at(col("embedding"), i).cast("double") * 1e7).cast("long"))
-        / (count(lit(1)) * 1e7) * 10000 + lit(0.5)) / 10000
+        / (count(lit(1)) * 1e7))
 
   val qKmeansStep = Q(
     "q_kmeans_step",

@@ -74,14 +74,14 @@ object Main {
     val pluginMgr = new graft.api.PluginManager
     pluginMgr.importPlugins(settings)
     pluginMgr.initPlugins(graft.api.Plugin.Context(spark, settings))
-    pluginMgr.readyPlugins()
     val admin = new RemoteAdmin(spark)
     stores.foreach { case (chan, store) => admin.bind(chan, store) }
     val endpoint = new graft.net.HttpEndpoint(
       spark, settings.remoteAdminHost, settings.remoteAdminPort)
-    admin.serve(endpoint)
-    endpoint.start()
     try {
+      pluginMgr.readyPlugins()
+      admin.serve(endpoint)
+      endpoint.start()
       pluginMgr.startPlugins()
       // reference main() starts every registered channel (commands.py:116)
       Channels.all.foreach(c => admin.startChannel(c.name))
@@ -91,10 +91,11 @@ object Main {
       RunningApp(settings, admin, endpoint, pidFile, pluginMgr)
     } catch {
       // a failed boot must not leak a bound port serving RPC with no
-      // handle and no pidfile to stop it with
+      // handle and no pidfile to stop it with — and every plugin gets its
+      // stop/destroy hooks for whatever ready()/start() acquired
       case e: Throwable =>
-        endpoint.stop()
-        pluginMgr.stopPlugins()
+        try endpoint.stop() catch { case _: Exception => () }
+        pluginMgr.teardownPlugins()
         throw e
     }
   }
@@ -115,13 +116,23 @@ object Main {
       val raw = new String(java.nio.file.Files.readAllBytes(pidFile), "UTF-8").trim
       raw.toLongOption match {
         case None => Left(s"graft.pid is corrupt ('$raw') — remove it manually")
-        case Some(pid) =>
-          // signal FIRST, delete after — a failed destroy must not leave
-          // 'not running' reports while the instance keeps serving
-          if (pid != ProcessHandle.current().pid())
-            ProcessHandle.of(pid).ifPresent(h => h.destroy())
+        case Some(pid) if pid == ProcessHandle.current().pid() =>
+          // our own pid: removing the file stops the foreground wait loop
           java.nio.file.Files.deleteIfExists(pidFile)
           Right(Seq(s"stopped pid $pid"))
+        case Some(pid) =>
+          // signal FIRST and check the result — the pidfile is only
+          // removed once the termination request was actually accepted
+          val h = ProcessHandle.of(pid)
+          if (!h.isPresent) {
+            java.nio.file.Files.deleteIfExists(pidFile)
+            Right(Seq(s"pid $pid not running; removed stale graft.pid"))
+          } else if (h.get.destroy()) {
+            java.nio.file.Files.deleteIfExists(pidFile)
+            Right(Seq(s"stopped pid $pid"))
+          } else {
+            Left(s"could not signal pid $pid — graft.pid retained")
+          }
       }
     }
   }

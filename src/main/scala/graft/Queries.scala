@@ -1616,7 +1616,7 @@ object Queries {
         .select(col("b1.c").as("src"), col("b2.c").as("dst")).distinct()
       graft.graph.Graph.clusteringCoefficient(edges)
         .select(col("n"), col("degree"), col("tri_count"),
-          (floor(col("coef") * 10000 + lit(0.5)) / 10000).as("coef"))
+          fl4(col("coef")).as("coef"))
     },
     Some("""WITH buyers AS (
               SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c

@@ -158,12 +158,15 @@ object TextQueries {
       joined.groupBy(col("source"))
         .agg(
           max(col("n_s")).as("n_tokens"),
-          // fl4 floor form, not round(): fixed-point sums make exact
-          // .00005 boundaries reachable, where engine round()s disagree
-          (floor(-(sum(round(col("p_s") * log(col("p_s")) * 1e12).cast("long")) / 1e12)
-            * 10000 + lit(0.5)) / 10000).as("entropy"),
-          (floor(sum(round(col("p_s") * log(col("p_s") / col("p_c")) * 1e12).cast("long")) / 1e12
-            * 10000 + lit(0.5)) / 10000).as("kl_vs_corpus"))
+          // r4ratio (fl4 floor form), not round(): fixed-point sums make
+          // exact .00005 boundaries reachable, where engine round()s
+          // disagree
+          graft.functions.TextFunctions.r4ratio(
+            -(sum(round(col("p_s") * log(col("p_s")) * 1e12).cast("long")) / 1e12))
+            .as("entropy"),
+          graft.functions.TextFunctions.r4ratio(
+            sum(round(col("p_s") * log(col("p_s") / col("p_c")) * 1e12).cast("long")) / 1e12)
+            .as("kl_vs_corpus"))
     },
     Some("""WITH toks AS (
               SELECT source, tok

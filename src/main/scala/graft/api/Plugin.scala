@@ -50,13 +50,13 @@ abstract class Plugin {
       status = Stopped
     }
 
-  /** do_destroy (plugins/base.py:122): STOPPED/INITIALIZED/READY →
-    * DESTROYED. READY is destroyable because a boot can fail between
-    * ready and start — those plugins still own whatever ready() acquired
-    * and must get their destroy() hook. */
+  /** do_destroy (plugins/base.py:122): any non-running state → DESTROYED.
+    * READY and STARTING are destroyable because a boot can fail between
+    * ready and started — those plugins still own whatever ready()/start()
+    * acquired so far and must get their destroy() hook. Only a STARTED
+    * plugin must be stopped first, and double-destroy is rejected. */
   final def doDestroy(): Unit = {
-    require(status == Stopped || status == Initialized || status == Ready,
-      s"destroy() from $status")
+    require(status != Started && status != Destroyed, s"destroy() from $status")
     destroy()
     status = Destroyed
   }
@@ -107,4 +107,14 @@ final class PluginManager {
   def startPlugins(): Unit = _plugins.foreach(_.doStart())
   def stopPlugins(): Unit = _plugins.foreach(_.doStop())
   def destroyPlugins(): Unit = _plugins.foreach(_.doDestroy())
+
+  /** Best-effort full teardown for a FAILED boot: stop whatever started,
+    * destroy every plugin whatever state its boot reached — so resources
+    * acquired in ready()/start() get their cleanup hooks even when the
+    * manager is about to be discarded. */
+  def teardownPlugins(): Unit = {
+    _plugins.foreach(p => try p.doStop() catch { case _: Exception => () })
+    _plugins.filterNot(_.status == Plugin.Destroyed)
+      .foreach(p => try p.doDestroy() catch { case _: Exception => () })
+  }
 }

@@ -27,6 +27,12 @@ object Graph {
       .distinct()
   }
 
+  /** Canonical undirected edge set: a < b, self-loops dropped, deduped. */
+  private def canonical(edges: DataFrame): DataFrame =
+    edges.toDF("a", "b").filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+
   /** Triangle listing via degree-ordered orientation (Cohen 2009; the
     * MapReduce-standard form in Suri & Vassilvitskii, WWW 2011): orient
     * every undirected edge from its lower-(degree, id) endpoint to the
@@ -41,12 +47,6 @@ object Graph {
     * superlinear step) is skew-proof where a naive neighbor self-join
     * explodes on hubs. Three uniform-key shuffles total: degree agg,
     * wedge self-join on u, closure join on (x, y). */
-  /** Canonical undirected edge set: a < b, self-loops dropped, deduped. */
-  private def canonical(edges: DataFrame): DataFrame =
-    edges.toDF("a", "b").filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct()
-
   def triangles(edges: DataFrame): DataFrame =
     // checkpointed once — it feeds the degree agg, the orientation and
     // the closure join

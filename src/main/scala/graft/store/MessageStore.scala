@@ -112,9 +112,18 @@ final class MessageStore(spark: SparkSession, path: String) {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** True iff the store has BASE DATA — not merely the directory: a
+    * mutation appended to an empty store creates `$path/_mutations` (and
+    * with it `$path`), which the base scan's file index ignores, so the
+    * directory alone proves nothing and reading it would fail schema
+    * inference. Only non-`_`/`.` children count as data. */
   private def baseExists: Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 
   def all(): DataFrame =
@@ -187,32 +196,46 @@ final class MessageStore(spark: SparkSession, path: String) {
     * maintenance job a long-lived store runs: rewrite once, reads stop
     * paying the reconcile join).
     *
-    * Crash-safe by staging: the folded table is written to a SIBLING
-    * directory first and swapped in via delete+rename, so a failure at any
-    * point leaves either the original store (base + log, still correct
-    * through the reconcile path) or the completed compact — never a
-    * half-deleted store whose only copy was executor memory. A store whose
-    * every row is tombstoned compacts to the removed directory (the empty
-    * store); `total()` reads that as 0. */
+    * Crash-safe by staging: ONE pass writes the reconciled table into a
+    * SIBLING directory from the untouched base, then delete+rename swaps
+    * it in. The crash window between delete and rename is covered by the
+    * recovery step at the top of the next compact(): if the base is gone
+    * but a staged copy exists, that copy is the ONLY copy and is promoted
+    * — never deleted. A store whose every row is tombstoned compacts to
+    * the removed directory (the empty store); `total()` reads that as 0. */
   def compact(): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val storeDir = new org.apache.hadoop.fs.Path(path)
     val fs = storeDir.getFileSystem(conf)
     val staging = new org.apache.hadoop.fs.Path(path + ".compacting")
-    fs.delete(staging, true) // clear any dead previous attempt
-    if (!baseExists) return // already the empty store
-    if (all().isEmpty) {
+    if (!baseExists) {
+      if (fs.exists(staging)) {
+        // interrupted swap: the staged copy is the only data — finish it
+        fs.delete(storeDir, true) // clear a possible _mutations-only shell
+        if (!fs.rename(staging, storeDir))
+          throw new java.io.IOException(
+            s"compact recovery: rename $staging -> $storeDir failed")
+      }
+      return
+    }
+    fs.delete(staging, true) // clear any dead pre-swap attempt
+    // single pass over base + log; the durable copy is the base itself
+    all().withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(staging.toString)
+    val stagedHasData = fs.listStatus(staging).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (!stagedHasData) { // all rows tombstoned → the empty store
+      fs.delete(staging, true)
       fs.delete(storeDir, true)
     } else {
-      // write staging straight from the reconciled read of the UNTOUCHED
-      // base — no checkpoint needed, the durable copy is the base itself
-      all().withColumn("day", to_date(col("ts")))
-        .write.mode("overwrite").partitionBy("day").parquet(staging.toString)
       if (!fs.delete(storeDir, true))
         throw new java.io.IOException(s"compact: could not remove $storeDir")
       if (!fs.rename(staging, storeDir))
         throw new java.io.IOException(
-          s"compact: rename $staging -> $storeDir failed; staged copy retained")
+          s"compact: rename $staging -> $storeDir failed; staged copy retained " +
+            "(the next compact() will promote it)")
     }
   }
 

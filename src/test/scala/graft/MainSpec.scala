@@ -112,4 +112,20 @@ class MainSpec extends SparkSpec {
   test("unknown command is a usage error") {
     assert(Main.run(Seq("bogus"), freshSettings(), () => spark).isLeft)
   }
+
+  test("stop handles stale and corrupt pidfiles without lying") {
+    val pidFile = java.nio.file.Paths.get("graft.pid")
+    try {
+      // stale: a pid that cannot exist → file removed, honest message
+      Files.write(pidFile, "999999999".getBytes("UTF-8"))
+      val stale = Main.run(Seq("stop"), freshSettings(), () => spark)
+      assert(stale.toOption.get.head.contains("not running"))
+      assert(!Files.exists(pidFile))
+      // corrupt: parse failure is an error, not a stack trace
+      Files.write(pidFile, "not-a-pid".getBytes("UTF-8"))
+      val corrupt = Main.run(Seq("stop"), freshSettings(), () => spark)
+      assert(corrupt.isLeft && corrupt.swap.toOption.get.contains("corrupt"))
+      assert(Files.exists(pidFile)) // retained for manual inspection
+    } finally Files.deleteIfExists(pidFile)
+  }
 }

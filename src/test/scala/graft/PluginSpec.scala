@@ -110,5 +110,12 @@ class PluginSpec extends SparkSpec {
     mgr.initPlugins(Plugin.Context(spark, settingsWith()))
     mgr.readyPlugins()
     intercept[RuntimeException](mgr.startPlugins())
+    // the failed plugin is stuck in STARTING; re-init must still replace
+    // it (STARTING is destroyable — the boot died inside start())
+    val gen1 = mgr.plugins.head
+    assert(gen1.status == Plugin.Starting)
+    mgr.initPlugins(Plugin.Context(spark, settingsWith()))
+    assert(gen1.status == Plugin.Destroyed)
+    assert(mgr.plugins.head.status == Plugin.Initialized)
   }
 }

@@ -192,6 +192,31 @@ class StoreSpec extends SparkSpec {
     assert(store.total() == 2)
   }
 
+  test("MessageStore (parquet): interrupted compact swap is recovered, not deleted") {
+    val dir = Files.createTempDirectory("graft_store_crash").toString
+    val store = new MessageStore(spark, s"$dir/msgs")
+    store.save(msgs.withColumn("state", lit("pending")))
+    store.changeMessageState("b", "processed")
+    // simulate the crash window between delete(base) and rename(staging):
+    // the staged copy exists, the base is gone
+    Files.move(java.nio.file.Paths.get(s"$dir/msgs"),
+      java.nio.file.Paths.get(s"$dir/msgs.compacting"))
+    assert(store.total() == 0) // base missing
+    store.compact() // recovery must PROMOTE the staged copy
+    assert(store.total() == 4)
+    assert(store.get("b").map(_.getAs[String]("state")) == Some("processed"))
+  }
+
+  test("MessageStore (parquet): a mutation on an empty store does not poison reads") {
+    val dir = Files.createTempDirectory("graft_store_ghost").toString
+    val store = new MessageStore(spark, s"$dir/msgs")
+    store.changeMessageState("ghost", "processed") // creates only _mutations
+    assert(store.total() == 0)
+    intercept[NoSuchElementException](store.all())
+    store.save(msgs.withColumn("state", lit("pending")))
+    assert(store.total() == 4) // ghost mutation matches nothing, reads work
+  }
+
   test("MessageStore (parquet): replay renews and saves results back as processed") {
     val dir = Files.createTempDirectory("graft_store_replay").toString
     val store = new MessageStore(spark, s"$dir/msgs")
