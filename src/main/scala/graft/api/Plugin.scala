@@ -74,6 +74,38 @@ object Plugin {
   final case class Context(spark: SparkSession, settings: Settings)
 }
 
+/** The remote admin as a plugin — plugins/remoteadmin/plugin.py
+  * RemoteAdminPlugin, the reference's own packaging of its admin server
+  * (issue #149 moved it out of main() into the plugin system): the HTTP
+  * app is assembled at ready() (urls.init_urls analog), the socket binds
+  * at start(), and stop() tears it down. Channel→store bindings mirror
+  * the reference views' global-registry lookup: every channel registered
+  * in [[Channels]] gets a durable store under the settings' STORE_PATH.
+  * Configure host/port via REMOTE_ADMIN_HOST/PORT. */
+final class RemoteAdminPlugin extends Plugin {
+  private var endpoint: graft.net.HttpEndpoint = null
+  private var _admin: RemoteAdmin = null
+
+  def admin: RemoteAdmin = _admin
+  def adminUrl: String = endpoint.url("/rpc")
+
+  override def ready(): Unit = {
+    val s = context.settings
+    _admin = new RemoteAdmin(context.spark)
+    s.storePath.foreach { base =>
+      Channels.all.foreach { c =>
+        _admin.bind(c.name, new graft.store.MessageStore(context.spark, s"$base/${c.name}"))
+      }
+    }
+    endpoint = new graft.net.HttpEndpoint(
+      context.spark, s.remoteAdminHost, s.remoteAdminPort)
+    _admin.serve(endpoint)
+  }
+
+  override def start(): Unit = endpoint.start()
+  override def stop(): Unit = endpoint.stop()
+}
+
 /** plugin_mgr.py PluginManager: resolves the settings' PLUGINS class list,
   * instantiates, and drives every plugin through the shared lifecycle.
   * Instantiation is by reflective FQCN — the analog of the reference's

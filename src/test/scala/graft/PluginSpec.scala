@@ -104,6 +104,23 @@ class PluginSpec extends SparkSpec {
     assert(JournalPlugin.events == Seq("ready", "start", "stop"))
   }
 
+  test("RemoteAdminPlugin serves the admin RPC as a plugin (reference plugin.py parity)") {
+    import graft.api.RemoteAdminPlugin
+    val settings = settingsWith(classOf[RemoteAdminPlugin].getName)
+    val app = Main.startApp(settings, spark)
+    try {
+      val plugin = app.pluginMgr.plugins.collectFirst { case p: RemoteAdminPlugin => p }.get
+      assert(plugin.status == Plugin.Started)
+      // the plugin's OWN socket (distinct from the app's main admin port)
+      val client = new graft.api.RemoteAdminClient(plugin.adminUrl)
+      val chans = client.channels()
+      assert(chans.size() == 1 && chans.get(0).get("name").asText() == "sample")
+      // push_msg drives the channel end-to-end over the plugin socket
+      val pushed = client.pushMsg("sample", "via plugin")
+      assert(pushed.get("payload").asText() == "VIA PLUGIN")
+    } finally app.stop()
+  }
+
   test("a plugin that fails to start surfaces the error (nothing swallowed)") {
     val mgr = new PluginManager
     mgr.importPlugins(settingsWith(classOf[ExplodingPlugin].getName))
