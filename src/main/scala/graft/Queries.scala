@@ -1647,6 +1647,98 @@ object Queries {
                 ELSE 0.0 END AS coef
             FROM deg d LEFT JOIN tpn t ON d.n = t.n"""))
 
+  /** Weakly-connected components over a same-nation co-purchase graph
+    * (customers linked when they bought the same 1-in-100 part AND share
+    * a nation — the nation restriction partitions the graph into 25
+    * disconnected islands, which both bounds component sizes by
+    * construction and keeps the oracle's recursive closure quadratic in
+    * ISLAND size, not graph size). The operator is
+    * [[graft.graph.Graph.connectedComponents]] (min-label propagation,
+    * one uniform shuffle per round, observed-metric convergence — see
+    * there for the scale argument); the oracle computes the same
+    * component = min-reachable-id labeling as a recursive-CTE transitive
+    * closure. Emits every node with its component id, so the oracle pins
+    * the full assignment, not just component counts. */
+  val qConnectedComponents = Q(
+    "q_connected_components",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val buyers = t.lineitem.filter(col("l_partkey") % 100 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("l_partkey").as("p"), col("o_custkey").as("c"),
+          col("c_nationkey").as("nk"))
+        .distinct()
+      val edges = buyers.as("b1")
+        .join(buyers.as("b2"),
+          col("b1.p") === col("b2.p") && col("b1.nk") === col("b2.nk")
+            && col("b1.c") < col("b2.c"))
+        .select(col("b1.c").as("src"), col("b2.c").as("dst")).distinct()
+      val nodes = buyers.select(col("c").as("id")).distinct()
+      graft.graph.Graph.connectedComponents(nodes, edges)
+    },
+    Some("""WITH RECURSIVE buyers AS (
+              SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c,
+                     cu.c_nationkey AS nk
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer cu ON o.o_custkey = cu.c_custkey
+              WHERE l.l_partkey % 100 = 0),
+            e AS (
+              SELECT DISTINCT b1.c AS src, b2.c AS dst
+              FROM buyers b1
+              JOIN buyers b2 ON b1.p = b2.p AND b1.nk = b2.nk
+                            AND b1.c <> b2.c),
+            reach(id, lbl) AS (
+              SELECT DISTINCT c, c FROM buyers
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id)
+            SELECT id, min(lbl) AS component FROM reach GROUP BY id"""))
+
+  /** Multi-source BFS over the 1-in-200 co-purchase graph: hop distance
+    * from the nation-1 customer seed set, capped at 4 hops. The operator
+    * is [[graft.graph.Graph.hopDistance]] (frontier-only expansion → O(E)
+    * total join work across all rounds); the fixed cap makes the result
+    * deterministic on both engines regardless of convergence, and the
+    * oracle's recursive CTE carries (id, dist) pairs whose UNION dedup
+    * bounds recursion at nodes × maxHops rows. Unreachable nodes are
+    * absent from both sides. */
+  val qBfsHops = Q(
+    "q_bfs_hops",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val buyers = t.lineitem.filter(col("l_partkey") % 200 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("p"), col("o_custkey").as("c")).distinct()
+      val edges = buyers.as("b1")
+        .join(buyers.as("b2"),
+          col("b1.p") === col("b2.p") && col("b1.c") =!= col("b2.c"))
+        .select(col("b1.c").as("src"), col("b2.c").as("dst")).distinct()
+      val seeds = buyers
+        .join(t.customer, col("c") === col("c_custkey"))
+        .filter(col("c_nationkey") === 1)
+        .select(col("c").as("id")).distinct()
+      graft.graph.Graph.hopDistance(seeds, edges, maxHops = 4)
+    },
+    Some("""WITH RECURSIVE buyers AS (
+              SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_partkey % 200 = 0),
+            e AS (
+              SELECT DISTINCT b1.c AS src, b2.c AS dst
+              FROM buyers b1
+              JOIN buyers b2 ON b1.p = b2.p AND b1.c <> b2.c),
+            d(id, dist) AS (
+              SELECT DISTINCT b.c, 0
+              FROM buyers b JOIN customer cu ON b.c = cu.c_custkey
+              WHERE cu.c_nationkey = 1
+              UNION
+              SELECT e.dst, d.dist + 1
+              FROM d JOIN e ON e.src = d.id
+              WHERE d.dist < 4)
+            SELECT id, CAST(min(dist) AS BIGINT) AS hops
+            FROM d GROUP BY id"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
     qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin,
@@ -1659,7 +1751,7 @@ object Queries {
     qOutliers, qFfill, qAnomaly, qPagerank,
     q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
     qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma,
-    qTriangles, qClusteringCoef) ++
+    qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

@@ -147,45 +147,20 @@ object Dedup {
   }
 
   /** Duplicate-cluster assignment: connected components over a candidate
-    * pair graph by iterative min-label propagation. Each iteration is one
-    * shuffle (groupBy id); iterations ≤ graph diameter — near-dup graphs
-    * are shallow (dup clusters are cliques from pair generation), so this
-    * converges in 2-3 rounds. The driver loop only checks a convergence
-    * count per round; all data stays distributed.
+    * pair graph — the dedup-flavored face of
+    * [[graft.graph.Graph.connectedComponents]] (one uniform shuffle per
+    * round, observed-metric convergence, per-round checkpoints; see there
+    * for the scale argument). Near-dup graphs are shallow (dup clusters
+    * are cliques from pair generation), so this converges in 2-3 rounds.
     *
     * Returns (id, cluster) where cluster = min id reachable.
     */
-  def clusters(ids: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // materialize the edge list once — the loop re-reads it every iteration,
-    // and recomputing an upstream LSH candidate generation per iteration
-    // would dominate the whole job
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = ids.select(col("id"), col("id").as("cluster"))
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src").as("id2"))
-        .agg(min(col("cluster")).as("nmin"))
-      // fold the convergence check into the label-update job: an observed
-      // metric (CollectMetrics) counts changed labels during the same pass
-      // that materializes the new labels — one job per iteration, no
-      // second join-and-count
-      val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
-      val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
-          when(col("nmin") < col("cluster"), 1L).otherwise(0L).as("chg"))
-        .observe(obs, sum(col("chg")).as("changed"))
-        .select(col("id"), col("cluster"))
-      labels = next.localCheckpoint(true) // truncate the growing lineage
-      converged = obs.get("changed").asInstanceOf[Long] == 0L
-      iter += 1
-    }
-    labels
-  }
+  def clusters(ids: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame =
+    graft.graph.Graph.connectedComponents(
+      ids.select(col("id")),
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      maxIter)
+      .select(col("id"), col("component").as("cluster"))
 
   /** Benchmark decontamination: flag training documents that share any
     * word n-gram with an evaluation/benchmark set (the standard 13-gram

@@ -108,6 +108,96 @@ object Graph {
           .otherwise(lit(0.0)).as("coef"))
   }
 
+  /** Weakly-connected components by iterative min-label propagation:
+    * every node starts labeled with its own id; each round a node takes
+    * the minimum of its label and its neighbors' labels; at convergence
+    * every node carries the minimum id of its component. Edge direction
+    * is ignored (both orientations are propagated), so the result is the
+    * WEAK components of a directed input.
+    *
+    * Scale shape: one uniform-node-id shuffle per round (join + groupBy
+    * min), labels checkpointed per round, convergence detected with an
+    * observed changed-label count folded into the SAME job that writes
+    * the new labels — no second count pass, no node-count-sized driver
+    * state. Rounds ≤ component diameter; the curation graphs this serves
+    * (near-dup clusters, co-occurrence communities) are shallow. For
+    * path-shaped graphs with large diameters the alternating
+    * large-star/small-star form (Kiveris et al., SoCC 2014) converges in
+    * O(log²  n) rounds — noted here as the swap-in if a workload ever
+    * presents one; the per-round plan below is identical either way.
+    *
+    * Returns (id, component) with component = min reachable id; `nodes`
+    * not touched by any edge keep their own id (singleton components).
+    *
+    * @throws IllegalStateException if maxIter rounds pass without
+    *         convergence — an unconverged labeling is NOT a component
+    *         assignment and must not be silently returned.
+    */
+  def connectedComponents(
+      nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // materialize the doubled edge list once — the loop re-reads it every
+    // round, and recomputing an expensive upstream candidate generation
+    // (LSH pairs, co-occurrence joins) per round would dominate the job
+    val e = edges.toDF("src", "dst")
+    val both = e
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.toDF("id").select(col("id"), col("id").as("component"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = both.join(labels, both("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("component")).as("nmin"))
+      // convergence check rides the label-update job as an observed
+      // metric — one job per round, no second join-and-count
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
+      val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
+          when(col("nmin") < col("component"), 1L).otherwise(0L).as("chg"))
+        .observe(obs, sum(col("chg")).as("changed"))
+        .select(col("id"), col("component"))
+      labels = next.localCheckpoint(true) // truncate the growing lineage
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIter rounds — " +
+        "raise maxIter (rounds needed = component diameter)")
+    labels
+  }
+
+  /** Multi-source BFS: hop distance from a seed set along DIRECTED edges,
+    * capped at `maxHops`. Returns (id, hops) for every node reachable
+    * within the cap — unreachable nodes are absent, seeds report 0.
+    * Follow-direction matters: pass an already-doubled edge list (or
+    * [[undirected]]) for undirected reach.
+    *
+    * The frontier trick keeps round h's join input to nodes FIRST
+    * discovered at h−1 (their min distance is exactly h−1 — anything
+    * re-reached later only produces larger distances, which min() would
+    * discard anyway), so total join work is O(E) across ALL rounds, not
+    * O(E·maxHops). One shuffle per hop keyed on node id; the distance
+    * relation is checkpointed per round. This is the "distance from
+    * trusted seeds" primitive of link-graph curation (seed-domain
+    * authority, spam-distance gating). */
+  def hopDistance(seeds: DataFrame, edges: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be ≥ 0, got $maxHops")
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    var dist = seeds.toDF("id").distinct()
+      .select(col("id"), lit(0L).as("hops")).localCheckpoint(true)
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("hops") === lit(h - 1).cast("long"))
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(e("dst").as("id"), lit(h.toLong).as("hops"))
+      dist = dist.unionByName(next)
+        .groupBy(col("id")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   /** PageRank with damping `d` over a directed edge list in which every
     * node has at least one out-edge (use [[undirected]] to guarantee it).
     * Fixed `iters` power iterations from the uniform vector:

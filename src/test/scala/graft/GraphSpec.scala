@@ -112,4 +112,48 @@ class GraphSpec extends SparkSpec {
       .orderBy("n1", "n2", "n3").as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
   }
+
+  test("connectedComponents: chain, clique, singleton, direction ignored") {
+    import spark.implicits._
+    // chain 1-2-3-4 given in MIXED directions (weak components must not
+    // care), clique {10,11,12}, and node 20 untouched by any edge
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
+    val got = graft.graph.Graph.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("connectedComponents: refuses to return an unconverged labeling") {
+    import spark.implicits._
+    // a 7-node path needs ~6 min-propagation rounds; maxIter=2 must throw
+    // rather than hand back labels that are not yet components
+    val edges = (1L to 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    val nodes = (1L to 7L).toDF("id")
+    intercept[IllegalStateException] {
+      graft.graph.Graph.connectedComponents(nodes, edges, maxIter = 2)
+    }
+  }
+
+  test("hopDistance: multi-source min, cap excludes, direction respected") {
+    import spark.implicits._
+    // path 1→2→3→4→5 plus a second seed 4; 9→1 points INTO seed 1, so 9
+    // is unreachable along edge direction
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 4L).toDF("id")
+    val got = graft.graph.Graph.hopDistance(seeds, edges, maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    // node 4 is a seed (0), not 3 hops from seed 1; node 5 is 1 via seed 4;
+    // node 9 absent (no directed path); cap 2 would exclude nothing here
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 0L, 5L -> 1L))
+    val capped = graft.graph.Graph.hopDistance(
+      Seq(1L).toDF("id"), edges, maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(capped == Map(1L -> 0L, 2L -> 1L, 3L -> 2L), "4,5 beyond cap")
+  }
 }
