@@ -910,10 +910,41 @@ object TextQueries {
         col("left"), col("right"), col("freq"))
     })
 
+  /** Per-document suffix array over a 1-in-97 document sample (capped at
+    * 256 chars): [[graft.ops.SuffixArrays.suffixRanks]] builds ranks by
+    * prefix doubling — one doc-keyed exchange, log₂(cap) window rounds —
+    * while the oracle sorts each document's suffixes directly
+    * (row_number over substr(t, pos)). Equality of the two pins every
+    * rank: ranks are tie-free (distinct suffix lengths), and the ASCII
+    * strip keeps byte-order comparison identical across engines. */
+  val qSuffixArray = Q(
+    "q_suffix_array",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "[^ -~]", "").as("t"))
+      graft.ops.SuffixArrays.suffixRanks(docs, "doc_id", "t", cap = 256)
+        .select(col("id").as("doc_id"), col("pos"), col("sa_rank"))
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id,
+                     substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 256) AS t
+              FROM documents WHERE doc_id % 97 = 0),
+            p AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, length(t))) AS pos
+              FROM docs WHERE length(t) >= 1)
+            SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                   CAST(row_number() OVER (
+                     PARTITION BY doc_id ORDER BY substr(t, pos)) AS BIGINT)
+                     AS sa_rank
+            FROM p"""))
+
   def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
     qGopherRules, qChunk, qTemperatureMix, qDsirWeights, qGreedyPieces,
     qPerplexity, qC4Filter, qEpochMix, qTfidf, qPmi, qBpeTrain,
-    qWeightedSample, qEntropy, qRrfFusion)
+    qWeightedSample, qEntropy, qRrfFusion, qSuffixArray)
 }

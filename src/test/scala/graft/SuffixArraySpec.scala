@@ -1,0 +1,56 @@
+package graft
+
+import graft.ops.SuffixArrays
+
+class SuffixArraySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranksOf(texts: (Long, String)*): Map[(Long, Long), Long] =
+    SuffixArrays
+      .suffixRanks(texts.toDF("id", "t"), "id", "t", cap = 256)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, pos, r) => (id, pos) -> r }.toMap
+
+  test("banana: the textbook suffix array") {
+    // suffixes sorted: a(6) ana(4) anana(2) banana(1) na(5) nana(3)
+    val got = ranksOf(1L -> "banana")
+    assert(got == Map(
+      (1L, 1L) -> 4L, (1L, 2L) -> 3L, (1L, 3L) -> 6L,
+      (1L, 4L) -> 2L, (1L, 5L) -> 5L, (1L, 6L) -> 1L))
+  }
+
+  test("periodic text: sentinel ranks shorter suffixes first") {
+    // "aaaa": every comparison ties until one side runs out — the
+    // prefix-doubling sentinel must sort a < aa < aaa < aaaa
+    val got = ranksOf(7L -> "aaaa")
+    assert(got == Map(
+      (7L, 1L) -> 4L, (7L, 2L) -> 3L, (7L, 3L) -> 2L, (7L, 4L) -> 1L))
+  }
+
+  test("multiple docs rank independently; ranks are a permutation") {
+    val got = SuffixArrays.suffixRanks(
+      Seq((1L, "mississippi"), (2L, "abab")).toDF("id", "t"), "id", "t", 64)
+      .as[(Long, Long, Long)].collect()
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc(1L).map(_._3).sorted.toSeq == (1L to 11L))
+    assert(byDoc(2L).map(_._3).sorted.toSeq == (1L to 4L))
+    // abab: suffixes sorted ab(3) abab(1) b(4) bab(2)
+    val abab = byDoc(2L).map(t => t._2 -> t._3).toMap
+    assert(abab == Map(1L -> 2L, 2L -> 4L, 3L -> 1L, 4L -> 3L))
+    // mississippi spot-check against a driver-side sort of suffixes
+    val suf = (1 to 11).map(p => p.toLong -> "mississippi".substring(p - 1))
+    val want = suf.sortBy(_._2).zipWithIndex
+      .map { case ((p, _), i) => p -> (i + 1).toLong }.toMap
+    assert(byDoc(1L).map(t => t._2 -> t._3).toMap == want)
+  }
+
+  test("cap truncates before ranking; empty-after-truncate docs drop out") {
+    val got = SuffixArrays.suffixRanks(
+      Seq((1L, "abcabc"), (2L, "")).toDF("id", "t"), "id", "t", cap = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(got.forall(_._1 == 1L), "empty doc must produce no rows")
+    // "abc": suffixes sorted abc(1) bc(2) c(3)
+    assert(got.map(t => t._2 -> t._3).toMap ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+}
