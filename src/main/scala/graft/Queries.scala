@@ -1739,6 +1739,76 @@ object Queries {
             SELECT id, CAST(min(dist) AS BIGINT) AS hops
             FROM d GROUP BY id"""))
 
+  /** Semi-supervised label propagation: every 10th customer in the
+    * 1-in-200 co-purchase graph is seeded with its nation; two
+    * synchronous rounds of majority-vote spread (ties → smallest label,
+    * seeds clamped) label the rest of the graph. The operator is
+    * [[graft.graph.Graph.labelPropagate]]; the oracle unrolls BOTH
+    * rounds as vote → argmax (row_number with the same cnt-desc,
+    * label-asc tiebreak) → coalesce(seed, winner, previous) CTE chains,
+    * so every propagated label is pinned, not just counts. */
+  val qLabelProp = Q(
+    "q_label_prop",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val buyers = t.lineitem.filter(col("l_partkey") % 200 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("p"), col("o_custkey").as("c")).distinct()
+      val edges = buyers.as("b1")
+        .join(buyers.as("b2"),
+          col("b1.p") === col("b2.p") && col("b1.c") =!= col("b2.c"))
+        .select(col("b1.c").as("src"), col("b2.c").as("dst")).distinct()
+      val nodes = buyers.select(col("c").as("id")).distinct()
+      val seeds = nodes.filter(col("id") % 10 === 0)
+        .join(t.customer, col("id") === col("c_custkey"))
+        .select(col("id"), col("c_nationkey").as("label"))
+      graft.graph.Graph.labelPropagate(nodes, seeds, edges, iters = 2)
+    },
+    Some("""WITH buyers AS (
+              SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_partkey % 200 = 0),
+            e AS (
+              SELECT DISTINCT b1.c AS src, b2.c AS dst
+              FROM buyers b1
+              JOIN buyers b2 ON b1.p = b2.p AND b1.c <> b2.c),
+            nodes AS (SELECT DISTINCT c AS id FROM buyers),
+            seeds AS (
+              SELECT n.id, cu.c_nationkey AS lbl
+              FROM nodes n JOIN customer cu ON n.id = cu.c_custkey
+              WHERE n.id % 10 = 0),
+            v1 AS (
+              SELECT e.src AS id, l.lbl, count(*) AS cnt
+              FROM e JOIN seeds l ON e.dst = l.id
+              GROUP BY e.src, l.lbl),
+            w1 AS (
+              SELECT id, lbl FROM v1
+              QUALIFY row_number() OVER (
+                PARTITION BY id ORDER BY cnt DESC, lbl ASC) = 1),
+            lab1 AS (
+              SELECT n.id, coalesce(s.lbl, w.lbl) AS lbl
+              FROM nodes n
+              LEFT JOIN seeds s ON n.id = s.id
+              LEFT JOIN w1 w ON n.id = w.id
+              WHERE coalesce(s.lbl, w.lbl) IS NOT NULL),
+            v2 AS (
+              SELECT e.src AS id, l.lbl, count(*) AS cnt
+              FROM e JOIN lab1 l ON e.dst = l.id
+              GROUP BY e.src, l.lbl),
+            w2 AS (
+              SELECT id, lbl FROM v2
+              QUALIFY row_number() OVER (
+                PARTITION BY id ORDER BY cnt DESC, lbl ASC) = 1),
+            lab2 AS (
+              SELECT n.id,
+                     coalesce(s.lbl, w.lbl, p.lbl) AS lbl
+              FROM nodes n
+              LEFT JOIN seeds s ON n.id = s.id
+              LEFT JOIN w2 w ON n.id = w.id
+              LEFT JOIN lab1 p ON n.id = p.id
+              WHERE coalesce(s.lbl, w.lbl, p.lbl) IS NOT NULL)
+            SELECT id, lbl AS label FROM lab2"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
     qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin,
@@ -1751,7 +1821,8 @@ object Queries {
     qOutliers, qFfill, qAnomaly, qPagerank,
     q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
     qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma,
-    qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops) ++
+    qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops,
+    qLabelProp) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

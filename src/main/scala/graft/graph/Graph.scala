@@ -198,6 +198,56 @@ object Graph {
     dist
   }
 
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002 shape,
+    * hard labels): seeds carry fixed numeric labels; each synchronous
+    * round every node takes the most frequent label among its labeled
+    * in-neighbors (ties → smallest label), seeds stay clamped, and a
+    * node with no labeled neighbor keeps whatever it had. After `iters`
+    * rounds, returns (id, label) for every node that acquired a label —
+    * never-reached nodes are absent. A FIXED iteration count (not
+    * convergence) keeps the result deterministic and cheaply
+    * oracle-checkable; labels must be numeric (the argmax tiebreak is
+    * max(struct(cnt, −label))).
+    *
+    * This is the "propagate trust/topic from a small labeled set over a
+    * similarity graph" primitive of corpus curation (domain topic
+    * spread, quality-label densification over near-dup edges).
+    *
+    * Scale shape per round: vote counting is one edge-keyed join +
+    * (node, label) partial agg; the argmax is a second partial agg on
+    * node id — both map-side combinable; label state is checkpointed
+    * per round. Direction: votes flow src ← dst (in-neighbors); pass a
+    * doubled edge list for undirected spread. */
+  def labelPropagate(
+      nodes: DataFrame, seeds: DataFrame, edges: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be ≥ 1, got $iters")
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val n = nodes.toDF("id").localCheckpoint(true)
+    val sd = seeds.toDF("id", "label").localCheckpoint(true)
+    var lab = sd
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(lab.select(col("id").as("vid"), col("label")),
+          e("dst") === col("vid"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+      val win = votes
+        .groupBy(col("src"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("w"))
+        .select(col("src").as("wid"), (-col("w.nl")).as("wlbl"))
+      lab = n
+        .join(sd.select(col("id"), col("label").as("slbl")), Seq("id"), "left")
+        .join(win, col("id") === col("wid"), "left")
+        .join(lab.select(col("id").as("pid"), col("label").as("plbl")),
+          col("id") === col("pid"), "left")
+        .select(col("id"),
+          coalesce(col("slbl"), col("wlbl"), col("plbl")).as("label"))
+        .filter(col("label").isNotNull)
+        .localCheckpoint(true)
+    }
+    lab
+  }
+
   /** PageRank with damping `d` over a directed edge list in which every
     * node has at least one out-edge (use [[undirected]] to guarantee it).
     * Fixed `iters` power iterations from the uniform vector:

@@ -139,6 +139,40 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagate: spread, clamp, tie to smallest, keep when unvoted") {
+    import spark.implicits._
+    // undirected path 1-2-3-4-5, seeds 1→100 and 5→200
+    val half = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val nodes = (1L to 5L).toDF("id")
+    val seeds = Seq((1L, 100L), (5L, 200L)).toDF("id", "label")
+
+    // round 1: 2←{100}, 4←{200}; 3 has no labeled neighbor yet
+    val r1 = graft.graph.Graph.labelPropagate(nodes, seeds, edges, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 100L, 2L -> 100L, 4L -> 200L, 5L -> 200L))
+
+    // round 2: 3 sees {100 via 2, 200 via 4} — 1-1 tie → smallest label;
+    // seeds stay clamped even though each now has a differently-labeled
+    // neighbor; 2 and 4 keep their labels (their winner is unchanged)
+    val r2 = graft.graph.Graph.labelPropagate(nodes, seeds, edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(
+      1L -> 100L, 2L -> 100L, 3L -> 100L, 4L -> 200L, 5L -> 200L))
+  }
+
+  test("labelPropagate: majority beats minority; isolated nodes absent") {
+    import spark.implicits._
+    // node 10 hears 200 twice (from 21, 22) and 100 once (from 20);
+    // node 99 has no edges at all
+    val edges = Seq((10L, 20L), (10L, 21L), (10L, 22L)).toDF("src", "dst")
+    val nodes = Seq(10L, 20L, 21L, 22L, 99L).toDF("id")
+    val seeds = Seq((20L, 100L), (21L, 200L), (22L, 200L)).toDF("id", "label")
+    val got = graft.graph.Graph.labelPropagate(nodes, seeds, edges, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 200L, 20L -> 100L, 21L -> 200L, 22L -> 200L))
+  }
+
   test("hopDistance: multi-source min, cap excludes, direction respected") {
     import spark.implicits._
     // path 1→2→3→4→5 plus a second seed 4; 9→1 points INTO seed 1, so 9
