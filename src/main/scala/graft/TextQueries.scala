@@ -941,10 +941,74 @@ object TextQueries {
                      AS sa_rank
             FROM p"""))
 
+  /** Longest repeated substring per document (1-in-53 sample, 256-char
+    * cap): the classic suffix-array + LCP composition — the longest
+    * substring occurring twice is exactly the maximum LCP of
+    * rank-ADJACENT suffixes (Manber & Myers §3), so after
+    * [[graft.ops.SuffixArrays.suffixRanks]] one lag() window and one
+    * native `lcp_at` per adjacent pair finish the job. lcp_at evaluates
+    * both suffixes in place against the single text value (no
+    * doc-length² substring materialization); the oracle recomputes the
+    * LCP as the first mismatching offset via a list_filter probe over
+    * the same truncated text. This is the exact form of the repetition
+    * signal that `q_repetition` approximates with fixed-n n-grams. */
+  val qLongestRepeat = Q(
+    "q_longest_repeat",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir).documents
+        .filter(col("doc_id") % 53 === 0)
+        .select(col("doc_id"),
+          substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 256).as("t"))
+      val ranks = graft.ops.SuffixArrays.suffixRanks(docs, "doc_id", "t", cap = 256)
+      // partitioned by doc: the lag window rides the same doc-keyed
+      // exchange the rank build already established
+      val byRank = Window.partitionBy("id").orderBy("sa_rank")
+      val lcps = ranks
+        .withColumn("prev_pos", lag(col("pos"), 1).over(byRank))
+        .filter(col("prev_pos").isNotNull)
+        .join(docs.select(col("doc_id").as("id"), col("t")), "id")
+        .select(col("id"),
+          graft.plans.TextNative.lcpAt(col("t"), col("prev_pos"), col("pos")).as("lcp"))
+        .groupBy(col("id")).agg(max(col("lcp")).as("mr"))
+      docs.join(lcps, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"), length(col("t")).cast("long").as("len"),
+          coalesce(col("mr"), lit(0L)).as("max_repeat"))
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id,
+                     substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 256) AS t
+              FROM documents WHERE doc_id % 53 = 0),
+            p AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, length(t))) AS pos
+              FROM docs WHERE length(t) >= 1),
+            r AS (
+              SELECT doc_id, t, pos,
+                     lag(pos) OVER (
+                       PARTITION BY doc_id ORDER BY substr(t, pos)) AS prev_pos
+              FROM p),
+            l AS (
+              SELECT doc_id,
+                CASE WHEN prev_pos IS NULL THEN 0 ELSE
+                  coalesce(
+                    list_min(list_filter(
+                      range(1, least(length(t) - pos + 1,
+                                     length(t) - prev_pos + 1) + 1),
+                      k -> substr(t, pos + k - 1, 1)
+                           <> substr(t, prev_pos + k - 1, 1))) - 1,
+                    least(length(t) - pos + 1, length(t) - prev_pos + 1))
+                END AS lcp
+              FROM r)
+            SELECT d.doc_id, CAST(length(d.t) AS BIGINT) AS len,
+                   CAST(coalesce(max(l.lcp), 0) AS BIGINT) AS max_repeat
+            FROM docs d LEFT JOIN l ON d.doc_id = l.doc_id
+            GROUP BY d.doc_id, d.t"""))
+
   def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
     qGopherRules, qChunk, qTemperatureMix, qDsirWeights, qGreedyPieces,
     qPerplexity, qC4Filter, qEpochMix, qTfidf, qPmi, qBpeTrain,
-    qWeightedSample, qEntropy, qRrfFusion, qSuffixArray)
+    qWeightedSample, qEntropy, qRrfFusion, qSuffixArray, qLongestRepeat)
 }

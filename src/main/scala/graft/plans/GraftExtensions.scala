@@ -38,7 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "merge_pair" -> (es => MergePair(es(0),
       GraftExtensions.stringLiteral(es(1)), GraftExtensions.stringLiteral(es(2)))),
     "vec_mean" -> (es => VecMean(es(0))),
-    "mg_sketch" -> (es => MgSketch(es(0), es(1).eval().asInstanceOf[Int])))
+    "mg_sketch" -> (es => MgSketch(es(0), es(1).eval().asInstanceOf[Int])),
+    "lcp_at" -> (es => LcpAt(es(0), es(1), es(2))))
 
   override def apply(e: SparkSessionExtensions): Unit = {
     fns.foreach { case (name, builder) =>

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -268,6 +268,47 @@ case class MergePair(child: Expression, left: String, right: String)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Longest common prefix of two suffixes of the SAME string: lcp_at(s,
+  * p1, p2) = number of leading chars shared by s[p1..] and s[p2..]
+  * (1-based positions; 0 when either position is outside the string).
+  *
+  * Companion to the suffix-array builder (`ops.SuffixArrays`): the LCP of
+  * rank-adjacent suffixes is the classic route to repeated-substring
+  * analysis (Manber & Myers 1990 §3), and evaluating it in place against
+  * the ONE text value avoids materializing two suffix copies per pair —
+  * the composable form `length(s)`-sized substrings per comparison —
+  * in a doc-length² blowup. One tight char loop per row.
+  */
+case class LcpAt(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  def str: Expression = first
+  def p1: Expression = second
+  def p2: Expression = third
+
+  override def prettyName: String = "lcp_at"
+  override def dataType: DataType = LongType
+  // (narrowed to Seq[DataType]: AbstractDataType is private[sql])
+  override def inputTypes: Seq[DataType] = Seq(StringType, LongType, LongType)
+
+  override def nullSafeEval(s: Any, a: Any, b: Any): Any = {
+    val text = s.asInstanceOf[UTF8String].toString
+    val n = text.length
+    val i0 = a.asInstanceOf[Long].toInt - 1
+    val j0 = b.asInstanceOf[Long].toInt - 1
+    if (i0 < 0 || j0 < 0 || i0 >= n || j0 >= n) 0L
+    else {
+      var k = 0
+      while (i0 + k < n && j0 + k < n && text.charAt(i0 + k) == text.charAt(j0 + k)) k += 1
+      k.toLong
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 object TextNative {
   import ColumnBridge.{column => c, expression => e}
 
@@ -278,4 +319,6 @@ object TextNative {
   def greedyPieces(text: Column, vocab: Seq[String]): Column = c(GreedyPieces(e(text), vocab))
   def mergePair(pieces: Column, left: String, right: String): Column =
     c(MergePair(e(pieces), left, right))
+  def lcpAt(text: Column, p1: Column, p2: Column): Column =
+    c(LcpAt(e(text), e(p1), e(p2)))
 }

@@ -40,7 +40,8 @@ class SqlSurfaceSpec extends SparkSpec {
           .map(_.toString).toSeq)),
       "merge_pair" -> (es => graft.plans.MergePair(es(0),
         es(1).eval().toString, es(2).eval().toString)),
-      "vec_mean" -> (es => graft.plans.VecMean(es(0)))
+      "vec_mean" -> (es => graft.plans.VecMean(es(0))),
+      "lcp_at" -> (es => graft.plans.LcpAt(es(0), es(1), es(2)))
     ).foreach { case (n, b) => reg.createOrReplaceTempFunction(n, b, "scala_udf") }
 
     val cid = spark.sql(
@@ -78,6 +79,9 @@ class SqlSurfaceSpec extends SparkSpec {
         |GROUP BY g""".stripMargin)
       .select("m").as[Seq[Double]].head()
     assert(vm == Seq(2.0, 4.0))
+    val lcp = spark.sql(
+      "SELECT lcp_at('banana', 2L, 4L) AS l").as[Long].head()
+    assert(lcp == 3L) // "anana" vs "ana" share "ana"
     assert(ext != null)
   }
 

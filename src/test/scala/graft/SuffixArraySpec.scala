@@ -44,6 +44,38 @@ class SuffixArraySpec extends SparkSpec {
     assert(byDoc(1L).map(t => t._2 -> t._3).toMap == want)
   }
 
+  test("lcp_at: in-place suffix compare, bounds clamp to 0") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("banana", 2L, 4L), ("banana", 1L, 1L), ("banana", 0L, 3L),
+      ("banana", 3L, 99L), ("aaaa", 1L, 3L)).toDF("t", "a", "b")
+    val got = df.select(
+      col("t"), col("a"), col("b"),
+      graft.plans.TextNative.lcpAt(col("t"), col("a"), col("b")).as("l"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("banana", 2L, 4L, 3L),  // "anana" vs "ana" share "ana"
+      ("banana", 1L, 1L, 6L),  // whole string vs itself
+      ("banana", 0L, 3L, 0L),  // position below range
+      ("banana", 3L, 99L, 0L), // position past end
+      ("aaaa", 1L, 3L, 2L)))   // "aaaa" vs "aa" → bounded by shorter
+  }
+
+  test("longest repeated substring: max LCP of rank-adjacent suffixes") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // "abcabcab": longest repeated substring is "abcab" (len 5)
+    val docs = Seq((1L, "abcabcab")).toDF("id", "t")
+    val ranks = SuffixArrays.suffixRanks(docs, "id", "t", cap = 64)
+    val got = ranks
+      .withColumn("prev_pos", lag(col("pos"), 1)
+        .over(Window.partitionBy("id").orderBy("sa_rank")))
+      .filter(col("prev_pos").isNotNull)
+      .join(docs, "id")
+      .select(graft.plans.TextNative.lcpAt(col("t"), col("prev_pos"), col("pos")).as("l"))
+      .agg(max(col("l"))).as[Long].head()
+    assert(got == 5L)
+  }
+
   test("cap truncates before ranking; empty-after-truncate docs drop out") {
     val got = SuffixArrays.suffixRanks(
       Seq((1L, "abcabc"), (2L, "")).toDF("id", "t"), "id", "t", cap = 3)
