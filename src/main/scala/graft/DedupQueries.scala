@@ -899,10 +899,71 @@ object DedupQueries {
             FROM assigned a JOIN embeddings e ON a.id = e.vec_id
             GROUP BY a.cid"""))
 
+  /** Fuzzy record matching (record linkage): parts whose names are
+    * Jaro–Winkler-similar, blocked on the first name word so candidate
+    * generation is a hash join on the block key — never all-pairs (the
+    * classic linkage blocking strategy; a skewed block word would salt
+    * the same way the dedup joins do). Per part: how many ≥0.9 fuzzy
+    * neighbors, and the best one. The similarity is quantized fl4
+    * BEFORE both the threshold and the argmax (repo convention: round
+    * before any selection boundary — a 1-ulp cross-engine disagreement
+    * must not flip membership or the best-match choice); ties break on
+    * the smallest neighbor key. Oracle = DuckDB's built-in
+    * jaro_winkler_similarity, whose exact semantics (boost > 0.7,
+    * prefix cap 4, empty → 0) the native [[graft.plans.JaroWinkler]]
+    * replicates. */
+  val qFuzzyMatch = Q(
+    "q_fuzzy_match",
+    (s, dir) => {
+      val p = Tables(s, dir).part
+        .filter(col("p_partkey") % 5 === 0)
+        .select(col("p_partkey").as("k"), col("p_name").as("n"),
+          split(col("p_name"), " ").getItem(0).as("w"))
+      val fl4 = (c: Column) => floor(c * 10000 + lit(0.5)) / 10000
+      val sims = p.as("a").join(p.as("b"),
+          col("a.w") === col("b.w") && col("a.k") =!= col("b.k"))
+        .select(col("a.k").as("k"), col("b.k").as("other"),
+          fl4(graft.plans.TextNative.jaroWinkler(col("a.n"), col("b.n"))).as("sim"))
+        .filter(col("sim") >= 0.9)
+      val cnt = sims.groupBy(col("k")).agg(count(lit(1)).as("n_matches"))
+      val best = sims.groupBy(col("k").as("bk"))
+        .agg(max(struct(col("sim"), (-col("other")).as("no"))).as("w"))
+        .select(col("bk"), (-col("w.no")).as("best_key"), col("w.sim").as("best_sim"))
+      p.select(col("k").as("p_partkey"))
+        .join(cnt, col("p_partkey") === cnt("k"), "left")
+        .join(best, col("p_partkey") === col("bk"), "left")
+        .select(col("p_partkey"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("best_key"), col("best_sim"))
+    },
+    Some("""WITH p AS (
+              SELECT p_partkey AS k, p_name AS n,
+                     split_part(p_name, ' ', 1) AS w
+              FROM part WHERE p_partkey % 5 = 0),
+            s AS (
+              SELECT a.k AS k, b.k AS other,
+                     floor(jaro_winkler_similarity(a.n, b.n) * 10000 + 0.5)
+                       / 10000 AS sim
+              FROM p a JOIN p b ON a.w = b.w AND a.k <> b.k),
+            m AS (SELECT k, other, sim FROM s WHERE sim >= 0.9),
+            cnt AS (
+              SELECT k, CAST(count(*) AS BIGINT) AS n_matches
+              FROM m GROUP BY k),
+            best AS (
+              SELECT k, other AS best_key, sim AS best_sim FROM m
+              QUALIFY row_number() OVER (
+                PARTITION BY k ORDER BY sim DESC, other ASC) = 1)
+            SELECT p.k AS p_partkey,
+                   coalesce(c.n_matches, 0) AS n_matches,
+                   b.best_key, b.best_sim
+            FROM p
+            LEFT JOIN cnt c ON p.k = c.k
+            LEFT JOIN best b ON p.k = b.k"""))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
     qQuantizeDot, qKnnJoin, qKnnIvf, qSemDedup, qDupNgrams, qIncrementalDedup,
     qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance,
-    qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep)
+    qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep, qFuzzyMatch)
 }

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -309,6 +309,76 @@ case class LcpAt(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** Jaro–Winkler similarity (Winkler 1990) — the record-linkage string
+  * measure: Jaro match/transposition score boosted by up to 4 chars of
+  * common prefix when the base score exceeds 0.7. Semantics pinned to
+  * the textbook definition as implemented by DuckDB's
+  * `jaro_winkler_similarity` (oracle parity for q_fuzzy_match):
+  * either side empty → 0.0, boost only when jaro > 0.7, prefix capped
+  * at 4, scaling 0.1. One O(len·window) pass with two small flag
+  * arrays per row; chars compared as UTF-16 units (identical to
+  * byte order on the ASCII names this serves).
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def prettyName: String = "jaro_winkler"
+  override def dataType: DataType = DoubleType
+  // (narrowed to Seq[DataType]: AbstractDataType is private[sql])
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    jw(l.asInstanceOf[UTF8String].toString, r.asInstanceOf[UTF8String].toString)
+
+  private def jw(s1: String, s2: String): Double = {
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val hi = math.min(l2 - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var k = 0
+    var trans = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) trans += 1
+        k += 1
+      }
+      i += 1
+    }
+    val mD = m.toDouble
+    val jaro = (mD / l1 + mD / l2 + (mD - trans / 2.0) / mD) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      val maxP = math.min(4, math.min(l1, l2))
+      var p = 0
+      while (p < maxP && s1.charAt(p) == s2.charAt(p)) p += 1
+      jaro + p * 0.1 * (1.0 - jaro)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextNative {
   import ColumnBridge.{column => c, expression => e}
 
@@ -321,4 +391,6 @@ object TextNative {
     c(MergePair(e(pieces), left, right))
   def lcpAt(text: Column, p1: Column, p2: Column): Column =
     c(LcpAt(e(text), e(p1), e(p2)))
+  def jaroWinkler(a: Column, b: Column): Column =
+    c(JaroWinkler(e(a), e(b)))
 }

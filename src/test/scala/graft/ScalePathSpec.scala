@@ -219,6 +219,20 @@ class ScalePathSpec extends SparkSpec {
       s"triangles degraded to a product join:\n$triPlan")
   }
 
+  test("suffix-array build is ONE doc-keyed exchange for all rounds") {
+    // every window in the prefix-doubling loop partitions by doc id, so
+    // the whole build must plan as a single hash exchange followed by
+    // in-partition sorts — a second exchange would mean some round lost
+    // the partitioning (e.g. a window keyed on something else)
+    import spark.implicits._
+    val docs = Seq((1L, "abracadabra"), (2L, "mississippi"))
+      .toDF("id", "t")
+    val sa = graft.ops.SuffixArrays.suffixRanks(docs, "id", "t", cap = 16)
+    val plan = sa.queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"suffixRanks should be exactly one exchange:\n$plan")
+  }
+
   test("gap sessionization over real events agrees with window-based count") {
     val evs = Tables(spark, sf).events.limit(2000)
       .select(col("user_id").as("userId"), unix_millis(col("ts")).as("tsMs"),

@@ -76,6 +76,33 @@ class SuffixArraySpec extends SparkSpec {
     assert(got == 5L)
   }
 
+  test("jaro_winkler matches the textbook/DuckDB values exactly") {
+    import org.apache.spark.sql.functions.col
+    // expected values printed by DuckDB's jaro_winkler_similarity —
+    // the oracle function q_fuzzy_match compares against
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),   // classic Winkler pair
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("abc", "abc", 1.0),
+      ("abc", "xyz", 0.0),
+      ("", "abc", 0.0),                            // empty → 0, not 1
+      ("", "", 0.0),
+      ("CRATE", "TRACE", 0.7333333333333334),      // no common prefix
+      ("ab", "ax", 0.6666666666666666),            // jaro ≤ 0.7: NO boost
+      ("ABCDEFGH", "ABCDXXXX", 0.6666666666666666),// prefix 4 but no boost
+      ("prefixaaaa", "prefixbbbb", 0.8400000000000001), // prefix capped at 4
+      ("aaaaaaaaaab", "aaaaaaaaaac", 0.9636363636363636))
+    val got = cases.toDF("a", "b", "want")
+      .select(col("want"),
+        graft.plans.TextNative.jaroWinkler(col("a"), col("b")).as("got"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (want, g) =>
+      assert(g == want, s"jaro_winkler mismatch: got $g want $want")
+    }
+  }
+
   test("cap truncates before ranking; empty-after-truncate docs drop out") {
     val got = SuffixArrays.suffixRanks(
       Seq((1L, "abcabc"), (2L, "")).toDF("id", "t"), "id", "t", cap = 3)
