@@ -1809,6 +1809,184 @@ object Queries {
               WHERE coalesce(s.lbl, w.lbl, p.lbl) IS NOT NULL)
             SELECT id, lbl AS label FROM lab2"""))
 
+  /** Frequent itemset mining, the 2-itemset (market-basket) tier:
+    * co-purchased part pairs with support ≥ 2 orders, scored by lift =
+    * N·c(a,b)/(c(a)·c(b)). Baskets are bounded (TPC-H orders hold ≤ 7
+    * lines), so the pair self-join fans out O(basket²) per order — a
+    * constant — and the heavy lifting is two partial-aggregatable
+    * counts; no Apriori candidate explosion is possible at the pair
+    * tier. Lift arithmetic: exact BIGINT counts, one double division,
+    * fl4-quantized on both engines. */
+  val qItemsets = Q(
+    "q_itemsets",
+    (s, dir) => {
+      val b = Tables(s, dir).lineitem
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val nOrders = b.select(col("o")).distinct().count() // driver scalar
+      val item = b.groupBy(col("p")).agg(count(lit(1)).as("c"))
+      val pairs = b.as("b1")
+        .join(b.as("b2"), col("b1.o") === col("b2.o") && col("b1.p") < col("b2.p"))
+        .groupBy(col("b1.p").as("pa"), col("b2.p").as("pb"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+      pairs
+        .join(item.select(col("p").as("pa"), col("c").as("ca")), "pa")
+        .join(item.select(col("p").as("pb"), col("c").as("cb")), "pb")
+        .select(col("pa"), col("pb"), col("support"),
+          fl4(lit(nOrders) * col("support")
+            / (col("ca") * col("cb")).cast("double")).as("lift"))
+    },
+    Some("""WITH b AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+            n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM b),
+            item AS (
+              SELECT p, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY p),
+            pair AS (
+              SELECT b1.p AS pa, b2.p AS pb,
+                     CAST(count(*) AS BIGINT) AS support
+              FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p
+              GROUP BY b1.p, b2.p HAVING count(*) >= 2)
+            SELECT pr.pa, pr.pb, pr.support,
+                   floor(n.n_orders * pr.support
+                     / CAST(ia.c * ib.c AS DOUBLE) * 10000 + 0.5) / 10000
+                     AS lift
+            FROM pair pr
+            JOIN item ia ON pr.pa = ia.p
+            JOIN item ib ON pr.pb = ib.p
+            CROSS JOIN n"""))
+
+  /** Marketing attribution: each purchase credits its FIRST and LAST
+    * touch (click/view) in the preceding 7 days. Formulated as an
+    * equality join on user plus a time-range predicate (per-user event
+    * streams are bounded, so the hash join on user_id never explodes),
+    * then one argmin/argmax pass with an explicit (ts, event_id)
+    * tiebreak — a RANGE window can't express this deterministically
+    * (single ORDER BY expression, unspecified order among time ties);
+    * the join form pins every credited touch. */
+  val qAttribution = Q(
+    "q_attribution",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val touches = e.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("tu"), col("event_id").as("tid"),
+          col("event_type").as("ttype"), col("us").as("tus"))
+      val window = 604800000000L // 7 days in µs
+      val joined = purchases.join(touches,
+        col("user_id") === col("tu")
+          && col("tus") < col("us") && col("tus") >= col("us") - window)
+      val credited = joined.groupBy(col("event_id"))
+        .agg(
+          min(struct(col("tus"), col("tid"), col("ttype"))).as("ft"),
+          max(struct(col("tus"), col("tid"), col("ttype"))).as("lt"))
+        .select(col("event_id").as("je"),
+          col("ft.tid").as("ft_id"), col("ft.ttype").as("ft_type"),
+          col("lt.tid").as("lt_id"), col("lt.ttype").as("lt_type"))
+      purchases.join(credited, col("event_id") === col("je"), "left")
+        .select(col("event_id"), col("user_id"),
+          col("ft_id"), col("ft_type"), col("lt_id"), col("lt_type"))
+    },
+    Some("""WITH e AS (
+              SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+              FROM events),
+            p AS (
+              SELECT event_id, user_id, us FROM e
+              WHERE event_type = 'purchase'),
+            t AS (
+              SELECT user_id AS tu, event_id AS tid,
+                     event_type AS ttype, us AS tus
+              FROM e WHERE event_type IN ('click', 'view')),
+            j AS (
+              SELECT p.event_id, p.user_id, t.tid, t.ttype, t.tus
+              FROM p JOIN t ON p.user_id = t.tu
+                AND t.tus < p.us AND t.tus >= p.us - 604800000000),
+            ft AS (
+              SELECT event_id, tid AS ft_id, ttype AS ft_type FROM j
+              QUALIFY row_number() OVER (
+                PARTITION BY event_id ORDER BY tus ASC, tid ASC) = 1),
+            lt AS (
+              SELECT event_id, tid AS lt_id, ttype AS lt_type FROM j
+              QUALIFY row_number() OVER (
+                PARTITION BY event_id ORDER BY tus DESC, tid DESC) = 1)
+            SELECT p.event_id, p.user_id,
+                   f.ft_id, f.ft_type, l.lt_id, l.lt_type
+            FROM p
+            LEFT JOIN ft f ON p.event_id = f.event_id
+            LEFT JOIN lt l ON p.event_id = l.event_id"""))
+
+  /** Degree assortativity of the co-purchase graph (Newman 2002): the
+    * Pearson correlation of endpoint degrees over (both orientations
+    * of) the edge list. Computed from EXACT integer sufficient
+    * statistics — n, Σx, Σy, Σxy, Σx², Σy² as BIGINTs (degrees are
+    * small; the sums fit with orders of magnitude to spare) — with the
+    * single double-precision correlation formula applied to those
+    * exact inputs at the end, so no float summation order exists for
+    * partial aggregation to perturb (a plain corr() would be the
+    * q_kmeans_step flake all over again). */
+  val qAssortativity = Q(
+    "q_assortativity",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val buyers = t.lineitem.filter(col("l_partkey") % 100 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("p"), col("o_custkey").as("c")).distinct()
+      val edges = buyers.as("b1")
+        .join(buyers.as("b2"), col("b1.p") === col("b2.p") && col("b1.c") < col("b2.c"))
+        .select(col("b1.c").as("a"), col("b2.c").as("b")).distinct()
+      val both = edges.unionByName(
+        edges.select(col("b").as("a"), col("a").as("b")))
+      val deg = both.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+      val xy = both
+        .join(deg.select(col("n").as("a"), col("d").as("x")), "a")
+        .join(deg.select(col("n").as("b"), col("d").as("y")), "b")
+      val st = xy.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      st.select(col("n"),
+        fl4((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("assortativity"))
+    },
+    Some("""WITH buyers AS (
+              SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_partkey % 100 = 0),
+            e AS (
+              SELECT DISTINCT b1.c AS a, b2.c AS b
+              FROM buyers b1
+              JOIN buyers b2 ON b1.p = b2.p AND b1.c < b2.c),
+            both_e AS (
+              SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+            deg AS (
+              SELECT a AS n, CAST(count(*) AS BIGINT) AS d
+              FROM both_e GROUP BY a),
+            xy AS (
+              SELECT da.d AS x, db.d AS y
+              FROM both_e
+              JOIN deg da ON both_e.a = da.n
+              JOIN deg db ON both_e.b = db.n),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM xy)
+            SELECT n,
+                   floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                     * 10000 + 0.5) / 10000 AS assortativity
+            FROM st"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
     qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin,
@@ -1822,7 +2000,7 @@ object Queries {
     q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
     qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma,
     qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops,
-    qLabelProp) ++
+    qLabelProp, qItemsets, qAttribution, qAssortativity) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }
