@@ -1987,6 +1987,56 @@ object Queries {
                      * 10000 + 0.5) / 10000 AS assortativity
             FROM st"""))
 
+  /** k-core of the co-purchase graph (k = 30): the maximal subgraph
+    * where every customer keeps ≥ 30 co-purchase neighbors — the
+    * community-core / link-farm density tier. Spark peels to the
+    * fixpoint ([[graft.graph.Graph.kCore]]); the oracle unrolls EIGHT
+    * peel rounds (measured fixpoint depth on this graph is 3 at both
+    * gate SFs — 8 is a 2.5× margin, and extra rounds past the fixpoint
+    * are no-ops, so equality checks the fixpoint itself). Emits each
+    * surviving node with its within-core degree. */
+  val qKcore = Q(
+    "q_kcore",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val buyers = t.lineitem.filter(col("l_partkey") % 100 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("p"), col("o_custkey").as("c")).distinct()
+      val edges = buyers.as("b1")
+        .join(buyers.as("b2"), col("b1.p") === col("b2.p") && col("b1.c") < col("b2.c"))
+        .select(col("b1.c").as("src"), col("b2.c").as("dst")).distinct()
+      graft.graph.Graph.kCore(edges, k = 30)
+    },
+    Some {
+      // unrolled peel: nodes_i = nodes of within-(nodes_{i-1}) degree ≥ k.
+      // every CTE is MATERIALIZED — each is referenced 2-4 times, and the
+      // default inlining re-expands the whole chain (and re-opens the
+      // parquet scans) exponentially per round
+      val rounds = (1 to 8).map { i =>
+        val prev = if (i == 1) "nodes0" else s"nodes${i - 1}"
+        s"""deg$i AS MATERIALIZED (
+           |  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+           |    SELECT e.a AS n FROM e
+           |    JOIN $prev na ON e.a = na.n JOIN $prev nb ON e.b = nb.n
+           |    UNION ALL
+           |    SELECT e.b FROM e
+           |    JOIN $prev na ON e.a = na.n JOIN $prev nb ON e.b = nb.n)
+           |  GROUP BY n),
+           |nodes$i AS MATERIALIZED (SELECT n FROM deg$i WHERE d >= 30)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH buyers AS MATERIALIZED (
+         |  SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE l.l_partkey % 100 = 0),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT b1.c AS a, b2.c AS b
+         |  FROM buyers b1 JOIN buyers b2 ON b1.p = b2.p AND b1.c < b2.c),
+         |nodes0 AS MATERIALIZED (SELECT a AS n FROM e UNION SELECT b FROM e),
+         |$rounds
+         |SELECT d.n AS id, d.d AS core_degree
+         |FROM deg8 d JOIN nodes8 s ON d.n = s.n""".stripMargin
+    })
+
   def all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
     qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin,
@@ -2000,7 +2050,7 @@ object Queries {
     q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
     qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma,
     qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops,
-    qLabelProp, qItemsets, qAttribution, qAssortativity) ++
+    qLabelProp, qItemsets, qAttribution, qAssortativity, qKcore) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

@@ -139,6 +139,20 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("kCore: peels pendant chain, keeps clique, cascades removals") {
+    import spark.implicits._
+    // K4 {1,2,3,4} + chain 4-5-6: the 3-core is exactly the K4 — node 5
+    // starts at degree 2, and node 6's removal must CASCADE (5 drops to
+    // 1 only after 6 goes, then 5 goes too: two peel rounds)
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val got = graft.graph.Graph.kCore(edges, k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the max degree → empty core, still converges
+    assert(graft.graph.Graph.kCore(edges, k = 10).count() == 0)
+  }
+
   test("labelPropagate: spread, clamp, tie to smallest, keep when unvoted") {
     import spark.implicits._
     // undirected path 1-2-3-4-5, seeds 1→100 and 5→200
