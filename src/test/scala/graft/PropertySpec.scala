@@ -175,6 +175,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("graph loops match driver references on a generated random graph") {
+    val genE: Gen[(Long, Long)] = for {
+      a <- Gen.chooseNum(1L, 40L)
+      b <- Gen.chooseNum(1L, 40L) if a != b
+    } yield (a, b)
+    val rawEdges = Gen.listOfN(70, genE).apply(Gen.Parameters.default, Seed(7L))
+      .get.distinct
+    val nodeIds = (1L to 40L).toSeq
+    val und = rawEdges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      .withDefaultValue(Set.empty[Long])
+
+    // reference components: repeated min-label to fixpoint
+    var lbl = nodeIds.map(n => n -> n).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      nodeIds.foreach { n =>
+        val m = (adj(n).map(lbl) + lbl(n)).min
+        if (m != lbl(n)) { lbl += n -> m; changed = true }
+      }
+    }
+    val gotCc = graft.graph.Graph
+      .connectedComponents(nodeIds.toDF("id"), rawEdges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotCc == lbl)
+
+    // reference BFS from seeds {1, 2} along DIRECTED edges, cap 3
+    val out = rawEdges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      .withDefaultValue(Seq.empty[Long])
+    var dist = Map(1L -> 0L, 2L -> 0L)
+    var frontier = Set(1L, 2L)
+    for (h <- 1L to 3L) {
+      val next = frontier.flatMap(out(_)).filterNot(dist.contains)
+      dist ++= next.map(_ -> h)
+      frontier = next
+    }
+    val gotBfs = graft.graph.Graph
+      .hopDistance(Seq(1L, 2L).toDF("id"), rawEdges.toDF("src", "dst"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(gotBfs == dist)
+
+    // reference k-core: driver-side peel; check set AND in-core degrees
+    val k = 3
+    var live = und.flatMap(t => Seq(t._1, t._2)).toSet
+    var stable = false
+    while (!stable) {
+      val deg = live.map(n => n -> adj(n).count(live)).toMap
+      val next = live.filter(deg(_) >= k)
+      stable = next == live
+      live = next
+    }
+    val gotCore = graft.graph.Graph.kCore(rawEdges.toDF("src", "dst"), k)
+      .as[(Long, Long)].collect().toMap
+    assert(gotCore.keySet == live)
+    gotCore.foreach { case (n, d) => assert(d == adj(n).count(live).toLong) }
+  }
+
   test("Cdc.latestSnapshot equals the window row_number form on generated changes") {
     import org.apache.spark.sql.expressions.Window
     val genC: Gen[(Long, Long, Long)] = for {
