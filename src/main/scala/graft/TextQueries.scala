@@ -1005,10 +1005,43 @@ object TextQueries {
             FROM docs d LEFT JOIN l ON d.doc_id = l.doc_id
             GROUP BY d.doc_id, d.t"""))
 
+  /** Corpus-GLOBAL suffix array over the same 1-in-97 sample as
+    * q_suffix_array: every suffix of every document in one total
+    * lexicographic order (Lee et al. 2022's index shape) — built by
+    * [[graft.ops.SuffixArrays.globalSuffixRanks]] with
+    * range-partitioned global re-ranks (partition-offset + local dense
+    * index; the driver sees one long per partition per round, never a
+    * single-partition window). The oracle is the direct global sort:
+    * row_number over (suffix, doc_id, pos). */
+  val qGlobalSuffix = Q(
+    "q_global_suffix",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "[^ -~]", "").as("t"))
+      graft.ops.SuffixArrays.globalSuffixRanks(docs, "doc_id", "t", cap = 256)
+        .select(col("id").as("doc_id"), col("pos"), col("gsa_rank"))
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id,
+                     substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 256) AS t
+              FROM documents WHERE doc_id % 97 = 0),
+            p AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, length(t))) AS pos
+              FROM docs WHERE length(t) >= 1)
+            SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                   CAST(row_number() OVER (
+                     ORDER BY substr(t, pos), doc_id, pos) AS BIGINT)
+                     AS gsa_rank
+            FROM p"""))
+
   def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
     qGopherRules, qChunk, qTemperatureMix, qDsirWeights, qGreedyPieces,
     qPerplexity, qC4Filter, qEpochMix, qTfidf, qPmi, qBpeTrain,
-    qWeightedSample, qEntropy, qRrfFusion, qSuffixArray, qLongestRepeat)
+    qWeightedSample, qEntropy, qRrfFusion, qSuffixArray, qLongestRepeat,
+    qGlobalSuffix)
 }

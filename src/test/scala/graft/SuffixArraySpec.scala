@@ -76,6 +76,43 @@ class SuffixArraySpec extends SparkSpec {
     assert(got == 5L)
   }
 
+  test("globalSuffixRanks: one total order across docs, ties by (id, pos)") {
+    // suffixes of banana∪ana interleave globally; identical suffixes
+    // ("a", "ana", "na") tie and must resolve doc 1 before doc 2
+    val got = SuffixArrays.globalSuffixRanks(
+      Seq((1L, "banana"), (2L, "ana")).toDF("id", "t"), "id", "t", cap = 64)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, pos, r) => (id, pos) -> r }.toMap
+    // driver-side reference: sort (suffix, id, pos)
+    val suf = (1 to 6).map(p => (1L, p.toLong, "banana".substring(p - 1))) ++
+      (1 to 3).map(p => (2L, p.toLong, "ana".substring(p - 1)))
+    val want = suf.sortBy(t => (t._3, t._1, t._2)).zipWithIndex
+      .map { case ((id, p, _), i) => (id, p) -> (i + 1).toLong }.toMap
+    assert(got == want)
+    // sanity on the known interleave: a(1,6) < a(2,3) < ana(1,4) <
+    // ana(2,1) < anana(1,2) < banana(1,1) < na(1,5) < na(2,2) < nana(1,3)
+    assert(got((1L, 6L)) == 1L && got((2L, 3L)) == 2L)
+    assert(got((1L, 4L)) == 3L && got((2L, 1L)) == 4L)
+    assert(got((1L, 1L)) == 6L && got((1L, 3L)) == 9L)
+  }
+
+  test("globalSuffixRanks agrees with per-doc ranks on rank ORDER within a doc") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "mississippi"), (2L, "abracadabra")).toDF("id", "t")
+    val per = SuffixArrays.suffixRanks(docs, "id", "t", 64)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val glob = SuffixArrays.globalSuffixRanks(docs, "id", "t", 64)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    // restricting the global order to one doc must reproduce the
+    // per-doc order exactly
+    for (id <- Seq(1L, 2L)) {
+      val ps = per.keys.filter(_._1 == id).map(_._2).toSeq.sorted
+      val perOrder = ps.sortBy(p => per((id, p)))
+      val globOrder = ps.sortBy(p => glob((id, p)))
+      assert(perOrder == globOrder, s"doc $id order diverged")
+    }
+  }
+
   test("jaro_winkler matches the textbook/DuckDB values exactly") {
     import org.apache.spark.sql.functions.col
     // expected values printed by DuckDB's jaro_winkler_similarity —
