@@ -1037,11 +1037,83 @@ object TextQueries {
                      AS gsa_rank
             FROM p"""))
 
+  /** Cross-document repeated spans — Lee et al. 2022's dedup signal
+    * computed exactly: for each document, the length of the longest
+    * substring it shares with ANY other document. In the global suffix
+    * order, the max shared span between two docs is always attained at
+    * some rank-ADJACENT pair from different docs (the block of
+    * suffixes prefixed by the span contains both docs, so some
+    * adjacent pair crosses between them with LCP ≥ span) — so one
+    * equality self-join on rank+1 replaces all-pairs comparison, and
+    * the per-pair cost is one `lcp_pair` over cap-bounded substrings.
+    * No global window anywhere: adjacency is a join, the rollup is an
+    * agg. */
+  val qCrossRepeat = Q(
+    "q_cross_repeat",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 256).as("t"))
+      val ranks = graft.ops.SuffixArrays
+        .globalSuffixRanks(docs, "doc_id", "t", cap = 256)
+      val adj = ranks.as("x")
+        .join(ranks.as("y"), col("x.gsa_rank") + 1 === col("y.gsa_rank"))
+        .filter(col("x.id") =!= col("y.id"))
+        .select(col("x.id").as("ida"), col("x.pos").as("pa"),
+          col("y.id").as("idb"), col("y.pos").as("pb"))
+      val withTexts = adj
+        .join(docs.select(col("doc_id").as("ida"), col("t").as("ta")), "ida")
+        .join(docs.select(col("doc_id").as("idb"), col("t").as("tb")), "idb")
+        .select(col("ida"), col("idb"),
+          graft.plans.TextNative.lcpPair(
+            col("ta").substr(col("pa").cast("int"), lit(256)),
+            col("tb").substr(col("pb").cast("int"), lit(256))).as("lcp"))
+      val sides = withTexts.select(col("ida").as("d"), col("lcp"))
+        .unionAll(withTexts.select(col("idb").as("d"), col("lcp")))
+        .groupBy(col("d")).agg(max(col("lcp")).as("ms"))
+      docs.join(sides, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), coalesce(col("ms"), lit(0L)).as("max_shared"))
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id,
+                     substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 256) AS t
+              FROM documents WHERE doc_id % 97 = 0),
+            p AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, length(t))) AS pos
+              FROM docs WHERE length(t) >= 1),
+            r AS (
+              SELECT doc_id, t, pos,
+                     row_number() OVER (
+                       ORDER BY substr(t, pos), doc_id, pos) AS rk
+              FROM p),
+            adj AS (
+              SELECT x.doc_id AS ida, substr(x.t, x.pos) AS sa,
+                     y.doc_id AS idb, substr(y.t, y.pos) AS sb
+              FROM r x JOIN r y ON y.rk = x.rk + 1
+              WHERE x.doc_id <> y.doc_id),
+            l AS (
+              SELECT ida, idb,
+                CAST(coalesce(
+                  list_min(list_filter(
+                    range(1, least(length(sa), length(sb)) + 1),
+                    k -> substr(sa, k, 1) <> substr(sb, k, 1))) - 1,
+                  least(length(sa), length(sb))) AS BIGINT) AS lcp
+              FROM adj),
+            sides AS (
+              SELECT ida AS d, lcp FROM l
+              UNION ALL SELECT idb, lcp FROM l)
+            SELECT d.doc_id,
+                   CAST(coalesce(max(s.lcp), 0) AS BIGINT) AS max_shared
+            FROM docs d LEFT JOIN sides s ON d.doc_id = s.d
+            GROUP BY d.doc_id"""))
+
   def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
     qGopherRules, qChunk, qTemperatureMix, qDsirWeights, qGreedyPieces,
     qPerplexity, qC4Filter, qEpochMix, qTfidf, qPmi, qBpeTrain,
     qWeightedSample, qEntropy, qRrfFusion, qSuffixArray, qLongestRepeat,
-    qGlobalSuffix)
+    qGlobalSuffix, qCrossRepeat)
 }

@@ -40,7 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "vec_mean" -> (es => VecMean(es(0))),
     "mg_sketch" -> (es => MgSketch(es(0), es(1).eval().asInstanceOf[Int])),
     "lcp_at" -> (es => LcpAt(es(0), es(1), es(2))),
-    "jaro_winkler" -> (es => JaroWinkler(es(0), es(1))))
+    "jaro_winkler" -> (es => JaroWinkler(es(0), es(1))),
+    "lcp_pair" -> (es => LcpPair(es(0), es(1))))
 
   override def apply(e: SparkSessionExtensions): Unit = {
     fns.foreach { case (name, builder) =>

@@ -309,6 +309,35 @@ case class LcpAt(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** Longest common prefix of TWO strings: lcp_pair(a, b) = number of
+  * leading chars shared. Companion to [[LcpAt]] for the cross-document
+  * case, where the two suffixes live in different texts and a
+  * single-string in-place compare cannot reach both; callers pass the
+  * (cap-bounded) suffix substrings, so the materialization this allows
+  * is one cap-sized string per side per pair — the Lee et al. 2022
+  * cross-doc span-detection cost profile. */
+case class LcpPair(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def prettyName: String = "lcp_pair"
+  override def dataType: DataType = LongType
+  // (narrowed to Seq[DataType]: AbstractDataType is private[sql])
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[UTF8String].toString
+    val b = r.asInstanceOf[UTF8String].toString
+    val n = math.min(a.length, b.length)
+    var k = 0
+    while (k < n && a.charAt(k) == b.charAt(k)) k += 1
+    k.toLong
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Jaro–Winkler similarity (Winkler 1990) — the record-linkage string
   * measure: Jaro match/transposition score boosted by up to 4 chars of
   * common prefix when the base score exceeds 0.7. Semantics pinned to
@@ -393,4 +422,6 @@ object TextNative {
     c(LcpAt(e(text), e(p1), e(p2)))
   def jaroWinkler(a: Column, b: Column): Column =
     c(JaroWinkler(e(a), e(b)))
+  def lcpPair(a: Column, b: Column): Column =
+    c(LcpPair(e(a), e(b)))
 }

@@ -113,6 +113,35 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("lcp_pair: two-string prefix compare; cross-doc span via global SA") {
+    import org.apache.spark.sql.functions._
+    val got = Seq(("abcde", "abcxy"), ("", "abc"), ("same", "same"))
+      .toDF("a", "b")
+      .select(graft.plans.TextNative.lcpPair(col("a"), col("b")).as("l"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(3L, 0L, 4L))
+    // cross-doc: docs share the span "ababab" (len 6); doc 3 shares only
+    // "ab" (len 2) with the others. Adjacent-pair max over the global SA
+    // must find exactly these.
+    val docs = Seq((1L, "xxabababyy"), (2L, "zzabababww"), (3L, "qqab"))
+      .toDF("id", "t")
+    val ranks = SuffixArrays.globalSuffixRanks(docs, "id", "t", 64)
+    val adj = ranks.as("x")
+      .join(ranks.as("y"), col("x.gsa_rank") + 1 === col("y.gsa_rank"))
+      .filter(col("x.id") =!= col("y.id"))
+      .join(docs.select(col("id").as("xi"), col("t").as("ta")), col("x.id") === col("xi"))
+      .join(docs.select(col("id").as("yi"), col("t").as("tb")), col("y.id") === col("yi"))
+      .select(col("x.id").as("ida"), col("y.id").as("idb"),
+        graft.plans.TextNative.lcpPair(
+          col("ta").substr(col("x.pos").cast("int"), lit(64)),
+          col("tb").substr(col("y.pos").cast("int"), lit(64))).as("l"))
+    val perDoc = adj.select(col("ida").as("d"), col("l"))
+      .unionAll(adj.select(col("idb"), col("l")))
+      .groupBy("d").agg(max("l").as("m"))
+      .as[(Long, Long)].collect().toMap
+    assert(perDoc(1L) == 6L && perDoc(2L) == 6L && perDoc(3L) == 2L)
+  }
+
   test("jaro_winkler matches the textbook/DuckDB values exactly") {
     import org.apache.spark.sql.functions.col
     // expected values printed by DuckDB's jaro_winkler_similarity —
