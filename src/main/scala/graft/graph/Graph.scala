@@ -275,6 +275,7 @@ object Graph {
     val e = canonical(edges).localCheckpoint()
     var live = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .distinct().localCheckpoint(true)
+    var liveCount = live.count()
     var deg: DataFrame = null
     var converged = false
     var iter = 0
@@ -288,10 +289,12 @@ object Graph {
       val next = deg.filter(col("core_degree") >= k)
         .select(col("n")).localCheckpoint(true)
       // isolated-by-peeling nodes vanish from deg entirely, so the
-      // removed count must compare against the previous LIVE set
-      val removed = live.count() - next.count()
+      // removed count must compare against the previous LIVE size —
+      // carried over from last round's count, not recounted
+      val nextCount = next.count()
+      converged = nextCount == liveCount
       live = next
-      converged = removed == 0L
+      liveCount = nextCount
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
