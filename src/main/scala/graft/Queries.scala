@@ -2037,6 +2037,67 @@ object Queries {
          |FROM deg8 d JOIN nodes8 s ON d.n = s.n""".stripMargin
     })
 
+  /** Personalized PageRank (3 iterations, d = 0.85) on the same
+    * customer–supplier purchase graph as q_pagerank, teleporting to the
+    * nation-1 customers — "authority relative to a trusted seed set"
+    * (TrustRank-style). Identical per-iteration plan and explicit-DOUBLE
+    * arithmetic conventions as q_pagerank; the oracle unrolls the three
+    * iterations with the restart vector in every round's teleport term.
+    * Emits every node (no top-k → no selection boundary to flip). */
+  val qPprTrust = Q(
+    "q_ppr_trust",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val raw = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (-(col("l_suppkey") + 1)).as("dst"))
+      val seeds = t.customer.filter(col("c_nationkey") === 1)
+        .select(col("c_custkey").as("id"))
+      graft.graph.Graph.personalizedPageRank(
+        graft.graph.Graph.undirected(raw), seeds, iters = 3)
+        .select(col("id"), r4(col("pr") * 1000).as("pr_x1000"))
+    },
+    Some("""WITH eb AS (
+              SELECT DISTINCT o_custkey AS src, -(l_suppkey + 1) AS dst
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            e AS (SELECT src, dst FROM eb UNION SELECT dst, src FROM eb),
+            deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+            ew AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / outdeg AS w
+                   FROM e JOIN deg USING (src)),
+            nodes AS (SELECT src AS id FROM deg),
+            sd AS (SELECT DISTINCT n.id FROM nodes n
+                   JOIN customer c ON n.id = c.c_custkey
+                   WHERE c.c_nationkey = 1),
+            ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM sd),
+            rst AS (SELECT n.id,
+                      CASE WHEN s.id IS NOT NULL
+                        THEN CAST(1.0 AS DOUBLE) / (SELECT ns FROM ns)
+                        ELSE CAST(0.0 AS DOUBLE) END AS r
+                    FROM nodes n LEFT JOIN sd s ON n.id = s.id),
+            p0 AS (SELECT id, r AS pr FROM rst),
+            p1 AS (SELECT r.id,
+                     (CAST(1.0 AS DOUBLE) - 0.85) * r.r
+                       + 0.85 * coalesce(c.s, CAST(0.0 AS DOUBLE)) AS pr
+                   FROM rst r LEFT JOIN (
+                     SELECT ew.dst, sum(p0.pr * ew.w) AS s
+                     FROM ew JOIN p0 ON p0.id = ew.src GROUP BY ew.dst) c
+                   ON r.id = c.dst),
+            p2 AS (SELECT r.id,
+                     (CAST(1.0 AS DOUBLE) - 0.85) * r.r
+                       + 0.85 * coalesce(c.s, CAST(0.0 AS DOUBLE)) AS pr
+                   FROM rst r LEFT JOIN (
+                     SELECT ew.dst, sum(p1.pr * ew.w) AS s
+                     FROM ew JOIN p1 ON p1.id = ew.src GROUP BY ew.dst) c
+                   ON r.id = c.dst),
+            p3 AS (SELECT r.id,
+                     (CAST(1.0 AS DOUBLE) - 0.85) * r.r
+                       + 0.85 * coalesce(c.s, CAST(0.0 AS DOUBLE)) AS pr
+                   FROM rst r LEFT JOIN (
+                     SELECT ew.dst, sum(p2.pr * ew.w) AS s
+                     FROM ew JOIN p2 ON p2.id = ew.src GROUP BY ew.dst) c
+                   ON r.id = c.dst)
+            SELECT id, round(pr * 1000, 4) AS pr_x1000 FROM p3"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
     qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin,
@@ -2050,7 +2111,8 @@ object Queries {
     q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
     qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma,
     qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops,
-    qLabelProp, qItemsets, qAttribution, qAssortativity, qKcore) ++
+    qLabelProp, qItemsets, qAttribution, qAssortativity, qKcore,
+    qPprTrust) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

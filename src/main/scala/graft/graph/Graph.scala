@@ -248,6 +248,60 @@ object Graph {
     lab
   }
 
+  /** Personalized PageRank (Haveliwala 2002): PageRank whose teleport
+    * mass returns to a SEED set instead of the uniform vector —
+    * pr'(v) = (1−d)·restart(v) + d·Σ pr(u)/outdeg(u), restart = 1/|S|
+    * on seeds (restricted to graph nodes), 0 elsewhere, pr₀ = restart.
+    * The "authority relative to a trusted set" ranking of seed-based
+    * curation (topic-sensitive trust, TrustRank-style spam demotion).
+    *
+    * Same per-iteration shape as [[pageRank]] — one uniform-key shuffle
+    * (edges ⋈ ranks on src), 1/outdeg weights computed once, periodic
+    * checkpoints — plus a restart relation built once; nothing
+    * node-count-sized at the driver (the only scalar is |S|). Like
+    * [[pageRank]], every node needs an out-edge (use [[undirected]]). */
+  def personalizedPageRank(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int,
+      damping: Double = 0.85,
+      checkpointEvery: Int = 4): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val e = edges.toDF("src", "dst").localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ew = e.join(deg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
+      .localCheckpoint()
+    val nodes = deg.select(col("src").as("nid"))
+    // seeds outside the graph carry no mass and don't dilute the rest
+    val sd = seeds.toDF("id").distinct()
+      .join(nodes, col("id") === col("nid"), "left_semi")
+      .localCheckpoint(true)
+    val nSeeds = sd.count()
+    require(nSeeds > 0, "no seed is a graph node — restart vector undefined")
+    val restart = nodes
+      .join(sd.select(col("id"), lit(1).as("isSeed")),
+        col("nid") === col("id"), "left")
+      .select(col("nid"),
+        when(col("isSeed").isNotNull, lit(1.0 / nSeeds))
+          .otherwise(lit(0.0)).as("rst"))
+      .localCheckpoint()
+    var ranks = restart.select(col("nid").as("id"), col("rst").as("pr"))
+    for (i <- 1 to iters) {
+      val contribs = ew
+        .join(ranks, ew("src") === ranks("id"))
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") * col("w")).as("contrib"))
+      ranks = restart
+        .join(contribs, col("nid") === col("dst"), "left")
+        .select(col("nid").as("id"),
+          (lit(1.0 - damping) * col("rst")
+            + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("pr"))
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
   /** k-core decomposition (membership tier): iteratively peel nodes of
     * within-subgraph degree < k until a fixpoint; what survives is the
     * maximal subgraph where every node keeps ≥ k neighbors — the

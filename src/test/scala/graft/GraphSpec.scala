@@ -139,6 +139,41 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("personalizedPageRank: mass concentrates at seeds; driver recompute") {
+    import spark.implicits._
+    // path 1-2-3-4 undirected, seed {1}: rank must decay with distance
+    // from the seed, and match an exact driver-side power iteration
+    val half = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val got = graft.graph.Graph.personalizedPageRank(
+      edges, Seq(1L).toDF("id"), iters = 3)
+      .as[(Long, Double)].collect().toMap
+    val und = half ++ half.map(_.swap)
+    val outdeg = und.groupBy(_._1).view.mapValues(_.length).toMap
+    val rst = Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0)
+    var pr = rst
+    for (_ <- 1 to 3) {
+      val contrib = und.groupBy(_._2).view
+        .mapValues(_.map(ed => pr(ed._1) / outdeg(ed._1)).sum).toMap
+      pr = rst.keys.map(v =>
+        v -> ((1.0 - 0.85) * rst(v) + 0.85 * contrib.getOrElse(v, 0.0))).toMap
+    }
+    assert(got.keySet == pr.keySet)
+    pr.foreach { case (v, want) =>
+      assert(math.abs(got(v) - want) < 1e-12, s"node $v: ${got(v)} vs $want")
+    }
+    // NOTE no ordering assertions beyond the exact recompute: at a
+    // finite iteration count PPR on a path both oscillates with hop
+    // parity AND ranks the seed's sole neighbor above the seed (the
+    // seed pushes its whole rank out each round) — element-wise
+    // equality with the reference is the complete check.
+    // Seeds outside the graph are dropped; no in-graph seed → error
+    intercept[IllegalArgumentException] {
+      graft.graph.Graph.personalizedPageRank(
+        edges, Seq(99L).toDF("id"), iters = 1)
+    }
+  }
+
   test("kCore: peels pendant chain, keeps clique, cascades removals") {
     import spark.implicits._
     // K4 {1,2,3,4} + chain 4-5-6: the 3-core is exactly the K4 — node 5

@@ -219,6 +219,36 @@ class ScalePathSpec extends SparkSpec {
       s"triangles degraded to a product join:\n$triPlan")
   }
 
+  test("round-6 second-wave plans: blocked joins never degrade to products") {
+    // fuzzy match: the first-word blocking must plan as a hash join —
+    // a cartesian here means the block key was lost and J-W runs on
+    // all part pairs
+    val fuzzy = DedupQueries.qFuzzyMatch.run(spark, sf)
+    val fuzzyPlan = fuzzy.queryExecution.executedPlan.toString
+    assert(!fuzzyPlan.contains("CartesianProduct")
+      && !fuzzyPlan.contains("BroadcastNestedLoop"),
+      s"fuzzy match lost its block key:\n$fuzzyPlan")
+    // itemsets: the pair self-join keys on the order id
+    val items = Queries.qItemsets.run(spark, sf)
+    val itemsPlan = items.queryExecution.executedPlan.toString
+    assert(!itemsPlan.contains("CartesianProduct")
+      && !itemsPlan.contains("BroadcastNestedLoop"),
+      s"itemsets pair join degraded:\n$itemsPlan")
+    // attribution: user-equality join with the 7-day range as residual —
+    // equality must drive the join, range must not force a product
+    val attr = Queries.qAttribution.run(spark, sf)
+    val attrPlan = attr.queryExecution.executedPlan.toString
+    assert(!attrPlan.contains("CartesianProduct")
+      && !attrPlan.contains("BroadcastNestedLoop"),
+      s"attribution range join degraded:\n$attrPlan")
+    // cross-repeat adjacency: rank+1 equality self-join, never all-pairs
+    val cross = TextQueries.qCrossRepeat.run(spark, sf)
+    val crossPlan = cross.queryExecution.executedPlan.toString
+    assert(!crossPlan.contains("CartesianProduct")
+      && !crossPlan.contains("BroadcastNestedLoop"),
+      s"cross-repeat adjacency degraded:\n$crossPlan")
+  }
+
   test("suffix-array build is ONE doc-keyed exchange for all rounds") {
     // every window in the prefix-doubling loop partitions by doc id, so
     // the whole build must plan as a single hash exchange followed by
