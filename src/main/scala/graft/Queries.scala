@@ -2098,6 +2098,74 @@ object Queries {
                    ON r.id = c.dst)
             SELECT id, round(pr * 1000, 4) AS pr_x1000 FROM p3"""))
 
+  /** Link prediction by neighborhood overlap (Liben-Nowell & Kleinberg
+    * 2003): for every NON-edge pair with ≥ 3 common neighbors in the
+    * co-purchase graph, the common-neighbor count and the neighborhood
+    * Jaccard — the classic "who should be connected" recommender
+    * signals. Candidates come from the wedge join (pairs sharing a
+    * neighbor), never all-pairs; existing edges are removed with an
+    * anti join; Jaccard = cn/(dx+dy−cn) is one double division over
+    * exact BIGINT counts, fl4-quantized. Wedge fan-out is Σdeg² —
+    * bounded here by the clique-sized buyer groups; a hub-skewed graph
+    * would cap per-node neighbor lists first (the standard top-deg
+    * truncation), which drops only candidates a hub would swamp
+    * anyway. */
+  val qLinkPredict = Q(
+    "q_link_predict",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val buyers = t.lineitem.filter(col("l_partkey") % 200 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("p"), col("o_custkey").as("c")).distinct()
+      val e = buyers.as("b1")
+        .join(buyers.as("b2"), col("b1.p") === col("b2.p") && col("b1.c") < col("b2.c"))
+        .select(col("b1.c").as("a"), col("b2.c").as("b")).distinct()
+        .localCheckpoint() // feeds the wedge join (twice via und), the
+                           // anti join and the degree table
+      val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      val deg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+      val wedge = und.as("u1")
+        .join(und.as("u2"), col("u1.a") === col("u2.a") && col("u1.b") < col("u2.b"))
+        .groupBy(col("u1.b").as("x"), col("u2.b").as("y"))
+        .agg(count(lit(1)).as("cn"))
+      val nonedge = wedge
+        .join(e, col("x") === col("a") && col("y") === col("b"), "left_anti")
+        .filter(col("cn") >= 3)
+      nonedge
+        .join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
+        .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
+        .select(col("x"), col("y"), col("cn"),
+          fl4(col("cn").cast("double")
+            / (col("dx") + col("dy") - col("cn")).cast("double")).as("jaccard"))
+    },
+    Some("""WITH buyers AS (
+              SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_partkey % 200 = 0),
+            e AS (
+              SELECT DISTINCT b1.c AS a, b2.c AS b
+              FROM buyers b1
+              JOIN buyers b2 ON b1.p = b2.p AND b1.c < b2.c),
+            und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+            deg AS (
+              SELECT a AS n, CAST(count(*) AS BIGINT) AS d
+              FROM und GROUP BY a),
+            wedge AS (
+              SELECT u1.b AS x, u2.b AS y, CAST(count(*) AS BIGINT) AS cn
+              FROM und u1 JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b
+              GROUP BY u1.b, u2.b),
+            nonedge AS (
+              SELECT w.x, w.y, w.cn FROM wedge w
+              LEFT JOIN e ON w.x = e.a AND w.y = e.b
+              WHERE e.a IS NULL AND w.cn >= 3)
+            SELECT ne.x, ne.y, ne.cn,
+                   floor(CAST(ne.cn AS DOUBLE)
+                     / CAST(dx.d + dy.d - ne.cn AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS jaccard
+            FROM nonedge ne
+            JOIN deg dx ON ne.x = dx.n
+            JOIN deg dy ON ne.y = dy.n"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
     qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin,
@@ -2112,7 +2180,7 @@ object Queries {
     qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma,
     qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops,
     qLabelProp, qItemsets, qAttribution, qAssortativity, qKcore,
-    qPprTrust) ++
+    qPprTrust, qLinkPredict) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }
