@@ -2166,6 +2166,58 @@ object Queries {
             JOIN deg dx ON ne.x = dx.n
             JOIN deg dy ON ne.y = dy.n"""))
 
+  /** k-truss (k = 35) of the co-purchase graph: the maximal subgraph
+    * where every co-purchase edge closes ≥ 33 triangles — the
+    * community-core tier that degree alone can't fake (q_kcore bounds
+    * degree; this bounds mutual reinforcement). Spark peels edge
+    * support to the fixpoint ([[graft.graph.Graph.kTruss]], the
+    * skew-proof oriented triangle count per round); the oracle unrolls
+    * SIX peel rounds (measured fixpoint depth is 3 at both gate SFs —
+    * 6 is a 2× margin, and rounds past the fixpoint are no-ops, so
+    * equality checks the fixpoint itself). Emits each surviving edge
+    * with its within-truss support. */
+  val qKtruss = Q(
+    "q_ktruss",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val buyers = t.lineitem.filter(col("l_partkey") % 100 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("p"), col("o_custkey").as("c")).distinct()
+      val edges = buyers.as("b1")
+        .join(buyers.as("b2"), col("b1.p") === col("b2.p") && col("b1.c") < col("b2.c"))
+        .select(col("b1.c").as("src"), col("b2.c").as("dst")).distinct()
+      graft.graph.Graph.kTruss(edges, k = 35)
+    },
+    Some {
+      // unrolled peel: e_i = edges of within-(e_{i-1}) support ≥ k−2.
+      // every CTE is MATERIALIZED — tri_i is referenced three times and
+      // the default inlining re-expands the whole prior chain (and
+      // re-opens the parquet scans) exponentially per round
+      val rounds = (1 to 6).map { i =>
+        val prev = if (i == 1) "e0" else s"e${i - 1}"
+        s"""tri$i AS MATERIALIZED (
+           |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |  FROM $prev e1 JOIN $prev e2 ON e1.a = e2.a AND e1.b < e2.b
+           |  JOIN $prev e3 ON e3.a = e1.b AND e3.b = e2.b),
+           |sup$i AS MATERIALIZED (
+           |  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+           |    SELECT x AS a, y AS b FROM tri$i
+           |    UNION ALL SELECT x AS a, z AS b FROM tri$i
+           |    UNION ALL SELECT y AS a, z AS b FROM tri$i) u
+           |  GROUP BY a, b),
+           |e$i AS MATERIALIZED (SELECT a, b FROM sup$i WHERE support >= 33)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH buyers AS MATERIALIZED (
+         |  SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE l.l_partkey % 100 = 0),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT b1.c AS a, b2.c AS b
+         |  FROM buyers b1 JOIN buyers b2 ON b1.p = b2.p AND b1.c < b2.c),
+         |$rounds
+         |SELECT a, b, support FROM sup6 WHERE support >= 33""".stripMargin
+    })
+
   def all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
     qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin,
@@ -2180,7 +2232,7 @@ object Queries {
     qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma,
     qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops,
     qLabelProp, qItemsets, qAttribution, qAssortativity, qKcore,
-    qPprTrust, qLinkPredict) ++
+    qPprTrust, qLinkPredict, qKtruss) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

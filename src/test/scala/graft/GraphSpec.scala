@@ -188,6 +188,31 @@ class GraphSpec extends SparkSpec {
     assert(graft.graph.Graph.kCore(edges, k = 10).count() == 0)
   }
 
+  test("kTruss: drops weak edges, cascades, keeps clique with support") {
+    import spark.implicits._
+    // K4 {1,2,3,4} + tail: (3,5),(4,5) close triangle 3-4-5, then
+    // (4,6),(5,6) close 4-5-6. At k=4 (support ≥ 2) the peel MUST
+    // cascade over three rounds: round 1 drops the four support-1 tail
+    // edges but keeps (4,5) (support 2 via both tail triangles); round 2
+    // finds (4,5)'s triangles gone and drops it; round 3 confirms the
+    // bare K4 (every edge support 2) as the fixpoint.
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val edges = (k4 ++ Seq((3L, 5L), (4L, 5L), (4L, 6L), (5L, 6L)))
+      .toDF("src", "dst")
+    val got = graft.graph.Graph.kTruss(edges, k = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val wantSup = k4.map { case (a, b) => (a, b, 2L) }.toSet
+    assert(got == wantSup, s"got $got")
+    // k above any support → empty truss, still converges
+    assert(graft.graph.Graph.kTruss(edges, k = 10).count() == 0)
+    // a lone triangle is exactly a 3-truss
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(graft.graph.Graph.kTruss(tri, k = 3).count() == 3)
+    intercept[IllegalArgumentException] {
+      graft.graph.Graph.kTruss(tri, k = 2)
+    }
+  }
+
   test("labelPropagate: spread, clamp, tie to smallest, keep when unvoted") {
     import spark.implicits._
     // undirected path 1-2-3-4-5, seeds 1→100 and 5→200
