@@ -2218,6 +2218,59 @@ object Queries {
          |SELECT a, b, support FROM sup6 WHERE support >= 33""".stripMargin
     })
 
+  /** Hop-bounded harmonic centrality (H = 3) of the co-purchase graph:
+    * per customer, Σ 1/d(u,v) over the customers within 3 hops — the
+    * teleport-free authority ranking. Spark runs the pair-state BFS
+    * ([[graft.graph.Graph.harmonicCentrality]]) with contributions
+    * summed as exact lcm-scaled BIGINTs (6/d ∈ {6,3,2}); the oracle
+    * unrolls the three frontier hops as MATERIALIZED min-distance
+    * CTEs and applies the same integer-sum-then-one-division
+    * derivation. Emits (id, reached, fl4 harmonic). */
+  val qHarmonic = Q(
+    "q_harmonic",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val buyers = t.lineitem.filter(col("l_partkey") % 500 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("p"), col("o_custkey").as("c")).distinct()
+      val edges = buyers.as("b1")
+        .join(buyers.as("b2"), col("b1.p") === col("b2.p") && col("b1.c") < col("b2.c"))
+        .select(col("b1.c").as("src"), col("b2.c").as("dst")).distinct()
+      graft.graph.Graph
+        .harmonicCentrality(graft.graph.Graph.undirected(edges), maxHops = 3)
+        .select(col("id"), col("reached"), fl4(col("harmonic")).as("harmonic"))
+    },
+    Some {
+      // unrolled pair-state BFS: d_h = min(d_{h-1}, frontier_{h-1} ⋈ und).
+      // every CTE is MATERIALIZED — each d_h is referenced twice (carry +
+      // frontier) and the default inlining re-expands the whole chain
+      val hops = (1 to 3).map { h =>
+        s"""d$h AS MATERIALIZED (
+           |  SELECT s, v, min(h) AS h FROM (
+           |    SELECT s, v, h FROM d${h - 1}
+           |    UNION ALL
+           |    SELECT f.s, und.b AS v, $h AS h
+           |    FROM d${h - 1} f JOIN und ON f.v = und.a AND f.h = ${h - 1}) u
+           |  GROUP BY s, v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH buyers AS MATERIALIZED (
+         |  SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE l.l_partkey % 500 = 0),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT b1.c AS a, b2.c AS b
+         |  FROM buyers b1 JOIN buyers b2 ON b1.p = b2.p AND b1.c < b2.c),
+         |und AS MATERIALIZED (
+         |  SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+         |d0 AS MATERIALIZED (
+         |  SELECT DISTINCT a AS s, a AS v, 0 AS h FROM und),
+         |$hops
+         |SELECT v AS id, CAST(count(*) AS BIGINT) AS reached,
+         |       floor(CAST(sum(CAST(6 / h AS BIGINT)) AS DOUBLE)
+         |         / CAST(6.0 AS DOUBLE) * 10000 + 0.5) / 10000 AS harmonic
+         |FROM d3 WHERE h >= 1 GROUP BY v""".stripMargin
+    })
+
   def all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
     qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin,
@@ -2232,7 +2285,7 @@ object Queries {
     qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma,
     qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops,
     qLabelProp, qItemsets, qAttribution, qAssortativity, qKcore,
-    qPprTrust, qLinkPredict, qKtruss) ++
+    qPprTrust, qLinkPredict, qKtruss, qHarmonic) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

@@ -356,6 +356,66 @@ object Graph {
     deg.join(live, "n").select(col("n").as("id"), col("core_degree"))
   }
 
+  /** Hop-bounded harmonic centrality (Marchiori & Latora 2000; the
+    * Boldi–Vigna axiom-clean centrality): for every node v, the sum of
+    * 1/d(u, v) over the nodes u that reach v within `maxHops` hops —
+    * "how close is everyone, with unreachable worth 0" — the
+    * seed-independent authority signal of link-graph curation (harmonic
+    * ranks well-connected hubs without PageRank's teleport parameter).
+    * Returns (id, reached, harmonic) where `reached` counts the in-ball
+    * (u ≠ v, d ≤ maxHops) and `harmonic` is the UNROUNDED double sum —
+    * callers quantize for display. Nodes nobody reaches are absent.
+    * Direction: distances follow edge direction (u → v paths); pass
+    * [[undirected]] output for the classic symmetric form.
+    *
+    * Determinism: per-pair contributions are accumulated as EXACT
+    * integers — 1/d is scaled by L = lcm(1…maxHops) so every term
+    * L/d is integral (the double division L/d is exact: both operands
+    * are exact integers and d divides L) — and the single double
+    * division by L happens once per node AFTER the sum, so no
+    * float-summation order exists for partial aggregation to perturb.
+    *
+    * Scale shape: pair-state BFS — the state is (source, node, hops)
+    * with one uniform (s,v)-keyed shuffle per hop, and the frontier
+    * trick from [[hopDistance]] keeps each hop's join input to pairs
+    * first discovered last hop. State size is Σᵥ|ball(v, maxHops)|:
+    * exact and fine for the bounded hops + curation-graph sizes this
+    * serves; the documented scale path for unbounded/giant graphs is
+    * HyperBall (Boldi & Vigna 2013) — per-node HyperLogLog registers
+    * make the state O(nodes), trading exactness for ±2% counts; the
+    * per-round join shape is identical, so it's a drop-in refinement.
+    */
+  def harmonicCentrality(edges: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be ≥ 1, got $maxHops")
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    // diagonal start: sources are nodes with ≥ 1 out-edge (a node with
+    // no out-edge reaches nobody and would contribute nothing anyway)
+    var dist = e.select(col("src").as("s")).distinct()
+      .select(col("s"), col("s").as("v"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("hops") === lit(h - 1).cast("long"))
+      val next = frontier.join(e, frontier("v") === e("src"))
+        .select(frontier("s"), e("dst").as("v"), lit(h.toLong).as("hops"))
+      dist = dist.unionByName(next)
+        .groupBy(col("s"), col("v")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+    }
+    val lcm = (1 to maxHops).foldLeft(1L) { (a, b) =>
+      @annotation.tailrec def gcd(x: Long, y: Long): Long =
+        if (y == 0) x else gcd(y, x % y)
+      a / gcd(a, b) * b
+    }
+    dist.filter(col("hops") >= 1)
+      .groupBy(col("v").as("id"))
+      .agg(count(lit(1)).as("reached"),
+        // L/d is an exact double (d | L), so the cast is lossless and
+        // the sum runs entirely in longs
+        sum((lit(lcm.toDouble) / col("hops")).cast("long")).as("hsum"))
+      .select(col("id"), col("reached"),
+        (col("hsum").cast("double") / lcm).as("harmonic"))
+  }
+
   /** k-truss decomposition (Cohen 2008): iteratively drop every edge
     * whose SUPPORT — the number of triangles it closes within the
     * current subgraph — is below k−2, until a fixpoint; what survives is

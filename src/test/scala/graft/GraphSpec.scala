@@ -188,6 +188,38 @@ class GraphSpec extends SparkSpec {
     assert(graft.graph.Graph.kCore(edges, k = 10).count() == 0)
   }
 
+  test("harmonicCentrality: path sums, hop cap, direction, absence") {
+    import spark.implicits._
+    // undirected path 1-2-3-4-5 at H=3: ends see {1, 1/2, 1/3}, the
+    // center sees its four neighbors at {1,1,1/2,1/2}; the far end
+    // (distance 4) is excluded by the cap
+    val half = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val und = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val got = graft.graph.Graph.harmonicCentrality(und, maxHops = 3)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - 11.0 / 6) < 1e-12)
+    assert(got(3L)._1 == 4L && math.abs(got(3L)._2 - 3.0) < 1e-12)
+    assert(got(2L)._1 == 4L && math.abs(got(2L)._2 - (2 + 0.5 + 1.0 / 3)) < 1e-12)
+
+    // directed chain 1→2→3: distances follow direction, so 1 is
+    // reached by nobody and must be ABSENT; 3 hears 2 at 1 and 1 at 2
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val dg = graft.graph.Graph.harmonicCentrality(chain, maxHops = 3)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(!dg.contains(1L))
+    assert(dg(2L) == ((1L, 1.0)))
+    assert(dg(3L)._1 == 2L && math.abs(dg(3L)._2 - 1.5) < 1e-12)
+
+    // H=1 degenerates to in-degree
+    val d1 = graft.graph.Graph.harmonicCentrality(und, maxHops = 1)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    assert(d1 == Map(1L -> 1.0, 2L -> 2.0, 3L -> 2.0, 4L -> 2.0, 5L -> 1.0))
+
+    intercept[IllegalArgumentException] {
+      graft.graph.Graph.harmonicCentrality(und, maxHops = 0)
+    }
+  }
+
   test("kTruss: drops weak edges, cascades, keeps clique with support") {
     import spark.implicits._
     // K4 {1,2,3,4} + tail: (3,5),(4,5) close triangle 3-4-5, then
