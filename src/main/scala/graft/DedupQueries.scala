@@ -960,10 +960,70 @@ object DedupQueries {
             LEFT JOIN cnt c ON p.k = c.k
             LEFT JOIN best b ON p.k = b.k"""))
 
+  /** Sorted-neighborhood record linkage (Hernández & Stolfo 1995) over
+    * documents: sort the corpus by a 40-char text prefix, compare each
+    * record to its w−1 = 7 window successors by Levenshtein distance
+    * over the 60-char prefix, emit pairs with lev ≤ 20 — the
+    * window-blocking complement to q_fuzzy_match's equality blocking
+    * (near-misses sharing no exact block key still sort adjacently).
+    * Spark assigns positions with the range-partition +
+    * per-partition-offset trick (no single-partition window;
+    * [[graft.dedup.SortedNeighborhood]]) and generates pairs by
+    * exploding the 7 window offsets into ONE uniform equi-join on
+    * position; the oracle is a row_number window + rank-band join.
+    * Scoring is exact-integer edit distance (codegen'd built-in
+    * `levenshtein` vs DuckDB's — both textbook DP), with the
+    * normalized similarity derived by ONE fl4 double division;
+    * Jaro–Winkler was rejected for this corpus: DuckDB's RapidFuzz
+    * backend assigns matches bit-parallel and diverges from the
+    * textbook greedy assignment on repetitive 60+-char strings (same
+    * m, different transposition count), while the native
+    * [[graft.plans.JaroWinkler]] stays pinned to the short-name cases
+    * q_fuzzy_match checks. The corpus threshold lev ≤ 20 sits in a
+    * measured gap (near-dups ≤ 10, unrelated > 20 at both SFs), and
+    * part names were rejected as the demo corpus — 64 distinct values
+    * across 2000 rows saturate every window pair. */
+  val qSortedNeighborhood = Q(
+    "q_sorted_neighborhood",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+        .select(col("doc_id").as("k"),
+          substring(col("text"), 1, 40).as("key"),
+          substring(col("text"), 1, 60).as("n"))
+      val pairs = graft.dedup.SortedNeighborhood
+        .candidatePairs(d, "k", Seq("key"), window = 8)
+      val fl4 = (c: Column) => floor(c * 10000 + lit(0.5)) / 10000
+      pairs
+        .join(d.select(col("k").as("a_id"), col("n").as("an")), "a_id")
+        .join(d.select(col("k").as("b_id"), col("n").as("bn")), "b_id")
+        .select(col("a_id").as("a_key"), col("b_id").as("b_key"), col("gap"),
+          levenshtein(col("an"), col("bn")).cast("long").as("lev"))
+        .filter(col("lev") <= 20)
+        .select(col("a_key"), col("b_key"), col("gap"), col("lev"),
+          fl4(lit(1.0) - col("lev").cast("double") / 60.0).as("sim"))
+    },
+    Some("""WITH p AS (
+              SELECT doc_id AS k, substr(text, 1, 40) AS key,
+                     substr(text, 1, 60) AS n
+              FROM documents),
+            r AS (
+              SELECT k, key, n,
+                     row_number() OVER (ORDER BY key, k) - 1 AS pos
+              FROM p),
+            pairs AS (
+              SELECT a.k AS a_key, b.k AS b_key,
+                     CAST(b.pos - a.pos AS BIGINT) AS gap,
+                     CAST(levenshtein(a.n, b.n) AS BIGINT) AS lev
+              FROM r a JOIN r b ON b.pos BETWEEN a.pos + 1 AND a.pos + 7)
+            SELECT a_key, b_key, gap, lev,
+                   floor((CAST(1.0 AS DOUBLE) - CAST(lev AS DOUBLE) / 60.0)
+                     * 10000 + 0.5) / 10000 AS sim
+            FROM pairs WHERE lev <= 20"""))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
     qQuantizeDot, qKnnJoin, qKnnIvf, qSemDedup, qDupNgrams, qIncrementalDedup,
     qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance,
-    qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep, qFuzzyMatch)
+    qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep, qFuzzyMatch, qSortedNeighborhood)
 }
