@@ -2271,6 +2271,62 @@ object Queries {
          |FROM d3 WHERE h >= 1 GROUP BY v""".stripMargin
     })
 
+  /** Incremental connected components over the co-purchase graph: the
+    * edge set is split by part-key parity into a "yesterday" half and a
+    * "today" delta; Spark labels the base graph once
+    * ([[graft.graph.Graph.connectedComponents]]) and folds the delta in
+    * with [[graft.graph.Graph.incrementalComponents]] — old edges are
+    * NEVER re-read, only old labels. The condensation property
+    * guarantees the fold equals full recompute, so the oracle is the
+    * SAME recursive transitive closure over the WHOLE edge set that
+    * q_connected_components uses — the gate checks incremental ≡
+    * from-scratch on real data. */
+  val qIncrementalCc = Q(
+    "q_incremental_cc",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val buyers = t.lineitem.filter(col("l_partkey") % 100 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("l_partkey").as("p"), col("o_custkey").as("c"),
+          col("c_nationkey").as("nk"))
+        .distinct()
+      val edges = buyers.as("b1")
+        .join(buyers.as("b2"),
+          col("b1.p") === col("b2.p") && col("b1.nk") === col("b2.nk")
+            && col("b1.c") < col("b2.c"))
+        .select(col("b1.p").as("p"), col("b1.c").as("src"),
+          col("b2.c").as("dst"))
+        .distinct()
+        .localCheckpoint() // split twice below
+      val nodes = buyers.select(col("c").as("id")).distinct()
+      val base = edges.filter(col("p") % 200 === 0)
+        .select(col("src"), col("dst"))
+      val delta = edges.filter(col("p") % 200 =!= 0)
+        .select(col("src"), col("dst"))
+      val baseLabels =
+        graft.graph.Graph.connectedComponents(nodes, base)
+      graft.graph.Graph.incrementalComponents(
+        baseLabels, nodes.limit(0), delta)
+    },
+    Some("""WITH RECURSIVE buyers AS (
+              SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c,
+                     cu.c_nationkey AS nk
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer cu ON o.o_custkey = cu.c_custkey
+              WHERE l.l_partkey % 100 = 0),
+            e AS (
+              SELECT DISTINCT b1.c AS src, b2.c AS dst
+              FROM buyers b1
+              JOIN buyers b2 ON b1.p = b2.p AND b1.nk = b2.nk
+                            AND b1.c <> b2.c),
+            reach(id, lbl) AS (
+              SELECT DISTINCT c, c FROM buyers
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id)
+            SELECT id, min(lbl) AS component FROM reach GROUP BY id"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
     qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin,
@@ -2285,7 +2341,7 @@ object Queries {
     qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma,
     qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops,
     qLabelProp, qItemsets, qAttribution, qAssortativity, qKcore,
-    qPprTrust, qLinkPredict, qKtruss, qHarmonic) ++
+    qPprTrust, qLinkPredict, qKtruss, qHarmonic, qIncrementalCc) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

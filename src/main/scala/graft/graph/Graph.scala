@@ -168,6 +168,73 @@ object Graph {
     labels
   }
 
+  /** Incremental connected components: fold a batch of NEW edges (and
+    * nodes) into an existing [[connectedComponents]] labeling WITHOUT
+    * re-reading the old edge set — the "continuously arriving corpus"
+    * form of dedup clustering (yesterday's near-dup clusters + today's
+    * crawl delta), where recomputing CC over the full edge history per
+    * batch would dominate the pipeline.
+    *
+    * Correctness rests on the condensation property of min-label CC:
+    * a valid labeling collapses every old component onto its
+    * representative (the component's min id), so the union graph's
+    * components are exactly CC of the CONDENSED graph — nodes = old
+    * representatives ∪ genuinely-new ids, edges = new edges with each
+    * endpoint mapped through its old label (unlabeled endpoints map to
+    * themselves) — folded back through the old labeling. Min-id
+    * representatives survive the fold: min of a merged component = min
+    * over its representatives' ids = min over all member ids.
+    *
+    * Scale shape: two label-map joins + self-loop filter over the NEW
+    * edges, [[connectedComponents]] on the condensed graph (delta-sized:
+    * nodes ≤ 2·|new edges| + |new nodes|, rounds ≤ condensed diameter),
+    * then ONE node-keyed relabel join over the old labels. Nothing
+    * touches old edges, nothing is driver-sized. Repeated batch folds
+    * compose: the output is again a valid min-label labeling.
+    *
+    * @param labels   existing (id, component) labeling — component must
+    *                 be the component-min id, as [[connectedComponents]]
+    *                 returns
+    * @param newNodes ids arriving in this batch (absent ones already in
+    *                 `labels` are harmless); isolated arrivals become
+    *                 singleton components
+    * @param newEdges edges arriving in this batch; endpoints may be old
+    *                 ids, new ids, or ids never seen at all
+    * @throws IllegalStateException if the condensed CC does not converge
+    *         in maxIter rounds (see [[connectedComponents]])
+    */
+  def incrementalComponents(
+      labels: DataFrame, newNodes: DataFrame, newEdges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    // read twice (endpoint mapping) + the final relabel join
+    val lab = labels.toDF("id", "component").localCheckpoint(true)
+    val e = newEdges.toDF("src", "dst")
+    val mapped = e
+      .join(lab.select(col("id").as("sid"), col("component").as("ls")),
+        col("src") === col("sid"), "left")
+      .join(lab.select(col("id").as("did"), col("component").as("ld")),
+        col("dst") === col("did"), "left")
+      .select(coalesce(col("ls"), col("src")).as("src"),
+        coalesce(col("ld"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")) // both endpoints already together
+    val condNodes = mapped.select(col("src").as("id"))
+      .unionAll(mapped.select(col("dst").as("id")))
+      .unionAll(newNodes.toDF("id")
+        .join(lab, Seq("id"), "left_anti").select(col("id")))
+      .distinct()
+    val cond = connectedComponents(condNodes, mapped, maxIter)
+      .localCheckpoint(true) // relabel join + new-id anti join
+    val updatedOld = lab
+      .join(cond.select(col("id").as("rep"), col("component").as("nc")),
+        lab("component") === col("rep"), "left")
+      .select(lab("id"),
+        coalesce(col("nc"), lab("component")).as("component"))
+    val brandNew = cond
+      .join(lab.select(col("id").as("oid")), cond("id") === col("oid"),
+        "left_anti")
+    updatedOld.unionByName(brandNew.select(col("id"), col("component")))
+  }
+
   /** Multi-source BFS: hop distance from a seed set along DIRECTED edges,
     * capped at `maxHops`. Returns (id, hops) for every node reachable
     * within the cap — unreachable nodes are absent, seeds report 0.

@@ -188,6 +188,37 @@ class GraphSpec extends SparkSpec {
     assert(graft.graph.Graph.kCore(edges, k = 10).count() == 0)
   }
 
+  test("incrementalComponents: merge, attach, brand-new, isolated, compose") {
+    import spark.implicits._
+    val nodes = (1L to 5L).toDF("id")
+    val base = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val labels = graft.graph.Graph.connectedComponents(nodes, base)
+    assert(labels.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
+
+    // delta: (2,3) merges two old components, (5,6) attaches a new node
+    // to an old singleton, (7,8) is an entirely new pair, 9 arrives
+    // isolated — old EDGES are not even passed in
+    val delta = Seq((2L, 3L), (5L, 6L), (7L, 8L)).toDF("src", "dst")
+    val got = graft.graph.Graph.incrementalComponents(
+      labels, Seq(9L).toDF("id"), delta)
+    val gotMap = got.as[(Long, Long)].collect().toMap
+    assert(gotMap == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
+
+    // folds compose: a second delta bridging 9 into the big component
+    // equals full recompute over everything
+    val delta2 = Seq((9L, 4L)).toDF("src", "dst")
+    val got2 = graft.graph.Graph.incrementalComponents(
+      got, Seq.empty[Long].toDF("id"), delta2)
+      .as[(Long, Long)].collect().toMap
+    val full = graft.graph.Graph.connectedComponents(
+      (1L to 9L).toDF("id"),
+      base.unionAll(delta).unionAll(delta2))
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == full)
+  }
+
   test("harmonicCentrality: path sums, hop cap, direction, absence") {
     import spark.implicits._
     // undirected path 1-2-3-4-5 at H=3: ends see {1, 1/2, 1/3}, the
