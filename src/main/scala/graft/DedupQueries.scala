@@ -81,6 +81,43 @@ object DedupQueries {
             FROM pairs
             WHERE n_common::DOUBLE / (n_a + n_b - n_common) >= 0.08"""))
 
+  /** Directed n-gram containment (doc-in-doc detection): same
+    * shingle-blocked candidate join as q_dedup_jaccard, but scoring
+    * |A∩B|/|A| per direction — the asymmetric signal that catches a
+    * short doc pasted inside a long one where Jaccard stays tiny. The
+    * oracle derives both directions from the same undirected pair CTE
+    * the Spark side computes once. */
+  val qContainment = Q(
+    "q_containment",
+    (s, dir) => {
+      val subset = Tables(s, dir).documents
+        .filter(col("doc_id") % 5 === 1)
+      Dedup.containmentPairs(subset, "doc_id", "text", n = 2, threshold = 0.3)
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id AS id,
+                string_split_regex(trim(text), '\s+') AS toks
+              FROM documents WHERE doc_id % 5 = 1),
+            sized AS (
+              SELECT id, list_distinct(list_transform(
+                range(1, greatest(len(toks) - 2 + 1, 0) + 1),
+                i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS sh
+              FROM docs),
+            ex AS (
+              SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM sized),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+                count(*) AS n_common
+              FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+              GROUP BY 1, 2, 3, 4)
+            SELECT id_a AS id_sub, id_b AS id_sup,
+              round(n_common::DOUBLE / n_a, 4) AS containment
+            FROM pairs WHERE n_common::DOUBLE / n_a >= 0.3
+            UNION ALL
+            SELECT id_b AS id_sub, id_a AS id_sup,
+              round(n_common::DOUBLE / n_b, 4) AS containment
+            FROM pairs WHERE n_common::DOUBLE / n_b >= 0.3"""))
+
   /** MinHash+LSH candidate pairs (rows-only: xxhash64 signatures). */
   val qDedupMinhash = Q(
     "q_dedup_minhash",
@@ -292,6 +329,44 @@ object DedupQueries {
               count(*) FILTER (WHERE rk = 1) AS n_kept,
               count(*) FILTER (WHERE rk > 1) AS n_dropped
             FROM ranked GROUP BY doc_id"""))
+
+  /** Per-doc boilerplate profile over the same synthesized 3-token
+    * pseudo-lines q_line_dedup uses: a line occurring in ≥ 3 distinct
+    * docs is boilerplate; each doc reports line count, boilerplate
+    * count, and the ratio a C4-style quality gate thresholds on. */
+  val qBoilerplate = Q(
+    "q_boilerplate",
+    (s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val lines = filter(
+        transform(
+          sequence(lit(0), floor((size(toks) - lit(1)) / lit(3)).cast("int")),
+          i => concat_ws(" ", slice(toks, i * 3 + 1, lit(3)))),
+        l => size(split(l, " ")) === 3)
+      val d = Tables(s, dir).documents.select(col("doc_id"), lines.as("lines"))
+      Dedup.boilerplateProfile(d, "doc_id", col("lines"), minDocs = 3)
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents),
+            lines0 AS (
+              SELECT doc_id,
+                unnest(list_transform(range(1, len(t) + 1, 3),
+                  i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS line
+              FROM toks),
+            lines AS (
+              SELECT doc_id, line FROM lines0
+              WHERE len(string_split(line, ' ')) = 3),
+            boiler AS (
+              SELECT line FROM (
+                SELECT line, count(DISTINCT doc_id) AS dfd
+                FROM lines GROUP BY line)
+              WHERE dfd >= 3)
+            SELECT l.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+              CAST(count(b.line) AS BIGINT) AS n_boiler,
+              round(count(b.line)::DOUBLE / count(*), 4) AS boiler_ratio
+            FROM lines l LEFT JOIN boiler b ON l.line = b.line
+            GROUP BY l.doc_id"""))
 
   /** Int8 scalar quantization: exact integer dot products (perfectly
     * portable) plus the reconstructed float dot against the vec_id=0 query.
@@ -1025,5 +1100,6 @@ object DedupQueries {
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
     qQuantizeDot, qKnnJoin, qKnnIvf, qSemDedup, qDupNgrams, qIncrementalDedup,
     qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance,
-    qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep, qFuzzyMatch, qSortedNeighborhood)
+    qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep, qFuzzyMatch, qSortedNeighborhood,
+    qContainment, qBoilerplate)
 }

@@ -76,6 +76,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Directed n-gram containment pairs (Broder 1997's "resemblance vs
+    * containment" split; the signal behind doc-in-doc / quote-of-doc
+    * detection that symmetric Jaccard misses: a paragraph pasted into a
+    * long page scores near-zero Jaccard but containment ≈ 1 for the
+    * paragraph side). For each candidate pair, containment(a⊂b) =
+    * |A∩B|/|A| over DISTINCT shingle sets; emits (id_sub, id_sup) rows
+    * for every direction clearing `threshold`, so mutual near-copies
+    * yield two rows.
+    *
+    * Scale shape: identical candidate generation to [[ngramJaccard]] —
+    * one exploded (id, shingle-hash) relation checkpointed once, 8-byte
+    * join keys, `blockCol` bounding hot-shingle fanout — and the
+    * directed scores are derived from ONE undirected (a.id < b.id) join
+    * pass: both directions read the same pair aggregate, so orienting
+    * the output costs zero extra shuffle.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      blockCol: Option[String] = None): DataFrame = {
+    val base = df.select(
+      col(idCol).as("id"),
+      blockCol.map(col).getOrElse(lit(0)).as("blk"),
+      shingles(col(textCol), n).as("sh"))
+    val ex = base
+      .select(col("id"), col("blk"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("s_str"))
+      .select(col("id"), col("blk"), col("n_sh"), xxhash64(col("s_str")).as("s"))
+      .localCheckpoint(true)
+    val a = ex.as("a"); val b = ex.as("b")
+    // pair aggregate is read twice (one filter per direction): checkpoint
+    // so the shingle join runs once — pairs are tiny next to the explode
+    val common = a.join(b,
+        col("a.s") === col("b.s") && col("a.blk") === col("b.blk") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .localCheckpoint(true)
+    def oriented(sub: String, sup: String, nSub: String) = common
+      .withColumn("c", col("n_common").cast("double") / col(nSub).cast("double"))
+      .filter(col("c") >= threshold)
+      .select(col(sub).as("id_sub"), col(sup).as("id_sup"),
+        round(col("c"), 4).as("containment"))
+    oriented("id_a", "id_b", "n_a").unionByName(oriented("id_b", "id_a", "n_b"))
+  }
+
   /** Pick LSH (bands, rows) for a target jaccard threshold: the S-curve
     * midpoint of banding is t ≈ (1/b)^(1/r); choose the divisor pair of k
     * whose midpoint is closest to the requested threshold. */
@@ -242,6 +292,41 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** Per-document boilerplate profile (the C4 / RefinedWeb "frequent
+    * lines" curation signal: headers, cookie banners, nav chrome repeat
+    * verbatim across pages). A line is boilerplate when its exact text
+    * occurs in ≥ `minDocs` DISTINCT documents; each document reports its
+    * line count, boilerplate-line count, and boilerplate ratio — the
+    * per-doc score a quality gate thresholds on.
+    *
+    * Scale shape: the exploded relation carries (doc_id, line-hash) —
+    * 8-byte hashes, never line text — checkpointed once and read twice
+    * (corpus frequency + per-doc join-back). Document frequency is a
+    * two-phase partial agg (per-doc distinct collapses map-side, bounded
+    * by doc length). The verdict side of the join-back is only lines
+    * CLEARING the threshold — at web scale the Zipf head, which AQE
+    * auto-broadcasts from its runtime size; no hint is hard-coded
+    * because a low `minDocs` on a huge corpus can make the set large,
+    * and then a plain 8-byte-key shuffle join is the correct plan.
+    */
+  def boilerplateProfile(
+      df: DataFrame, idCol: String, linesCol: Column, minDocs: Int): DataFrame = {
+    val ex = df
+      .select(col(idCol).as("doc_id"), explode(linesCol).as("line"))
+      .select(col("doc_id"), xxhash64(col("line")).as("h"))
+      .localCheckpoint(true) // corpus tokenized once, read by both branches
+    val boiler = ex.distinct()
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("dfd"))
+      .filter(col("dfd") >= minDocs)
+      .select(col("h"), lit(1).as("is_b"))
+    ex.join(boiler, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"), count(col("is_b")).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler").cast("double") / col("n_lines").cast("double"), 4))
   }
 
   /** Exact-substring span removal (Lee et al. 2022 "Deduplicating Training

@@ -332,4 +332,49 @@ class TextDedupSpec extends SparkSpec {
     // probing half the lists must still recover most of the true top-10
     assert((exact intersect got).size >= 5, s"recall too low: $got vs $exact")
   }
+
+  test("containmentPairs: directed doc-in-doc signal, both-direction emit") {
+    // doc 1's bigrams {a b, b c} are ALL inside doc 2 (containment 1.0)
+    // while 2⊂1 is only 2/5 = 0.4; docs 3/4 are identical (mutual 1.0);
+    // doc 5 shares nothing
+    val df = Seq(
+      (1L, "a b c"),
+      (2L, "a b c d e f"),
+      (3L, "p q r"),
+      (4L, "p q r"),
+      (5L, "z z z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, "doc_id", "text", n = 2, threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(out == Map((1L, 2L) -> 1.0, (3L, 4L) -> 1.0, (4L, 3L) -> 1.0))
+    // lowering the threshold admits the reverse direction at 0.4
+    val loose = Dedup.containmentPairs(df, "doc_id", "text", n = 2, threshold = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(loose((2L, 1L)) == 0.4)
+  }
+
+  test("boilerplateProfile: corpus-frequent lines flag per-doc ratios") {
+    // "nav bar" appears in docs 1,2,3 (df=3 → boiler at minDocs=3);
+    // "x y" in docs 1,2 only (df=2 → clean); doc 3 repeats the boiler
+    // line twice — both occurrences count in ITS ratio, but the doc
+    // counts once toward frequency
+    val df = Seq(
+      (1L, Seq("nav bar", "x y", "body a")),
+      (2L, Seq("nav bar", "x y")),
+      (3L, Seq("nav bar", "nav bar", "body b")),
+      (4L, Seq("body c")))
+      .toDF("doc_id", "lines")
+    val out = Dedup.boilerplateProfile(df, "doc_id", col("lines"), minDocs = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((3L, 1L, 0.3333)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((3L, 2L, 0.6667)))
+    assert(out(4L) == ((1L, 0L, 0.0)))
+  }
 }
