@@ -2327,6 +2327,59 @@ object Queries {
               SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id)
             SELECT id, min(lbl) AS component FROM reach GROUP BY id"""))
 
+  /** Strongly connected components of the part-transition graph: for
+    * each (sampled) customer, their filtered parts ordered by first
+    * purchase date form a chain part→next-part; opposite purchase
+    * orders across customers create cycles, and the SCCs are the
+    * mutually-reachable "purchase ecosystems" (one giant core + DAG
+    * periphery at this density). Spark runs
+    * [[graft.graph.Graph.stronglyConnectedComponents]] (FW-BW partition
+    * refinement); the oracle derives min-id SCC labels from the
+    * recursive transitive closure joined against itself on mutual
+    * reachability. */
+  val qScc = Q(
+    "q_scc",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val fp = t.lineitem.filter(col("l_partkey") % 20 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_custkey") % 4 === 0)
+        .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .agg(min(col("o_orderdate")).as("d0"))
+      // per-customer purchase sequence: bounded partitions (one
+      // customer's filtered parts), so the window never concentrates
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c")).orderBy(col("d0"), col("p"))
+      val edges = fp.withColumn("nxt", lead(col("p"), 1).over(w))
+        .filter(col("nxt").isNotNull && col("nxt") =!= col("p"))
+        .select(col("p").as("src"), col("nxt").as("dst"))
+        .distinct()
+      val nodes = fp.select(col("p").as("id")).distinct()
+      graft.graph.Graph.stronglyConnectedComponents(nodes, edges)
+    },
+    Some("""WITH RECURSIVE fp AS MATERIALIZED (
+              SELECT o.o_custkey AS c, l.l_partkey AS p,
+                     min(o.o_orderdate) AS d0
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_partkey % 20 = 0 AND o.o_custkey % 4 = 0
+              GROUP BY 1, 2),
+            seq AS (
+              SELECT c, p,
+                lead(p) OVER (PARTITION BY c ORDER BY d0, p) AS nxt
+              FROM fp),
+            e AS MATERIALIZED (
+              SELECT DISTINCT p AS src, nxt AS dst FROM seq
+              WHERE nxt IS NOT NULL AND nxt <> p),
+            nodes AS MATERIALIZED (SELECT DISTINCT p AS id FROM fp),
+            reach(s, d) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT r.s, e.dst FROM reach r JOIN e ON e.src = r.d)
+            SELECT a.s AS id, min(a.d) AS component
+            FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+            GROUP BY a.s"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
     qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin,
@@ -2341,7 +2394,7 @@ object Queries {
     qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma,
     qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops,
     qLabelProp, qItemsets, qAttribution, qAssortativity, qKcore,
-    qPprTrust, qLinkPredict, qKtruss, qHarmonic, qIncrementalCc) ++
+    qPprTrust, qLinkPredict, qKtruss, qHarmonic, qIncrementalCc, qScc) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

@@ -235,6 +235,128 @@ object Graph {
     updatedOld.unionByName(brandNew.select(col("id"), col("component")))
   }
 
+  /** Directed min-label propagation to fixpoint, BOTH directions in one
+    * loop: labels flow along edges (forward: lbl converges to the min id
+    * that can REACH the node) and against them (backward: the min id the
+    * node can reach), distinguished by a direction tag riding the join
+    * key — so each round is still ONE uniform (id, dir)-keyed shuffle
+    * and the two directions converge in max(rounds_f, rounds_b) rounds
+    * rather than their sum. Per-round checkpoint, convergence observed
+    * inside the label-update job (the [[connectedComponents]] pattern).
+    * Returns (id, f, b). */
+  private def minLabelBothDirections(
+      nodes: DataFrame, edges: DataFrame, maxIter: Int): DataFrame = {
+    val ed = edges
+      .select(col("src"), col("dst"), lit(0).as("dir"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
+        lit(1).as("dir")))
+      .localCheckpoint(true) // re-read every round
+    var labels = nodes.toDF("id")
+      .select(col("id"), explode(array(lit(0), lit(1))).as("dir"),
+        col("id").as("lbl"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = ed.join(labels,
+          ed("src") === labels("id") && ed("dir") === labels("dir"))
+        .groupBy(ed("dst").as("id2"), ed("dir").as("dir2"))
+        .agg(min(col("lbl")).as("nmin"))
+      val obs = org.apache.spark.sql.Observation(s"mlb_changed_$iter")
+      val next = labels.join(neighborMin,
+          labels("id") === col("id2") && labels("dir") === col("dir2"), "left")
+        .select(labels("id"), labels("dir"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
+          when(col("nmin") < col("lbl"), 1L).otherwise(0L).as("chg"))
+        .observe(obs, sum(col("chg")).as("changed"))
+        .select(col("id"), col("dir"), col("lbl"))
+      labels = next.localCheckpoint(true)
+      // sum over zero rows observes null (empty node set) — converged
+      converged = Option(obs.get("changed"))
+        .forall(_.asInstanceOf[Long] == 0L)
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"min-label propagation did not converge in $maxIter rounds")
+    labels.groupBy(col("id"))
+      .agg(min(when(col("dir") === 0, col("lbl"))).as("f"),
+        min(when(col("dir") === 1, col("lbl"))).as("b"))
+  }
+
+  /** Strongly connected components by forward/backward partition
+    * refinement (the flat, all-classes-in-parallel form of FW-BW —
+    * Fleischer et al. 2000's divide-and-conquer recursion run
+    * level-by-level as one dataframe program; coloring variant: Orzan
+    * 2004, Slota et al. 2014). All nodes start in one class; each outer
+    * round computes, WITHIN each class, F(v) = min id that reaches v
+    * and B(v) = min id v reaches, and the (F, B) pair becomes the next
+    * class key. A class closes when F = B = c uniformly — then it is
+    * exactly SCC(c) with c its minimum member id.
+    *
+    * Why this is correct: (1) an SCC is never split — if a whole SCC
+    * shares a class, mutual reachability makes F and B constant across
+    * it, so it shares the next key too (induction from the single root
+    * class); (2) a closed class is an SCC — F(v) = B(v) = c means c
+    * reaches v and v reaches c inside the class, so members are
+    * mutually connected through c, and c is the class minimum (m < c in
+    * the class would force F(m) ≤ m < c); (3) no open class stalls —
+    * uniform F = c₁ and B = c₂ forces B(c₁) ≤ c₁ ⇒ c₂ ≤ c₁ and
+    * F(c₂) ≤ c₂ ⇒ c₁ ≤ c₂, i.e. c₁ = c₂, so an open class either
+    * splits or closes and the refinement terminates.
+    *
+    * Scale shape: per outer round, closed classes are FROZEN — their
+    * nodes and edges leave the computation entirely (the same-class
+    * edge restriction joins only OPEN-class endpoints), so work shrinks
+    * monotonically; each inner fixpoint is one uniform-key shuffle per
+    * round with per-round checkpoints; no node-count-sized driver
+    * state. Outer rounds track FW-BW's recursion depth — shallow for
+    * the power-law graphs this serves (Slota's measured 3–6); inner
+    * rounds are bounded by class diameter.
+    *
+    * Returns (id, component) with component = min id of the SCC.
+    *
+    * @throws IllegalStateException if refinement is still open after
+    *         `maxOuter` rounds or an inner fixpoint exceeds `maxInner`.
+    */
+  def stronglyConnectedComponents(
+      nodes: DataFrame, edges: DataFrame,
+      maxOuter: Int = 30, maxInner: Int = 100): DataFrame = {
+    val e0 = edges.toDF("src", "dst").filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true) // re-read every outer round
+    // class key = (f, b); seed with one open class (f ≠ b marks open)
+    var part = nodes.toDF("id")
+      .select(col("id"), lit(0L).as("f"), lit(1L).as("b"))
+      .localCheckpoint(true)
+    var openCnt = -1L
+    var outer = 0
+    while (openCnt != 0L && outer < maxOuter) {
+      val open = part.filter(col("f") =!= col("b"))
+      val closed = part.filter(col("f") === col("b"))
+      // edges whose endpoints share an OPEN class; closed SCCs are frozen
+      val er = e0
+        .join(open.select(col("id").as("src"), col("f").as("sf"), col("b").as("sb")), "src")
+        .join(open.select(col("id").as("dst"), col("f").as("df_"), col("b").as("db")), "dst")
+        .filter(col("sf") === col("df_") && col("sb") === col("db"))
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true) // feeds both directions of propagation
+      val obs = org.apache.spark.sql.Observation(s"scc_open_$outer")
+      val refined =
+        minLabelBothDirections(open.select(col("id")), er, maxInner)
+      val next = closed.unionByName(refined
+          .withColumn("open", when(col("f") =!= col("b"), 1L).otherwise(0L))
+          .observe(obs, sum(col("open")).as("n_open"))
+          .select(col("id"), col("f"), col("b")))
+      part = next.localCheckpoint(true)
+      // sum over zero rows observes null (empty node set) — nothing open
+      openCnt = Option(obs.get("n_open"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      outer += 1
+    }
+    if (openCnt != 0L) throw new IllegalStateException(
+      s"SCC refinement still open after $maxOuter rounds — " +
+        "raise maxOuter (rounds track FW-BW recursion depth)")
+    part.select(col("id"), col("f").as("component"))
+  }
+
   /** Multi-source BFS: hop distance from a seed set along DIRECTED edges,
     * capped at `maxHops`. Returns (id, hops) for every node reachable
     * within the cap — unreachable nodes are absent, seeds report 0.

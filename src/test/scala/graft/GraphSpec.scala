@@ -219,6 +219,51 @@ class GraphSpec extends SparkSpec {
     assert(got2 == full)
   }
 
+  test("stronglyConnectedComponents: cycles, DAG periphery, nesting") {
+    import spark.implicits._
+    // two 3-cycles {1,2,3} and {5,6,7} bridged one-way by 3→5 (no
+    // merge), a DAG tail 7→8→9, an isolated node 10, and a back edge
+    // 9→11→9 forming a 2-cycle downstream
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (5L, 6L), (6L, 7L), (7L, 5L),
+      (3L, 5L), (7L, 8L), (8L, 9L),
+      (9L, 11L), (11L, 9L)).toDF("src", "dst")
+    val nodes = (Seq(10L) ++ (1L to 9L) ++ Seq(11L)).toDF("id")
+    val got = graft.graph.Graph.stronglyConnectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L,
+      8L -> 8L, 9L -> 9L, 11L -> 9L, 10L -> 10L))
+
+    // one-way bridges never fuse cycles: reversing the bridge direction
+    // still leaves two SCCs (mutual reachability needs BOTH ways)
+    val rev = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (5L, 6L), (6L, 7L), (7L, 5L), (5L, 3L)).toDF("src", "dst")
+    val got2 = graft.graph.Graph.stronglyConnectedComponents(
+      (1L to 7L).filter(_ != 4).toDF("id"), rev)
+      .as[(Long, Long)].collect().toMap
+    assert(got2(1L) == 1L && got2(5L) == 5L && got2(7L) == 5L)
+
+    // adding the return bridge 1→5 fuses everything into one SCC
+    val fused = graft.graph.Graph.stronglyConnectedComponents(
+      (1L to 7L).filter(_ != 4).toDF("id"),
+      rev.unionAll(Seq((1L, 5L)).toDF("src", "dst")))
+      .as[(Long, Long)].collect().toMap
+    assert(fused.values.toSet == Set(1L))
+  }
+
+  test("stronglyConnectedComponents: pure DAG splits in few rounds") {
+    import spark.implicits._
+    // a chain is the refinement worst case for naive FW-BW recursion;
+    // the (F,B) key splits it to singletons in ONE outer round
+    val chain = (1L to 19L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = graft.graph.Graph.stronglyConnectedComponents(
+      (1L to 20L).toDF("id"), chain, maxOuter = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 20L).map(i => i -> i).toMap)
+  }
+
   test("harmonicCentrality: path sums, hop cap, direction, absence") {
     import spark.implicits._
     // undirected path 1-2-3-4-5 at H=3: ends see {1, 1/2, 1/3}, the
