@@ -2380,6 +2380,118 @@ object Queries {
             FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
             GROUP BY a.s"""))
 
+  /** HITS hubs & authorities over the same part-transition graph as
+    * q_scc: parts frequently bought AFTER many others are authorities,
+    * parts that lead INTO many others are hubs. Exact 1e-6 fixed-point
+    * arithmetic throughout ([[graft.graph.Graph.hits]]), so the oracle
+    * unrolls all three Gauss–Seidel iterations in integer math
+    * (CAST(sum) AS BIGINT against DuckDB's HUGEINT, `//` against
+    * Spark's DIV, both truncating on positives). */
+  val qHits = Q(
+    "q_hits",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val fp = t.lineitem.filter(col("l_partkey") % 20 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_custkey") % 4 === 0)
+        .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .agg(min(col("o_orderdate")).as("d0"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c")).orderBy(col("d0"), col("p"))
+      val edges = fp.withColumn("nxt", lead(col("p"), 1).over(w))
+        .filter(col("nxt").isNotNull && col("nxt") =!= col("p"))
+        .select(col("p").as("src"), col("nxt").as("dst"))
+        .distinct()
+      val nodes = fp.select(col("p").as("id")).distinct()
+      graft.graph.Graph.hits(nodes, edges, iters = 3)
+    },
+    Some("""WITH fp AS MATERIALIZED (
+              SELECT o.o_custkey AS c, l.l_partkey AS p,
+                     min(o.o_orderdate) AS d0
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_partkey % 20 = 0 AND o.o_custkey % 4 = 0
+              GROUP BY 1, 2),
+            seq AS (
+              SELECT c, p,
+                lead(p) OVER (PARTITION BY c ORDER BY d0, p) AS nxt
+              FROM fp),
+            e AS MATERIALIZED (
+              SELECT DISTINCT p AS src, nxt AS dst FROM seq
+              WHERE nxt IS NOT NULL AND nxt <> p),
+            nodes AS MATERIALIZED (SELECT DISTINCT p AS id FROM fp),
+            s0 AS MATERIALIZED (
+              SELECT id, 1000000::BIGINT AS a, 1000000::BIGINT AS h
+              FROM nodes),
+            a1r AS MATERIALIZED (
+              SELECT n.id,
+                coalesce((SELECT CAST(sum(s.h) AS BIGINT) FROM e
+                          JOIN s0 s ON s.id = e.src
+                          WHERE e.dst = n.id), 0) AS r
+              FROM nodes n),
+            a1 AS MATERIALIZED (
+              SELECT id, CASE WHEN r = 0 THEN 0
+                ELSE (r * 1000000 + (SELECT max(r) FROM a1r) // 2)
+                     // (SELECT max(r) FROM a1r) END AS a
+              FROM a1r),
+            h1r AS MATERIALIZED (
+              SELECT n.id,
+                coalesce((SELECT CAST(sum(x.a) AS BIGINT) FROM e
+                          JOIN a1 x ON x.id = e.dst
+                          WHERE e.src = n.id), 0) AS r
+              FROM nodes n),
+            h1 AS MATERIALIZED (
+              SELECT id, CASE WHEN r = 0 THEN 0
+                ELSE (r * 1000000 + (SELECT max(r) FROM h1r) // 2)
+                     // (SELECT max(r) FROM h1r) END AS h
+              FROM h1r),
+            a2r AS MATERIALIZED (
+              SELECT n.id,
+                coalesce((SELECT CAST(sum(x.h) AS BIGINT) FROM e
+                          JOIN h1 x ON x.id = e.src
+                          WHERE e.dst = n.id), 0) AS r
+              FROM nodes n),
+            a2 AS MATERIALIZED (
+              SELECT id, CASE WHEN r = 0 THEN 0
+                ELSE (r * 1000000 + (SELECT max(r) FROM a2r) // 2)
+                     // (SELECT max(r) FROM a2r) END AS a
+              FROM a2r),
+            h2r AS MATERIALIZED (
+              SELECT n.id,
+                coalesce((SELECT CAST(sum(x.a) AS BIGINT) FROM e
+                          JOIN a2 x ON x.id = e.dst
+                          WHERE e.src = n.id), 0) AS r
+              FROM nodes n),
+            h2 AS MATERIALIZED (
+              SELECT id, CASE WHEN r = 0 THEN 0
+                ELSE (r * 1000000 + (SELECT max(r) FROM h2r) // 2)
+                     // (SELECT max(r) FROM h2r) END AS h
+              FROM h2r),
+            a3r AS MATERIALIZED (
+              SELECT n.id,
+                coalesce((SELECT CAST(sum(x.h) AS BIGINT) FROM e
+                          JOIN h2 x ON x.id = e.src
+                          WHERE e.dst = n.id), 0) AS r
+              FROM nodes n),
+            a3 AS MATERIALIZED (
+              SELECT id, CASE WHEN r = 0 THEN 0
+                ELSE (r * 1000000 + (SELECT max(r) FROM a3r) // 2)
+                     // (SELECT max(r) FROM a3r) END AS a
+              FROM a3r),
+            h3r AS MATERIALIZED (
+              SELECT n.id,
+                coalesce((SELECT CAST(sum(x.a) AS BIGINT) FROM e
+                          JOIN a3 x ON x.id = e.dst
+                          WHERE e.src = n.id), 0) AS r
+              FROM nodes n),
+            h3 AS MATERIALIZED (
+              SELECT id, CASE WHEN r = 0 THEN 0
+                ELSE (r * 1000000 + (SELECT max(r) FROM h3r) // 2)
+                     // (SELECT max(r) FROM h3r) END AS h
+              FROM h3r)
+            SELECT a3.id, a3.a AS authority_fp, h3.h AS hub_fp
+            FROM a3 JOIN h3 ON a3.id = h3.id"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
     qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin,
@@ -2394,7 +2506,8 @@ object Queries {
     qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma,
     qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops,
     qLabelProp, qItemsets, qAttribution, qAssortativity, qKcore,
-    qPprTrust, qLinkPredict, qKtruss, qHarmonic, qIncrementalCc, qScc) ++
+    qPprTrust, qLinkPredict, qKtruss, qHarmonic, qIncrementalCc, qScc,
+    qHits) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

@@ -357,6 +357,62 @@ object Graph {
     part.select(col("id"), col("f").as("component"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1998, JACM): fixed iteration of
+    * a(v) = Σ_{u→v} h(u) then h(v) = Σ_{v→u} a(u) (the Gauss–Seidel
+    * order of the original), normalized each half-step. Two departures
+    * from the textbook presentation, both for cross-engine exactness:
+    * scores live in 1e-6 FIXED POINT (longs), so the partial-agg sums
+    * are exact integer arithmetic with no float summation order to
+    * flake; and normalization divides by the MAX score (not the L2
+    * norm, whose sqrt is irrational) with half-up integer rounding —
+    * max-norm is the standard convergent alternative (Golub & Van Loan
+    * power-iteration scaling) and keeps every intermediate a long.
+    * Overflow headroom: raw sums ≤ max-degree × 1e6 and the normalize
+    * multiply adds 1e6 — safe below 2^63 for max-degree < ~9×10⁶;
+    * callers at larger fan-in lower `scale`.
+    *
+    * Scale shape: per half-step ONE uniform node-id-keyed shuffle
+    * (join + partial-agg sum); the max is a 1-row aggregate crossed
+    * back as a broadcast constant, never driver-sized state; state is
+    * checkpointed once per iteration.
+    *
+    * Returns (id, authority_fp, hub_fp) in 1e-6 fixed point. Nodes
+    * without in-edges (resp. out-edges) report authority 0 (resp.
+    * hub 0).
+    */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int = 3): DataFrame = {
+    val scale = 1000000L
+    val e = edges.toDF("src", "dst").filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true) // re-read every half-step
+    val ids = nodes.toDF("id").localCheckpoint(true)
+    var st = ids.select(col("id"), lit(scale).as("a"), lit(scale).as("h"))
+    for (_ <- 1 to iters) {
+      def halfStep(scores: DataFrame, vCol: String, from: String, to: String) = {
+        val raw = e
+          .join(scores.select(col("id").as("u"), col(vCol).as("v")),
+            col(from) === col("u"))
+          .groupBy(col(to).as("id")).agg(sum(col("v")).as("r"))
+        val full = ids.join(raw, Seq("id"), "left")
+          .select(col("id"), coalesce(col("r"), lit(0L)).as("r"))
+        // 1-row max crossed back in: broadcast constant, no driver state
+        full.crossJoin(full.agg(max(col("r")).as("m")))
+          .select(col("id"),
+            when(col("r") === 0, 0L)
+              .otherwise(expr(s"(r * ${scale}L + m DIV 2) DIV m"))
+              .as(vCol))
+      }
+      // authorities: sum hub scores ALONG edges (u→v credits v)
+      val aScores = halfStep(st, "h", from = "src", to = "dst")
+        .withColumnRenamed("h", "a")
+      // hubs: sum the JUST-UPDATED authorities AGAINST edges (v→u
+      // credits v) — Kleinberg's in-order sweep
+      val hScores = halfStep(aScores, "a", from = "dst", to = "src")
+        .withColumnRenamed("a", "h")
+      st = aScores.join(hScores, Seq("id")).localCheckpoint(true)
+    }
+    st.select(col("id"), col("a").as("authority_fp"), col("h").as("hub_fp"))
+  }
+
   /** Multi-source BFS: hop distance from a seed set along DIRECTED edges,
     * capped at `maxHops`. Returns (id, hops) for every node reachable
     * within the cap — unreachable nodes are absent, seeds report 0.

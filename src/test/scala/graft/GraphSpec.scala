@@ -264,6 +264,25 @@ class GraphSpec extends SparkSpec {
     assert(got == (1L to 20L).map(i => i -> i).toMap)
   }
 
+  test("hits: Gauss-Seidel order, max-norm fixed point, isolated zeros") {
+    import spark.implicits._
+    // 1→3, 2→3, 3→4: node 3 is the authority (fed by two hubs) and
+    // also a hub into 4; node 5 is isolated. One iteration, by hand at
+    // scale S = 1e6: a-raw = {3: 2S, 4: S}, max 2S → a = {3: S,
+    // 4: (S·S + S) DIV 2S = 500000}; h from the NEW a (in-order
+    // sweep): h-raw = {1: S, 2: S, 3: 500000}, max S → h = {1: S,
+    // 2: S, 3: 500000}
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = graft.graph.Graph.hits(
+      (1L to 5L).toDF("id"), edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ((0L, 1000000L)), 2L -> ((0L, 1000000L)),
+      3L -> ((1000000L, 500000L)), 4L -> ((500000L, 0L)),
+      5L -> ((0L, 0L))))
+  }
+
   test("harmonicCentrality: path sums, hop cap, direction, absence") {
     import spark.implicits._
     // undirected path 1-2-3-4-5 at H=3: ends see {1, 1/2, 1/3}, the
