@@ -2492,6 +2492,65 @@ object Queries {
             SELECT a3.id, a3.a AS authority_fp, h3.h AS hub_fp
             FROM a3 JOIN h3 ON a3.id = h3.id"""))
 
+  /** Modularity of the NATION partition over the unrestricted
+    * co-purchase graph: is co-buying nation-assortative? Communities
+    * come from a node attribute (no iteration), so the oracle is pure
+    * integer aggregation — exact L_c/d_c/m sufficient stats, one final
+    * double division, fl4 floor-form quantization on both engines. */
+  val qModularity = Q(
+    "q_modularity",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val buyers = t.lineitem.filter(col("l_partkey") % 100 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("l_partkey").as("p"), col("o_custkey").as("c"),
+          col("c_nationkey").as("nk"))
+        .distinct()
+      val edges = buyers.as("b1")
+        .join(buyers.as("b2"),
+          col("b1.p") === col("b2.p") && col("b1.c") < col("b2.c"))
+        .select(col("b1.c").as("src"), col("b2.c").as("dst")).distinct()
+      val membership = buyers.select(col("c").as("id"), col("nk")).distinct()
+      graft.graph.Graph.modularity(edges, membership)
+        .withColumn("q_contrib", fl4(col("q_contrib")))
+    },
+    Some("""WITH buyers AS (
+              SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c,
+                     cu.c_nationkey AS nk
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer cu ON o.o_custkey = cu.c_custkey
+              WHERE l.l_partkey % 100 = 0),
+            e AS MATERIALIZED (
+              SELECT DISTINCT b1.c AS a, b2.c AS b
+              FROM buyers b1
+              JOIN buyers b2 ON b1.p = b2.p AND b1.c < b2.c),
+            nodes AS MATERIALIZED (
+              SELECT DISTINCT c AS id, nk AS community FROM buyers),
+            deg AS MATERIALIZED (
+              SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) u
+              GROUP BY n),
+            ns AS (
+              SELECT nd.community, CAST(count(*) AS BIGINT) AS n_nodes,
+                CAST(sum(coalesce(deg.d, 0)) AS BIGINT) AS degree_sum
+              FROM nodes nd LEFT JOIN deg ON deg.n = nd.id GROUP BY 1),
+            ie AS (
+              SELECT na.community, CAST(count(*) AS BIGINT) AS internal_edges
+              FROM e JOIN nodes na ON na.id = e.a
+                     JOIN nodes nb ON nb.id = e.b
+              WHERE na.community = nb.community GROUP BY 1),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e)
+            SELECT ns.community, ns.n_nodes,
+              coalesce(ie.internal_edges, 0) AS internal_edges,
+              ns.degree_sum,
+              floor((4 * m.m * coalesce(ie.internal_edges, 0)
+                     - ns.degree_sum * ns.degree_sum)::DOUBLE
+                    / (4 * m.m * m.m)::DOUBLE * 10000 + 0.5) / 10000
+                AS q_contrib
+            FROM ns LEFT JOIN ie ON ns.community = ie.community, m"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
     qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin,
@@ -2507,7 +2566,7 @@ object Queries {
     qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops,
     qLabelProp, qItemsets, qAttribution, qAssortativity, qKcore,
     qPprTrust, qLinkPredict, qKtruss, qHarmonic, qIncrementalCc, qScc,
-    qHits) ++
+    qHits, qModularity) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

@@ -357,6 +357,51 @@ object Graph {
     part.select(col("id"), col("f").as("component"))
   }
 
+  /** Newman modularity of a GIVEN node partition (Newman & Girvan 2004):
+    * per community c, Q_c = L_c/m − (d_c/2m)², summed over communities =
+    * the modularity score; here each community row carries its exact
+    * sufficient statistics (node count, internal edge count L_c, degree
+    * sum d_c) plus its UNROUNDED contribution (4m·L_c − d_c²)/(4m²) —
+    * callers quantize for display (the [[clusteringCoefficient]]
+    * convention). The partition-evaluation half of community detection:
+    * score any labeling ([[labelPropagate]], [[connectedComponents]], an
+    * external attribute) without iterating.
+    *
+    * Scale shape: canonicalize once; degrees and per-community sums are
+    * partial aggs on uniform keys; internal edges = two membership joins
+    * + filter + agg; m is a 1-row aggregate crossed back as a broadcast
+    * constant. All-integer until the single final division. Long-safe
+    * while total degree 2m < ~3×10⁹ per community (d_c² < 2⁶³).
+    *
+    * @param membership (id, community); nodes absent from it contribute
+    *        degrees to nothing (edges touching them still count in m)
+    */
+  def modularity(edges: DataFrame, membership: DataFrame): DataFrame = {
+    val e = canonical(edges).localCheckpoint(true)
+    val mem = membership.toDF("id", "community")
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val nodeStats = mem.join(deg, mem("id") === deg("n"), "left")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("d"), lit(0L))).as("degree_sum"))
+    val internal = e
+      .join(mem.select(col("id").as("a"), col("community").as("ca")), "a")
+      .join(mem.select(col("id").as("b"), col("community").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("internal_edges"))
+    nodeStats.join(internal, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("degree_sum"))
+      .crossJoin(e.agg(count(lit(1)).as("m"))) // 1-row broadcast constant
+      .withColumn("q_contrib",
+        (lit(4L) * col("m") * col("internal_edges")
+          - col("degree_sum") * col("degree_sum")).cast("double")
+          / (lit(4L) * col("m") * col("m")).cast("double"))
+      .drop("m")
+  }
+
   /** HITS hubs & authorities (Kleinberg 1998, JACM): fixed iteration of
     * a(v) = Σ_{u→v} h(u) then h(v) = Σ_{v→u} a(u) (the Gauss–Seidel
     * order of the original), normalized each half-step. Two departures

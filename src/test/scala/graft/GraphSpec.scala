@@ -264,6 +264,29 @@ class GraphSpec extends SparkSpec {
     assert(got == (1L to 20L).map(i => i -> i).toMap)
   }
 
+  test("modularity: exact stats per community, bridge counted in degrees") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} bridged by 3-4, plus an
+    // isolated node 7 in its own community; m = 7. Each triangle:
+    // L = 3, d = 7 → contribution (4·7·3 − 49)/196 = 35/196 ≈ 0.1786
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val mem = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "B"), (7L, "C")).toDF("id", "community")
+    val got = graft.graph.Graph.modularity(edges, mem)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          math.floor(r.getDouble(4) * 10000 + 0.5) / 10000)))
+      .toMap
+    assert(got("A") == ((3L, 3L, 7L, 0.1786)))
+    assert(got("B") == ((3L, 3L, 7L, 0.1786)))
+    assert(got("C") == ((1L, 0L, 0L, -0.0))) // 0/196 keeps floor's -0.0
+    // total modularity of the two-triangle partition: 2·35/196 = 5/14
+    val total = got.values.map(_._4).sum
+    assert(math.abs(total - 5.0 / 14.0) < 2e-4)
+  }
+
   test("hits: Gauss-Seidel order, max-norm fixed point, isolated zeros") {
     import spark.implicits._
     // 1→3, 2→3, 3→4: node 3 is the authority (fed by two hubs) and
