@@ -2551,6 +2551,128 @@ object Queries {
                 AS q_contrib
             FROM ns LEFT JOIN ie ON ns.community = ie.community, m"""))
 
+  /** Densest-subgraph peel trace over the 1-in-100 co-purchase graph
+    * ([[graft.graph.Graph.densestSubgraphTrace]], Bahmani et al. 2012):
+    * each round reports (n, m, density) then drops every node with
+    * d·n ≤ 4·m — exact integer peeling, ≤ log₂ n rounds, the densest
+    * row a 4-approximation of the maximum-density subgraph. Oracle
+    * unrolls 6 MATERIALIZED rounds (measured depth 3 at sf0.1 — same
+    * 2× margin convention as q_kcore/q_ktruss). */
+  val qDensest = Q(
+    "q_densest",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val buyers = t.lineitem.filter(col("l_partkey") % 100 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("p"), col("o_custkey").as("c"))
+        .distinct()
+      val edges = buyers.as("b1")
+        .join(buyers.as("b2"),
+          col("b1.p") === col("b2.p") && col("b1.c") < col("b2.c"))
+        .select(col("b1.c").as("src"), col("b2.c").as("dst")).distinct()
+      graft.graph.Graph.densestSubgraphTrace(edges, maxRounds = 6)
+        .withColumn("density", fl4(col("density")))
+    },
+    Some("""WITH buyers AS (
+              SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_partkey % 100 = 0),
+            e0 AS MATERIALIZED (
+              SELECT DISTINCT b1.c AS a, b2.c AS b
+              FROM buyers b1
+              JOIN buyers b2 ON b1.p = b2.p AND b1.c < b2.c),
+            d0 AS MATERIALIZED (
+              SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0) u
+              GROUP BY v),
+            s0 AS MATERIALIZED (
+              SELECT (SELECT CAST(count(*) AS BIGINT) FROM d0) AS n,
+                     (SELECT CAST(count(*) AS BIGINT) FROM e0) AS m),
+            e1 AS MATERIALIZED (
+              SELECT e.a, e.b FROM e0 e
+              JOIN d0 da ON da.v = e.a
+              JOIN d0 db ON db.v = e.b, s0
+              WHERE da.d * s0.n > 4 * s0.m
+                AND db.d * s0.n > 4 * s0.m),
+            d1 AS MATERIALIZED (
+              SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT a AS v FROM e1 UNION ALL SELECT b AS v FROM e1) u
+              GROUP BY v),
+            s1 AS MATERIALIZED (
+              SELECT (SELECT CAST(count(*) AS BIGINT) FROM d1) AS n,
+                     (SELECT CAST(count(*) AS BIGINT) FROM e1) AS m),
+            e2 AS MATERIALIZED (
+              SELECT e.a, e.b FROM e1 e
+              JOIN d1 da ON da.v = e.a
+              JOIN d1 db ON db.v = e.b, s1
+              WHERE da.d * s1.n > 4 * s1.m
+                AND db.d * s1.n > 4 * s1.m),
+            d2 AS MATERIALIZED (
+              SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT a AS v FROM e2 UNION ALL SELECT b AS v FROM e2) u
+              GROUP BY v),
+            s2 AS MATERIALIZED (
+              SELECT (SELECT CAST(count(*) AS BIGINT) FROM d2) AS n,
+                     (SELECT CAST(count(*) AS BIGINT) FROM e2) AS m),
+            e3 AS MATERIALIZED (
+              SELECT e.a, e.b FROM e2 e
+              JOIN d2 da ON da.v = e.a
+              JOIN d2 db ON db.v = e.b, s2
+              WHERE da.d * s2.n > 4 * s2.m
+                AND db.d * s2.n > 4 * s2.m),
+            d3 AS MATERIALIZED (
+              SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT a AS v FROM e3 UNION ALL SELECT b AS v FROM e3) u
+              GROUP BY v),
+            s3 AS MATERIALIZED (
+              SELECT (SELECT CAST(count(*) AS BIGINT) FROM d3) AS n,
+                     (SELECT CAST(count(*) AS BIGINT) FROM e3) AS m),
+            e4 AS MATERIALIZED (
+              SELECT e.a, e.b FROM e3 e
+              JOIN d3 da ON da.v = e.a
+              JOIN d3 db ON db.v = e.b, s3
+              WHERE da.d * s3.n > 4 * s3.m
+                AND db.d * s3.n > 4 * s3.m),
+            d4 AS MATERIALIZED (
+              SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT a AS v FROM e4 UNION ALL SELECT b AS v FROM e4) u
+              GROUP BY v),
+            s4 AS MATERIALIZED (
+              SELECT (SELECT CAST(count(*) AS BIGINT) FROM d4) AS n,
+                     (SELECT CAST(count(*) AS BIGINT) FROM e4) AS m),
+            e5 AS MATERIALIZED (
+              SELECT e.a, e.b FROM e4 e
+              JOIN d4 da ON da.v = e.a
+              JOIN d4 db ON db.v = e.b, s4
+              WHERE da.d * s4.n > 4 * s4.m
+                AND db.d * s4.n > 4 * s4.m),
+            d5 AS MATERIALIZED (
+              SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT a AS v FROM e5 UNION ALL SELECT b AS v FROM e5) u
+              GROUP BY v),
+            s5 AS MATERIALIZED (
+              SELECT (SELECT CAST(count(*) AS BIGINT) FROM d5) AS n,
+                     (SELECT CAST(count(*) AS BIGINT) FROM e5) AS m)
+            SELECT CAST(0 AS BIGINT) AS round, n AS n_nodes, m AS n_edges,
+              floor(m::DOUBLE / n::DOUBLE * 10000 + 0.5) / 10000 AS density
+            FROM s0 WHERE n > 0
+            UNION ALL SELECT CAST(1 AS BIGINT) AS round, n AS n_nodes, m AS n_edges,
+              floor(m::DOUBLE / n::DOUBLE * 10000 + 0.5) / 10000 AS density
+            FROM s1 WHERE n > 0
+            UNION ALL SELECT CAST(2 AS BIGINT) AS round, n AS n_nodes, m AS n_edges,
+              floor(m::DOUBLE / n::DOUBLE * 10000 + 0.5) / 10000 AS density
+            FROM s2 WHERE n > 0
+            UNION ALL SELECT CAST(3 AS BIGINT) AS round, n AS n_nodes, m AS n_edges,
+              floor(m::DOUBLE / n::DOUBLE * 10000 + 0.5) / 10000 AS density
+            FROM s3 WHERE n > 0
+            UNION ALL SELECT CAST(4 AS BIGINT) AS round, n AS n_nodes, m AS n_edges,
+              floor(m::DOUBLE / n::DOUBLE * 10000 + 0.5) / 10000 AS density
+            FROM s4 WHERE n > 0
+            UNION ALL SELECT CAST(5 AS BIGINT) AS round, n AS n_nodes, m AS n_edges,
+              floor(m::DOUBLE / n::DOUBLE * 10000 + 0.5) / 10000 AS density
+            FROM s5 WHERE n > 0"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
     qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin,
@@ -2566,7 +2688,7 @@ object Queries {
     qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops,
     qLabelProp, qItemsets, qAttribution, qAssortativity, qKcore,
     qPprTrust, qLinkPredict, qKtruss, qHarmonic, qIncrementalCc, qScc,
-    qHits, qModularity) ++
+    qHits, qModularity, qDensest) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

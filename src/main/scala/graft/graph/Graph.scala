@@ -402,6 +402,64 @@ object Graph {
       .drop("m")
   }
 
+  /** Densest-subgraph peel trace (Charikar 2000 greedy, in the
+    * parallel batched form of Bahmani, Kumar & Vassilvitskii, VLDB
+    * 2012): each round records the current graph's (node count, edge
+    * count, density m/n) and then removes EVERY node whose degree is
+    * ≤ 2(1+ε)·density, with ε = 1 — survivor iff d·n > 4·m, an exact
+    * integer predicate with no float threshold to flake. The densest
+    * round in the trace is a 2(1+ε) = 4-approximation of the maximum
+    * density subgraph (Bahmani Thm. 1), and survivors shrink by ≥
+    * (1+ε)× per round, so the trace is ≤ log₂ n rounds long — the
+    * spam-core / scraper-farm detector that runs in a FIXED number of
+    * passes at any scale.
+    *
+    * Scale shape: per round one degree partial-agg, the (n, m) pair as
+    * a 1-row broadcast constant crossed into the survivor filter, two
+    * semi-join-shaped edge restrictions, per-round checkpoint. The
+    * only driver-side value is the single (n, m) row per round (the
+    * early-exit scalar, same class as BPE's per-merge row).
+    *
+    * Returns (round, n_nodes, n_edges, density) for every non-empty
+    * round, density UNROUNDED (callers quantize — the
+    * [[clusteringCoefficient]] convention).
+    */
+  def densestSubgraphTrace(edges: DataFrame, maxRounds: Int = 6): DataFrame = {
+    var e = canonical(edges).localCheckpoint(true)
+    var stats: Option[DataFrame] = None
+    var r = 0
+    var live = true
+    while (live && r < maxRounds) {
+      val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .localCheckpoint(true) // feeds counts, the round row and the peel
+      val nm = deg.agg(count(lit(1)).as("n"))
+        .crossJoin(e.agg(count(lit(1)).as("m")))
+      val Array(nRow) = nm.collect() // 1-row control scalar
+      val (n, m) = (nRow.getLong(0), nRow.getLong(1))
+      if (n == 0) { live = false }
+      else {
+        val row = nm.select(lit(r.toLong).as("round"), col("n").as("n_nodes"),
+          col("m").as("n_edges"),
+          (col("m").cast("double") / col("n").cast("double")).as("density"))
+        stats = Some(stats.map(_.unionByName(row)).getOrElse(row))
+        val surv = deg.crossJoin(nm)
+          .filter(col("d") * col("n") > lit(4L) * col("m"))
+          .select(col("v"))
+        e = e
+          .join(surv.select(col("v").as("a")), "a")
+          .join(surv.select(col("v").as("b")), "b")
+          .select(col("a"), col("b"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    stats.getOrElse(e.sparkSession.emptyDataFrame
+      .select(lit(0L).as("round"), lit(0L).as("n_nodes"),
+        lit(0L).as("n_edges"), lit(0.0).as("density"))
+      .limit(0))
+  }
+
   /** HITS hubs & authorities (Kleinberg 1998, JACM): fixed iteration of
     * a(v) = Σ_{u→v} h(u) then h(v) = Σ_{v→u} a(u) (the Gauss–Seidel
     * order of the original), normalized each half-step. Two departures

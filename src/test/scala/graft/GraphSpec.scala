@@ -287,6 +287,26 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(total - 5.0 / 14.0) < 2e-4)
   }
 
+  test("densestSubgraphTrace: peels leaves, surfaces the planted core") {
+    import spark.implicits._
+    // K6 core {1..6} (15 edges) + 5 pendant leaves per core node
+    // (30 edges): round 0 has n=36, m=45, density 1.25, survivor
+    // threshold d·36 > 180 ⟺ d > 5 — core nodes (d=10) survive,
+    // leaves (d=1) peel; round 1 is the bare clique (density 2.5,
+    // threshold d > 10 kills it). The densest trace row IS the
+    // planted core.
+    val core = for (i <- 1L to 6L; j <- (i + 1) to 6L) yield (i, j)
+    val leaves = for (i <- 1L to 6L; k <- 0L until 5L)
+      yield (i, 100L + i * 10 + k)
+    val got = graft.graph.Graph.densestSubgraphTrace(
+      (core ++ leaves).toDF("src", "dst"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(0L -> ((36L, 45L, 1.25)), 1L -> ((6L, 15L, 2.5))))
+  }
+
   test("hits: Gauss-Seidel order, max-norm fixed point, isolated zeros") {
     import spark.implicits._
     // 1→3, 2→3, 3→4: node 3 is the authority (fed by two hubs) and
