@@ -2114,7 +2114,7 @@ object Queries {
     "q_link_predict",
     (s, dir) => {
       val t = Tables(s, dir)
-      val buyers = t.lineitem.filter(col("l_partkey") % 200 === 0)
+      val buyers = t.lineitem.filter(col("l_partkey") % 100 === 0)
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .select(col("l_partkey").as("p"), col("o_custkey").as("c")).distinct()
       val e = buyers.as("b1")
@@ -2141,7 +2141,7 @@ object Queries {
     Some("""WITH buyers AS (
               SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
               FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-              WHERE l.l_partkey % 200 = 0),
+              WHERE l.l_partkey % 100 = 0),
             e AS (
               SELECT DISTINCT b1.c AS a, b2.c AS b
               FROM buyers b1
