@@ -435,6 +435,38 @@ object DedupQueries {
             SELECT probe_id, id, round(cos, 4) AS cosine, CAST(rk AS BIGINT) AS rk
             FROM ranked WHERE rk <= 3"""))
 
+  /** Mutual k-NN graph over every 5th vector: k = 5 directed lists from
+    * the exact pass, then the reciprocity self-join — the
+    * HDBSCAN/UMAP-style neighborhood graph. Oracle ranks all pairs with
+    * the window form and joins the k-lists against themselves. */
+  val qMutualKnn = Q(
+    "q_mutual_knn",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Ann.mutualKnn(emb.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", k = 5)
+    },
+    Some("""WITH sub AS (
+              SELECT vec_id AS id, embedding AS v
+              FROM embeddings WHERE vec_id % 5 = 0),
+            scored AS (
+              SELECT a.id AS pa, b.id AS pb,
+                list_sum(list_transform(range(1, 65),
+                  i -> b.v[i]::DOUBLE * a.v[i]::DOUBLE)) /
+                (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> b.v[i]::DOUBLE * b.v[i]::DOUBLE))) *
+                 sqrt(list_sum(list_transform(range(1, 65),
+                  i -> a.v[i]::DOUBLE * a.v[i]::DOUBLE)))) AS cos
+              FROM sub a, sub b WHERE a.id != b.id),
+            ranked AS (
+              SELECT pa, pb, cos, row_number() OVER
+                (PARTITION BY pa ORDER BY cos DESC, pb) AS rk
+              FROM scored),
+            knn AS (SELECT pa, pb, cos FROM ranked WHERE rk <= 5)
+            SELECT k1.pa AS id_a, k1.pb AS id_b, round(k1.cos, 4) AS cosine
+            FROM knn k1 JOIN knn k2 ON k1.pa = k2.pb AND k1.pb = k2.pa
+            WHERE k1.pa < k1.pb"""))
+
   /** IVF-blocked k-NN join (the big-big scale path): deterministic first-16
     * centroids, nprobe=2 multi-probe per probe vector, candidates restricted
     * to probed cells — the oracle replicates assignment, probe-cell choice
@@ -1098,7 +1130,7 @@ object DedupQueries {
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
-    qQuantizeDot, qKnnJoin, qKnnIvf, qSemDedup, qDupNgrams, qIncrementalDedup,
+    qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qSemDedup, qDupNgrams, qIncrementalDedup,
     qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance,
     qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep, qFuzzyMatch, qSortedNeighborhood,
     qContainment, qBoilerplate)

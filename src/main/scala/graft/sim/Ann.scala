@@ -185,6 +185,32 @@ object Ann {
         (col("pos") + 1).cast("long").as("rk"))
   }
 
+  /** Mutual k-NN graph: the symmetric core of the k-NN digraph — edge
+    * (a, b) iff b is among a's k nearest AND a is among b's (cosine,
+    * ties to the smaller id, the [[graft.plans.TopKByScore]] rule).
+    * Mutuality is the standard asymmetry filter before density
+    * clustering and manifold methods (HDBSCAN's mutual-reachability
+    * neighborhoods, UMAP's fuzzy-union base graph): hub vectors sit in
+    * thousands of k-NN lists but reciprocate only their true peers.
+    *
+    * Scale shape: one [[knnJoinExact]] pass (self-join form) produces
+    * the ≤ k-per-node directed lists, checkpointed once; mutuality is a
+    * single uniform (probe, id)-pair-keyed self-join over those O(n·k)
+    * rows — never over vectors. At corpus scale the exact pass swaps
+    * for [[knnJoinIvf]] with the same downstream join.
+    *
+    * Returns (id_a, id_b, cosine) with id_a < id_b, one row per mutual
+    * pair. */
+  def mutualKnn(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val knn = knnJoinExact(df, df, idCol, vecCol, k).localCheckpoint(true)
+    knn.as("r1").join(knn.as("r2"),
+        col("r1.probe_id") === col("r2.id")
+          && col("r1.id") === col("r2.probe_id")
+          && col("r1.probe_id") < col("r1.id"))
+      .select(col("r1.probe_id").as("id_a"), col("r1.id").as("id_b"),
+        col("r1.cosine").as("cosine"))
+  }
+
   /** k-NN label propagation: classify every unlabeled vector by majority
     * vote of its k nearest LABELED neighbors (cosine) — the
     * semi-supervised step that spreads a small seed of human/classifier

@@ -217,4 +217,19 @@ class KnnQuantizeSpec extends SparkSpec {
     // every approx neighbour really lives in a probed cell of its probe
     assert(approx.size == 3 * 4 || approx.size == (approx.groupBy(_._1).values.map(_.size).sum))
   }
+
+  test("mutualKnn keeps reciprocal pairs only, a<b, hub edge dropped") {
+    // k=1: {1,2} are each other's nearest (mutual), {3,4} likewise;
+    // 5 points toward cluster {1,2} so NN(5)=1, but NN(1)=2 — the
+    // asymmetric hub edge must NOT survive
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.99f, 0.14f)),
+      (3L, Array(0.0f, -1.0f)),
+      (4L, Array(0.1f, -0.99f)),
+      (5L, Array(0.8f, 0.6f)))
+    val got = Ann.mutualKnn(pts.toDF("id", "v"), "id", "v", k = 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 4L)))
+  }
 }
