@@ -467,6 +467,109 @@ object DedupQueries {
             FROM knn k1 JOIN knn k2 ON k1.pa = k2.pb AND k1.pb = k2.pa
             WHERE k1.pa < k1.pb"""))
 
+  /** MMR diversified retrieval against the vec_id=0 query vector:
+    * distributed scoring + top-20 shortlist (TakeOrderedAndProject),
+    * then [[graft.sim.Ann.mmrRerank]] picks 5 with λ=0.7/μ=0.3 — the
+    * redundancy filter between retrieval and a RAG context window. The
+    * oracle unrolls all five greedy picks as MATERIALIZED CTE steps
+    * over the same shortlist. */
+  val qMmr = Q(
+    "q_mmr",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val pool = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          graft.plans.VectorFunctions.vecCosine(col("embedding"), col("qv")).as("rel"))
+        .orderBy(col("rel").desc, col("id")).limit(20)
+      Ann.mmrRerank(pool, "id", "vec", "rel", k = 5, lam = 0.7, mu = 0.3)
+        .select(col("rank"), col("id"),
+          round(col("rel"), 4).as("relevance"), round(col("mmr"), 4).as("mmr"))
+    },
+    Some("""WITH q AS MATERIALIZED (
+              SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            pool AS MATERIALIZED (
+              SELECT e.vec_id AS id, e.embedding AS vec,
+                list_sum(list_transform(range(1, 65),
+                  i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) /
+                (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+                 sqrt(list_sum(list_transform(range(1, 65),
+                  i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) AS rel
+              FROM embeddings e, q WHERE e.vec_id != 0
+              ORDER BY rel DESC, e.vec_id LIMIT 20),
+            sims AS MATERIALIZED (
+              SELECT x.id AS xi, y.id AS yi,
+                list_sum(list_transform(range(1, 65),
+                  i -> x.vec[i]::DOUBLE * y.vec[i]::DOUBLE)) /
+                (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> x.vec[i]::DOUBLE * x.vec[i]::DOUBLE))) *
+                 sqrt(list_sum(list_transform(range(1, 65),
+                  i -> y.vec[i]::DOUBLE * y.vec[i]::DOUBLE)))) AS sim
+              FROM pool x JOIN pool y ON x.id != y.id),
+            s1 AS MATERIALIZED (
+              SELECT CAST(1 AS BIGINT) AS rank, id, rel,
+                CAST(0.7 AS DOUBLE) * rel
+                  - CAST(0.3 AS DOUBLE) * CAST(0.0 AS DOUBLE) AS mmr
+              FROM pool ORDER BY mmr DESC, id LIMIT 1),
+            u1 AS MATERIALIZED (SELECT * FROM s1),
+            s2 AS MATERIALIZED (
+              SELECT CAST(2 AS BIGINT) AS rank, id, rel, mmr FROM (
+                SELECT c.id, c.rel,
+                  CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE)
+                    * coalesce(ms.m, CAST(0.0 AS DOUBLE)) AS mmr
+                FROM pool c LEFT JOIN (
+                  SELECT s.xi AS id, max(s.sim) AS m FROM sims s
+                  JOIN u1 u ON s.yi = u.id GROUP BY s.xi) ms
+                ON ms.id = c.id
+                WHERE c.id NOT IN (SELECT id FROM u1)) t
+              ORDER BY mmr DESC, id LIMIT 1),
+            u2 AS MATERIALIZED (
+              SELECT * FROM u1 UNION ALL SELECT * FROM s2),
+            s3 AS MATERIALIZED (
+              SELECT CAST(3 AS BIGINT) AS rank, id, rel, mmr FROM (
+                SELECT c.id, c.rel,
+                  CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE)
+                    * coalesce(ms.m, CAST(0.0 AS DOUBLE)) AS mmr
+                FROM pool c LEFT JOIN (
+                  SELECT s.xi AS id, max(s.sim) AS m FROM sims s
+                  JOIN u2 u ON s.yi = u.id GROUP BY s.xi) ms
+                ON ms.id = c.id
+                WHERE c.id NOT IN (SELECT id FROM u2)) t
+              ORDER BY mmr DESC, id LIMIT 1),
+            u3 AS MATERIALIZED (
+              SELECT * FROM u2 UNION ALL SELECT * FROM s3),
+            s4 AS MATERIALIZED (
+              SELECT CAST(4 AS BIGINT) AS rank, id, rel, mmr FROM (
+                SELECT c.id, c.rel,
+                  CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE)
+                    * coalesce(ms.m, CAST(0.0 AS DOUBLE)) AS mmr
+                FROM pool c LEFT JOIN (
+                  SELECT s.xi AS id, max(s.sim) AS m FROM sims s
+                  JOIN u3 u ON s.yi = u.id GROUP BY s.xi) ms
+                ON ms.id = c.id
+                WHERE c.id NOT IN (SELECT id FROM u3)) t
+              ORDER BY mmr DESC, id LIMIT 1),
+            u4 AS MATERIALIZED (
+              SELECT * FROM u3 UNION ALL SELECT * FROM s4),
+            s5 AS MATERIALIZED (
+              SELECT CAST(5 AS BIGINT) AS rank, id, rel, mmr FROM (
+                SELECT c.id, c.rel,
+                  CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE)
+                    * coalesce(ms.m, CAST(0.0 AS DOUBLE)) AS mmr
+                FROM pool c LEFT JOIN (
+                  SELECT s.xi AS id, max(s.sim) AS m FROM sims s
+                  JOIN u4 u ON s.yi = u.id GROUP BY s.xi) ms
+                ON ms.id = c.id
+                WHERE c.id NOT IN (SELECT id FROM u4)) t
+              ORDER BY mmr DESC, id LIMIT 1),
+            u5 AS MATERIALIZED (
+              SELECT * FROM u4 UNION ALL SELECT * FROM s5)
+            SELECT rank, id, round(rel, 4) AS relevance,
+              round(mmr, 4) AS mmr FROM u5"""))
+
   /** IVF-blocked k-NN join (the big-big scale path): deterministic first-16
     * centroids, nprobe=2 multi-probe per probe vector, candidates restricted
     * to probed cells — the oracle replicates assignment, probe-cell choice
@@ -1130,7 +1233,7 @@ object DedupQueries {
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
-    qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qSemDedup, qDupNgrams, qIncrementalDedup,
+    qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qMmr, qSemDedup, qDupNgrams, qIncrementalDedup,
     qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance,
     qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep, qFuzzyMatch, qSortedNeighborhood,
     qContainment, qBoilerplate)

@@ -185,6 +185,62 @@ object Ann {
         (col("pos") + 1).cast("long").as("rk"))
   }
 
+  /** MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998):
+    * greedily pick k documents from a scored shortlist, each pick
+    * maximizing λ·relevance − μ·max-similarity-to-already-picked — the
+    * standard redundancy filter between retrieval and display (or
+    * between retrieval and a RAG context window). The empty-selection
+    * max-sim is 0, so pick 1 maximizes λ·rel and the formula is uniform
+    * across ranks.
+    *
+    * The selection recurrence is inherently sequential in k, but k is
+    * a display-page constant: everything here is a LAZY composition of
+    * k tiny joins over the shortlist — no driver-side loop, no collect;
+    * the heavy lifting (scoring the corpus, the top-N shortlist cut)
+    * happens distributed BEFORE this operator. λ and μ are taken as
+    * separate literals rather than μ = 1−λ because 1.0−0.7 in IEEE
+    * doubles is not 0.3 — callers pass both, oracles spell both.
+    *
+    * @param pool shortlist with id, vector and UNROUNDED relevance
+    * @return (rank, id, rel, mmr), rank 1..k, scores unrounded */
+  def mmrRerank(
+      pool: DataFrame, idCol: String, vecCol: String, relCol: String,
+      k: Int, lam: Double, mu: Double): DataFrame = {
+    val p = pool
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col(relCol).as("rel"))
+      .localCheckpoint(true) // shortlist: read by sims and every step
+    val sims = p.as("x").join(p.as("y"), col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("xi"), col("y.id").as("yi"),
+        vecCosine(col("x.vec"), col("y.vec")).as("sim"))
+      .localCheckpoint(true) // ≤ |pool|² rows, read by every step
+    var selected: DataFrame = null
+    for (i <- 1 to k) {
+      val remaining =
+        if (selected == null) p
+        else p.join(selected.select(col("id").as("sid")),
+          col("id") === col("sid"), "left_anti")
+      val withMs =
+        if (selected == null)
+          remaining.select(col("id"), col("rel"), lit(0.0).as("ms"))
+        else remaining
+          .join(sims
+              .join(selected.select(col("id").as("sel")),
+                sims("yi") === col("sel"))
+              .select(col("xi"), col("sim")),
+            col("id") === col("xi"), "left")
+          .groupBy(col("id"), col("rel"))
+          .agg(coalesce(max(col("sim")), lit(0.0)).as("ms"))
+      val pick = withMs
+        .select(col("id"), col("rel"),
+          (lit(lam) * col("rel") - lit(mu) * col("ms")).as("mmr"))
+        .orderBy(col("mmr").desc, col("id")).limit(1)
+        .select(lit(i.toLong).as("rank"), col("id"), col("rel"), col("mmr"))
+      selected =
+        if (selected == null) pick else selected.unionByName(pick)
+    }
+    selected
+  }
+
   /** Mutual k-NN graph: the symmetric core of the k-NN digraph — edge
     * (a, b) iff b is among a's k nearest AND a is among b's (cosine,
     * ties to the smaller id, the [[graft.plans.TopKByScore]] rule).

@@ -232,4 +232,25 @@ class KnnQuantizeSpec extends SparkSpec {
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L), (3L, 4L)))
   }
+
+  test("mmrRerank diversifies: near-duplicate of pick 1 is demoted below an orthogonal doc") {
+    // Pure relevance order would be 1, 2, 4 — but doc 2 is nearly
+    // identical to doc 1 (cos ≈ 0.999), so with λ=0.7/μ=0.3 its MMR
+    // score at step 2 is 0.7·0.90 − 0.3·0.999 ≈ 0.330, losing to the
+    // orthogonal doc 3 at 0.7·0.50 − 0 = 0.35. Step 3 then picks doc 2
+    // (0.330) over doc 4 (0.7·0.60 − 0.3·0.7071 ≈ 0.208).
+    val pool = Seq(
+      (1L, Array(1.0f, 0.0f), 0.95),
+      (2L, Array(0.999f, 0.045f), 0.90),
+      (3L, Array(0.0f, 1.0f), 0.50),
+      (4L, Array(0.7f, 0.7f), 0.60))
+      .toDF("id", "v", "rel")
+    val got = Ann.mmrRerank(pool, "id", "v", "rel", k = 3, lam = 0.7, mu = 0.3)
+      .select($"rank", $"id").as[(Long, Long)].collect().sorted
+    assert(got.toSeq == Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+    // rank 1 carries mmr = λ·rel exactly (empty-selection max-sim is 0)
+    val r1 = Ann.mmrRerank(pool, "id", "v", "rel", k = 1, lam = 0.7, mu = 0.3)
+      .select($"mmr").as[Double].head()
+    assert(math.abs(r1 - 0.7 * 0.95) < 1e-12)
+  }
 }
