@@ -1109,6 +1109,57 @@ object DedupQueries {
             FROM assigned a JOIN embeddings e ON a.id = e.vec_id
             GROUP BY a.cid"""))
 
+  /** Grid-cell-blocked exact DBSCAN over a 2-D projection of the events
+    * stream (value × user-decile): [[graft.sim.Density.dbscan]] with
+    * eps=0.75 (0.75² = 0.5625 — exact in binary, so the ≤ eps² boundary
+    * can't straddle an ulp between engines) and minPts=6. Output is the
+    * full assignment (id, role, cluster). The oracle is the NAIVE form —
+    * all-pairs distance join, recursive-CTE transitive closure for the
+    * cluster labels — checking that the cell-blocked candidate generation
+    * loses no pair and the min-id labels agree. */
+  val qDbscan = Q(
+    "q_dbscan",
+    (s, dir) => {
+      val pts = Tables(s, dir).events
+        .filter(col("event_id") % 5 === 0)
+        .select(col("event_id").as("id"), col("value").as("x"),
+          (col("user_id") / lit(10.0)).as("y"))
+      graft.sim.Density.dbscan(pts, "id", "x", "y", eps = 0.75, minPts = 6)
+    },
+    Some("""WITH RECURSIVE pts AS MATERIALIZED (
+              SELECT event_id AS id, value AS x, user_id/10.0 AS y
+              FROM events WHERE event_id % 5 = 0),
+            nbp AS MATERIALIZED (
+              SELECT a.id AS ia, b.id AS ib FROM pts a JOIN pts b
+              ON a.id != b.id
+              AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 0.5625),
+            nb AS MATERIALIZED (
+              SELECT ia AS id, count(*) AS n FROM nbp GROUP BY ia),
+            core AS MATERIALIZED (
+              SELECT id FROM nb WHERE n+1 >= 6),
+            ce AS MATERIALIZED (
+              SELECT n.ia AS s, n.ib AS d FROM nbp n
+              WHERE n.ia IN (SELECT id FROM core)
+                AND n.ib IN (SELECT id FROM core)),
+            reach(id, lbl) AS (
+              SELECT id, id FROM core
+              UNION
+              SELECT ce.d, r.lbl FROM reach r JOIN ce ON ce.s = r.id),
+            lab AS MATERIALIZED (
+              SELECT id, min(lbl) AS cl FROM reach GROUP BY id),
+            border AS MATERIALIZED (
+              SELECT n.ia AS id, min(l.cl) AS cl FROM nbp n
+              JOIN lab l ON n.ib = l.id
+              WHERE n.ia NOT IN (SELECT id FROM core) GROUP BY n.ia)
+            SELECT id, 'core' AS role, cl AS cluster FROM lab
+            UNION ALL
+            SELECT id, 'border' AS role, cl AS cluster FROM border
+            UNION ALL
+            SELECT p.id, 'noise' AS role, CAST(NULL AS BIGINT) AS cluster
+            FROM pts p
+            WHERE p.id NOT IN (SELECT id FROM lab)
+              AND p.id NOT IN (SELECT id FROM border)"""))
+
   /** Fuzzy record matching (record linkage): parts whose names are
     * Jaro–Winkler-similar, blocked on the first name word so candidate
     * generation is a hash join on the block key — never all-pairs (the
@@ -1235,6 +1286,6 @@ object DedupQueries {
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
     qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qMmr, qSemDedup, qDupNgrams, qIncrementalDedup,
     qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance,
-    qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep, qFuzzyMatch, qSortedNeighborhood,
+    qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep, qDbscan, qFuzzyMatch, qSortedNeighborhood,
     qContainment, qBoilerplate)
 }
