@@ -483,6 +483,68 @@ object Queries {
           percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"))
     })
 
+  /** Portable HyperLogLog distinct-users-per-event-type, ORACLE-CHECKED:
+    * unlike `q_sketch`'s engine-private `approx_count_distinct`,
+    * [[graft.ops.Hll.hllDistinct]] builds its registers from md5, sums
+    * Σ2^(−M_j) as exact scaled BIGINTs (order-free), and divides once —
+    * so DuckDB reproduces the ESTIMATE itself digit for digit and the
+    * gate hash-compares an approximation algorithm. Exact distinct rides
+    * alongside. Per-type distinct users is ~150 at sf0.01 and ~1400 at
+    * sf0.1, so the gate exercises BOTH estimator branches: linear
+    * counting (E ≤ 2.5m, m·ln(m/V)) at the small SF, raw HLL at the
+    * large one. The branch predicate compares the identically-derived
+    * raw estimate on both engines, so branch choice can't diverge; the
+    * ln inside linear counting is the repo's usual output-position
+    * transcendental (fl4-quantized, like q_entropy's ln terms). */
+  val qHll = Q(
+    "q_hll",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val est = graft.ops.Hll.hllDistinct(
+        ev, col("user_id"), Seq(col("event_type")))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          fl4(col("estimate")).as("est"))
+    },
+    Some("""WITH h AS MATERIALIZED (
+              SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+              FROM events),
+            br AS MATERIALIZED (
+              SELECT event_type,
+                ('0x' || substring(h, 1, 2))::BIGINT AS bucket,
+                49 - length(ltrim(bin(('0x' || substring(h, 3, 12))::BIGINT),
+                                  '0')) AS rho
+              FROM h),
+            regs AS MATERIALIZED (
+              SELECT event_type, bucket, max(rho) AS m_j
+              FROM br GROUP BY 1, 2),
+            est AS MATERIALIZED (
+              SELECT event_type,
+                CAST(0.7213 AS DOUBLE)
+                  / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 256)
+                  * 65536 * 562949953421312
+                  / (CAST(sum(1::BIGINT << CAST(49 - m_j AS INTEGER))
+                          AS BIGINT)
+                     + (256 - count(*)) * 562949953421312) AS raw,
+                256 - count(*) AS zeros
+              FROM regs GROUP BY 1),
+            fin AS MATERIALIZED (
+              SELECT event_type,
+                CASE WHEN raw <= 640.0 AND zeros > 0
+                  THEN CAST(256.0 AS DOUBLE)
+                       * ln(CAST(256.0 AS DOUBLE) / zeros)
+                  ELSE raw END AS estimate
+              FROM est)
+            SELECT e.event_type, x.n_exact,
+              floor(e.estimate * 10000 + 0.5) / 10000 AS est
+            FROM fin e JOIN (
+              SELECT event_type,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+              FROM events GROUP BY 1) x
+            ON e.event_type = x.event_type"""))
+
   /** Salted skewed join: events (user_id skew-safe) × per-user dimension.
     * Result must equal the plain join — the oracle IS the plain join. */
   val qSaltedJoin = Q(
@@ -2675,7 +2737,7 @@ object Queries {
 
   def all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
-    qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qSaltedJoin, qAsofJoin,
+    qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qHll, qSaltedJoin, qAsofJoin,
     qRollup, qCube, qRangeJoin, qMovingAvg, qPivot, qSetOps, qTopkAgg,
     qGroupingSets, qScalarSubquery, qPercentiles, qSessionize,
     qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram,
