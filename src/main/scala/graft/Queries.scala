@@ -545,6 +545,85 @@ object Queries {
               FROM events GROUP BY 1) x
             ON e.event_type = x.event_type"""))
 
+  /** Count-Min sketch frequency estimates for the corpus' top-20 tokens —
+    * see [[graft.ops.Cms]] for the portable-md5 lane hashing and the
+    * mergeable groupBy shape. Probe set = top-20 by EXACT count (count
+    * desc, token asc — deterministic total order), so the output pins the
+    * classic one-sided guarantee: cms_est ≥ exact_cnt for every row, in
+    * pure integer arithmetic the oracle reproduces digit for digit. */
+  val qCms = Q(
+    "q_cms",
+    (s, dir) => {
+      val toks = Tables(s, dir).documents
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val sk = graft.ops.Cms.sketch(toks, col("tok"))
+      val probes = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+      graft.ops.Cms.estimate(sk, probes, "tok")
+        .select(col("tok"), col("exact_cnt"), col("cms_est"))
+    },
+    Some("""WITH toks AS MATERIALIZED (
+              SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents),
+            probes AS MATERIALIZED (
+              SELECT tok, count(*) AS exact_cnt FROM toks
+              GROUP BY tok ORDER BY exact_cnt DESC, tok LIMIT 20),
+            hashed AS MATERIALIZED (
+              SELECT l.lane,
+                ('0x' || substring(md5(l.lane::VARCHAR || ':' || t.tok), 1, 2))::BIGINT AS bucket
+              FROM toks t, (SELECT unnest(range(0, 4)) AS lane) l),
+            sk AS MATERIALIZED (
+              SELECT lane, bucket, count(*) AS cnt
+              FROM hashed GROUP BY 1, 2),
+            pl AS MATERIALIZED (
+              SELECT p.tok, p.exact_cnt, l.lane,
+                ('0x' || substring(md5(l.lane::VARCHAR || ':' || p.tok), 1, 2))::BIGINT AS bucket
+              FROM probes p, (SELECT unnest(range(0, 4)) AS lane) l)
+            SELECT pl.tok, pl.exact_cnt, min(coalesce(s.cnt, 0)) AS cms_est
+            FROM pl LEFT JOIN sk s USING (lane, bucket)
+            GROUP BY pl.tok, pl.exact_cnt"""))
+
+  /** Bloom-filter membership over a key universe — see [[graft.ops.Bloom]]
+    * for the set-bits relation vs packed-literal duality. Members = parts
+    * that ever shipped at the max quantity (l_quantity = 50, ~44% of
+    * parts at sf0.01); probes = ALL parts, emitted with the bloom verdict
+    * AND ground truth, so the gate pins the no-false-negative invariant
+    * (bloom_hit is true for every is_member row) and the exact
+    * false-positive set the md5 lanes produce. */
+  val qBloomJoin = Q(
+    "q_bloom_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val members = t.lineitem.filter(col("l_quantity") >= 50)
+        .select(col("l_partkey")).distinct()
+      val bits = graft.ops.Bloom.bits(members, col("l_partkey"))
+      val truth = t.part.select(col("p_partkey"))
+        .join(members.withColumn("m", lit(true)),
+          col("p_partkey") === col("l_partkey"), "left")
+        .select(col("p_partkey"), coalesce(col("m"), lit(false)).as("is_member"))
+      graft.ops.Bloom.probe(bits, truth, "p_partkey")
+        .select(col("p_partkey"), col("is_member"), col("bloom_hit"))
+    },
+    Some("""WITH members AS MATERIALIZED (
+              SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity >= 50),
+            bits AS MATERIALIZED (
+              SELECT DISTINCT
+                ('0x' || substring(md5(l.lane::VARCHAR || ':' || m.l_partkey::VARCHAR), 1, 4))::BIGINT AS pos
+              FROM members m, (SELECT unnest(range(0, 3)) AS lane) l),
+            probes AS MATERIALIZED (
+              SELECT p.p_partkey,
+                EXISTS (SELECT 1 FROM members m WHERE m.l_partkey = p.p_partkey) AS is_member
+              FROM part p),
+            pl AS MATERIALIZED (
+              SELECT pr.p_partkey, pr.is_member,
+                ('0x' || substring(md5(l.lane::VARCHAR || ':' || pr.p_partkey::VARCHAR), 1, 4))::BIGINT AS pos
+              FROM probes pr, (SELECT unnest(range(0, 3)) AS lane) l)
+            SELECT pl.p_partkey, pl.is_member,
+              count(b.pos) = 3 AS bloom_hit
+            FROM pl LEFT JOIN bits b ON b.pos = pl.pos
+            GROUP BY pl.p_partkey, pl.is_member"""))
+
   /** Salted skewed join: events (user_id skew-safe) × per-user dimension.
     * Result must equal the plain join — the oracle IS the plain join. */
   val qSaltedJoin = Q(
@@ -2737,7 +2816,8 @@ object Queries {
 
   def all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
-    qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qHll, qSaltedJoin, qAsofJoin,
+    qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qHll, qCms,
+    qBloomJoin, qSaltedJoin, qAsofJoin,
     qRollup, qCube, qRangeJoin, qMovingAvg, qPivot, qSetOps, qTopkAgg,
     qGroupingSets, qScalarSubquery, qPercentiles, qSessionize,
     qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram,
