@@ -1109,7 +1109,81 @@ object TextQueries {
             FROM docs d LEFT JOIN sides s ON d.doc_id = s.d
             GROUP BY d.doc_id"""))
 
-  def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
+  /** Multinomial Naive Bayes language classifier — see
+    * [[graft.sim.NaiveBayes]] for the fixed-point model quantization and
+    * the token-keyed (never broadcast) likelihood join. Train = docs with
+    * doc_id % 5 ≠ 0, test = the held-out fifth; output carries the
+    * prediction, the truth and the verdict so the gate pins the entire
+    * decision surface (scores are exact longs → argmax is stable). */
+  val qNaiveBayes = Q(
+    "q_naive_bayes",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val toks = (d: org.apache.spark.sql.DataFrame) => d.select(
+        col("doc_id"), col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val test = docs.filter(col("doc_id") % 5 === 0)
+      val model = graft.sim.NaiveBayes.train(
+        train.select(col("lang")), toks(train), "lang", "tok")
+      graft.sim.NaiveBayes.predict(
+          model, test.select(col("doc_id")), toks(test), "doc_id", "tok")
+        .join(test.select(col("doc_id"), col("lang").as("true_lang")), "doc_id")
+        .select(col("doc_id"), col("pred"), col("true_lang"),
+          (col("pred") === col("true_lang")).as("correct"))
+    },
+    Some("""WITH train AS MATERIALIZED (
+              SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 != 0),
+            test AS MATERIALIZED (
+              SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+            ttok AS MATERIALIZED (
+              SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+              FROM train),
+            vsize AS MATERIALIZED (SELECT count(DISTINCT tok) AS v FROM ttok),
+            ctot AS MATERIALIZED (
+              SELECT lang, count(*) AS total FROM ttok GROUP BY lang),
+            cls AS MATERIALIZED (
+              SELECT lang, count(*) AS n_docs FROM train GROUP BY lang),
+            tot AS MATERIALIZED (SELECT count(*) AS n_total FROM train),
+            prior AS MATERIALIZED (
+              SELECT c.lang,
+                CAST(round(ln(c.n_docs::DOUBLE / t.n_total) * 10000000.0) AS BIGINT) AS prior_fp,
+                CAST(round(ln(1.0::DOUBLE / (ct.total + v.v)) * 10000000.0) AS BIGINT) AS default_fp,
+                ct.total + v.v AS denom
+              FROM cls c, tot t, ctot ct, vsize v WHERE ct.lang = c.lang),
+            ll AS MATERIALIZED (
+              SELECT k.lang, k.tok,
+                CAST(round(ln((k.cnt + 1)::DOUBLE / p.denom) * 10000000.0) AS BIGINT) AS ll_fp
+              FROM (SELECT lang, tok, count(*) AS cnt FROM ttok GROUP BY 1, 2) k
+              JOIN prior p ON k.lang = p.lang),
+            dtok AS MATERIALIZED (
+              SELECT doc_id, tok, count(*) AS tf
+              FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                    FROM test)
+              WHERE tok IN (SELECT DISTINCT tok FROM ttok)
+              GROUP BY doc_id, tok),
+            dl AS MATERIALIZED (
+              SELECT dp.doc_id, dp.lang, dp.tf,
+                coalesce(l.ll_fp, dp.default_fp) AS ll_fp
+              FROM (SELECT d.doc_id, d.tok, d.tf, p.lang, p.default_fp
+                    FROM dtok d, prior p) dp
+              LEFT JOIN ll l ON l.lang = dp.lang AND l.tok = dp.tok),
+            sums AS MATERIALIZED (
+              SELECT doc_id, lang, sum(tf * ll_fp) AS s FROM dl GROUP BY 1, 2),
+            score AS MATERIALIZED (
+              SELECT dp.doc_id, dp.lang, dp.prior_fp + coalesce(s.s, 0) AS score_fp
+              FROM (SELECT td.doc_id, p.lang, p.prior_fp
+                    FROM (SELECT DISTINCT doc_id FROM test) td, prior p) dp
+              LEFT JOIN sums s ON s.doc_id = dp.doc_id AND s.lang = dp.lang),
+            pred AS MATERIALIZED (
+              SELECT doc_id,
+                (min(struct_pack(ns := -score_fp, lab := lang))).lab AS pred
+              FROM score GROUP BY doc_id)
+            SELECT p.doc_id, p.pred, t.lang AS true_lang,
+              (p.pred = t.lang) AS correct
+            FROM pred p JOIN test t ON p.doc_id = t.doc_id"""))
+
+  def all: Seq[Q] = Seq(qNaiveBayes, qLangId, qQualityScore, qTokenCount, qFingerprint,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
     qGopherRules, qChunk, qTemperatureMix, qDsirWeights, qGreedyPieces,
