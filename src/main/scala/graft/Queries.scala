@@ -417,6 +417,47 @@ object Queries {
             SELECT user_id, event_id, floor(s * 10000 + 0.5) / 10000 AS ewma
             FROM rec WHERE event_id % 20 = 0"""))
 
+  /** Two-sided CUSUM control chart per user — see
+    * [[graft.ops.Smoothing.cusum]] for the recursion and why μ₀/κ/h are
+    * design constants (no data-derived float anywhere). μ₀ = 50 sits at
+    * the event-value mean, κ = 2.5 absorbs noise, h = 40 alarms on the
+    * heavy-tail spikes; the oracle walks the identical (ts, id) order
+    * with identically-associated double arithmetic. */
+  val qCusum = Q(
+    "q_cusum",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+        .withColumn("ts_s", unix_seconds(col("ts").cast("timestamp")))
+      graft.ops.Smoothing.cusum(ev, "user_id", "ts_s", "event_id", "value",
+          mu0 = 50.0, kappa = 2.5, h = 40.0)
+        .filter(col("event_id") % 20 === 0)
+        .select(col("user_id"), col("event_id"),
+          fl4(col("s_pos")).as("s_pos"), fl4(col("s_neg")).as("s_neg"),
+          col("alarm"))
+    },
+    Some("""WITH RECURSIVE src AS (
+              SELECT user_id, event_id, value::DOUBLE AS x,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                            event_id) AS rn
+              FROM events),
+            rec AS (
+              SELECT user_id, event_id, rn,
+                greatest(0.0::DOUBLE, 0.0::DOUBLE + x - 50.0 - 2.5) AS sp,
+                greatest(0.0::DOUBLE, 0.0::DOUBLE + 50.0 - x - 2.5) AS sn
+              FROM src WHERE rn = 1
+              UNION ALL
+              SELECT src.user_id, src.event_id, src.rn,
+                greatest(0.0::DOUBLE, rec.sp + src.x - 50.0 - 2.5),
+                greatest(0.0::DOUBLE, rec.sn + 50.0 - src.x - 2.5)
+              FROM src JOIN rec
+                ON src.user_id = rec.user_id AND src.rn = rec.rn + 1)
+            SELECT user_id, event_id,
+              floor(sp * 10000 + 0.5) / 10000 AS s_pos,
+              floor(sn * 10000 + 0.5) / 10000 AS s_neg,
+              (sp > 40.0 OR sn > 40.0) AS alarm
+            FROM rec WHERE event_id % 20 = 0"""))
+
   /** Pivot: event counts per user bucketed by type as columns (expressed
     * with FILTER-style conditional aggregation for engine portability). */
   val qPivot = Q(
@@ -2826,7 +2867,7 @@ object Queries {
     qNotIn, qSetOpsAll, qIntervalJoin, qZorder,
     qOutliers, qFfill, qAnomaly, qPagerank,
     q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
-    qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma,
+    qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma, qCusum,
     qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops,
     qLabelProp, qItemsets, qAttribution, qAssortativity, qKcore,
     qPprTrust, qLinkPredict, qKtruss, qHarmonic, qIncrementalCc, qScc,

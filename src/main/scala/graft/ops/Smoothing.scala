@@ -52,6 +52,49 @@ object Smoothing {
       .select(col(keyCol), col("e.i").as(idCol), col("e.s").as("ewma"))
   }
 
+  /** Two-sided CUSUM control chart (Page, Biometrika 1954) — per-key
+    * change detection against a KNOWN target level μ₀ with slack κ and
+    * decision interval h:
+    *   s⁺_i = max(0, s⁺_{i−1} + x_i − μ₀ − κ)   (upward shifts)
+    *   s⁻_i = max(0, s⁻_{i−1} + μ₀ − x_i − κ)   (downward shifts)
+    * alarm when either exceeds h. Same recursion class as [[ewma]]
+    * (each row depends on the previous RESULT), so the same exact
+    * per-key sorted fold inside one codegen'd `aggregate` — one shuffle
+    * on the key, no window self-dependence; μ₀/κ/h are a-priori design
+    * constants (the control-chart contract), NOT data-derived, so no
+    * float aggregation exists anywhere and a sequential SQL recursion
+    * reproduces every accumulator bit for bit.
+    *
+    * Output: (key, id, s_pos, s_neg, alarm) — accumulators UNROUNDED. */
+  def cusum(
+      df: DataFrame, keyCol: String, ordCol: String, idCol: String,
+      valCol: String, mu0: Double, kappa: Double, h: Double): DataFrame = {
+    require(kappa >= 0.0, s"kappa must be >= 0, got $kappa")
+    require(h > 0.0, s"h must be > 0, got $h")
+    val series = sort_array(collect_list(struct(
+      col(ordCol).as("o"), col(idCol).cast("long").as("i"),
+      col(valCol).cast("double").as("x"))))
+    val zero = array().cast("array<struct<i:bigint,sp:double,sn:double>>")
+    // when() branches evaluate lazily (CaseWhen) — element_at(-1) on the
+    // empty accumulator would throw under ANSI, so guard like ewma does
+    val last = (acc: Column, f: String) =>
+      when(size(acc) === 0, lit(0.0))
+        .otherwise(element_at(acc, -1).getField(f))
+    val fold = (acc: Column, e: Column) =>
+      concat(acc, array(struct(
+        e.getField("i").as("i"),
+        greatest(lit(0.0),
+          last(acc, "sp") + e.getField("x") - lit(mu0) - lit(kappa)).as("sp"),
+        greatest(lit(0.0),
+          last(acc, "sn") + lit(mu0) - e.getField("x") - lit(kappa)).as("sn"))))
+    df.groupBy(col(keyCol))
+      .agg(series.as("series"))
+      .select(col(keyCol), explode(aggregate(col("series"), zero, fold)).as("e"))
+      .select(col(keyCol), col("e.i").as(idCol),
+        col("e.sp").as("s_pos"), col("e.sn").as("s_neg"),
+        (col("e.sp") > h || col("e.sn") > h).as("alarm"))
+  }
+
   final case class Point(key: Long, ts: Long, id: Long, x: Double)
   final case class EwmaState(lastTs: Long, lastId: Long, s: Double)
   final case class Smoothed(key: Long, id: Long, ewma: Double)

@@ -241,4 +241,34 @@ class OpsSpec extends SparkSpec {
       graft.ops.Smoothing.ewma(df, "k", "o", "id", "x", alpha = 0.0)
     }
   }
+
+  test("cusum: one-sided accumulators reset at zero, alarm past h") {
+    // target 10, slack 1, h 5; series drifts up then spikes
+    val df = Seq(
+      ("a", 1L, 1L, 10.0), // sp=max(0,0+10-11)=0, sn=max(0,0+10-10-1)=0
+      ("a", 2L, 2L, 14.0), // sp=3, sn=0
+      ("a", 3L, 3L, 15.0), // sp=3+4=7 -> alarm, sn=0
+      ("a", 4L, 4L, 2.0),  // sp=max(0,7-9)=0, sn=max(0,0+10-2-1)=7 -> alarm
+      ("b", 1L, 5L, 9.0))  // sp=0, sn=0
+      .toDF("k", "o", "id", "x")
+    val got = graft.ops.Smoothing.cusum(df, "k", "o", "id", "x",
+        mu0 = 10.0, kappa = 1.0, h = 5.0)
+      .orderBy("k", "id")
+      .select("k", "id", "s_pos", "s_neg", "alarm")
+      .as[(String, Long, Double, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("a", 1L, 0.0, 0.0, false), ("a", 2L, 3.0, 0.0, false),
+      ("a", 3L, 7.0, 0.0, true), ("a", 4L, 0.0, 7.0, true),
+      ("b", 5L, 0.0, 0.0, false)))
+  }
+
+  test("cusum is partition-layout invariant (fold order is (ord, id))") {
+    val df = (1 to 200).map(i =>
+      ((i % 5).toString, (i / 5).toLong, i.toLong, (i % 13).toDouble))
+      .toDF("k", "o", "id", "x")
+    val a = graft.ops.Smoothing.cusum(df, "k", "o", "id", "x", 6.0, 0.5, 4.0)
+    val b = graft.ops.Smoothing.cusum(
+      df.repartition(7), "k", "o", "id", "x", 6.0, 0.5, 4.0)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
 }
