@@ -458,6 +458,48 @@ object Queries {
               (sp > 40.0 OR sn > 40.0) AS alarm
             FROM rec WHERE event_id % 20 = 0"""))
 
+  /** Holt double exponential smoothing (level + trend) per user — see
+    * [[graft.ops.Smoothing.holt]] for the recursion and the expression-
+    * reuse parity argument (b_i references the s_i subtree; both engines
+    * evaluate the same IEEE ops twice). α=0.3 tracks, β=0.1 damps; the
+    * oracle duplicates the s expression textually inside the b update. */
+  val qHolt = Q(
+    "q_holt",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+        .withColumn("ts_s", unix_seconds(col("ts").cast("timestamp")))
+      graft.ops.Smoothing.holt(ev, "user_id", "ts_s", "event_id", "value",
+          alpha = 0.3, beta = 0.1)
+        .filter(col("event_id") % 20 === 0)
+        .select(col("user_id"), col("event_id"),
+          fl4(col("s_level")).as("s_level"), fl4(col("s_trend")).as("s_trend"))
+    },
+    Some("""WITH RECURSIVE src AS (
+              SELECT user_id, event_id, value::DOUBLE AS x,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                            event_id) AS rn
+              FROM events),
+            rec AS (
+              SELECT user_id, event_id, rn, x AS s, CAST(0.0 AS DOUBLE) AS b
+              FROM src WHERE rn = 1
+              UNION ALL
+              SELECT src.user_id, src.event_id, src.rn,
+                CAST(0.3 AS DOUBLE) * src.x
+                  + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                    * (rec.s + rec.b),
+                CAST(0.1 AS DOUBLE)
+                  * ((CAST(0.3 AS DOUBLE) * src.x
+                      + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                        * (rec.s + rec.b)) - rec.s)
+                  + (CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * rec.b
+              FROM src JOIN rec
+                ON src.user_id = rec.user_id AND src.rn = rec.rn + 1)
+            SELECT user_id, event_id,
+              floor(s * 10000 + 0.5) / 10000 AS s_level,
+              floor(b * 10000 + 0.5) / 10000 AS s_trend
+            FROM rec WHERE event_id % 20 = 0"""))
+
   /** Pivot: event counts per user bucketed by type as columns (expressed
     * with FILTER-style conditional aggregation for engine portability). */
   val qPivot = Q(
@@ -2867,7 +2909,7 @@ object Queries {
     qNotIn, qSetOpsAll, qIntervalJoin, qZorder,
     qOutliers, qFfill, qAnomaly, qPagerank,
     q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
-    qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma, qCusum,
+    qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma, qCusum, qHolt,
     qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops,
     qLabelProp, qItemsets, qAttribution, qAssortativity, qKcore,
     qPprTrust, qLinkPredict, qKtruss, qHarmonic, qIncrementalCc, qScc,

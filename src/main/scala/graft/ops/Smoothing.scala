@@ -95,6 +95,49 @@ object Smoothing {
         (col("e.sp") > h || col("e.sn") > h).as("alarm"))
   }
 
+  /** Holt double exponential smoothing (Holt 1957) — per-key level +
+    * trend recursion:
+    *   s_i = α·x_i + (1−α)·(s_{i−1} + b_{i−1})
+    *   b_i = β·(s_i − s_{i−1}) + (1−β)·b_{i−1}
+    * with s_0 = x_0, b_0 = 0 (the lookahead-free init — x_1 − x_0 would
+    * need the NEXT element inside the fold). Same recursion class as
+    * [[ewma]]/[[cusum]]: exact per-key sorted fold inside one codegen'd
+    * `aggregate`, one key shuffle, no window self-dependence. The b_i
+    * update reuses the s_i EXPRESSION (Catalyst duplicates the subtree;
+    * both evaluations are the same IEEE ops), and 1−α / 1−β are computed
+    * in double arithmetic at plan build so a sequential SQL recursion
+    * with the same literal subtraction reproduces every bit.
+    *
+    * Output: (key, id, s_level, s_trend) — UNROUNDED; `s_level + s_trend`
+    * is the one-step-ahead forecast, left to callers so the gate pins the
+    * two accumulators independently. */
+  def holt(
+      df: DataFrame, keyCol: String, ordCol: String, idCol: String,
+      valCol: String, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0, 1], got $beta")
+    val series = sort_array(collect_list(struct(
+      col(ordCol).as("o"), col(idCol).cast("long").as("i"),
+      col(valCol).cast("double").as("x"))))
+    val zero = array().cast("array<struct<i:bigint,s:double,b:double>>")
+    val last = (acc: Column, f: String) => element_at(acc, -1).getField(f)
+    val fold = (acc: Column, e: Column) => {
+      val sNew = when(size(acc) === 0, e.getField("x"))
+        .otherwise(lit(alpha) * e.getField("x")
+          + lit(1.0 - alpha) * (last(acc, "s") + last(acc, "b")))
+      val bNew = when(size(acc) === 0, lit(0.0))
+        .otherwise(lit(beta) * (sNew - last(acc, "s"))
+          + lit(1.0 - beta) * last(acc, "b"))
+      concat(acc, array(struct(
+        e.getField("i").as("i"), sNew.as("s"), bNew.as("b"))))
+    }
+    df.groupBy(col(keyCol))
+      .agg(series.as("series"))
+      .select(col(keyCol), explode(aggregate(col("series"), zero, fold)).as("e"))
+      .select(col(keyCol), col("e.i").as(idCol),
+        col("e.s").as("s_level"), col("e.b").as("s_trend"))
+  }
+
   final case class Point(key: Long, ts: Long, id: Long, x: Double)
   final case class EwmaState(lastTs: Long, lastId: Long, s: Double)
   final case class Smoothed(key: Long, id: Long, ewma: Double)

@@ -262,6 +262,29 @@ class OpsSpec extends SparkSpec {
       ("b", 5L, 0.0, 0.0, false)))
   }
 
+  test("holt: level tracks, trend accumulates, init (x0, 0)") {
+    // α=0.5, β=0.5 on a clean ramp 10,12,14: s0=10,b0=0;
+    // s1=.5*12+.5*10=11, b1=.5*(11-10)+.5*0=0.5;
+    // s2=.5*14+.5*(11.5)=12.75, b2=.5*(12.75-11)+.5*.5=1.125
+    val df = Seq(("a", 1L, 1L, 10.0), ("a", 2L, 2L, 12.0), ("a", 3L, 3L, 14.0))
+      .toDF("k", "o", "id", "x")
+    val got = graft.ops.Smoothing.holt(df, "k", "o", "id", "x", 0.5, 0.5)
+      .orderBy("id").select("k", "id", "s_level", "s_trend")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("a", 1L, 10.0, 0.0), ("a", 2L, 11.0, 0.5),
+      ("a", 3L, 12.75, 1.125)))
+  }
+
+  test("holt is partition-layout invariant") {
+    val df = (1 to 200).map(i =>
+      ((i % 5).toString, (i / 5).toLong, i.toLong, (i % 13).toDouble))
+      .toDF("k", "o", "id", "x")
+    val a = graft.ops.Smoothing.holt(df, "k", "o", "id", "x", 0.3, 0.1)
+    val b = graft.ops.Smoothing.holt(
+      df.repartition(7), "k", "o", "id", "x", 0.3, 0.1)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
   test("cusum is partition-layout invariant (fold order is (ord, id))") {
     val df = (1 to 200).map(i =>
       ((i % 5).toString, (i / 5).toLong, i.toLong, (i % 13).toDouble))
