@@ -1963,6 +1963,53 @@ object Queries {
             SELECT id, CAST(min(dist) AS BIGINT) AS hops
             FROM d GROUP BY id"""))
 
+  /** Weighted shortest paths over the 1-in-200 co-purchase graph from
+    * the nation-1 seed set: edge weight 1 + (src + dst) % 5 (a
+    * deterministic function of the endpoints, so DISTINCT on (src, dst)
+    * pins the weighted edge set too), 6 relaxation rounds. The operator
+    * is [[graft.graph.Graph.shortestPaths]] — after round r the dist
+    * relation is exactly the ≤ r-edge path minima, so the oracle's
+    * round-bounded recursive CTE matches whether or not the loop
+    * converged early. All arithmetic is BIGINT — nothing floats. */
+  val qSssp = Q(
+    "q_sssp",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val buyers = t.lineitem.filter(col("l_partkey") % 200 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("p"), col("o_custkey").as("c")).distinct()
+      val edges = buyers.as("b1")
+        .join(buyers.as("b2"),
+          col("b1.p") === col("b2.p") && col("b1.c") =!= col("b2.c"))
+        .select(col("b1.c").as("src"), col("b2.c").as("dst")).distinct()
+        .select(col("src"), col("dst"),
+          (lit(1L) + (col("src") + col("dst")) % 5).as("w"))
+      val seeds = buyers
+        .join(t.customer, col("c") === col("c_custkey"))
+        .filter(col("c_nationkey") === 1)
+        .select(col("c").as("id")).distinct()
+      graft.graph.Graph.shortestPaths(seeds, edges, maxRounds = 6)
+    },
+    Some("""WITH RECURSIVE buyers AS (
+              SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_partkey % 200 = 0),
+            e AS (
+              SELECT DISTINCT b1.c AS src, b2.c AS dst
+              FROM buyers b1
+              JOIN buyers b2 ON b1.p = b2.p AND b1.c <> b2.c),
+            ew AS (SELECT src, dst, 1 + (src + dst) % 5 AS w FROM e),
+            d(id, dist, r) AS (
+              SELECT DISTINCT b.c, CAST(0 AS BIGINT), 0
+              FROM buyers b JOIN customer cu ON b.c = cu.c_custkey
+              WHERE cu.c_nationkey = 1
+              UNION
+              SELECT ew.dst, d.dist + ew.w, d.r + 1
+              FROM d JOIN ew ON ew.src = d.id
+              WHERE d.r < 6)
+            SELECT id, CAST(min(dist) AS BIGINT) AS dist
+            FROM d GROUP BY id"""))
+
   /** Semi-supervised label propagation: every 10th customer in the
     * 1-in-200 co-purchase graph is seeded with its nation; two
     * synchronous rounds of majority-vote spread (ties → smallest label,
@@ -2910,7 +2957,7 @@ object Queries {
     qOutliers, qFfill, qAnomaly, qPagerank,
     q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
     qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma, qCusum, qHolt,
-    qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops,
+    qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops, qSssp,
     qLabelProp, qItemsets, qAttribution, qAssortativity, qKcore,
     qPprTrust, qLinkPredict, qKtruss, qHarmonic, qIncrementalCc, qScc,
     qHits, qModularity, qDensest) ++

@@ -546,6 +546,70 @@ object Graph {
     dist
   }
 
+  /** Hop-bounded single-source-set shortest paths with nonnegative
+    * INTEGER edge weights — Bellman–Ford relaxation rounds with frontier
+    * pruning. `edges` is (src, dst, w); after round r, dist(v) is exactly
+    * the minimum weight over paths from the seed set with ≤ r edges
+    * (proof sketch in-code below), so a SQL recursion bounded at the same
+    * round count reproduces the result whether or not the loop converges;
+    * an empty frontier means the global fixpoint was reached (any future
+    * improvement would need an improved predecessor) and the loop exits
+    * early with the identical answer.
+    *
+    * Integer weights keep every distance an exact BIGINT — min() is
+    * order-free, nothing for partial-agg merge order to perturb.
+    *
+    * Scale shape: per round ONE frontier-sized edge join + two uniform
+    * node-keyed partial aggs; dist/frontier are localCheckpoint()ed so
+    * lineage stays constant-depth; the only driver value is the empty-
+    * frontier early-exit scalar. Frontier pruning is what makes this
+    * O(total improvements), not O(E · rounds) — on low-diameter graphs
+    * most nodes freeze after a couple of rounds and stop generating
+    * relaxations entirely.
+    *
+    * Why not Dijkstra: a global priority queue is inherently sequential;
+    * round-synchronous relaxation is the standard distributed form
+    * (Pregel SSSP), and the hop bound doubles as the determinism
+    * contract. */
+  def shortestPaths(
+      seeds: DataFrame, edges: DataFrame, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 0, s"maxRounds must be ≥ 0, got $maxRounds")
+    val e = edges.toDF("src", "dst", "w")
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(true)
+    var dist = seeds.toDF("id").distinct()
+      .select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
+    // Induction: value set by a relax chain of k edges needs k strictly
+    // increasing rounds (a node sits in the frontier only the round it
+    // improved), so after round r every dist is a real ≤ r-edge path
+    // weight; conversely the ≤ r-edge minimum is always discovered
+    // because each prefix improvement re-enters the frontier.
+    var frontier = dist
+    var r = 0
+    var converged = false
+    while (r < maxRounds && !converged) {
+      r += 1
+      // map-side pre-combine: best candidate per dst before the shuffle
+      val cand = frontier.join(e, frontier("id") === e("src"))
+        .groupBy(e("dst").as("id2"))
+        .agg(min(frontier("dist") + e("w")).as("cdist"))
+      // one full-outer merge (cand may reach brand-new nodes); the
+      // improvement count rides the merge job as an observed metric —
+      // no second join-and-count (the connectedComponents pattern)
+      val obs = org.apache.spark.sql.Observation(s"sssp_improved_$r")
+      val merged = dist.join(cand, dist("id") === col("id2"), "full_outer")
+        .select(coalesce(dist("id"), col("id2")).as("id"),
+          least(dist("dist"), col("cdist")).as("dist"),
+          (dist("dist").isNull || col("cdist") < dist("dist")).as("imp"))
+        .observe(obs, sum(when(col("imp"), 1L).otherwise(0L)).as("n"))
+        .localCheckpoint(true)
+      dist = merged.select(col("id"), col("dist"))
+      frontier = merged.filter(col("imp")).select(col("id"), col("dist"))
+      converged = obs.get("n").asInstanceOf[Long] == 0L
+    }
+    dist
+  }
+
   /** Semi-supervised label propagation (Zhu & Ghahramani 2002 shape,
     * hard labels): seeds carry fixed numeric labels; each synchronous
     * round every node takes the most frequent label among its labeled

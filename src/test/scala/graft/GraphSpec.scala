@@ -434,4 +434,26 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(capped == Map(1L -> 0L, 2L -> 1L, 3L -> 2L), "4,5 beyond cap")
   }
+
+  test("shortestPaths: cheaper long path beats heavy direct edge") {
+    import spark.implicits._
+    // 1→4 direct costs 10; 1→2→3→4 costs 3; 4→5 reachable only round 4
+    val edges = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 1L), (4L, 5L, 2L)).toDF("src", "dst", "w")
+    val got = graft.graph.Graph.shortestPaths(
+      Seq(1L).toDF("id"), edges, maxRounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 5L))
+  }
+
+  test("shortestPaths: round bound = min over ≤r-edge paths exactly") {
+    import spark.implicits._
+    val edges = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 1L)).toDF("src", "dst", "w")
+    // with only 2 rounds, node 4's best ≤2-edge path is the direct 10
+    val got = graft.graph.Graph.shortestPaths(
+      Seq(1L).toDF("id"), edges, maxRounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 10L))
+  }
 }
