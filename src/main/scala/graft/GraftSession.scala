@@ -12,6 +12,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       // events.parquet carries TIMESTAMP(NANOS); read as long (see Tables)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // pandas/pyarrow write naive (isAdjustedToUTC=false) timestamps by
+      // default, which Spark 4 infers as TIMESTAMP_NTZ — a type rejected by
+      // watermarks and unix_micros/unix_millis. Read them as plain TIMESTAMP
+      // in the pinned-UTC session instead: naive-µs-under-UTC is exactly the
+      // reference's naive local datetime semantics (message.py:16).
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // single-file test tables are ~25 MB — below the 128 MB default split
       // size, which would serialize every scan onto one core. 8 MB splits
       // restore scan parallelism locally; on a real cluster with many files

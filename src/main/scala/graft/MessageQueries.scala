@@ -272,7 +272,7 @@ object MessageQueries {
       Msg.fromJson(Msg.toJson(msgs))
         .select(
           col("uuid"),
-          unix_millis(col("ts")).as("ts_ms"),
+          Msg.epochMs(col("ts")).as("ts_ms"),
           col("payload"),
           element_at(col("meta"), "et").as("et"),
           col("ctx")("orig").getField("payload").as("ctx_payload"))

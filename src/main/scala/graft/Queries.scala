@@ -1155,7 +1155,7 @@ object Queries {
     "q_cdc_snapshot",
     (s, dir) => {
       val ev = Tables(s, dir).events
-        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("us", graft.model.Msg.epochUs(col("ts")))
       graft.ops.Cdc.latestSnapshot(ev,
           keyCols = Seq("user_id", "event_type"),
           versionCols = Seq("us", "event_id"),
@@ -1766,11 +1766,11 @@ object Queries {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       Tables(s, dir).events
         .select(col("user_id"), col("event_id"), col("value"), col("ts"))
-        .withColumn("valid_from", unix_micros(col("ts")))
+        .withColumn("valid_from", graft.model.Msg.epochUs(col("ts")))
         .withColumn("next_ts", lead(col("ts"), 1).over(w))
         .select(
           col("user_id"), col("event_id"), col("value"), col("valid_from"),
-          coalesce(unix_micros(col("next_ts")), lit(-1L)).as("valid_to"),
+          coalesce(graft.model.Msg.epochUs(col("next_ts")), lit(-1L)).as("valid_to"),
           col("next_ts").isNull.as("is_current"))
     },
     Some("""SELECT user_id, event_id, value,
@@ -2139,7 +2139,7 @@ object Queries {
     (s, dir) => {
       val e = Tables(s, dir).events
         .select(col("event_id"), col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"))
+          graft.model.Msg.epochUs(col("ts")).as("us"))
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("us"))
       val touches = e.filter(col("event_type").isin("click", "view"))

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -23,16 +23,28 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong`
-    * (see GraftSession) so it arrives as nanos-since-epoch LongType, and we
-    * floor-truncate to a µs timestamp — the same conversion DuckDB applies,
-    * keeping oracle parity. */
+  /** events.parquet's `ts` physical type depends on the producer, so the
+    * load normalizes every flavor to a µs TIMESTAMP in the pinned-UTC
+    * session:
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it; sessions set
+    *    `spark.sql.legacy.parquet.nanosAsLong` (see GraftSession) so it
+    *    arrives as nanos-since-epoch LongType and we floor-truncate to µs —
+    *    the same conversion DuckDB applies, keeping oracle parity.
+    *  - naive timestamp[us] (the pandas/pyarrow default,
+    *    isAdjustedToUTC=false): sessions graft owns read it as TIMESTAMP
+    *    directly (`inferTimestampNTZ.enabled=false`, see GraftSession); in a
+    *    session graft does NOT own it arrives as TIMESTAMP_NTZ and the cast
+    *    here interprets it in the session zone — identical values under UTC,
+    *    matching the reference's naive datetimes (message.py:16). */
   def events: DataFrame = {
     val raw = t("events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")

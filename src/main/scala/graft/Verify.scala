@@ -23,6 +23,11 @@ object Verify {
     // fine); 4-way keeps executor slots busy across per-query stragglers
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt)
+    // A query that throws must never silently vanish from the round's
+    // correctness report: record the error AND write a sentinel one-row
+    // parquet in its slot, so the driver's compare still emits a (red) row
+    // for the name instead of dropping it.
+    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val tasks = SparkEntry.queries.toSeq
       .filter { case (name, _) => name.matches(nameFilter) }
       .map { case (name, fn) =>
@@ -31,7 +36,15 @@ object Verify {
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
-            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            errors.put(name, msg)
+            System.err.println(s"[verify] $name failed: $msg")
+            try {
+              import spark.implicits._
+              Seq(("GRAFT_QUERY_ERROR", msg.take(500)))
+                .toDF("graft_error", "graft_error_detail")
+                .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+            } catch { case _: Throwable => () }
           }
       })
     }
@@ -52,6 +65,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable per-query failure map (empty object when all green)
+    // — lets the driver merge errors into the correctness JSON directly.
+    import scala.jdk.CollectionConverters._
+    val errJson = errors.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }

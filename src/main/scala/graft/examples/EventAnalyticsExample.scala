@@ -62,7 +62,7 @@ object EventAnalyticsExample {
     val passed = verdicts.agg(min(col("passed"))).collect()(0).getBoolean(0)
     if (!passed) return None
     val latest = Cdc.latestSnapshot(
-      events.withColumn("us", unix_micros(col("ts"))),
+      events.withColumn("us", graft.model.Msg.epochUs(col("ts"))),
       keyCols = Seq("user_id", "event_type"),
       versionCols = Seq("us", "event_id"),
       payloadCols = Seq("value"))

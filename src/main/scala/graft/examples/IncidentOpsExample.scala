@@ -62,10 +62,10 @@ object IncidentOpsExample {
   def stateHistory(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     events
-      .withColumn("valid_from", unix_micros(col("ts")))
+      .withColumn("valid_from", graft.model.Msg.epochUs(col("ts")))
       .withColumn("next_ts", lead(col("ts"), 1).over(w))
       .select(col("user_id"), col("event_id"), col("value"), col("valid_from"),
-        coalesce(unix_micros(col("next_ts")), lit(-1L)).as("valid_to"))
+        coalesce(graft.model.Msg.epochUs(col("next_ts")), lit(-1L)).as("valid_to"))
   }
 
   /** Enrich each anomaly with the state valid AT its time via the native
@@ -75,7 +75,7 @@ object IncidentOpsExample {
     * interval's -1 sentinel sorts below a superseded zero-length one. */
   def anomaliesWithState(events: DataFrame): DataFrame = {
     val an = anomalies(events)
-      .withColumn("at_us", unix_micros(col("ts"))).drop("ts")
+      .withColumn("at_us", graft.model.Msg.epochUs(col("ts"))).drop("ts")
     val hist = stateHistory(events)
     graft.plans.AsOf.joinBackward(
       an, hist, key = "user_id",

@@ -48,6 +48,17 @@ object Msg {
   def worstState(state: Column): Column =
     max(struct(stateRank(state).as("r"), state.as("s"))).getField("s")
 
+  /** Epoch microseconds of an event-time column, robust to BOTH timestamp
+    * flavors: `unix_micros` rejects TIMESTAMP_NTZ (what pandas/pyarrow-
+    * written parquet yields in sessions graft doesn't own), so cast first —
+    * NTZ→TIMESTAMP interprets the naive value in the session zone (pinned
+    * UTC, matching the reference's naive datetimes, message.py:16), and on
+    * an already-TIMESTAMP column the cast is a Catalyst no-op. */
+  def epochUs(c: Column): Column = unix_micros(c.cast(TimestampType))
+
+  /** Epoch milliseconds; same NTZ robustness as [[epochUs]]. */
+  def epochMs(c: Column): Column = unix_millis(c.cast(TimestampType))
+
   val ctxType: DataType = MapType(StringType,
     StructType(Seq(
       StructField("payload", StringType),

@@ -29,7 +29,7 @@ object RetryStore {
         least((lit(baseSec) * pow(lit(2.0), least(col("attempt"), lit(30)))).cast("long"),
           lit(maxBackoffSec)))
       .withColumn("next_try_ms",
-        unix_millis(col(tsCol)) + col("backoff_sec") * 1000L)
+        graft.model.Msg.epochMs(col(tsCol)) + col("backoff_sec") * 1000L)
   }
 
   /** Rows due for retry at `nowMs`, in the reference's first-in-first-out

@@ -39,9 +39,13 @@ object StreamChannels {
   }
 
   /** Windowed aggregation with a watermark — the streaming shape of
-    * Queries.qStreamWindow. */
+    * Queries.qStreamWindow. Event time is cast to plain TIMESTAMP first:
+    * watermarks reject TIMESTAMP_NTZ (what naive pandas/pyarrow parquet
+    * infers to in sessions graft doesn't own), and the cast is a no-op on
+    * already-TIMESTAMP input. */
   def windowedCounts(events: DataFrame, window_ : String, watermark: String): DataFrame =
     events
+      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
