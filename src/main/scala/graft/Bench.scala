@@ -55,12 +55,25 @@ object Bench {
       }
     }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val fs = failed.map { case (k, v) => s"\"" + k + "\":\"" + esc(v) + "\"" }
+    def fmt(v: Double) = if (v >= 1e9) v.toString else f"$v%.4f"
+    def qmap(rs: Seq[(String, Double)]) = rs
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val fs = failed.map { case (k, v) => s"\"" + k + "\":\"" + esc(v.take(120)) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"reps":$reps,"sf":"$sfDir"}""")
+    // The driver keeps only a ~2000-char tail of stdout, and a 184-query
+    // map is ~5 KB — printing it all makes the artifact unparseable
+    // (BENCH_r07 "parsed": null). So: the COMPLETE per-query map goes to a
+    // file, and the one-line stdout JSON stays under the tail window by
+    // carrying the slowest-N subset (the regression-relevant entries) plus
+    // a pointer to the full dump. Failures always ride stdout in full.
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(results)},"failed":$fs,"reps":$reps,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullLine + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] full dump write failed: ${e.getMessage}") }
+    val slowest = results.sortBy(-_._2).take(30)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(slowest)},"failed":$fs,"reps":$reps,"n_queries":${results.size},"queries_file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
