@@ -57,10 +57,80 @@ object Main {
         Right(graphLines(settings, session(), dot = rest.contains("--dot")))
       case Seq("printsettings") => Right(settings.printLines)
       case Seq("startproject", dirname) => Right(startProject(dirname))
+      case Seq("viewstore", storePath, rest @ _*) =>
+        Right(viewStore(session(), storePath, toolFilters(rest)))
+      case Seq("sendfromstore", storePath, rest @ _*) =>
+        Right(sendFromStore(session(), storePath, toolFilters(rest),
+          optArg(rest, "--destination", "-d").getOrElse("http://localhost:8000")))
       case other =>
         Left(s"unknown command '${other.mkString(" ")}'; " +
-          "expected start|stop|graph|printsettings|startproject")
+          "expected start|stop|graph|printsettings|startproject|viewstore|sendfromstore")
     }
+
+  // ---- pypeman-tools commands (tool_commands.py, pypeman/tools/) ---------
+
+  /** Repeated `--filter`/`-f name=value` payload-field equality filters
+    * (tools/view_store.py:12 Filter: match payload[name] == literal).
+    * Values may be shell-quoted ('x' or "x") like the reference's
+    * literal_eval forms; scalars compare against the JSON text. */
+  private def toolFilters(rest: Seq[String]): Seq[(String, String)] =
+    rest.sliding(2).collect {
+      case Seq(k, kv) if k == "--filter" || k == "-f" =>
+        val Array(name, raw) = kv.split("=", 2)
+        val v = raw.trim
+        val unq = if ((v.startsWith("'") && v.endsWith("'") && v.length >= 2) ||
+          (v.startsWith("\"") && v.endsWith("\"") && v.length >= 2))
+          v.substring(1, v.length - 1) else v
+        name -> unq
+    }.toSeq
+
+  private def optArg(rest: Seq[String], keys: String*): Option[String] =
+    rest.sliding(2).collectFirst { case Seq(k, v) if keys.contains(k) => v }
+
+  private def filteredStore(
+      spark: SparkSession, storePath: String,
+      filters: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, get_json_object, lit}
+    val base = new graft.store.MessageStore(spark, storePath).all()
+    filters.foldLeft(base) { case (df, (name, v)) =>
+      df.filter(get_json_object(col("payload"), "$." + name) === lit(v))
+    }
+  }
+
+  /** `pypeman-tools view_store` (tools/view_store.py): print `id payload`
+    * for each store entry passing the filters, in store order. The filter
+    * runs as a pushed-down columnar scan; the print is the CLI's terminal
+    * step (operator-bounded, like the admin views). */
+  def viewStore(
+      spark: SparkSession, storePath: String,
+      filters: Seq[(String, String)]): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    filteredStore(spark, storePath, filters)
+      .orderBy(col("ts"), col("uuid"))
+      .select(col("uuid"), col("payload"))
+      .collect().toSeq.map(r => s"${r.getString(0)} ${r.getString(1)}")
+  }
+
+  /** `pypeman-tools send_from_store` (tools/send_from_store.py): POST each
+    * matching entry's payload to `destination`, partition-parallel over the
+    * store scan via the HttpRequest node's transport seam. Returns the
+    * reference's `send <id> to <url>` line per message plus the response
+    * status. */
+  def sendFromStore(
+      spark: SparkSession, storePath: String,
+      filters: Seq[(String, String)], destination: String,
+      transport: graft.net.HttpTransport = graft.net.JdkHttpTransport): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, element_at}
+    val sent = graft.net.Http
+      .request(transport, url = destination, method = "post")
+      .fn(filteredStore(spark, storePath, filters))
+    // NO orderBy on the side-effecting frame: a range sort samples its
+    // child first, which would execute the POST stage twice. Collect the
+    // slim (id, status) projection and sort the report lines driver-side.
+    sent.select(col("uuid"), element_at(col("meta"), "status_code"))
+      .collect().toSeq.sortBy(_.getString(0))
+      .map(r => s"send ${r.getString(0)} to $destination [${r.getString(1)}]")
+  }
 
   /** commands.py:265 start → main (commands.py:81): load the project,
     * start its channels, mount the remote admin on a live socket, record

@@ -1183,11 +1183,66 @@ object TextQueries {
               (p.pred = t.lang) AS correct
             FROM pred p JOIN test t ON p.doc_id = t.doc_id"""))
 
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken 2003, k=8 w=16)
+    * over normalized document text — see [[graft.ops.Winnow]] for the
+    * one-shuffle plan. md5 hex selection order is engine-portable, so the
+    * oracle replays the exact window-minimum recursion. */
+  val qWinnow = Q(
+    "q_winnow",
+    (s, dir) => graft.ops.Winnow.fingerprints(
+      Tables(s, dir).documents, "doc_id", "text", k = 8, w = 16),
+    Some("""WITH d AS (
+              SELECT doc_id,
+                regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+              FROM documents),
+            g AS (
+              SELECT doc_id, unnest(generate_series(1, length(s) - 7)) AS p,
+                     s, length(s) - 7 AS n
+              FROM d WHERE length(s) >= 23),
+            h AS (SELECT doc_id, p, n, md5(substr(s, p, 8)) AS hh FROM g),
+            wmin AS (
+              SELECT doc_id, p, n,
+                     min(hh) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+              FROM h)
+            SELECT DISTINCT doc_id, fp FROM wmin WHERE p <= n - 15"""))
+
+  /** Near-duplicate pairs from shared winnowing fingerprints: equi-join on
+    * the fingerprint value (never all-pairs), ≥3 shared = a guaranteed
+    * shared normalized substring run. The winnowing guarantee makes this
+    * the substring-level complement of MinHash's bag-of-shingles view. */
+  val qWinnowPairs = Q(
+    "q_winnow_pairs",
+    (s, dir) => {
+      val fps = graft.ops.Winnow.fingerprints(
+        Tables(s, dir).documents, "doc_id", "text", k = 8, w = 16)
+      graft.ops.Winnow.nearDuplicates(fps, "doc_id", minShared = 3L)
+    },
+    Some("""WITH d AS (
+              SELECT doc_id,
+                regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+              FROM documents),
+            g AS (
+              SELECT doc_id, unnest(generate_series(1, length(s) - 7)) AS p,
+                     s, length(s) - 7 AS n
+              FROM d WHERE length(s) >= 23),
+            h AS (SELECT doc_id, p, n, md5(substr(s, p, 8)) AS hh FROM g),
+            wmin AS (
+              SELECT doc_id, p, n,
+                     min(hh) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+              FROM h),
+            fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE p <= n - 15)
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 3"""))
+
   def all: Seq[Q] = Seq(qNaiveBayes, qLangId, qQualityScore, qTokenCount, qFingerprint,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
     qGopherRules, qChunk, qTemperatureMix, qDsirWeights, qGreedyPieces,
     qPerplexity, qC4Filter, qEpochMix, qTfidf, qPmi, qBpeTrain,
     qWeightedSample, qEntropy, qRrfFusion, qSuffixArray, qLongestRepeat,
-    qGlobalSuffix, qCrossRepeat)
+    qGlobalSuffix, qCrossRepeat, qWinnow, qWinnowPairs)
 }

@@ -172,7 +172,17 @@ final class RemoteAdmin(spark: SparkSession) {
         text = Option(p(6)), rtext = Option(p(7)), startId = Option(p(8))))
       case "view_msg" => viewMsg(p(0), p(1))
       case "preview_msg" => previewMsg(p(0), p(1))
-      case "replay_msg" => replayMsg(p(0), p(1))
+      case "replay_msg" =>
+        // the reference web client sends an id LIST (`['chan', [msg.id]]`,
+        // client/src/components/MessageStore.vue:86) and folds over the
+        // result array checking per-item `error` keys; the shell client
+        // (remoteadmin.py:318-328) sends a single id. Serve both shapes.
+        val ids = if (params != null && params.size() > 1) params.get(1) else null
+        if (ids != null && ids.isArray) {
+          val out = new java.util.ArrayList[AnyRef]()
+          ids.forEach(n => out.add(replayMsg(p(0), n.asText())))
+          out
+        } else replayMsg(p(0), p(1))
       case "push_msg" => pushMsg(p(0), p(1))
       case other => toJava(linked("error" -> s"$other is not a valid method"))
     }

@@ -57,13 +57,26 @@ final case class Search(
     conds.reduceOption(_ && _).getOrElse(lit(true))
   }
 
-  def ordering: Seq[Column] = orderBy match {
-    case "timestamp" => Seq(col("ts"), col("uuid"))
-    case s if s.startsWith("-meta:") =>
-      Seq(col("meta")(s.stripPrefix("-meta:")).desc, col("ts"), col("uuid"))
-    case s if s.startsWith("meta:") =>
-      Seq(col("meta")(s.stripPrefix("meta:")), col("ts"), col("uuid"))
-    case other => Seq(col(other), col("uuid"))
+  /** '-' prefix = reverse sort (msgstore.py:490, also what the reference
+    * web client sends when toggling column order); field names map from
+    * the wire's message-dict keys to store columns (`timestamp`→ts,
+    * `id`→uuid). */
+  def ordering: Seq[Column] = {
+    def field(f: String): Column = f match {
+      case "timestamp" => col("ts")
+      case "id" => col("uuid")
+      case other => col(other)
+    }
+    orderBy match {
+      case "timestamp" => Seq(col("ts"), col("uuid"))
+      case s if s.startsWith("-meta:") =>
+        Seq(col("meta")(s.stripPrefix("-meta:")).desc, col("ts"), col("uuid"))
+      case s if s.startsWith("meta:") =>
+        Seq(col("meta")(s.stripPrefix("meta:")), col("ts"), col("uuid"))
+      case s if s.startsWith("-") =>
+        Seq(field(s.stripPrefix("-")).desc, col("ts").desc, col("uuid").desc)
+      case other => Seq(field(other), col("ts"), col("uuid"))
+    }
   }
 }
 

@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.Winnow
+import org.apache.spark.sql.functions._
+
+/** Winnowing fingerprints vs an independent in-memory reference
+  * implementation, plus the paper's coverage guarantee (Schleimer et al.
+  * 2003, §3: any shared substring of length ≥ w+k−1 yields at least one
+  * shared fingerprint). */
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Naive reference: normalize, hash every k-gram, take each window's
+    * minimum, dedupe. */
+  private def naive(text: String, k: Int, w: Int): Set[String] = {
+    val s = text.toLowerCase.replaceAll("[^a-z0-9]", "")
+    if (s.length < k + w - 1) Set.empty
+    else {
+      val grams = (0 to s.length - k).map(i => md5hex(s.substring(i, i + k)))
+      (0 to grams.length - w).map(p => grams.slice(p, p + w).min).toSet
+    }
+  }
+
+  private val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog, again and again!"),
+    (2L, "A totally different document with its own content and phrasing."),
+    (3L, "short"), // below k+w-1 normalized chars: no complete window
+    (4L, "Prefix text THEN the quick brown fox jumps over the lazy dog suffix trail.")
+  ).toDF("doc_id", "text")
+
+  test("fingerprints match the naive reference implementation per doc") {
+    val got = Winnow.fingerprints(docs, "doc_id", "text", k = 5, w = 4)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    val want = Seq(
+      1L -> "The quick brown fox jumps over the lazy dog, again and again!",
+      2L -> "A totally different document with its own content and phrasing.",
+      4L -> "Prefix text THEN the quick brown fox jumps over the lazy dog suffix trail.")
+      .map { case (id, t) => id -> naive(t, 5, 4) }.toMap
+    assert(got == want)
+    assert(!got.contains(3L))
+  }
+
+  test("guarantee: docs sharing a >= w+k-1 substring share a fingerprint") {
+    val fps = Winnow.fingerprints(docs, "doc_id", "text", k = 5, w = 4)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    // docs 1 and 4 share "the quick brown fox jumps over the lazy dog"
+    // (normalized run of 36 >= 4+5-1 chars)
+    assert((fps(1L) & fps(4L)).nonEmpty)
+    // unrelated docs share nothing at this scale
+    assert((fps(1L) & fps(2L)).isEmpty)
+  }
+
+  test("nearDuplicates: fingerprint equi-join surfaces the overlapping pair, a<b") {
+    val fps = Winnow.fingerprints(docs, "doc_id", "text", k = 5, w = 4)
+    val pairs = Winnow.nearDuplicates(fps, "doc_id", minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 4L)))
+    assert(pairs.head._3 >= 1L)
+  }
+}
