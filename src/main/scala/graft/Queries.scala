@@ -1170,6 +1170,54 @@ object Queries {
               FROM events)
             WHERE rn = 1"""))
 
+  /** Period-over-period snapshot diff — `ops.Cdc.snapshotDiff` over two
+    * CDC compactions of the event log split at the midpoint event id
+    * (a 1-row broadcast constant; `div` keeps the integer-division floor
+    * identical cross-engine): which (user, event_type) streams appeared,
+    * went quiet, or changed their latest value between the halves. Each
+    * snapshot is the partial-aggregatable max_by reduction; the diff is
+    * ONE key-partitioned full outer join with null-safe compare (`<=>` /
+    * IS DISTINCT FROM), so NULL→value transitions classify as changed. */
+  val qSnapshotDiff = Q(
+    "q_snapshot_diff",
+    (s, dir) => {
+      val ev = Tables(s, dir).events.select(
+        col("user_id"), col("event_type"), col("value"),
+        graft.model.Msg.epochUs(col("ts")).as("us"), col("event_id"))
+      val mid = ev.agg(expr("max(event_id) div 2").as("k"))
+      val tagged = ev.crossJoin(broadcast(mid))
+      def snap(p: Column) = graft.ops.Cdc.latestSnapshot(tagged.filter(p),
+        keyCols = Seq("user_id", "event_type"),
+        versionCols = Seq("us", "event_id"),
+        payloadCols = Seq("value"))
+        .select(col("user_id"), col("event_type"), col("value"))
+      graft.ops.Cdc.snapshotDiff(
+        snap(col("event_id") <= col("k")), snap(col("event_id") > col("k")),
+        keyCols = Seq("user_id", "event_type"), compareCols = Seq("value"))
+    },
+    Some("""WITH k AS (SELECT max(event_id) // 2 AS k FROM events),
+            p1 AS (SELECT user_id, event_type, value FROM (
+                SELECT e.user_id, e.event_type, e.value,
+                  row_number() OVER (PARTITION BY e.user_id, e.event_type
+                    ORDER BY epoch_us(e.ts) DESC, e.event_id DESC) AS rn
+                FROM events e, k WHERE e.event_id <= k.k) WHERE rn = 1),
+            p2 AS (SELECT user_id, event_type, value FROM (
+                SELECT e.user_id, e.event_type, e.value,
+                  row_number() OVER (PARTITION BY e.user_id, e.event_type
+                    ORDER BY epoch_us(e.ts) DESC, e.event_id DESC) AS rn
+                FROM events e, k WHERE e.event_id > k.k) WHERE rn = 1)
+            SELECT * FROM (
+              SELECT coalesce(p1.user_id, p2.user_id) AS user_id,
+                     coalesce(p1.event_type, p2.event_type) AS event_type,
+                     CASE WHEN p1.user_id IS NULL THEN 'added'
+                          WHEN p2.user_id IS NULL THEN 'removed'
+                          WHEN p1.value IS DISTINCT FROM p2.value
+                            THEN 'changed' END AS change,
+                     p1.value AS value_old, p2.value AS value_new
+              FROM p1 FULL OUTER JOIN p2
+                ON p1.user_id = p2.user_id AND p1.event_type = p2.event_type)
+            WHERE change IS NOT NULL"""))
+
   /** Hopping (sliding) time windows: 1-hour windows every 15 minutes —
     * each event lands in exactly 4 windows (Spark `window(ts, w, slide)`
     * explodes in the scan stage; one shuffle on window start). The
@@ -2952,7 +3000,7 @@ object Queries {
     qGroupingSets, qScalarSubquery, qPercentiles, qSessionize,
     qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram,
     qUnpivot, qOuterJoin, qWindowRank, qGapFill,
-    qDqAudit, qCdcSnapshot, qHopping, q5Revenue, q13Custdist,
+    qDqAudit, qCdcSnapshot, qSnapshotDiff, qHopping, q5Revenue, q13Custdist,
     qNotIn, qSetOpsAll, qIntervalJoin, qZorder,
     qOutliers, qFfill, qAnomaly, qPagerank,
     q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,

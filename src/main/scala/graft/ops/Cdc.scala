@@ -49,4 +49,41 @@ object Cdc {
       case None => out
     }
   }
+
+  /** Snapshot diff — classify every key across two versions of a table as
+    * `added` / `removed` / `changed` (unchanged keys are dropped): the
+    * audit primitive for evolving corpora (what changed between last
+    * week's crawl snapshot and this week's?). One full outer join on the
+    * key — each side pays its one key exchange and nothing else; the
+    * comparison is null-safe column equality (`<=>`), so NULL→value and
+    * value→NULL transitions classify as changed, not missed.
+    *
+    * Output: keyCols, `change`, then for each compare column `<c>_old` /
+    * `<c>_new` (NULL on the absent side for added/removed). */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val o = oldDf.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__in_old", lit(true))
+    val n = newDf.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__in_new", lit(true))
+    val renamedO = compareCols.foldLeft(o)((d, c) => d.withColumnRenamed(c, s"${c}_old"))
+    val renamedN = compareCols.foldLeft(n)((d, c) => d.withColumnRenamed(c, s"${c}_new"))
+    val joined = renamedO.join(renamedN, keyCols, "full_outer")
+    val inOld = coalesce(col("__in_old"), lit(false))
+    val inNew = coalesce(col("__in_new"), lit(false))
+    val same = compareCols
+      .map(c => col(s"${c}_old") <=> col(s"${c}_new"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    joined
+      .withColumn("change",
+        when(!inOld, lit("added"))
+          .when(!inNew, lit("removed"))
+          .when(!same, lit("changed")))
+      .filter(col("change").isNotNull)
+      .select((keyCols.map(col) :+ col("change")) ++
+        compareCols.flatMap(c => Seq(col(s"${c}_old"), col(s"${c}_new"))): _*)
+  }
 }

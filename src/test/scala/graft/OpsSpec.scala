@@ -164,6 +164,30 @@ class OpsSpec extends SparkSpec {
       s"no map-side partial max:\n$plan")
   }
 
+  test("cdc snapshotDiff: added/removed/changed classes, null-safe compare, unchanged dropped") {
+    import graft.ops.Cdc
+    val oldDf = Seq(
+      ("a", Some(1.0)), // unchanged → dropped
+      ("b", Some(2.0)), // changed
+      ("c", Some(3.0)), // removed
+      ("d", None)       // NULL → value: changed (null-safe compare)
+    ).toDF("key", "v")
+    val newDf = Seq(
+      ("a", Some(1.0)),
+      ("b", Some(9.0)),
+      ("d", Some(4.0)),
+      ("e", Some(5.0))  // added
+    ).toDF("key", "v")
+    val out = Cdc.snapshotDiff(oldDf, newDf, Seq("key"), Seq("v"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)))).sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("b", "changed", Some(2.0), Some(9.0)),
+      ("c", "removed", Some(3.0), None),
+      ("d", "changed", None, Some(4.0)),
+      ("e", "added", None, Some(5.0))))
+  }
+
   test("combineCtx builds JSON payload from saved contexts") {
     val out = Channel0(
       CoreOps.setCtx("a"),
