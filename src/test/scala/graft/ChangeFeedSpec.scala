@@ -1,0 +1,83 @@
+package graft
+
+import graft.ops.Cdc
+import graft.streaming.ChangeFeed
+import graft.streaming.ChangeFeed.{Change, Upsert}
+import org.apache.spark.sql.functions._
+
+/** Streaming change feed vs the relational snapshot diff: the per-batch
+  * emissions must equal what Cdc.snapshotDiff shows between the snapshots
+  * on either side of that batch. */
+class ChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snapshot(ups: Seq[Upsert]) =
+    Cdc.latestSnapshot(ups.toDF(), Seq("key"), Seq("ver"), Seq("value"),
+      deletedCol = Some("deleted"))
+      .select(col("key"), col("value"))
+
+  test("micro-batch emissions equal snapshotDiff across the batch boundary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(
+      Upsert(1L, 10L, 1.0, deleted = false),
+      Upsert(2L, 11L, 2.0, deleted = false),
+      Upsert(3L, 12L, 3.0, deleted = false))
+    val b2 = Seq(
+      Upsert(2L, 20L, 9.0, deleted = false),  // changed
+      Upsert(3L, 21L, 3.0, deleted = true),   // removed
+      Upsert(4L, 22L, 4.0, deleted = false),  // added
+      Upsert(1L, 5L, 99.0, deleted = false))  // stale version: dropped
+    val mem = MemoryStream[Upsert]
+    val q = ChangeFeed.changes(mem.toDS()).writeStream
+      .format("memory").queryName("cf_out").outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      val afterB1 = spark.sql("SELECT * FROM cf_out").as[Change]
+        .collect().sortBy(_.key).toSeq
+      assert(afterB1.map(c => (c.key, c.change)) ==
+        Seq((1L, "added"), (2L, "added"), (3L, "added")))
+      mem.addData(b2: _*); q.processAllAvailable()
+      val batch2 = spark.sql("SELECT * FROM cf_out").as[Change]
+        .collect().sortBy(_.key).toSeq.diff(afterB1)
+      // the stream's batch-2 net emissions == the relational diff of the
+      // snapshots on either side of the batch boundary
+      val want = Cdc.snapshotDiff(
+        snapshot(b1), snapshot(b1 ++ b2), Seq("key"), Seq("value"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(batch2.map(c => (c.key, c.change)).sorted == want)
+      assert(want == Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+      // the stale key-1 upsert emitted nothing and did not regress state
+      assert(!batch2.exists(_.key == 1L))
+    } finally q.stop()
+  }
+
+  test("batch mode: net emissions are the added-side of a diff vs empty; intra-batch churn collapses") {
+    val ups = Seq(
+      Upsert(1L, 1L, 5.0, deleted = false),
+      Upsert(1L, 2L, 6.0, deleted = false),  // same batch: nets to one added@6.0
+      Upsert(2L, 1L, 7.0, deleted = false),
+      Upsert(2L, 2L, 7.0, deleted = true),   // added then tombstoned: nothing
+      Upsert(3L, 1L, 8.0, deleted = true))   // born dead: nothing
+    val got = ChangeFeed.changes(ups.toDS())
+      .collect().sortBy(_.key).toSeq
+    assert(got == Seq(Change(1L, "added", None, Some(6.0), 2L)))
+  }
+
+  test("tombstone then re-add across batches: removed, then added again") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Upsert]
+    val q = ChangeFeed.changes(mem.toDS()).writeStream
+      .format("memory").queryName("cf_readd").outputMode("append").start()
+    try {
+      mem.addData(Upsert(7L, 1L, 1.0, deleted = false)); q.processAllAvailable()
+      mem.addData(Upsert(7L, 2L, 1.0, deleted = true)); q.processAllAvailable()
+      mem.addData(Upsert(7L, 3L, 2.0, deleted = false)); q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM cf_readd").as[Change]
+        .collect().sortBy(_.ver).toSeq
+      assert(got.map(_.change) == Seq("added", "removed", "added"))
+      assert(got.last.valueNew.contains(2.0))
+    } finally q.stop()
+  }
+}
