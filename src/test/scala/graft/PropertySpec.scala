@@ -251,4 +251,52 @@ class PropertySpec extends SparkSpec {
       .select("key", "ver", "payload").as[(Long, Long, Long)].collect().sorted.toSeq
     assert(got == want && got.nonEmpty)
   }
+
+  test("winnowing guarantee on generated docs: shared >= w+k-1 run => shared fingerprint") {
+    // random alphanumeric docs, half of them seeded with a common long run
+    val run = "thequickbrownfoxjumpsoverthelazydog" // 35 chars >= k+w-1 = 12+8-1
+    val genDoc: Gen[String] = for {
+      n <- Gen.chooseNum(20, 120)
+      cs <- Gen.listOfN(n, Gen.alphaNumChar)
+    } yield cs.mkString
+    val base = Gen.listOfN(40, genDoc).apply(Gen.Parameters.default, Seed(7L)).get
+    val docs = base.zipWithIndex.map { case (t, i) =>
+      // even ids: splice the shared run into the middle
+      if (i % 2 == 0) (i.toLong, t.take(t.length / 2) + run + t.drop(t.length / 2))
+      else (i.toLong, t)
+    }
+    val fps = graft.ops.Winnow
+      .fingerprints(docs.toDF("doc_id", "text"), "doc_id", "text", k = 8, w = 5)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    val seeded = docs.collect { case (id, _) if id % 2 == 0 => id }
+    // every seeded pair shares at least one fingerprint (paper §3 guarantee)
+    for (a <- seeded; b <- seeded if a < b)
+      assert((fps(a) & fps(b)).nonEmpty, s"guarantee broken for pair ($a,$b)")
+  }
+
+  test("snapshotDiff algebra on generated snapshots: self-diff empty, classes partition the key space") {
+    val genRow: Gen[(Long, Double)] = for {
+      k <- Gen.chooseNum(1L, 30L)
+      v <- Gen.chooseNum(0, 5).map(_.toDouble)
+    } yield (k, v)
+    def snap(seed: Long) = Gen.listOfN(40, genRow)
+      .apply(Gen.Parameters.default, Seed(seed)).get
+      .groupBy(_._1).map(_._2.head).toSeq // one row per key
+    val a = snap(1L); val b = snap(2L)
+    val aDf = a.toDF("key", "v"); val bDf = b.toDF("key", "v")
+    assert(graft.ops.Cdc.snapshotDiff(aDf, aDf, Seq("key"), Seq("v")).count() == 0)
+    val diff = graft.ops.Cdc.snapshotDiff(aDf, bDf, Seq("key"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (am, bm) = (a.toMap, b.toMap)
+    (am.keySet ++ bm.keySet).foreach { k =>
+      val want = (am.get(k), bm.get(k)) match {
+        case (None, Some(_)) => Some("added")
+        case (Some(_), None) => Some("removed")
+        case (Some(x), Some(y)) if x != y => Some("changed")
+        case _ => None
+      }
+      assert(diff.get(k) == want, s"key $k")
+    }
+  }
 }
