@@ -55,7 +55,11 @@ object Bench {
       }
     }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    def fmt(v: Double) = if (v >= 1e9) v.toString else f"$v%.4f"
+    // Locale.ROOT: f"$v%.4f" follows the JVM default locale, and a
+    // comma-decimal locale would emit invalid JSON
+    def fmt(v: Double) =
+      if (v >= 1e9) v.toString
+      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     def qmap(rs: Seq[(String, Double)]) = rs
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fs = failed.map { case (k, v) => s"\"" + k + "\":\"" + esc(v.take(120)) + "\"" }

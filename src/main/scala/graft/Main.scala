@@ -58,9 +58,9 @@ object Main {
       case Seq("printsettings") => Right(settings.printLines)
       case Seq("startproject", dirname) => Right(startProject(dirname))
       case Seq("viewstore", storePath, rest @ _*) =>
-        Right(viewStore(session(), storePath, toolFilters(rest)))
+        toolRun(rest)(f => viewStore(session(), storePath, f))
       case Seq("sendfromstore", storePath, rest @ _*) =>
-        Right(sendFromStore(session(), storePath, toolFilters(rest),
+        toolRun(rest)(f => sendFromStore(session(), storePath, f,
           optArg(rest, "--destination", "-d").getOrElse("http://localhost:8000")))
       case other =>
         Left(s"unknown command '${other.mkString(" ")}'; " +
@@ -76,13 +76,24 @@ object Main {
   private def toolFilters(rest: Seq[String]): Seq[(String, String)] =
     rest.sliding(2).collect {
       case Seq(k, kv) if k == "--filter" || k == "-f" =>
-        val Array(name, raw) = kv.split("=", 2)
-        val v = raw.trim
-        val unq = if ((v.startsWith("'") && v.endsWith("'") && v.length >= 2) ||
-          (v.startsWith("\"") && v.endsWith("\"") && v.length >= 2))
-          v.substring(1, v.length - 1) else v
-        name -> unq
+        kv.split("=", 2) match {
+          case Array(name, raw) =>
+            val v = raw.trim
+            val unq = if ((v.startsWith("'") && v.endsWith("'") && v.length >= 2) ||
+              (v.startsWith("\"") && v.endsWith("\"") && v.length >= 2))
+              v.substring(1, v.length - 1) else v
+            name -> unq
+          case _ => throw new IllegalArgumentException(
+            s"bad --filter '$kv'; expected name=value")
+        }
     }.toSeq
+
+  /** Parse the tool filters and run `body`; malformed arguments become a
+    * usage Left instead of a stack trace. */
+  private def toolRun(rest: Seq[String])(
+      body: Seq[(String, String)] => Seq[String]): Either[String, Seq[String]] =
+    try Right(body(toolFilters(rest)))
+    catch { case e: IllegalArgumentException => Left(e.getMessage) }
 
   private def optArg(rest: Seq[String], keys: String*): Option[String] =
     rest.sliding(2).collectFirst { case Seq(k, v) if keys.contains(k) => v }

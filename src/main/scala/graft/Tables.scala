@@ -42,7 +42,16 @@ final case class Tables(spark: SparkSession, dir: String) {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
+        // zone-INDEPENDENT naive-as-UTC: the cast interprets the naive
+        // wall clock in the session zone, and from_utc_timestamp adds
+        // that same offset back out — so the instant is the one DuckDB
+        // assigns the naive value under UTC, whatever zone the (possibly
+        // foreign) session runs in. In graft-owned sessions (UTC pinned)
+        // both steps are identities. Only instants inside a DST
+        // transition hour of an exotic session zone can differ.
+        val zone = spark.conf.get("spark.sql.session.timeZone")
+        raw.withColumn("ts",
+          from_utc_timestamp(col("ts").cast(TimestampType), zone))
       case _ => raw
     }
   }

@@ -51,9 +51,15 @@ object Msg {
   /** Epoch microseconds of an event-time column, robust to BOTH timestamp
     * flavors: `unix_micros` rejects TIMESTAMP_NTZ (what pandas/pyarrow-
     * written parquet yields in sessions graft doesn't own), so cast first —
-    * NTZ→TIMESTAMP interprets the naive value in the session zone (pinned
-    * UTC, matching the reference's naive datetimes, message.py:16), and on
-    * an already-TIMESTAMP column the cast is a Catalyst no-op. */
+    * on an already-TIMESTAMP column the cast is a Catalyst no-op.
+    *
+    * NTZ caveat: the cast interprets the naive value in the SESSION zone —
+    * pypeman's exact naive-local-datetime semantics (message.py:16), and
+    * under graft's pinned-UTC sessions the cross-engine-stable naive-as-UTC
+    * reading. A column-level helper cannot branch on the input type; code
+    * that must be zone-independent for NTZ inputs in foreign sessions
+    * should normalize at load instead ([[graft.Tables.events]] shows the
+    * cast + from_utc_timestamp pattern). */
   def epochUs(c: Column): Column = unix_micros(c.cast(TimestampType))
 
   /** Epoch milliseconds; same NTZ robustness as [[epochUs]]. */

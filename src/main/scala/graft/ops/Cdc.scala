@@ -70,8 +70,16 @@ object Cdc {
     val n = newDf.select((keyCols ++ compareCols).map(col): _*)
       .withColumn("__in_new", lit(true))
     val renamedO = compareCols.foldLeft(o)((d, c) => d.withColumnRenamed(c, s"${c}_old"))
+      .select(keyCols.map(c => col(c).as(s"${c}__o")) ++
+        compareCols.map(c => col(s"${c}_old")) :+ col("__in_old"): _*)
     val renamedN = compareCols.foldLeft(n)((d, c) => d.withColumnRenamed(c, s"${c}_new"))
-    val joined = renamedO.join(renamedN, keyCols, "full_outer")
+      .select(keyCols.map(c => col(c).as(s"${c}__n")) ++
+        compareCols.map(c => col(s"${c}_new")) :+ col("__in_new"): _*)
+    // null-safe key equality: a usingColumns full outer join would never
+    // match NULL key values, double-reporting an unchanged NULL-keyed row
+    // as one added + one removed
+    val keyEq = keyCols.map(c => col(s"${c}__o") <=> col(s"${c}__n")).reduce(_ && _)
+    val joined = renamedO.join(renamedN, keyEq, "full_outer")
     val inOld = coalesce(col("__in_old"), lit(false))
     val inNew = coalesce(col("__in_new"), lit(false))
     val same = compareCols
@@ -83,7 +91,9 @@ object Cdc {
           .when(!inNew, lit("removed"))
           .when(!same, lit("changed")))
       .filter(col("change").isNotNull)
-      .select((keyCols.map(col) :+ col("change")) ++
-        compareCols.flatMap(c => Seq(col(s"${c}_old"), col(s"${c}_new"))): _*)
+      .select(keyCols.map(c =>
+        when(inOld, col(s"${c}__o")).otherwise(col(s"${c}__n")).as(c)) ++
+        (col("change") +:
+          compareCols.flatMap(c => Seq(col(s"${c}_old"), col(s"${c}_new")))): _*)
   }
 }

@@ -71,13 +71,16 @@ object Winnow {
     * turns `minShared` into a shared-substring-length floor.
     *
     * The fingerprint relation feeds BOTH join sides; checkpointing it
-    * first pins the explode+window pass to one execution (self-join
+    * pins the explode+window pass to one execution (self-join
     * re-derivation would double the dominant cost — measured 5.2 s → the
-    * single-pass price at sf0.1). At corpus scale the same move is
+    * single-pass price at sf0.1). LAZY checkpoint: materializes at the
+    * first action, both branches then read the pinned RDD — an eager one
+    * would run the dominant job at plan-BUILD time (breaking plan-only
+    * callers like graft.Explain). At corpus scale the same move is
     * writing the fingerprint table once before the join stage. */
   def nearDuplicates(
       fps0: DataFrame, idCol: String, minShared: Long): DataFrame = {
-    val fps = fps0.localCheckpoint(true)
+    val fps = fps0.localCheckpoint(false)
     val a = fps.select(col(idCol).as("a"), col("fp"))
     val b = fps.select(col(idCol).as("b"), col("fp"))
     a.join(b, "fp")

@@ -295,21 +295,34 @@ final class MessageStore(spark: SparkSession, path: String) {
 object MessageStore {
   /** Search over any Msg-shaped DataFrame (store-backed or in-flight). */
   def search(df: DataFrame, q: Search): DataFrame = {
+    // Keyset anchors must advance in the DISPLAY order: under the
+    // '-timestamp' reverse listing, "after the anchor" means strictly
+    // OLDER rows — a forward filter there would re-serve page 1 forever.
+    val reverse = q.orderBy == "-timestamp"
+    def afterAnchor(ts0: Column, uuid0: String): Column =
+      if (reverse)
+        col("ts") < ts0 || (col("ts") === ts0 && col("uuid") < uuid0)
+      else
+        col("ts") > ts0 || (col("ts") === ts0 && col("uuid") > uuid0)
+    val timeOrdered = q.orderBy == "timestamp" || reverse
     val afterStartId = (q.startAfter, q.startId) match {
       case (Some((tsMs, uuid0)), _) =>
         // caller-supplied keyset anchor: pure filter, no anchor lookup —
         // the 100 TB pagination path (the previous page's last row is the
         // anchor, so paging a petabyte store never re-scans)
-        df.filter(col("ts") > timestamp_millis(lit(tsMs)) ||
-          (col("ts") === timestamp_millis(lit(tsMs)) && col("uuid") > uuid0))
-      case (None, Some(id)) if q.orderBy == "timestamp" =>
+        df.filter(afterAnchor(timestamp_millis(lit(tsMs)), uuid0))
+      case (None, Some(id)) if timeOrdered =>
         // id-only anchor (reference start_id): resolving it costs one
         // lookup scan of the store — convenient locally, prefer startAfter
         // at scale
         val anchor = df.filter(col("uuid") === id).select(col("ts"), col("uuid")).head()
-        val (ts0, uuid0) = (anchor.getTimestamp(0), anchor.getString(1))
-        df.filter(col("ts") > lit(ts0) ||
-          (col("ts") === lit(ts0) && col("uuid") > uuid0))
+        df.filter(afterAnchor(lit(anchor.getTimestamp(0)), anchor.getString(1)))
+      case (None, Some(_)) =>
+        // anchors under meta/field orderings are not keyset-resolvable
+        // (the sort key need not be unique); refuse loudly rather than
+        // silently ignoring the caller's anchor
+        throw new IllegalArgumentException(
+          s"startId pagination requires a timestamp ordering, got '${q.orderBy}'")
       case _ => df
     }
     val filtered = afterStartId.filter(q.predicate).orderBy(q.ordering: _*)

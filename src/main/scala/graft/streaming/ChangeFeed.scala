@@ -24,6 +24,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object ChangeFeed {
 
   final case class Upsert(key: Long, ver: Long, value: Double, deleted: Boolean)
+
+  /** SQL `<=>` double semantics (what the spec-pinned snapshotDiff
+    * equivalence requires): NaN equals NaN, -0.0 equals 0.0 — Scala's
+    * `!=` would report a NaN→NaN upsert as changed and break the
+    * batch-boundary invariant. */
+  private def valueDiffers(a: Double, b: Double): Boolean =
+    !(a == b || (a.isNaN && b.isNaN))
   final case class KeyState(ver: Long, value: Double, deleted: Boolean)
   final case class Change(
       key: Long, change: String,
@@ -53,7 +60,7 @@ object ChangeFeed {
                 Iterator.single(Change(key, "added", None, Some(n.value), n.ver))
               case (Some(p), None) =>
                 Iterator.single(Change(key, "removed", Some(p.value), None, next.ver))
-              case (Some(p), Some(n)) if p.value != n.value =>
+              case (Some(p), Some(n)) if valueDiffers(p.value, n.value) =>
                 Iterator.single(Change(key, "changed", Some(p.value), Some(n.value), n.ver))
               case _ => Iterator.empty // invisible→invisible or value unchanged
             }

@@ -64,6 +64,24 @@ class ChangeFeedSpec extends SparkSpec {
     assert(got == Seq(Change(1L, "added", None, Some(6.0), 2L)))
   }
 
+  test("NaN follows SQL <=> semantics: NaN->NaN is unchanged, NaN->value is changed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Upsert]
+    val q = ChangeFeed.changes(mem.toDS()).writeStream
+      .format("memory").queryName("cf_nan").outputMode("append").start()
+    try {
+      mem.addData(Upsert(1L, 1L, Double.NaN, deleted = false)); q.processAllAvailable()
+      mem.addData(Upsert(1L, 2L, Double.NaN, deleted = false)); q.processAllAvailable()
+      mem.addData(Upsert(1L, 3L, 1.0, deleted = false)); q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM cf_nan").as[Change]
+        .collect().sortBy(_.ver).map(_.change).toSeq
+      // added (NaN), no row for NaN->NaN (matches snapshotDiff's <=>),
+      // changed for NaN->1.0
+      assert(got == Seq("added", "changed"))
+    } finally q.stop()
+  }
+
   test("tombstone then re-add across batches: removed, then added again") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -74,4 +74,10 @@ class MainToolsSpec extends SparkSpec {
     val err = Main.run(Seq("bogus"), Settings.load(), () => spark)
     assert(err.isLeft && err.left.exists(_.contains("viewstore")))
   }
+
+  test("malformed --filter yields a usage error, not a stack trace") {
+    val path = mkStore()
+    val err = Main.run(Seq("viewstore", path, "-f", "kind"), Settings.load(), () => spark)
+    assert(err == Left("bad --filter 'kind'; expected name=value"))
+  }
 }

@@ -188,6 +188,17 @@ class OpsSpec extends SparkSpec {
       ("e", "added", None, Some(5.0))))
   }
 
+  test("cdc snapshotDiff: NULL key values match null-safely, not double-reported") {
+    import graft.ops.Cdc
+    val oldDf = Seq((Option("x"), 1.0), (Option.empty[String], 2.0)).toDF("key", "v")
+    val newDf = Seq((Option("x"), 1.0), (Option.empty[String], 3.0)).toDF("key", "v")
+    val out = Cdc.snapshotDiff(oldDf, newDf, Seq("key"), Seq("v"))
+      .collect().map(r => (Option(r.getString(0)), r.getString(1))).toSeq
+    // the NULL-keyed row changed 2.0 -> 3.0: ONE changed row, never an
+    // added+removed pair from a non-matching equi-join
+    assert(out == Seq((None, "changed")))
+  }
+
   test("combineCtx builds JSON payload from saved contexts") {
     val out = Channel0(
       CoreOps.setCtx("a"),

@@ -55,6 +55,24 @@ class StoreSpec extends SparkSpec {
     assert(page2.select("uuid").as[String].collect().toSeq == Seq("c", "d"))
   }
 
+  test("search: reverse '-timestamp' keyset pagination advances OLDER, never re-serves page 1") {
+    val page1 = MessageStore.search(msgs, Search(orderBy = "-timestamp", count = 2))
+      .select(col("uuid"), unix_millis(col("ts"))).as[(String, Long)].collect()
+    assert(page1.map(_._1).toSeq == Seq("d", "c"))
+    val (lastUuid, lastTs) = (page1.last._1, page1.last._2)
+    val page2 = MessageStore.search(msgs,
+      Search(orderBy = "-timestamp", count = 2, startAfter = Some((lastTs, lastUuid))))
+    assert(page2.select("uuid").as[String].collect().toSeq == Seq("b", "a"))
+    // id-anchored form under the reverse order resolves the same page
+    val byId = MessageStore.search(msgs,
+      Search(orderBy = "-timestamp", count = 2, startId = Some("c")))
+    assert(byId.select("uuid").as[String].collect().toSeq == Seq("b", "a"))
+    // non-timestamp orderings refuse an id anchor instead of ignoring it
+    intercept[IllegalArgumentException] {
+      MessageStore.search(msgs, Search(orderBy = "-meta:k", startId = Some("b"))).collect()
+    }
+  }
+
   test("MessageStore save/search/total/replay over parquet") {
     val dir = Files.createTempDirectory("graft_store").toString
     val store = new MessageStore(spark, s"$dir/msgs")

@@ -94,6 +94,29 @@ class TimestampNtzSpec extends SparkSpec {
       .orderBy("us").head().getLong(0) == 1704067200000001L)
   }
 
+  test("Tables.events naive load is zone-independent: a foreign non-UTC session reads the same instants") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntz_zone").toString
+    ntzEvents.select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def epochsUnder(zone: String, ntzInference: Boolean): Seq[Long] = {
+      spark.conf.set("spark.sql.session.timeZone", zone)
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", ntzInference.toString)
+      try Tables(spark, dir).events
+        .select(Msg.epochUs(col("ts")).as("us")).orderBy("us")
+        .collect().map(_.getLong(0)).toSeq
+      finally {
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      }
+    }
+    val utc = epochsUnder("UTC", ntzInference = false)
+    // a session graft does NOT own: non-UTC zone AND NTZ inference on
+    val foreign = epochsUnder("America/Los_Angeles", ntzInference = true)
+    assert(utc.head == 1704067200000001L)
+    assert(foreign == utc, "naive-as-UTC reading must not depend on the session zone")
+  }
+
   test("StreamChannels.windowedCounts accepts NTZ event time (watermark path)") {
     // batch frame exercises the analysis path that rejected NTZ watermarks
     val counts = streaming.StreamChannels

@@ -13,24 +13,28 @@ def main(paths):
     for p in paths:
         with open(p) as f:
             runs.append(json.load(f))
-    failed = {}
-    for r in runs:
-        failed.update(r.get("failed", {}))
-    if failed:
-        print("FAILED QUERIES (excluded):", file=sys.stderr)
-        for k, v in sorted(failed.items()):
-            print(f"  {k}: {v}", file=sys.stderr)
     names = sorted(set().union(*[r["queries"].keys() for r in runs]))
-    best = {}
+    best, fail_counts = {}, {}
     for n in names:
         vals = [r["queries"][n] for r in runs if n in r["queries"]
                 and r["queries"][n] < 1e8]
+        fails = sum(1 for r in runs if n in r.get("failed", {}))
+        if fails:
+            fail_counts[n] = fails
         if vals:
             best[n] = min(vals)
+    # only all-runs failures are excluded from the table; partial failures
+    # keep their successful-run minimum and are reported as flaky
+    for n, k in sorted(fail_counts.items()):
+        if n in best:
+            print(f"FLAKY {n}: failed {k}/{len(runs)} runs; "
+                  f"min of successes used", file=sys.stderr)
+        else:
+            print(f"EXCLUDED {n}: failed all {len(runs)} runs", file=sys.stderr)
     total = sum(best.values())
     print(f"<!-- merged from {len(runs)} runs; {len(best)} queries; "
           f"total of minima {total:.1f} s -->")
-    print("| query | median (s) |")
+    print("| query | min of medians (s) |")
     print("| --- | --- |")
     for n, v in sorted(best.items(), key=lambda kv: -kv[1]):
         print(f"| {n} | {v:.3f} |")
