@@ -50,6 +50,23 @@ object StreamChannels {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Dedup-at-ingest for streams: drop re-deliveries of the same id within
+    * the watermark horizon (`dropDuplicatesWithinWatermark`) — the
+    * streaming form of exact dedup with BOUNDED state: an id's fingerprint
+    * is held only until the event-time watermark passes `delay`, so state
+    * size tracks the lateness bound, not the corpus (a plain
+    * `dropDuplicates` on a stream retains every id forever). The batch
+    * form remains `dropDuplicates(idCol)` — same contract, no horizon.
+    * Event time is cast like [[windowedCounts]] for NTZ robustness. */
+  def dedupWithinWatermark(
+      events: DataFrame, idCol: String, tsCol: String, delay: String): DataFrame = {
+    val cast = events.withColumn(tsCol,
+      col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+    if (cast.isStreaming)
+      cast.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(idCol)
+    else cast.dropDuplicates(idCol)
+  }
+
   /** Start a channel output into an in-memory table (tests / smoke). */
   def startMemorySink(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery =
     df.writeStream

@@ -82,6 +82,35 @@ class ChangeFeedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark: in-horizon re-deliveries dropped, expired ids re-emit, batch = plain dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    final case class Arrival(id: String, tsMs: Long, v: String)
+    val mem = MemoryStream[(String, Long, String)]
+    val src = mem.toDF().toDF("id", "tsMs", "v")
+      .withColumn("ts", timestamp_millis(col("tsMs")))
+    val q = streaming.StreamChannels
+      .dedupWithinWatermark(src, "id", "ts", "10 seconds")
+      .writeStream.format("memory").queryName("dd_out").outputMode("append").start()
+    try {
+      mem.addData(("a", 10000L, "1"), ("b", 11000L, "2")); q.processAllAvailable()
+      mem.addData(("a", 12000L, "dup"), ("c", 13000L, "3")); q.processAllAvailable()
+      mem.addData(("z", 100000L, "4")); q.processAllAvailable() // advances watermark past a's horizon
+      mem.addData(("a", 95000L, "again")); q.processAllAvailable()
+      val got = spark.sql("SELECT id, v FROM dd_out ORDER BY tsMs")
+        .as[(String, String)].collect().toSeq
+      // the in-horizon re-delivery of 'a' is dropped; after its state
+      // expired (watermark 90s > 10s+10s) the id legitimately re-emits —
+      // the bounded-state contract, vs dropDuplicates' forever-state
+      assert(got == Seq(("a", "1"), ("b", "2"), ("c", "3"), ("a", "again"), ("z", "4")))
+    } finally q.stop()
+    // batch form: plain exact dedup, no horizon
+    val batch = Seq(("a", 1L, "x"), ("a", 2L, "y"), ("b", 3L, "z"))
+      .toDF("id", "tsMs", "v").withColumn("ts", timestamp_millis(col("tsMs")))
+    assert(streaming.StreamChannels.dedupWithinWatermark(batch, "id", "ts", "10 seconds")
+      .count() == 2)
+  }
+
   test("tombstone then re-add across batches: removed, then added again") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
