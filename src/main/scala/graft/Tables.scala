@@ -20,8 +20,24 @@ final case class Tables(spark: SparkSession, dir: String) {
   def customer: DataFrame = t("customer")
   def supplier: DataFrame = t("supplier")
   def part: DataFrame = t("part")
-  def orders: DataFrame = t("orders")
-  def lineitem: DataFrame = t("lineitem")
+  def orders: DataFrame = normTs(t("orders"), "o_orderdate")
+  def lineitem: DataFrame = normTs(t("lineitem"), "l_shipdate")
+
+  /** Zone-independent naive→TIMESTAMP normalization for a column that a
+    * foreign session (NTZ inference on) reads as TIMESTAMP_NTZ: the cast
+    * interprets the naive wall clock in the session zone and
+    * from_utc_timestamp adds that offset back out, landing on the
+    * naive-as-UTC instant whatever the zone — identity in graft-owned
+    * (UTC-pinned, inference-off) sessions. The driver writes ALL
+    * date-ish columns as naive timestamp[us] (pandas default), so every
+    * such column gets the same guard events.ts has. */
+  private def normTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case TimestampNTZType =>
+        val zone = spark.conf.get("spark.sql.session.timeZone")
+        df.withColumn(c, from_utc_timestamp(col(c).cast(TimestampType), zone))
+      case _ => df
+    }
 
   /** events.parquet's `ts` physical type depends on the producer, so the
     * load normalizes every flavor to a µs TIMESTAMP in the pinned-UTC
@@ -42,16 +58,9 @@ final case class Tables(spark: SparkSession, dir: String) {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
-        // zone-INDEPENDENT naive-as-UTC: the cast interprets the naive
-        // wall clock in the session zone, and from_utc_timestamp adds
-        // that same offset back out — so the instant is the one DuckDB
-        // assigns the naive value under UTC, whatever zone the (possibly
-        // foreign) session runs in. In graft-owned sessions (UTC pinned)
-        // both steps are identities. Only instants inside a DST
-        // transition hour of an exotic session zone can differ.
-        val zone = spark.conf.get("spark.sql.session.timeZone")
-        raw.withColumn("ts",
-          from_utc_timestamp(col("ts").cast(TimestampType), zone))
+        // see normTs — only instants inside a DST transition hour of an
+        // exotic session zone can differ from the naive-as-UTC reading
+        normTs(raw, "ts")
       case _ => raw
     }
   }

@@ -117,6 +117,15 @@ class TimestampNtzSpec extends SparkSpec {
     assert(foreign == utc, "naive-as-UTC reading must not depend on the session zone")
   }
 
+  test("Tables.orders/lineitem date columns are normalized under NTZ inference too") {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try {
+      val t = Tables(spark, sf)
+      assert(t.orders.schema("o_orderdate").dataType == TimestampType)
+      assert(t.lineitem.schema("l_shipdate").dataType == TimestampType)
+    } finally spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  }
+
   test("StreamChannels.windowedCounts accepts NTZ event time (watermark path)") {
     // batch frame exercises the analysis path that rejected NTZ watermarks
     val counts = streaming.StreamChannels
