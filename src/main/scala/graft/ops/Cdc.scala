@@ -54,9 +54,16 @@ object Cdc {
     * `added` / `removed` / `changed` (unchanged keys are dropped): the
     * audit primitive for evolving corpora (what changed between last
     * week's crawl snapshot and this week's?). One full outer join on the
-    * key — each side pays its one key exchange and nothing else; the
-    * comparison is null-safe column equality (`<=>`), so NULL→value and
-    * value→NULL transitions classify as changed, not missed.
+    * key; the comparison is null-safe (`<=>`) throughout, so NULL→value
+    * and value→NULL transitions classify as changed and NULL key values
+    * match instead of double-reporting as added+removed.
+    *
+    * Cost note: Spark lowers `<=>` join keys to (coalesce, isnull)
+    * tuples, so a side already hash-partitioned on the raw key still
+    * re-exchanges for the join — one extra exchange pair vs a plain
+    * equi-join. Accepted: diff inputs are compacted snapshots (one row
+    * per key), so the re-exchange moves the small relation, and silent
+    * NULL-key misclassification is the worse failure.
     *
     * Output: keyCols, `change`, then for each compare column `<c>_old` /
     * `<c>_new` (NULL on the absent side for added/removed). */
