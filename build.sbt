@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout/stderr through VERBATIM instead of
+// re-logging each line with an [info]/[error] prefix: graft.Bench and
+// graft.Verify emit machine-readable JSON lines on stdout, and the
+// prefixes have kept every round's bench artifact unparseable
+// ("parsed": null in BENCH_r01..r08). With StdoutOutput the JSON line
+// reaches the driver's capture as a raw `{"metric":...}` line, and the
+// subprocess's log4j chatter stays on stderr instead of being folded
+// into stdout as [error] lines.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

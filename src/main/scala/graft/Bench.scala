@@ -31,7 +31,17 @@ object Bench {
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Battery hygiene, OUTSIDE the timer: several queries pin
+      // localCheckpoint blocks; across a 187-query battery the
+      // accumulated blocks turn into block-manager+GC pressure that
+      // inflated late-battery queries up to 6x their idle steady state
+      // (r8: q_hll 1.93 s in battery vs 0.30 s focused). Dropping them
+      // after every run keeps each query's measurement independent.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      dt
     }
 
     var failed = Vector.empty[(String, String)]
@@ -54,7 +64,22 @@ object Bench {
           name -> 1e9 // poison the total — a broken query must not look fast
       }
     }
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // Full JSON string escaping: Spark exception messages routinely carry
+    // newlines (AnalysisException plan dumps) — emitting one raw would make
+    // the whole artifact unparseable. Control chars and lone surrogates
+    // (possible after a take() that split a pair) become \\uXXXX, which is
+    // always-valid JSON.
+    def esc(s: String): String = {
+      val sb = new StringBuilder(s.length + 8)
+      s.foreach {
+        case '\\' => sb.append("\\\\")
+        case '"' => sb.append("\\\"")
+        case c if c < 0x20 || Character.isSurrogate(c) =>
+          sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
     // Locale.ROOT: f"$v%.4f" follows the JVM default locale, and a
     // comma-decimal locale would emit invalid JSON
     def fmt(v: Double) =

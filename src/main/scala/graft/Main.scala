@@ -73,7 +73,12 @@ object Main {
     * (tools/view_store.py:12 Filter: match payload[name] == literal).
     * Values may be shell-quoted ('x' or "x") like the reference's
     * literal_eval forms; scalars compare against the JSON text. */
-  private def toolFilters(rest: Seq[String]): Seq[(String, String)] =
+  private def toolFilters(rest: Seq[String]): Seq[(String, String)] = {
+    // a trailing flag has no sliding-2 window and would be silently
+    // dropped; malformed input must produce the usage error instead
+    if (rest.lastOption.exists(k => k == "--filter" || k == "-f"))
+      throw new IllegalArgumentException(
+        s"dangling '${rest.last}'; expected name=value")
     rest.sliding(2).collect {
       case Seq(k, kv) if k == "--filter" || k == "-f" =>
         kv.split("=", 2) match {
@@ -87,6 +92,7 @@ object Main {
             s"bad --filter '$kv'; expected name=value")
         }
     }.toSeq
+  }
 
   /** Parse the tool filters and run `body`; malformed arguments become a
     * usage Left instead of a stack trace. */

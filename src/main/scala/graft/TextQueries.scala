@@ -439,14 +439,14 @@ object TextQueries {
         .select(col("id").as("doc_id"),
           (floor(col("score") * 10000 + 0.5) / 10000).as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(topN)
-        .withColumn("rank_lex",
-          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .withColumn("rank_lex", row_number().over( // ≤ topN rows by the limit
+          graft.ops.BoundedWindow.orderBy(col("score").desc, col("doc_id"))))
         .select(col("doc_id"), col("rank_lex"))
       val prior = docs
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("n_chars").desc, col("doc_id")).limit(topN)
-        .withColumn("rank_prior",
-          row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("rank_prior", row_number().over( // ≤ topN rows by the limit
+          graft.ops.BoundedWindow.orderBy(col("n_chars").desc, col("doc_id"))))
         .select(col("doc_id").as("p_doc_id"), col("rank_prior"))
       lex.join(prior, col("doc_id") === col("p_doc_id"), "full_outer")
         .select(

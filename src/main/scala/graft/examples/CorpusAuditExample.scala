@@ -34,13 +34,25 @@ object CorpusAuditExample {
   /** One order-independent content signature per doc from its winnowing
     * fingerprints: xor of the 64-bit hash prefixes. Changing ANY selected
     * gram flips the signature; formatting-only edits select the same grams
-    * and keep it. */
-  def signatures(docs: DataFrame, k: Int = 8, w: Int = 16): DataFrame =
-    Winnow.fingerprints(docs, "doc_id", "text", k, w)
+    * and keep it.
+    *
+    * Docs below the winnowing floor (fewer than k+w−1 normalized chars
+    * emit no fingerprints) fall back to a hash of the normalized text —
+    * still formatting-insensitive, and it keeps short docs visible to the
+    * snapshot diff instead of silently excluded. */
+  def signatures(docs: DataFrame, k: Int = 8, w: Int = 16): DataFrame = {
+    val winnowed = Winnow.fingerprints(docs, "doc_id", "text", k, w)
       .select(col("doc_id"),
         conv(substring(col("fp"), 1, 15), 16, 10).cast("long").as("h"))
       .groupBy(col("doc_id"))
       .agg(expr("aggregate(collect_list(h), 0L, (a, x) -> a ^ x)").as("sig"))
+    docs
+      .select(col("doc_id"),
+        conv(substring(md5(Winnow.normalize(col("text"))), 1, 15), 16, 10)
+          .cast("long").as("__short_sig"))
+      .join(winnowed, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("sig"), col("__short_sig")).as("sig"))
+  }
 
   def run(spark: SparkSession, oldDocs: DataFrame, newDocs: DataFrame): Report = {
     val diff = Cdc.snapshotDiff(

@@ -306,6 +306,13 @@ object MessageStore {
         col("ts") > ts0 || (col("ts") === ts0 && col("uuid") > uuid0)
     val timeOrdered = q.orderBy == "timestamp" || reverse
     val afterStartId = (q.startAfter, q.startId) match {
+      case (Some(_), _) if !timeOrdered =>
+        // same refusal as startId below: the (ts, uuid) anchor predicate
+        // only matches the display order under a timestamp ordering —
+        // applying it under '-id'/'meta:' orderings would silently skip
+        // or duplicate rows across pages
+        throw new IllegalArgumentException(
+          s"startAfter pagination requires a timestamp ordering, got '${q.orderBy}'")
       case (Some((tsMs, uuid0)), _) =>
         // caller-supplied keyset anchor: pure filter, no anchor lookup —
         // the 100 TB pagination path (the previous page's last row is the

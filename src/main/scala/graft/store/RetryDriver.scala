@@ -96,8 +96,8 @@ object RetryDriver {
     // partition window is over the parked set only (failures, not corpus)
     val ok = emitted.reduceOption(_ unionByName _).map { df =>
       df.withColumn("retry_state", lit(Msg.PROCESSED))
-        .withColumn("emit_seq", row_number().over(
-          Window.orderBy(col("emit_round"), col(tsCol), col(orderCol))).cast("long"))
+        .withColumn("emit_seq", row_number().over(graft.ops.BoundedWindow
+          .orderBy(col("emit_round"), col(tsCol), col(orderCol))).cast("long"))
         .drop("emit_round")
     }
     val exhausted = remaining.map(_._2).reduceOption(_ unionByName _).map {
