@@ -6,9 +6,10 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import Queries.Q
 
-/** Dedup + similarity-search queries (§2.6). MinHash/SimHash/IVF declare no
-  * SQL oracle (hash functions are engine-specific) → driver rows-only check;
-  * each has an exact-expectation ScalaTest instead. */
+/** Dedup + similarity-search queries (§2.6). MinHash and SimHash run their
+  * portable md5 lanes here (full DuckDB oracles, ops/Hll precedent); the
+  * engine-private xxhash64 lanes stay the library default and keep their
+  * exact-expectation ScalaTests. */
 object DedupQueries {
 
   /** Exact dedup over a corpus with injected duplicates. */
@@ -118,21 +119,99 @@ object DedupQueries {
               round(n_common::DOUBLE / n_b, 4) AS containment
             FROM pairs WHERE n_common::DOUBLE / n_b >= 0.3"""))
 
-  /** MinHash+LSH candidate pairs (rows-only: xxhash64 signatures). */
+  /** MinHash+LSH candidate pairs, ORACLE-CHECKED via the portable lane:
+    * one md5 per shingle split into (60-bit, 32-bit) halves, position i =
+    * min over shingles of h1 + i·h2 (Kirsch–Mitzenmacher), band keys are
+    * raw signature slices — so the oracle reproduces candidate generation
+    * AND the estimated jaccard digit for digit. The engine-private
+    * xxhash64 lane stays the default API with its exact-expectation
+    * spec. */
   val qDedupMinhash = Q(
     "q_dedup_minhash",
     (s, dir) => {
       val subset = Tables(s, dir).documents.filter(col("doc_id") % 2 === 0)
-      Dedup.minhashLsh(subset, "doc_id", "text", shingleN = 3, k = 16, bands = 8)
-    })
+      Dedup.minhashLsh(subset, "doc_id", "text", shingleN = 3, k = 16,
+        bands = 8, portable = true)
+    },
+    Some("""WITH docs AS MATERIALIZED (
+              SELECT doc_id AS id,
+                string_split_regex(trim(text), '\s+') AS toks
+              FROM documents WHERE doc_id % 2 = 0),
+            shing AS MATERIALIZED (
+              SELECT id, list_distinct(list_transform(
+                range(1, greatest(len(toks) - 3 + 1, 0) + 1),
+                i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+              FROM docs),
+            ex AS MATERIALIZED (
+              SELECT id,
+                ('0x' || substring(md5(s), 1, 15))::BIGINT AS h1,
+                ('0x' || substring(md5(s), 16, 8))::BIGINT AS h2
+              FROM (SELECT id, unnest(sh) AS s FROM shing WHERE len(sh) > 0)),
+            mins AS MATERIALIZED (
+              SELECT id, p.i, min(h1 + p.i * h2) AS h
+              FROM ex, (SELECT unnest(range(0, 16)) AS i) p
+              GROUP BY 1, 2),
+            sigs AS MATERIALIZED (
+              SELECT id, list(h ORDER BY i) AS sig FROM mins GROUP BY id),
+            bands AS MATERIALIZED (
+              SELECT id, sig, b.b AS band,
+                array_to_string(list_slice(sig, b.b * 2 + 1, b.b * 2 + 2), '-') AS bh
+              FROM sigs, (SELECT unnest(range(0, 8)) AS b) b),
+            cand AS MATERIALIZED (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bh = b.bh AND a.id < b.id)
+            SELECT c.id_a, c.id_b,
+              round(len(list_filter(range(1, 17),
+                i -> sa.sig[i] = sb.sig[i])) / 16.0, 4) AS est_jaccard
+            FROM cand c
+            JOIN sigs sa ON sa.id = c.id_a
+            JOIN sigs sb ON sb.id = c.id_b"""))
 
-  /** SimHash near-dup candidates within hamming distance (rows-only). */
+  /** SimHash near-dup candidates within hamming distance, ORACLE-CHECKED
+    * via the portable lane: 60-bit fingerprint bit-voted from md5 token
+    * hashes (15 hex chars → long), 4×15-bit chunk blocking — candidate
+    * pairs and hamming distances reproduce digit for digit in any engine
+    * with md5. The fused xxhash64 native expression stays the default. */
   val qDedupSimhash = Q(
     "q_dedup_simhash",
     (s, dir) => {
       val subset = Tables(s, dir).documents.filter(col("doc_id") % 2 === 0)
-      Dedup.simhashPairs(subset, "doc_id", "text", maxHamming = 16, chunks = 4)
-    })
+      Dedup.simhashPairs(subset, "doc_id", "text", maxHamming = 16,
+        chunks = 4, portable = true)
+    },
+    Some("""WITH docs AS MATERIALIZED (
+              SELECT doc_id AS id,
+                list_distinct(list_filter(
+                  string_split_regex(trim(text), '\s+'),
+                  t -> len(t) > 0)) AS toks
+              FROM documents WHERE doc_id % 2 = 0),
+            th AS MATERIALIZED (
+              SELECT id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h
+              FROM (SELECT id, unnest(toks) AS t FROM docs)),
+            votes AS MATERIALIZED (
+              SELECT id, b.b,
+                sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM th, (SELECT unnest(range(0, 60)) AS b) b
+              GROUP BY 1, 2),
+            fp AS MATERIALIZED (
+              SELECT id,
+                sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(b AS INTEGER))
+                    ELSE 0 END) AS fp
+              FROM votes GROUP BY id),
+            chunked AS MATERIALIZED (
+              SELECT id, fp, c.c,
+                (fp >> CAST(c.c * 15 AS INTEGER)) & 32767 AS cv
+              FROM fp, (SELECT unnest(range(0, 4)) AS c) c),
+            cand AS MATERIALIZED (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                a.fp AS fa, b.fp AS fb
+              FROM chunked a JOIN chunked b
+                ON a.c = b.c AND a.cv = b.cv AND a.id < b.id)
+            SELECT id_a, id_b,
+              CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+            FROM cand
+            WHERE bit_count(xor(fa, fb)) <= 16"""))
 
   /** Embedding-cosine near-dup pairs, blocked by label (rows-only). */
   val qDedupEmbed = Q(

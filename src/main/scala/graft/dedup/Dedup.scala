@@ -138,28 +138,78 @@ object Dedup {
     (b, r)
   }
 
+  /** Portable MinHash shingle hashes: ONE md5 per shingle split into two
+    * independent halves — h1 = 60-bit prefix (15 hex chars, ops/Hll
+    * convention), h2 = the following 32 bits (8 hex chars). The k
+    * "permutations" combine them Kirsch–Mitzenmacher-style
+    * (h_i = h1 + i·h2, 2006): one digest instead of k, and the sum stays
+    * below 2^61 (< 2^60 + 16·2^32) so no engine can overflow — any SQL
+    * engine with md5 reproduces every signature digit for digit. */
+  private def portableShingleHashes(sh: Column): Column =
+    transform(sh, { s =>
+      val m = md5(s)
+      struct(
+        conv(substring(m, 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(m, 16, 8), 16, 10).cast("long").as("h2"))
+    })
+
+  private def portableMinhashSig(hs: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(hs, h =>
+        h.getField("h1") + lit(i.toLong) * h.getField("h2")))
+    }: _*)
+
+  /** Portable LSH band keys: (band, dash-joined signature slice) — no
+    * band hash at all, so band agreement is bit-for-bit reproducible.
+    * Key width is r decimal longs (~2.4 bytes/char of overhead vs the
+    * 8-byte xxhash64 band hash) — the portability price. */
+  private def portableBands(sig: Column, b: Int, r: Int): Column =
+    array((0 until b).map { band =>
+      struct(lit(band).as("band"),
+        array_join(transform(slice(sig, band * r + 1, r),
+          v => v.cast("string")), "-").as("band_hash"))
+    }: _*)
+
   /** MinHash + LSH candidate pairs: k-perm signature, b bands × r rows.
     * Docs agreeing on any band become candidates; exact signature overlap
-    * then estimates jaccard. Shuffle volume: b rows per doc. */
+    * then estimates jaccard. Shuffle volume: b rows per doc.
+    *
+    * `portable = true` swaps xxhash64 permutations + band hashes for the
+    * md5 convention above (oracle-checkable); the default lane keeps the
+    * cheaper engine hashes. */
   def minhashLsh(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
       k: Int = 16,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8,
+      portable: Boolean = false): DataFrame = {
     val r = k / bands
     // materialize the shingle array first: the signature references it k
     // times, and an attribute reference stops Catalyst collapsing the
     // projection back into k copies of the tokenization. The signature
     // table itself is materialized once (at cluster scale: a persisted
     // table) — it is read three times below (banding + both rejoins).
-    val sigs = df
+    val shingled = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+      // shingle-less docs can never pair; dropping them keeps the
+      // portable signature total (no null minima in any engine)
+      .filter(size(col("sh")) > 0)
+    val sigs = (if (portable)
+        // hash array in its OWN projection: the k signature minima each
+        // reference it, and an attribute reference pins the md5 to one
+        // call per shingle instead of k
+        shingled
+          .select(col("id"), portableShingleHashes(col("sh")).as("hs"))
+          .select(col("id"), portableMinhashSig(col("hs"), k).as("sig"))
+      else shingled
+        .select(col("id"), minhashSignature(col("sh"), k).as("sig")))
       .localCheckpoint(true)
     val banded = sigs.select(col("id"),
-      explode(lshBands(col("sig"), bands, r)).as("b"))
+      explode(
+        (if (portable) portableBands(col("sig"), bands, r)
+         else lshBands(col("sig"), bands, r))).as("b"))
     val a = banded.as("a"); val b = banded.as("b")
     // candidate pairs agree on ≥1 band; dedupe on the bare (id_a, id_b) —
     // a 16-byte distinct key — and only then rejoin the k-long signatures
@@ -178,16 +228,41 @@ object Dedup {
   }
 
   /** SimHash near-dup candidates: fingerprint, chunk-block join, hamming
-    * filter. Shuffles `chunks` rows per doc. */
+    * filter. Shuffles `chunks` rows per doc.
+    *
+    * `portable = true` derives a 60-BIT fingerprint whose token hashes
+    * follow the md5 convention (15 hex chars → 60-bit long, ops/Hll
+    * precedent) instead of the fused xxhash64 native expression, so the
+    * bit-vote — and therefore every candidate pair and hamming distance —
+    * is reproducible by any engine with md5. Chunk width scales to the
+    * fingerprint (15 vs 16 bits at chunks=4); the pigeonhole guarantee
+    * (hamming < chunks ⇒ shared chunk) holds in both lanes. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 8,
-      chunks: Int = 4): DataFrame = {
-    val fps = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+      chunks: Int = 4,
+      portable: Boolean = false): DataFrame = {
+    val fpBits = if (portable) 60 else 64
+    val fps =
+      if (portable)
+        df.select(col(idCol).as("id"),
+            // distinct token hashes in their OWN projection: the 64-bit
+            // vote references the array 64 times, and an attribute
+            // reference keeps Catalyst from re-tokenizing per bit
+            transform(
+              array_distinct(filter(split(trim(col(textCol)), "\\s+"),
+                t => length(t) > 0)),
+              t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+              .as("th"))
+          // token-less docs have no votes: every engine must agree they
+          // emit nothing rather than a zero fingerprint
+          .filter(size(col("th")) > 0)
+          .select(col("id"), simhashFromHashes(col("th")).as("fp"))
+      else df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
     val chunked = fps.select(col("id"), col("fp"),
-      explode(simhashChunks(col("fp"), chunks)).as("c"))
+      explode(simhashChunks(col("fp"), chunks, fpBits)).as("c"))
     val a = chunked.as("a"); val b = chunked.as("b")
     a.join(b, col("a.c") === col("b.c") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

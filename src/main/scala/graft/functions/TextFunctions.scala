@@ -249,11 +249,13 @@ object TextFunctions {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash blocking key array: split the 64-bit fingerprint into `chunks`
-    * equal bit-chunks; near-dups within hamming < chunks must share ≥1
-    * chunk (pigeonhole) — join on chunk value, never all-pairs. */
-  def simhashChunks(fp: Column, chunks: Int): Column = {
-    val width = 64 / chunks
+  /** SimHash blocking key array: split the `bits`-wide fingerprint into
+    * `chunks` equal bit-chunks; near-dups within hamming < chunks must
+    * share ≥1 chunk (pigeonhole) — join on chunk value, never all-pairs.
+    * `bits` is 64 for the native fingerprint, 60 for the portable md5 one
+    * (15 hex chars). */
+  def simhashChunks(fp: Column, chunks: Int, bits: Int = 64): Column = {
+    val width = bits / chunks
     val mask = (1L << width) - 1
     array((0 until chunks).map { i =>
       struct(lit(i).as("chunk"),

@@ -149,6 +149,26 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("portable minhash/simhash lanes find the true near-dup and skip the unrelated doc") {
+    val base = "the quick brown fox jumps over the lazy dog again and again every single day"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " tonight"), // near-dup
+      (3L, "entirely different content with no overlap whatsoever in any shingle at all ok"))
+      .toDF("doc_id", "text")
+    val mh = Dedup.minhashLsh(df, "doc_id", "text", portable = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh.contains((1L, 2L)))
+    assert(!mh.exists(p => p._1 == 3L || p._2 == 3L))
+    // portable simhash: 60-bit fingerprint — near-dup pair is closer than
+    // either doc is to the unrelated one, and the fp fits in 60 bits
+    val sh = Dedup.simhashPairs(df, "doc_id", "text",
+        maxHamming = 60, chunks = 4, portable = true)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(sh((1L, 2L)) < sh.getOrElse((1L, 3L), 61) &&
+      sh((1L, 2L)) < sh.getOrElse((2L, 3L), 61))
+  }
+
   test("decontaminate flags exactly the train docs sharing an n-gram with the test set") {
     val train = Seq(
       (1L, "the quick brown fox jumps high"),
