@@ -203,17 +203,37 @@ final class RemoteAdmin(spark: SparkSession) {
     * end-to-end over a port. Call `endpoint.start()` to begin serving. */
   def serve(endpoint: graft.net.HttpEndpoint, path: String = "/rpc"): Unit =
     endpoint.addHandler(path)(dispatch)
+
+  /** Mount the dispatcher behind RFC 6455 framing — TRANSPORT parity with
+    * the reference, not just payload parity: `websockets.serve`
+    * (remoteadmin.py:66) is what the stock shell client and Vue SPA dial,
+    * so with this endpoint they connect unmodified (same `ws://` URL
+    * shape, same one-text-frame-per-RPC discipline). Call `.stop()` when
+    * done; the returned endpoint is already started. */
+  def serveWs(host: String = "127.0.0.1", port: Int = 0): graft.net.WebSocketEndpoint = {
+    val ep = new graft.net.WebSocketEndpoint(host, port)(dispatch)
+    ep.start()
+    ep
+  }
 }
 
 /** Operator-side admin client (reference RemoteAdminClient,
   * remoteadmin.py:231-341): builds the JSON-RPC envelope, sends it over a
-  * pluggable [[graft.net.HttpTransport]] (live JDK client by default), and
+  * pluggable round-trip (HTTP POST via [[graft.net.HttpTransport]], or a
+  * live `ws://` socket via [[RemoteAdminClient.overWebSocket]]), and
   * returns the parsed `result` node. Method surface mirrors the
   * reference's shell client 1:1. */
-final class RemoteAdminClient(
-    url: String,
-    transport: graft.net.HttpTransport = graft.net.JdkHttpTransport) {
+final class RemoteAdminClient private (rpc: String => String) {
   import com.fasterxml.jackson.databind.JsonNode
+
+  def this(url: String, transport: graft.net.HttpTransport = graft.net.JdkHttpTransport) =
+    this({ body: String =>
+      val resp = transport.send(graft.net.HttpRequest(
+        url = url, method = "POST", body = Some(body)))
+      require(resp.status == 200, s"admin rpc failed: ${resp.status} ${resp.body}")
+      resp.body
+    })
+
   private val mapper = new ObjectMapper()
   private val nextId = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -231,10 +251,7 @@ final class RemoteAdminClient(
       case other => params.add(String.valueOf(other))
     }
     req.put("id", nextId.incrementAndGet())
-    val resp = transport.send(graft.net.HttpRequest(
-      url = url, method = "POST", body = Some(mapper.writeValueAsString(req))))
-    require(resp.status == 200, s"admin rpc failed: ${resp.status} ${resp.body}")
-    mapper.readTree(resp.body).get("result")
+    mapper.readTree(rpc(mapper.writeValueAsString(req))).get("result")
   }
 
   def channels(): JsonNode = sendCommand("channels")
@@ -254,6 +271,19 @@ final class RemoteAdminClient(
     sendCommand("replay_msg", Seq(channel, msgId))
   def pushMsg(channel: String, text: String): JsonNode =
     sendCommand("push_msg", Seq(channel, text))
+}
+
+object RemoteAdminClient {
+  /** Shell-client transport parity: the reference dials `ws://host:port`
+    * and exchanges one text frame per RPC (remoteadmin.py:244). The
+    * returned client shares the ws connection across calls; close the
+    * socket when done. */
+  def overWebSocket(ws: graft.net.WebSocketClient): RemoteAdminClient =
+    new RemoteAdminClient({ body: String =>
+      ws.sendText(body)
+      ws.recvText().getOrElse(
+        throw new IllegalStateException("admin ws closed mid-rpc"))
+    })
 }
 
 object RemoteAdmin {

@@ -156,6 +156,55 @@ class RemoteAdminSpec extends SparkSpec {
     } finally ep.stop()
   }
 
+  test("live WS endpoint: full admin session over an actual ws:// socket (remoteadmin.py:44-82 transport parity)") {
+    val (admin, store) = freshStore()
+    val ep = admin.serveWs()
+    try {
+      val ws = new graft.net.WebSocketClient("127.0.0.1", ep.actualPort)
+      try {
+        val client = graft.api.RemoteAdminClient.overWebSocket(ws)
+        val chans = client.channels()
+        assert(chans.size() == 1 && chans.get(0).get("name").asText() == "chan1")
+        assert(client.start("chan1").get("status").asText() == "WAITING")
+        assert(client.stop("chan1").get("status").asText() == "STOPPED")
+        val listed = client.listMsgs("chan1", text = "second")
+        assert(listed.get("messages").size() == 1)
+        assert(listed.get("messages").get(0).get("id").asText() == "m2")
+        assert(listed.get("total").asLong() == 2L)
+        assert(client.viewMsg("chan1", "m1").get("payload").asText() == "hello payload")
+        assert(client.previewMsg("chan1", "m2").get("payload").asText() == "second one")
+        val replayed = client.replayMsg("chan1", "m1")
+        assert(replayed.get("payload").asText() == "HELLO PAYLOAD")
+        assert(replayed.get("uuid").asText() != "m1")
+        assert(store.get(replayed.get("uuid").asText())
+          .map(_.getAs[String]("state")) == Some("processed"))
+        assert(client.sendCommand("bogus").get("error").asText().contains("not a valid method"))
+      } finally ws.close()
+    } finally ep.stop()
+  }
+
+  test("WS framing: >125-byte payloads (16-bit length) and sequential clients survive") {
+    val ep = new graft.net.WebSocketEndpoint()(s => s.reverse)
+    ep.start()
+    try {
+      val ws = new graft.net.WebSocketClient("127.0.0.1", ep.actualPort)
+      try {
+        // 7-bit, 16-bit length paths + multiple round-trips on one socket
+        for (n <- Seq(5, 125, 126, 4000, 70000)) {
+          val msg = ("ab" * ((n + 1) / 2)).take(n)
+          ws.sendText(msg)
+          assert(ws.recvText().contains(msg.reverse), s"round-trip of $n chars")
+        }
+      } finally ws.close()
+      // a SECOND connection after the first closed — accept loop stays live
+      val ws2 = new graft.net.WebSocketClient("127.0.0.1", ep.actualPort)
+      try {
+        ws2.sendText("again")
+        assert(ws2.recvText().contains("niaga"))
+      } finally ws2.close()
+    } finally ep.stop()
+  }
+
   test("replay_msg: channel re-runs the stored message, reply is the RENEWED dict") {
     val (admin, store) = freshStore()
     val resp = admin.dispatch(
