@@ -304,8 +304,73 @@ object CodecQueries {
               CAST(doc_id % 2 = 1 AS INT) AS version
             FROM documents"""))
 
+  /** WAV PCM decode + frame sampling: canonical 16-bit mono WAV streams
+    * are SYNTHESIZED from doc_id (sample rate and length closed functions
+    * of the id, sample j = (doc_id·31 + j·17) mod 2^16 sign-decoded),
+    * then decoded BACK from the actual bytes by
+    * [[graft.multimodal.Multimodal.wavPcmFrames]] — header fields from
+    * their fixed offsets, every 16-bit LE sample from the data chunk —
+    * and reduced to per-frame n_samples/peak/rms. The oracle states the
+    * closed form directly (no byte parsing), so a mismatch means the
+    * decoder mis-read real bytes. rms carries the repo's fl4
+    * output-position quantization (sqrt). */
+  val qWavFrames = Q(
+    "q_wav_frames",
+    (s, dir) => {
+      val id = col("doc_id")
+      val n = pmod(id, lit(57)) + 40 // 40..96 samples → 3..6 frames of 16
+      val rate = pmod(id, lit(8)) * 1000 + 8000
+      def le(v: org.apache.spark.sql.Column, bytes: Int) = {
+        val b = lpad(hex(v), bytes * 2, "0")
+        concat((0 until bytes).map(i =>
+          b.substr(lit(bytes * 2 - 2 * i - 1), lit(2))): _*)
+      }
+      val dataBytes = n * 2
+      val header = concat(
+        lit("52494646"), le(dataBytes + 36, 4), lit("57415645"), // RIFF size WAVE
+        lit("666D7420"), le(lit(16), 4), // "fmt " + chunk size
+        le(lit(1), 2), le(lit(1), 2), // PCM, mono
+        le(rate, 4), le(rate * 2, 4), // sample rate, byte rate
+        le(lit(2), 2), le(lit(16), 2), // block align, bits/sample
+        lit("64617461"), le(dataBytes, 4)) // "data" + size
+      val samplesHex = array_join(transform(
+        sequence(lit(0L), n - 1),
+        j => le(pmod(id * 31 + j * 17, lit(65536L)), 2)), "")
+      val wav = unhex(concat(header, samplesHex))
+      Multimodal.wavPcmFrames(
+          Tables(s, dir).documents.select(id.as("doc_id"), wav.as("wav")),
+          "doc_id", "wav", frameSamples = 16)
+        .select(col("doc_id"), col("sample_rate"), col("frame_id"),
+          col("n_samples"), col("peak"),
+          (floor(col("rms") * 10000 + 0.5) / 10000).as("rms"))
+    },
+    Some("""WITH d AS MATERIALIZED (
+              SELECT doc_id, doc_id % 57 + 40 AS n,
+                doc_id % 8 * 1000 + 8000 AS sample_rate
+              FROM documents),
+            frames AS MATERIALIZED (
+              SELECT doc_id, sample_rate, n,
+                unnest(range(0, CAST(ceil(n / 16.0) AS BIGINT))) AS frame_id
+              FROM d),
+            samp AS MATERIALIZED (
+              SELECT doc_id, sample_rate, frame_id,
+                unnest(range(frame_id * 16, least((frame_id + 1) * 16, n))) AS j
+              FROM frames),
+            vals AS MATERIALIZED (
+              SELECT doc_id, sample_rate, frame_id,
+                CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+              FROM (SELECT doc_id, sample_rate, frame_id,
+                      (doc_id * 31 + j * 17) % 65536 AS u
+                    FROM samp))
+            SELECT doc_id, sample_rate, frame_id,
+              count(*) AS n_samples,
+              max(abs(s)) AS peak,
+              floor(sqrt(sum(s * s)::DOUBLE / count(*)) * 10000 + 0.5) / 10000 AS rms
+            FROM vals
+            GROUP BY doc_id, sample_rate, frame_id"""))
+
   def all: Seq[Q] = Seq(
     qJsonParse, qJsonFormat, qEncodeDecode, qB64Roundtrip, qCsvFormat,
     qCsvParse, qXmlFormat, qXmlParse, qHl7Parse, qEmailFormat, qHttpUrl,
-    qSourceRoundtrip, qMultimodalMeta, qJpegMeta, qMp4Meta)
+    qSourceRoundtrip, qMultimodalMeta, qJpegMeta, qMp4Meta, qWavFrames)
 }

@@ -113,6 +113,65 @@ object Multimodal {
   def mp4Meta(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.plans.MediaNative.mp4Meta(bin)
 
+  /** REAL audio decode — not a stub: canonical 16-bit PCM WAV bytes →
+    * per-frame waveform statistics, entirely in column math (substring +
+    * hex + conv + higher-order array functions; zero UDFs, zero audio
+    * libraries). The audio sibling of [[jpegMeta]]'s "parse the actual
+    * bytes" discipline:
+    *
+    *   - header fields come from [[wavMeta]] (channels / sample rate /
+    *     bits per sample at their fixed canonical offsets);
+    *   - the data chunk (bytes 45+, size = LE-uint32 at 41-44) is cut
+    *     into frames of `frameSamples` samples;
+    *   - each 16-bit little-endian sample is sign-decoded
+    *     (u ≥ 2^15 → u − 2^16) and each frame reduces to
+    *     n_samples / peak (max |s|) / rms (√(Σs²/n)).
+    *
+    * Scale shape: one projection + one explode — frames of one payload
+    * never leave their partition, so decode parallelism is the scan's.
+    * The per-sample substring arithmetic costs ~6 expression nodes per
+    * sample; a production path would fuse them into one native
+    * expression exactly like plans.JpegMeta fuses the segment walk, with
+    * this column form as its differential oracle. */
+  def wavPcmFrames(
+      df: DataFrame, idCol: String, binCol: String, frameSamples: Int): DataFrame = {
+    require(frameSamples >= 1, s"frameSamples must be >= 1, got $frameSamples")
+    val bin = col(binCol).cast("binary")
+    def leLong(off: Int, n: Int) = {
+      val bytesRev = (0 until n).reverse.map(i => hex(substring(bin, off + i, 1)))
+      conv(concat(bytesRev: _*), 16, 10).cast("long")
+    }
+    val (chans, rate, bits) = wavMeta(bin)
+    // `/` on columns is TRUE division (double); the sample count must be
+    // integral for the sequence bounds below
+    val nSamples = (leLong(41, 4) / (bits / 8) / chans).cast("long")
+    val base = df.select(
+      col(idCol), bin.as("__b"), rate.as("sample_rate"), nSamples.as("__n"),
+      explode(sequence(lit(0L),
+        ceil(nSamples.cast("double") / frameSamples).cast("long") - 1)).as("frame_id"))
+    // frame sample values: 16-bit LE at data offset 45 + 2j (1-based),
+    // sign-corrected — the array is materialized once per frame row and
+    // feeds all three stats
+    val vals = transform(
+      sequence(col("frame_id") * frameSamples,
+        least((col("frame_id") + 1) * frameSamples, col("__n")) - 1),
+      j => {
+        val u = conv(concat(
+          hex(col("__b").substr(lit(46) + j * 2, lit(1))),
+          hex(col("__b").substr(lit(45) + j * 2, lit(1)))), 16, 10).cast("long")
+        when(u >= 32768L, u - 65536L).otherwise(u)
+      })
+    base
+      .withColumn("__v", vals)
+      .select(
+        col(idCol), col("sample_rate"), col("frame_id"),
+        size(col("__v")).cast("long").as("n_samples"),
+        array_max(transform(col("__v"), v => abs(v))).as("peak"),
+        sqrt(aggregate(col("__v"), lit(0.0),
+          (acc, v) => acc + v.cast("double") * v.cast("double"))
+          / size(col("__v"))).as("rms"))
+  }
+
   /** Frame/chunk sampling: split a binary payload into fixed-size chunks
     * (video frame / audio window stand-in), exploded one row per chunk —
     * pure expressions, no UDF. */

@@ -222,6 +222,33 @@ class StreamingSpec extends SparkSpec {
     assert(r.getLong(1) == 2L && r.getLong(2) == 44100L && r.getLong(3) == 16L)
   }
 
+  test("WAV PCM frame decode: real 16-bit LE samples, sign-corrected, hand-computed stats") {
+    // mono 16-bit 8000 Hz, 5 samples: 0, 1000, -1000, 32767, -32768
+    val wav = (Array[Int](
+      0x52, 0x49, 0x46, 0x46, 0x2E, 0x00, 0x00, 0x00, // "RIFF" + size 46
+      0x57, 0x41, 0x56, 0x45, 0x66, 0x6D, 0x74, 0x20, // "WAVE" + "fmt "
+      0x10, 0x00, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, // fmt 16, PCM, mono
+      0x40, 0x1F, 0x00, 0x00, 0x80, 0x3E, 0x00, 0x00, // 8000 Hz, byteRate
+      0x02, 0x00, 0x10, 0x00,                         // blockAlign, 16-bit
+      0x64, 0x61, 0x74, 0x61, 0x0A, 0x00, 0x00, 0x00, // "data" + size 10
+      0x00, 0x00, 0xE8, 0x03, 0x18, 0xFC, 0xFF, 0x7F, 0x00, 0x80
+    )).map(_.toByte)
+    val df = Seq((7L, wav)).toDF("id", "bin")
+    val out = Multimodal.wavPcmFrames(df, "id", "bin", frameSamples = 4)
+      .orderBy("frame_id")
+      .select("sample_rate", "frame_id", "n_samples", "peak", "rms")
+      .collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 8000L)
+    assert((out(0).getLong(1), out(0).getLong(2), out(0).getLong(3)) == ((0L, 4L, 32767L)))
+    // rms of frame 0: sqrt((0 + 1000^2 + 1000^2 + 32767^2)/4)
+    assert(math.abs(out(0).getDouble(4) -
+      math.sqrt((1000.0 * 1000 * 2 + 32767.0 * 32767) / 4)) < 1e-9)
+    // frame 1 is the ragged tail: the single most-negative sample
+    assert((out(1).getLong(1), out(1).getLong(2), out(1).getLong(3)) == ((1L, 1L, 32768L)))
+    assert(out(1).getDouble(4) == 32768.0)
+  }
+
   test("JPEG header decode walks the segment chain to the SOF (no image libs)") {
     // SOI, APP0 (skipped), COM (skipped, odd length), SOF0 800x600
     val jpeg = Array[Int](
