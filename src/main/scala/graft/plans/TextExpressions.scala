@@ -408,6 +408,111 @@ case class JaroWinkler(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared md5 bit-slicing for the PORTABLE hash lanes — the oracle-checkable
+  * convention (ops/Hll precedent): h1 = first 15 hex chars of the digest as
+  * a 60-bit long (`('0x' || substr(md5(s),1,15))::BIGINT` in any engine),
+  * h2 = the following 8 hex chars as a 32-bit long. Computed here straight
+  * from the digest BYTES — hex chars 1..15 are bytes 0..6 plus the high
+  * nibble of byte 7; chars 16..23 are the low nibble of byte 7, bytes
+  * 8..10, and the high nibble of byte 11 — skipping the hex-string and
+  * decimal-conv detours the composable form paid per element. */
+private[plans] object PortableMd5 {
+  def digest(s: UTF8String): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+
+  def h1(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
+  def h2(d: Array[Byte]): Long =
+    ((d(7) & 0xfL) << 28) | ((d(8) & 0xffL) << 20) |
+      ((d(9) & 0xffL) << 12) | ((d(10) & 0xffL) << 4) | ((d(11) >> 4) & 0xfL)
+}
+
+/** Portable MinHash signature: per shingle ONE md5 split into (h1, h2),
+  * position i of the signature = min over shingles of h1 + i·h2
+  * (Kirsch–Mitzenmacher 2006). Values identical to the composable
+  * `conv(substring(md5(s),…),16,10)` formulation (spec-pinned) and to the
+  * DuckDB oracle — this is the same single-pass fusion [[MinHashSig]] does
+  * for the engine-private xxhash64 lane. */
+case class PortableMinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "portable_minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val nEl = arr.numElements()
+    while (i < nEl) {
+      val d = PortableMd5.digest(arr.getUTF8String(i))
+      val h1 = PortableMd5.h1(d)
+      val h2 = PortableMd5.h2(d)
+      var j = 0
+      while (j < k) {
+        val h = h1 + j * h2 // < 2^60 + k·2^32: no overflow in any engine
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(Long.box): Array[Any])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Portable SimHash: 60-bit bit-vote fingerprint over distinct whitespace
+  * tokens, each hashed to the md5 60-bit prefix — tokenize + digest + vote
+  * fused into one pass (the portable twin of [[SimHash64]]; the composable
+  * form folded the hash array once per bit = 60 interpreted passes).
+  * Token-less input yields NULL (the caller's drop-empty contract — every
+  * engine must agree such docs emit nothing, not a zero fingerprint). */
+case class PortableSimHash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "portable_simhash60"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](60)
+    var i = 0
+    var any = false
+    while (i < toks.length) {
+      if (toks(i).nonEmpty && seen.add(toks(i))) {
+        any = true
+        val h = PortableMd5.h1(PortableMd5.digest(UTF8String.fromString(toks(i))))
+        var bit = 0
+        while (bit < 60) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) null
+    else {
+      var fp = 0L
+      var bit = 0
+      while (bit < 60) {
+        if (votes(bit) > 0) fp |= (1L << bit)
+        bit += 1
+      }
+      fp
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextNative {
   import ColumnBridge.{column => c, expression => e}
 
@@ -424,4 +529,8 @@ object TextNative {
     c(JaroWinkler(e(a), e(b)))
   def lcpPair(a: Column, b: Column): Column =
     c(LcpPair(e(a), e(b)))
+  def portableMinhashSig(shingleArr: Column, k: Int): Column =
+    c(PortableMinHashSig(e(shingleArr), k))
+  def portableSimhash60(text: Column): Column =
+    c(PortableSimHash60(e(text)))
 }

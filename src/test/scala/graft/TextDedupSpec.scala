@@ -169,6 +169,49 @@ class TextDedupSpec extends SparkSpec {
       sh((1L, 2L)) < sh.getOrElse((2L, 3L), 61))
   }
 
+  test("native portable md5 hashes equal the conv(substring(md5,…)) convention") {
+    // the fused expressions slice digest BYTES; the gate convention is hex
+    // chars — h1 = chars 1..15, h2 = chars 16..23. Pin them equal on texts
+    // covering ascii, unicode, single-char and long tokens.
+    val df = Seq("the quick brown fox", "héllo wörld ünïcode tokens",
+      "a b c d e f g h", "xyzzy").toDF("text")
+    val sh = df.select(shingles(col("text"), 2).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val composable = sh.select(transform(col("sh"), { s =>
+      val m = md5(s)
+      struct(
+        conv(substring(m, 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(m, 16, 8), 16, 10).cast("long").as("h2"))
+    }).as("hs"))
+      .select(array((0 until 16).map { i =>
+        array_min(transform(col("hs"), h =>
+          h.getField("h1") + lit(i.toLong) * h.getField("h2")))
+      }: _*).as("sig"))
+      .as[Seq[Long]].collect().toSeq
+    val native = sh
+      .select(graft.plans.TextNative.portableMinhashSig(col("sh"), 16).as("sig"))
+      .as[Seq[Long]].collect().toSeq
+    assert(native == composable)
+
+    val votedFp = df.select(
+      transform(array_distinct(filter(split(trim(col("text")), "\\s+"),
+          t => length(t) > 0)),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("th"))
+      .filter(size(col("th")) > 0)
+      .select(simhashFromHashes(col("th")).as("fp"))
+      .as[Long].collect().toSeq
+    val nativeFp = df.select(
+        graft.plans.TextNative.portableSimhash60(col("text")).as("fp"))
+      .filter(col("fp").isNotNull)
+      .as[Long].collect().toSeq
+    assert(nativeFp == votedFp)
+    // token-less docs yield NULL, never a zero fingerprint
+    val empty = Seq("", "   ").toDF("text")
+      .select(graft.plans.TextNative.portableSimhash60(col("text")).as("fp"))
+      .filter(col("fp").isNotNull).count()
+    assert(empty == 0L)
+  }
+
   test("decontaminate flags exactly the train docs sharing an n-gram with the test set") {
     val train = Seq(
       (1L, "the quick brown fox jumps high"),
