@@ -980,6 +980,43 @@ object Queries {
               count(*) AS n
             FROM events, bounds GROUP BY 1"""))
 
+  /** Portable HDR-histogram quantile sketch (see [[graft.ops.Quantiles]]):
+    * p50/p90/p99 of floor(l_extendedprice) per return flag from a
+    * mergeable integer-bit-math histogram — the approximate-quantile
+    * counterpart of the q_hll/q_cms/q_bloom portable-sketch family, and
+    * like them exact cross-engine (no float log in the bucket rule, so
+    * the oracle reproduces every bucket and estimate digit for digit). */
+  val qHdrQuantiles = Q(
+    "q_hdr_quantiles",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+      graft.ops.Quantiles.quantiles(
+        li.select(col("l_returnflag"),
+          floor(col("l_extendedprice")).cast("long").as("v")),
+        col("v"), Seq(col("l_returnflag")), Seq(0.5, 0.9, 0.99), subBits = 3)
+    },
+    Some("""WITH v AS (
+              SELECT l_returnflag, CAST(floor(l_extendedprice) AS BIGINT) AS v
+              FROM lineitem),
+            b AS (
+              SELECT l_returnflag,
+                CASE WHEN length(bin(v)) - 4 > 0
+                  THEN (v >> (length(bin(v)) - 4)) << (length(bin(v)) - 4)
+                  ELSE v END AS bucket
+              FROM v),
+            c AS (SELECT l_returnflag, bucket, count(*) AS n
+                  FROM b GROUP BY 1, 2),
+            cum AS (
+              SELECT l_returnflag, bucket,
+                sum(n) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+                sum(n) OVER (PARTITION BY l_returnflag) AS total
+              FROM c),
+            qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+            SELECT cum.l_returnflag, qs.q AS q, min(bucket) AS estimate
+            FROM cum, qs
+            WHERE cum >= ceil(qs.q * total)
+            GROUP BY 1, 2"""))
+
   /** Unpivot (inverse of q_pivot): wide per-flag measures back to long
     * (flag, measure, value) triples — `Dataset.unpivot` is a zero-shuffle
     * Expand over the (already tiny) aggregate. */
@@ -2998,7 +3035,7 @@ object Queries {
     qBloomJoin, qSaltedJoin, qAsofJoin,
     qRollup, qCube, qRangeJoin, qMovingAvg, qPivot, qSetOps, qTopkAgg,
     qGroupingSets, qScalarSubquery, qPercentiles, qSessionize,
-    qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram,
+    qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram, qHdrQuantiles,
     qUnpivot, qOuterJoin, qWindowRank, qGapFill,
     qDqAudit, qCdcSnapshot, qSnapshotDiff, qHopping, q5Revenue, q13Custdist,
     qNotIn, qSetOpsAll, qIntervalJoin, qZorder,

@@ -1240,11 +1240,66 @@ object TextQueries {
             FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 3"""))
 
+  /** Hash-ring negative sampling (see [[graft.ops.Sampling.ringNegatives]]):
+    * k=2 deterministic negatives per document from the bucketed md5 ring —
+    * contrastive-training pair assembly whose draw is a pure function of
+    * (seed, id), so the oracle replays the identical ring walk. */
+  val qRingNegatives = Q(
+    "q_ring_negatives",
+    (s, dir) => graft.ops.Sampling.ringNegatives(
+        Tables(s, dir).documents, "doc_id", k = 2, seed = "r9", numBuckets = 16)
+      .select(col("anchor_id"), col("i").cast("long").as("i"), col("neg_id")),
+    Some("""WITH ring AS (
+              SELECT doc_id AS id, md5('r9:' || doc_id::VARCHAR) AS h,
+                ((strpos('0123456789abcdef',
+                    substr(md5('r9:' || doc_id::VARCHAR), 1, 1)) - 1) * 16
+                  + strpos('0123456789abcdef',
+                    substr(md5('r9:' || doc_id::VARCHAR), 2, 1)) - 1) % 16 AS bkt
+              FROM documents),
+            pos AS (
+              SELECT id, bkt,
+                row_number() OVER (PARTITION BY bkt ORDER BY h, id) AS rn,
+                count(*) OVER (PARTITION BY bkt) AS cnt
+              FROM ring),
+            anchors AS (
+              SELECT p.id AS anchor_id, p.bkt, i.i,
+                ((p.rn - 1 + i.i) % p.cnt) + 1 AS target_rn
+              FROM pos p, (SELECT unnest(range(1, 3)) AS i) i)
+            SELECT a.anchor_id, a.i, p.id AS neg_id
+            FROM anchors a
+            JOIN pos p ON a.bkt = p.bkt AND a.target_rn = p.rn
+            WHERE p.id <> a.anchor_id"""))
+
+  /** Leakage-safe split (see [[graft.ops.Sampling.leakageSafeSplit]]):
+    * train/val assignment keyed on the CONTENT hash, so exact duplicates
+    * can never straddle the split — per-split doc and distinct-content
+    * counts (the oracle recomputes both from the same group key; the
+    * no-straddle invariant is additionally spec-pinned on a corpus with
+    * planted duplicates). */
+  val qLeakageSplit = Q(
+    "q_leakage_split",
+    (s, dir) => graft.ops.Sampling.leakageSafeSplit(
+        Tables(s, dir).documents, md5(col("text")), valBuckets = 64)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_groups")),
+    Some("""SELECT CASE WHEN bucket < 64 THEN 'val' ELSE 'train' END AS split,
+              count(*) AS n_docs, count(DISTINCT md5(text)) AS n_groups
+            FROM (
+              SELECT text,
+                (strpos('0123456789abcdef',
+                   substr(md5(md5(text)), 1, 1)) - 1) * 16
+                + strpos('0123456789abcdef',
+                   substr(md5(md5(text)), 2, 1)) - 1 AS bucket
+              FROM documents)
+            GROUP BY 1"""))
+
   def all: Seq[Q] = Seq(qNaiveBayes, qLangId, qQualityScore, qTokenCount, qFingerprint,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
     qGopherRules, qChunk, qTemperatureMix, qDsirWeights, qGreedyPieces,
     qPerplexity, qC4Filter, qEpochMix, qTfidf, qPmi, qBpeTrain,
     qWeightedSample, qEntropy, qRrfFusion, qSuffixArray, qLongestRepeat,
-    qGlobalSuffix, qCrossRepeat, qWinnow, qWinnowPairs)
+    qGlobalSuffix, qCrossRepeat, qWinnow, qWinnowPairs, qRingNegatives,
+    qLeakageSplit)
 }

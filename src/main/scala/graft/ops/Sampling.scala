@@ -190,6 +190,69 @@ object Sampling {
       .limit(k)
       .drop("es_rank")
 
+  /** Hash-ring negative sampling — deterministic "random" negatives for
+    * contrastive / retrieval training pairs: each anchor takes the next
+    * `k` documents in md5-ring order as negatives. Hash order is
+    * content-independent, so ring neighbors are an unbiased draw, yet the
+    * assignment is a pure function of (seed, id): reproducible across
+    * runs, engines and task retries, re-drawable by changing the seed —
+    * the same determinism contract as [[hashSample]] (`rand()` negatives
+    * survive neither retries nor verification).
+    *
+    * Scale shape: the ring is BUCKETED (`numBuckets` hash buckets,
+    * wrap-around within bucket) so ordering is a partition-parallel
+    * window, never a global single-partition sort; negatives come from a
+    * bucket-keyed equi self-join. Buckets are hash-uniform — skew-free by
+    * construction. A bucket with ≤ k docs yields fewer negatives (the
+    * wrap-around meets the anchor and self-pairs are dropped); size
+    * numBuckets so expected bucket occupancy ≫ k.
+    *
+    * Output: (anchor_id, i ∈ 1..k, neg_id). */
+  def ringNegatives(
+      df: DataFrame,
+      idCol: String,
+      k: Int,
+      seed: String,
+      numBuckets: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val salted = concat(lit(seed), lit(":"), col(idCol).cast("string"))
+    val ring = df
+      .select(col(idCol).as("id"), md5(salted).as("h"),
+        pmod(hashBucket(salted), lit(numBuckets)).as("bkt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("h"), col("id"))
+    val pos = ring
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bkt"))))
+    val anchors = pos
+      .select(col("id").as("anchor_id"), col("bkt"), col("rn"), col("cnt"),
+        explode(sequence(lit(1), lit(k))).as("i"))
+      .withColumn("target_rn", pmod(col("rn") - 1 + col("i"), col("cnt")) + 1)
+    anchors
+      .join(pos.select(col("bkt"), col("rn").as("target_rn"),
+        col("id").as("neg_id")), Seq("bkt", "target_rn"))
+      .filter(col("neg_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("i"), col("neg_id"))
+  }
+
+  /** Leakage-safe train/validation split: the split decision is a pure
+    * function of a GROUP key (content hash, near-dup cluster id) instead
+    * of the row, so every member of a duplicate group lands on the same
+    * side — the standard guard against train/test contamination that a
+    * row-keyed split cannot give (an exact duplicate of a validation doc
+    * in train is memorized leakage). Pass `md5(text)` for exact-dup
+    * safety (zero shuffle — pure scan-stage column math) or a cluster id
+    * from [[graft.dedup.Dedup.clusters]] for near-dup safety. */
+  def leakageSafeSplit(
+      df: DataFrame, groupKey: Column, valBuckets: Int): DataFrame = {
+    require(valBuckets >= 0 && valBuckets <= 256,
+      s"valBuckets in [0,256], got $valBuckets")
+    df.withColumn("split",
+      when(hashBucket(groupKey) < valBuckets, lit("val")).otherwise(lit("train")))
+  }
+
   /** Deterministic global shuffle into training shards: shard and
     * within-shard position are pure functions of (seed, key), so an epoch's
     * read order reproduces across runs, clusters and task retries — what

@@ -151,4 +151,71 @@ class SamplingSpec extends SparkSpec {
     assert(uz < 0.6 * fullU, s"z-order user spread $uz vs full $fullU")
     assert(vz < 0.6 * fullV, s"z-order value spread $vz vs full $fullV")
   }
+
+  test("ringNegatives: deterministic, self-free, k per anchor, seed re-draws") {
+    val df = (1L to 200L).toDF("doc_id")
+    def draw(seed: String) =
+      Sampling.ringNegatives(df, "doc_id", k = 2, seed = seed, numBuckets = 4)
+        .as[(Long, Int, Long)].collect().toSet
+    val a = draw("s1")
+    assert(a == draw("s1"), "same seed must reproduce the draw exactly")
+    assert(a != draw("s2"), "a new seed must re-draw")
+    assert(a.forall { case (anchor, _, neg) => anchor != neg }, "no self-negatives")
+    // 4 buckets over 200 docs: every bucket has > k members, so every
+    // anchor gets exactly k distinct negatives
+    val perAnchor = a.groupBy(_._1).map { case (_, s) => s.map(_._3).size }
+    assert(perAnchor.size == 200 && perAnchor.forall(_ == 2))
+  }
+
+  test("leakageSafeSplit: duplicate content never straddles the split") {
+    // 50 distinct texts, each planted 3 times under different ids
+    val docs = (1 to 150).map(i => (i.toLong, s"content ${i % 50}"))
+      .toDF("doc_id", "text")
+    val split = Sampling.leakageSafeSplit(docs, md5(col("text")), 64)
+    val straddling = split.groupBy(col("text"))
+      .agg(countDistinct(col("split")).as("sides"))
+      .filter(col("sides") > 1).count()
+    assert(straddling == 0L)
+    // both sides populated (64/256 ≈ a quarter of 50 groups lands in val)
+    val sides = split.select("split").distinct().as[String].collect().toSet
+    assert(sides == Set("train", "val"))
+    // near-dup variant: split on the CLUSTER id from the near-dup graph —
+    // cluster members stay together even when their text hashes differ
+    val ids = docs.select(col("doc_id").as("id"))
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cl = graft.dedup.Dedup.clusters(ids, pairs)
+    val byCluster = docs.join(cl, docs("doc_id") === cl("id"))
+    val clSplit = Sampling.leakageSafeSplit(byCluster, col("cluster"), 64)
+    val clStraddle = clSplit.groupBy(col("cluster"))
+      .agg(countDistinct(col("split")).as("sides"))
+      .filter(col("sides") > 1).count()
+    assert(clStraddle == 0L)
+  }
+
+  test("hdr quantiles: exact on small values, rank-exact bucket, mergeable") {
+    import graft.ops.Quantiles
+    // values < 2^(subBits+1) = 16 are exact buckets: quantiles are the
+    // true order statistics
+    val small = (1 to 100).flatMap(i => Seq(i % 10 + 1L)).toDF("v")
+      .withColumn("g", lit("a"))
+    val qs = Quantiles.quantiles(small, col("v"), Seq(col("g")), Seq(0.5, 1.0), 3)
+      .as[(String, Double, Long)].collect().map(t => t._2 -> t._3).toMap
+    assert(qs(0.5) == 5L && qs(1.0) == 10L)
+    // estimate is the lower bound of the bucket holding rank ceil(qN):
+    // within a factor (1 + 2^-3) below the true quantile, never above
+    val wide = (1 to 10000).map(_.toLong).toDF("v").withColumn("g", lit("a"))
+    val est = Quantiles.quantiles(wide, col("v"), Seq(col("g")), Seq(0.9), 3)
+      .as[(String, Double, Long)].collect().head._3
+    assert(est <= 9000L && est.toDouble >= 9000.0 / (1.0 + 1.0 / 8.0) - 1,
+      s"p90 estimate $est out of the relative-error band")
+    // mergeable: sum of two halves' sketches == sketch of the union
+    val h1 = (1 to 5000).map(_.toLong).toDF("v")
+    val h2 = (5001 to 10000).map(_.toLong).toDF("v")
+    val merged = Quantiles.sketch(h1, col("v"), Nil, 3)
+      .unionByName(Quantiles.sketch(h2, col("v"), Nil, 3))
+      .groupBy(col("bucket")).agg(sum(col("n")).as("n"))
+    val direct = Quantiles.sketch(h1.unionByName(h2), col("v"), Nil, 3)
+    assert(merged.as[(Long, Long)].collect().toSet ==
+      direct.as[(Long, Long)].collect().toSet)
+  }
 }
