@@ -119,6 +119,36 @@ object DedupQueries {
               round(n_common::DOUBLE / n_b, 4) AS containment
             FROM pairs WHERE n_common::DOUBLE / n_b >= 0.3"""))
 
+  /** Prefix-filtering similarity self-join (All-Pairs): exact token-set
+    * Jaccard ≥ 0.5 pairs where only each doc's rarest (1−t) token prefix
+    * is indexed — the corpus-hottest tokens never enter the candidate
+    * join. The oracle computes the same pairs from the FULL inverted
+    * index: prefix filtering is lossless, so the two must agree exactly
+    * (see [[graft.dedup.Dedup.prefixFilterJoin]] for the pigeonhole
+    * argument and the safe-direction float guards). */
+  val qSimjoinPrefix = Q(
+    "q_simjoin_prefix",
+    (s, dir) => {
+      val subset = Tables(s, dir).documents
+        .filter(col("doc_id") % 5 === 2)
+      Dedup.prefixFilterJoin(subset, "doc_id", "text", threshold = 0.5)
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id AS id,
+                list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+              FROM documents WHERE doc_id % 5 = 2),
+            ex AS (
+              SELECT id, len(toks) AS m, unnest(toks) AS tok FROM docs),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.m AS ma, b.m AS mb,
+                count(*) AS inter
+              FROM ex a JOIN ex b ON a.tok = b.tok AND a.id < b.id
+              GROUP BY 1, 2, 3, 4)
+            SELECT id_a, id_b,
+              round(inter::DOUBLE / (ma + mb - inter), 4) AS jaccard
+            FROM pairs
+            WHERE inter::DOUBLE / (ma + mb - inter) >= 0.5"""))
+
   /** MinHash+LSH candidate pairs, ORACLE-CHECKED via the portable lane:
     * one md5 per shingle split into (60-bit, 32-bit) halves, position i =
     * min over shingles of h1 + i·h2 (Kirsch–Mitzenmacher), band keys are
@@ -1366,5 +1396,5 @@ object DedupQueries {
     qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qMmr, qSemDedup, qDupNgrams, qIncrementalDedup,
     qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance,
     qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep, qDbscan, qFuzzyMatch, qSortedNeighborhood,
-    qContainment, qBoilerplate)
+    qContainment, qBoilerplate, qSimjoinPrefix)
 }

@@ -500,6 +500,58 @@ object Queries {
               floor(b * 10000 + 0.5) / 10000 AS s_trend
             FROM rec WHERE event_id % 20 = 0"""))
 
+  /** Holt–Winters additive triple smoothing (level + trend + seasonal,
+    * period 4) per user — see [[graft.ops.Smoothing.holtWinters]]. The
+    * oracle's recursive CTE carries the seasonal register as a rotating
+    * DOUBLE[] queue (cs' = append(cs[2:], c_new), c_{i−p} = cs[1]) which
+    * is exactly the fold's circular buffer; validated bitwise against the
+    * fold recursion before registration. */
+  val qHoltWinters = Q(
+    "q_holt_winters",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+        .withColumn("ts_s", unix_seconds(col("ts").cast("timestamp")))
+      graft.ops.Smoothing.holtWinters(ev, "user_id", "ts_s", "event_id",
+          "value", alpha = 0.3, beta = 0.1, gamma = 0.2, period = 4)
+        .filter(col("event_id") % 20 === 0)
+        .select(col("user_id"), col("event_id"),
+          fl4(col("s_level")).as("s_level"), fl4(col("s_trend")).as("s_trend"),
+          fl4(col("s_season")).as("s_season"))
+    },
+    Some("""WITH RECURSIVE src AS (
+              SELECT user_id, event_id, value::DOUBLE AS x,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                            event_id) AS rn
+              FROM events),
+            rec AS (
+              SELECT user_id, event_id, rn, x AS s, CAST(0.0 AS DOUBLE) AS b,
+                [CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0] AS cs
+              FROM src WHERE rn = 1
+              UNION ALL
+              SELECT src.user_id, src.event_id, src.rn,
+                CAST(0.3 AS DOUBLE) * (src.x - rec.cs[1])
+                  + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                    * (rec.s + rec.b),
+                CAST(0.1 AS DOUBLE)
+                  * ((CAST(0.3 AS DOUBLE) * (src.x - rec.cs[1])
+                      + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                        * (rec.s + rec.b)) - rec.s)
+                  + (CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * rec.b,
+                list_append(rec.cs[2:],
+                  CAST(0.2 AS DOUBLE)
+                    * (src.x - (CAST(0.3 AS DOUBLE) * (src.x - rec.cs[1])
+                        + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                          * (rec.s + rec.b)))
+                    + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * rec.cs[1])
+              FROM src JOIN rec
+                ON src.user_id = rec.user_id AND src.rn = rec.rn + 1)
+            SELECT user_id, event_id,
+              floor(s * 10000 + 0.5) / 10000 AS s_level,
+              floor(b * 10000 + 0.5) / 10000 AS s_trend,
+              floor(cs[4] * 10000 + 0.5) / 10000 AS s_season
+            FROM rec WHERE event_id % 20 = 0"""))
+
   /** Pivot: event counts per user bucketed by type as columns (expressed
     * with FILTER-style conditional aggregation for engine portability). */
   val qPivot = Q(
@@ -1254,6 +1306,57 @@ object Queries {
               FROM p1 FULL OUTER JOIN p2
                 ON p1.user_id = p2.user_id AND p1.event_type = p2.event_type)
             WHERE change IS NOT NULL"""))
+
+  /** MERGE INTO (SQL:2003 upsert-with-delete) — apply the second half of
+    * the event log, compacted to one change per user with
+    * latest-event-type='error' as the tombstone, onto the first-half
+    * snapshot: one null-safe full outer join (see
+    * [[graft.ops.Cdc.mergeInto]]). The oracle states the same MERGE as
+    * FULL JOIN + CASE; source-presence tests its never-null `del` flag,
+    * not the key (the flag marks the side, the key may in general be
+    * NULL). */
+  val qMergeUpsert = Q(
+    "q_merge_upsert",
+    (s, dir) => {
+      val ev = Tables(s, dir).events.select(
+        col("user_id"), col("event_type"), col("value"),
+        graft.model.Msg.epochUs(col("ts")).as("us"), col("event_id"))
+      val mid = ev.agg(expr("max(event_id) div 2").as("k"))
+      val tagged = ev.crossJoin(broadcast(mid))
+      def snap(p: Column) = graft.ops.Cdc.latestSnapshot(tagged.filter(p),
+        keyCols = Seq("user_id"),
+        versionCols = Seq("us", "event_id"),
+        payloadCols = Seq("event_type", "value"))
+      val target = snap(col("event_id") <= col("k"))
+        .select(col("user_id"), col("event_type"), col("value"))
+      val source = snap(col("event_id") > col("k"))
+        .select(col("user_id"), col("event_type"), col("value"),
+          (col("event_type") === "error").as("del"))
+      graft.ops.Cdc.mergeInto(target, source,
+          keyCols = Seq("user_id"),
+          payloadCols = Seq("event_type", "value"),
+          deleteCol = "del")
+        .select(col("user_id"), col("event_type"), col("value"))
+    },
+    Some("""WITH k AS (SELECT max(event_id) // 2 AS k FROM events),
+            t AS (SELECT user_id, event_type, value FROM (
+              SELECT e.user_id, e.event_type, e.value,
+                row_number() OVER (PARTITION BY e.user_id
+                  ORDER BY epoch_us(e.ts) DESC, e.event_id DESC) AS rn
+              FROM events e, k WHERE e.event_id <= k.k) WHERE rn = 1),
+            s AS (SELECT user_id, event_type, value,
+                    event_type = 'error' AS del FROM (
+              SELECT e.user_id, e.event_type, e.value,
+                row_number() OVER (PARTITION BY e.user_id
+                  ORDER BY epoch_us(e.ts) DESC, e.event_id DESC) AS rn
+              FROM events e, k WHERE e.event_id > k.k) WHERE rn = 1)
+            SELECT coalesce(t.user_id, s.user_id) AS user_id,
+              CASE WHEN s.del IS NOT NULL THEN s.event_type
+                   ELSE t.event_type END AS event_type,
+              CASE WHEN s.del IS NOT NULL THEN s.value
+                   ELSE t.value END AS value
+            FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
+            WHERE NOT coalesce(s.del, false)"""))
 
   /** Hopping (sliding) time windows: 1-hour windows every 15 minutes —
     * each event lands in exactly 4 windows (Spark `window(ts, w, slide)`
@@ -3037,11 +3140,11 @@ object Queries {
     qGroupingSets, qScalarSubquery, qPercentiles, qSessionize,
     qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram, qHdrQuantiles,
     qUnpivot, qOuterJoin, qWindowRank, qGapFill,
-    qDqAudit, qCdcSnapshot, qSnapshotDiff, qHopping, q5Revenue, q13Custdist,
+    qDqAudit, qCdcSnapshot, qSnapshotDiff, qMergeUpsert, qHopping, q5Revenue, q13Custdist,
     qNotIn, qSetOpsAll, qIntervalJoin, qZorder,
     qOutliers, qFfill, qAnomaly, qPagerank,
     q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
-    qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma, qCusum, qHolt,
+    qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma, qCusum, qHolt, qHoltWinters,
     qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops, qSssp,
     qLabelProp, qItemsets, qAttribution, qAssortativity, qKcore,
     qPprTrust, qLinkPredict, qKtruss, qHarmonic, qIncrementalCc, qScc,

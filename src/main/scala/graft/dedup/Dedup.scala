@@ -245,6 +245,79 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Prefix-filtering token-set similarity self-join (Chaudhuri et al.
+    * ICDE 2006; Bayardo et al. WWW 2007 "All-Pairs"): EXACT Jaccard ≥ t
+    * pairs without the full inverted-index fanout. Tokens are globally
+    * ordered by (document frequency, token) — rarest first — and a doc
+    * with m distinct tokens only indexes its first m − ⌈t·m⌉ + 1 tokens
+    * in that order: any pair with Jaccard ≥ t shares ≥ ⌈t·m⌉ tokens (from
+    * J ≥ t ⟹ overlap ≥ t·max(ma,mb)), so skipping the last ⌈t·m⌉ − 1
+    * tokens of each side cannot skip every shared token — the prefixes
+    * must intersect (prefix-filtering principle), making candidate
+    * generation a superset and the verify pass exact.
+    *
+    * Why this beats the full inverted-index join at 100 TB: (1) only the
+    * (1−t) prefix fraction of each doc is indexed, shrinking the exploded
+    * relation and its self-join quadratically in hot buckets; (2) the
+    * rarest-first order means the corpus-hottest tokens — exactly the
+    * skew bombs that melt a full token join — fall OUTSIDE almost every
+    * prefix and never enter the index at all. Join keys are 64-bit token
+    * hashes (8-byte shuffle rows; collision odds ~m²/2⁶⁵ — the
+    * ngramJaccard argument). Candidates are `distinct`-ed before the
+    * verify join, which fetches each side's hash array by id and scores
+    * `array_intersect` exactly.
+    *
+    * The float guards lean SAFE: prefix length uses ceil(t·m − 1e−9)
+    * (an IEEE product landing a hair ABOVE an exact integer would
+    * otherwise shorten the prefix — a false-negative bug), and the
+    * length filter uses floor slack. Both only ever ADD candidates.
+    *
+    * Returns (id_a, id_b, jaccard r4) with id_a < id_b.
+    */
+  def prefixFilterJoin(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    // distinct per-doc token sets, hashed; reused by prefix AND verify →
+    // checkpoint once (at cluster scale: a persisted intermediate table)
+    val docs = df.select(
+        col(idCol).as("id"),
+        transform(array_distinct(split(trim(col(textCol)), "\\s+")),
+          t => xxhash64(t)).as("hs"))
+      .select(col("id"), col("hs"), size(col("hs")).as("m"))
+      .localCheckpoint(true)
+    val dfreq = docs.select(explode(col("hs")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // per-doc (df, h)-sorted token list → keep the m − ⌈t·m⌉ + 1 prefix
+    val prefixLen = greatest(lit(1),
+      (col("m") - ceil(col("m") * lit(threshold) - lit(1e-9)) + 1).cast("int"))
+    val prefixes = docs.select(col("id"), col("m"), explode(col("hs")).as("h"))
+      .join(dfreq, "h")
+      .groupBy(col("id"), col("m"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+      .select(col("id"), col("m"),
+        explode(slice(transform(col("ord"), e => e.getField("h")),
+          lit(1), prefixLen)).as("h"))
+    val a = prefixes.as("a"); val b = prefixes.as("b")
+    val cand = a.join(b,
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          // J ≥ t ⟹ min(ma,mb) ≥ t·max(ma,mb); floor = slack-safe prune
+          least(col("a.m"), col("b.m")) >=
+            floor(greatest(col("a.m"), col("b.m")) * lit(threshold)))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cand
+      .join(docs.select(col("id").as("id_a"), col("hs").as("ha"),
+        col("m").as("ma")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("hs").as("hb"),
+        col("m").as("mb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("ma") + col("mb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Duplicate-cluster assignment: connected components over a candidate
     * pair graph — the dedup-flavored face of
     * [[graft.graph.Graph.connectedComponents]] (one uniform shuffle per

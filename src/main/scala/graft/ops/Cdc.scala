@@ -50,6 +50,54 @@ object Cdc {
     }
   }
 
+  /** MERGE INTO (SQL:2003 MERGE / Delta-style upsert) as one relational
+    * pass: apply a compacted change set to a base table —
+    *   - matched key, source delete flag set   → row removed
+    *   - matched key, delete flag clear        → source payload (UPDATE)
+    *   - unmatched source, delete flag clear   → row added (INSERT)
+    *   - unmatched source, delete flag set     → no-op (delete of absent)
+    *   - unmatched target                      → kept as-is
+    * `source` must hold ONE row per key — the SQL standard's cardinality
+    * rule (a multi-row source makes the update ambiguous); compact with
+    * [[latestSnapshot]] first. A NULL delete flag reads as false
+    * (an upsert feed that never sets it must not delete).
+    *
+    * Scale shape: ONE null-safe full outer join on the key — the same
+    * single exchange pair [[snapshotDiff]] pays, and the standard
+    * MERGE physical plan everywhere (Delta/Iceberg do exactly this
+    * join under their file-pruning layers). No window, no sort; both
+    * sides are snapshots (one row per key) so AQE can size/skew-split
+    * the exchange freely.
+    *
+    * Output: keyCols ++ payloadCols, one row per surviving key. */
+  def mergeInto(
+      target: DataFrame,
+      source: DataFrame,
+      keyCols: Seq[String],
+      payloadCols: Seq[String],
+      deleteCol: String): DataFrame = {
+    val t = target.select((keyCols ++ payloadCols).map(col): _*)
+      .withColumn("__in_t", lit(true))
+      .select(keyCols.map(c => col(c).as(s"${c}__t")) ++
+        payloadCols.map(c => col(c).as(s"${c}__pt")) :+ col("__in_t"): _*)
+    val s = source.select((keyCols ++ payloadCols :+ deleteCol).map(col): _*)
+      .withColumn("__in_s", lit(true))
+      .select(keyCols.map(c => col(c).as(s"${c}__s")) ++
+        payloadCols.map(c => col(c).as(s"${c}__ps")) ++
+        Seq(col(deleteCol).as("__del"), col("__in_s")): _*)
+    val keyEq = keyCols.map(c => col(s"${c}__t") <=> col(s"${c}__s")).reduce(_ && _)
+    val inS = coalesce(col("__in_s"), lit(false))
+    val del = coalesce(col("__del"), lit(false))
+    t.join(s, keyEq, "full_outer")
+      // a source delete removes the matched row AND never inserts itself
+      .filter(!(inS && del))
+      .select(keyCols.map(c =>
+        when(coalesce(col("__in_t"), lit(false)), col(s"${c}__t"))
+          .otherwise(col(s"${c}__s")).as(c)) ++
+        payloadCols.map(c =>
+          when(inS, col(s"${c}__ps")).otherwise(col(s"${c}__pt")).as(c)): _*)
+  }
+
   /** Snapshot diff — classify every key across two versions of a table as
     * `added` / `removed` / `changed` (unchanged keys are dropped): the
     * audit primitive for evolving corpora (what changed between last

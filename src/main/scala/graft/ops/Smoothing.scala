@@ -118,6 +118,27 @@ object Smoothing {
         col("e.s").as("s_level"), col("e.b").as("s_trend"))
   }
 
+  /** Holt–Winters additive triple smoothing (Winters, Mgmt Sci 1960) —
+    * level + trend + a length-`period` seasonal register; see
+    * [[graft.plans.HoltWintersFold]] for the recursion, init, and the
+    * rotating-queue equivalence a sequential SQL recursion reproduces.
+    * Same scale shape as [[holt]]: one key shuffle, O(n) per key, O(p)
+    * extra state. Output: (key, id, s_level, s_trend, s_season)
+    * UNROUNDED. */
+  def holtWinters(
+      df: DataFrame, keyCol: String, ordCol: String, idCol: String,
+      valCol: String, alpha: Double, beta: Double, gamma: Double,
+      period: Int): DataFrame = {
+    val folded = ColumnBridge.column(graft.plans.HoltWintersFold(
+      ColumnBridge.expression(col("series")), alpha, beta, gamma, period))
+    df.groupBy(col(keyCol))
+      .agg(sortedSeries(ordCol, idCol, valCol).as("series"))
+      .select(col(keyCol), explode(folded).as("e"))
+      .select(col(keyCol), col("e.i").as(idCol),
+        col("e.s").as("s_level"), col("e.b").as("s_trend"),
+        col("e.c").as("s_season"))
+  }
+
   final case class Point(key: Long, ts: Long, id: Long, x: Double)
   final case class EwmaState(lastTs: Long, lastId: Long, s: Double)
   final case class Smoothed(key: Long, id: Long, ewma: Double)

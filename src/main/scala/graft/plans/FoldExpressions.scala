@@ -158,3 +158,57 @@ case class HoltFold(child: Expression, alpha: Double, beta: Double)
   override protected def withNewChildInternal(newChild: Expression): HoltFold =
     copy(child = newChild)
 }
+
+/** Holt–Winters additive triple smoothing (Winters 1960) — level + trend +
+  * a length-`period` seasonal register:
+  *   s_i = α·(x_i − c_{i−p}) + (1−α)·(s_{i−1} + b_{i−1})
+  *   b_i = β·(s_i − s_{i−1}) + (1−β)·b_{i−1}
+  *   c_i = γ·(x_i − s_i) + (1−γ)·c_{i−p}
+  * with the lookahead-free init s_0 = x_0, b_0 = 0, and all seasonal slots
+  * starting at 0 (so c_0 = γ·(x_0 − s_0) + (1−γ)·0 = 0 exactly — the c
+  * update is uniform from the first row). The seasonal register is a
+  * circular buffer indexed idx mod p, which IS the rotating queue a
+  * sequential SQL recursion carries as a p-length list
+  * (cs' = append(cs[2:], c_new), c_{i−p} = cs[1]) — same values, same
+  * IEEE op order, so the DuckDB recursive-CTE oracle matches bit for bit.
+  */
+case class HoltWintersFold(
+    child: Expression, alpha: Double, beta: Double, gamma: Double,
+    period: Int)
+    extends SeriesFoldExpression {
+  require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+  require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0, 1], got $beta")
+  require(gamma >= 0.0 && gamma <= 1.0, s"gamma must be in [0, 1], got $gamma")
+  require(period >= 1, s"period must be >= 1, got $period")
+  override def prettyName: String = "holt_winters_fold"
+  override protected def stateFields: Seq[String] = Seq("s", "b", "c")
+  private val oneMinusAlpha = 1.0 - alpha
+  private val oneMinusBeta = 1.0 - beta
+  private val oneMinusGamma = 1.0 - gamma
+
+  override protected def fold(n: Int, read: Int => (Long, Double),
+      emit: (Int, Long, Array[Double]) => Unit): Unit = {
+    val cs = new Array[Double](period) // seasonal register, starts all-zero
+    var s = 0.0
+    var b = 0.0
+    var idx = 0
+    while (idx < n) {
+      val (i, x) = read(idx)
+      val slot = idx % period
+      val cPrev = cs(slot)
+      if (idx == 0) { s = x; b = 0.0 }
+      else {
+        val sNew = alpha * (x - cPrev) + oneMinusAlpha * (s + b)
+        b = beta * (sNew - s) + oneMinusBeta * b
+        s = sNew
+      }
+      val cNew = gamma * (x - s) + oneMinusGamma * cPrev
+      cs(slot) = cNew
+      emit(idx, i, Array(s, b, cNew))
+      idx += 1
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HoltWintersFold =
+    copy(child = newChild)
+}

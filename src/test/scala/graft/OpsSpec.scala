@@ -164,6 +164,35 @@ class OpsSpec extends SparkSpec {
       s"no map-side partial max:\n$plan")
   }
 
+  test("cdc mergeInto: update/insert/delete/no-op-delete/keep semantics in one join") {
+    import graft.ops.Cdc
+    val target = Seq(
+      ("a", "A0", 1.0), // matched, updated
+      ("b", "B0", 2.0), // matched, deleted
+      ("c", "C0", 3.0)  // unmatched target → kept
+    ).toDF("key", "tag", "v")
+    val source = Seq(
+      ("a", "A1", 9.0, Some(false)),
+      ("b", "B1", 0.0, Some(true)),  // tombstone
+      ("d", "D1", 4.0, Option.empty[Boolean]), // NULL del = upsert → insert
+      ("e", "E1", 5.0, Some(true))   // delete of absent key → no-op
+    ).toDF("key", "tag", "v", "del")
+    val out = Cdc.mergeInto(target, source, Seq("key"), Seq("tag", "v"), "del")
+      .as[(String, String, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(("a", "A1", 9.0), ("c", "C0", 3.0), ("d", "D1", 4.0)))
+  }
+
+  test("cdc mergeInto: NULL key values merge null-safely") {
+    import graft.ops.Cdc
+    val target = Seq((Option("x"), 1.0), (Option.empty[String], 2.0)).toDF("key", "v")
+    val source = Seq((Option.empty[String], 9.0)).toDF("key", "v")
+      .withColumn("del", lit(false))
+    val out = Cdc.mergeInto(target, source, Seq("key"), Seq("v"), "del")
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1))).sortBy(_._2).toSeq
+    // NULL-keyed target row is UPDATED (null-safe match), not duplicated
+    assert(out == Seq((Some("x"), 1.0), (None, 9.0)))
+  }
+
   test("cdc snapshotDiff: added/removed/changed classes, null-safe compare, unchanged dropped") {
     import graft.ops.Cdc
     val oldDf = Seq(
@@ -308,6 +337,33 @@ class OpsSpec extends SparkSpec {
       .as[(String, Long, Double, Double)].collect().toSeq
     assert(got == Seq(("a", 1L, 10.0, 0.0), ("a", 2L, 11.0, 0.5),
       ("a", 3L, 12.75, 1.125)))
+  }
+
+  test("holtWinters: seasonal register picks up the period-p pattern") {
+    // α=0.5, β=0, γ=0.5, period 2 on 10,20,10,20:
+    //   i0: s=10, b=0, c0=.5*(10-10)+.5*0=0
+    //   i1: cprev=0 → s=.5*20+.5*10=15, c1=.5*(20-15)=2.5
+    //   i2: cprev=c0=0 → s=.5*10+.5*15=12.5, c=.5*(10-12.5)+.5*0=-1.25
+    //   i3: cprev=c1=2.5 → s=.5*(20-2.5)+.5*12.5=15, c=.5*(20-15)+.5*2.5=3.75
+    val df = Seq(("a", 1L, 1L, 10.0), ("a", 2L, 2L, 20.0),
+      ("a", 3L, 3L, 10.0), ("a", 4L, 4L, 20.0)).toDF("k", "o", "id", "x")
+    val got = graft.ops.Smoothing
+      .holtWinters(df, "k", "o", "id", "x", 0.5, 0.0, 0.5, period = 2)
+      .orderBy("id").select("id", "s_level", "s_trend", "s_season")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 10.0, 0.0, 0.0), (2L, 15.0, 0.0, 2.5),
+      (3L, 12.5, 0.0, -1.25), (4L, 15.0, 0.0, 3.75)))
+  }
+
+  test("holtWinters is partition-layout invariant") {
+    val df = (1 to 200).map(i =>
+      ((i % 5).toString, (i / 5).toLong, i.toLong, (i % 13).toDouble))
+      .toDF("k", "o", "id", "x")
+    val a = graft.ops.Smoothing
+      .holtWinters(df, "k", "o", "id", "x", 0.3, 0.1, 0.2, period = 4)
+    val b = graft.ops.Smoothing
+      .holtWinters(df.repartition(7), "k", "o", "id", "x", 0.3, 0.1, 0.2, 4)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
   test("holt is partition-layout invariant") {

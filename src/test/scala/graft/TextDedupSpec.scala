@@ -38,6 +38,42 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L) == (("", 0L, 2L)))
   }
 
+  test("prefixFilterJoin equals brute-force all-pairs Jaccard (lossless filter)") {
+    // deterministic pseudo-random docs over a small vocab so that pairs
+    // straddle the threshold both ways; brute force computed in-memory
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = (1 to 60).map { id =>
+      val m = 3 + rnd.nextInt(10)
+      id.toLong -> (0 until m).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJoin(df, "doc_id", "text", threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sets = docs.map { case (id, t) => id -> t.split("\\s+").toSet }.toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+      if j >= 0.4
+    } yield (a, b)).toSet
+    assert(want.nonEmpty, "test vector must produce at least one pair")
+    assert(got == want)
+  }
+
+  test("prefixFilterJoin indexes only the rarest-token prefix") {
+    // two identical docs (J=1.0) and one unrelated: the pair survives and
+    // the common-word-only doc pairs with nothing despite sharing "the"
+    val df = Seq(
+      (1L, "alpha beta gamma the"),
+      (2L, "alpha beta gamma the"),
+      (3L, "the the the")).toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJoin(df, "doc_id", "text", 0.8)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0)))
+  }
+
   test("duplicatedNgramProfile counts cross-doc shared n-grams per doc") {
     // 2-grams: doc1 {a b, b c}, doc2 {a b, b x}, doc3 {q r} ; "a b" is the
     // only shared gram → doc1 1/2, doc2 1/2, doc3 0/1
