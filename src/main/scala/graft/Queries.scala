@@ -552,6 +552,55 @@ object Queries {
               floor(cs[4] * 10000 + 0.5) / 10000 AS s_season
             FROM rec WHERE event_id % 20 = 0"""))
 
+  /** Classical additive seasonal decomposition per user (period 4,
+    * centered ±2 moving-average trend, full frames only) — see
+    * [[graft.ops.Smoothing.seasonalDecompose]] for the milli-quantized
+    * exact-integer formulation; the oracle carries the same integer
+    * numerators and performs the identical final divisions, so values
+    * match bit for bit before the 4-decimal floor. */
+  val qSeasonalDecompose = Q(
+    "q_seasonal_decompose",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+        .withColumn("ts_s", unix_seconds(col("ts").cast("timestamp")))
+      graft.ops.Smoothing.seasonalDecompose(ev, "user_id", "ts_s",
+          "event_id", "value", period = 4, halfWindow = 2)
+        .filter(col("event_id") % 20 === 0)
+        .select(col("user_id"), col("event_id"),
+          col("phase").cast("long").as("phase"),
+          fl4(col("trend")).as("trend"),
+          fl4(col("seasonal")).as("seasonal"),
+          fl4(col("resid")).as("resid"))
+    },
+    Some("""SELECT user_id, event_id, CAST(phase AS BIGINT) AS phase,
+              floor((CAST(tnum AS DOUBLE) / 5000.0) * 10000 + 0.5) / 10000
+                AS trend,
+              floor((CAST(snum AS DOUBLE) / (CAST(scnt AS DOUBLE) * 5000.0))
+                * 10000 + 0.5) / 10000 AS seasonal,
+              floor((CAST(dnum AS DOUBLE) / 5000.0
+                     - CAST(snum AS DOUBLE) / (CAST(scnt AS DOUBLE) * 5000.0))
+                * 10000 + 0.5) / 10000 AS resid
+            FROM (
+              SELECT user_id, event_id, phase, tnum, dnum,
+                CAST(sum(dnum) OVER (PARTITION BY user_id, phase) AS BIGINT)
+                  AS snum,
+                count(dnum) OVER (PARTITION BY user_id, phase) AS scnt
+              FROM (
+                SELECT user_id, event_id,
+                  ((row_number() OVER w) - 1) % 4 AS phase,
+                  CAST(CASE WHEN count(*) OVER f = 5
+                       THEN sum(xq) OVER f END AS BIGINT) AS tnum,
+                  xq * 5 - CAST(CASE WHEN count(*) OVER f = 5
+                       THEN sum(xq) OVER f END AS BIGINT) AS dnum
+                FROM (SELECT user_id, event_id,
+                        CAST(floor(value::DOUBLE * 1000 + 0.5) AS BIGINT) AS xq,
+                        CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+                      FROM events)
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id),
+                       f AS (PARTITION BY user_id ORDER BY ts_s, event_id
+                             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)))
+            WHERE tnum IS NOT NULL AND event_id % 20 = 0"""))
+
   /** Pivot: event counts per user bucketed by type as columns (expressed
     * with FILTER-style conditional aggregation for engine portability). */
   val qPivot = Q(
@@ -3144,7 +3193,7 @@ object Queries {
     qNotIn, qSetOpsAll, qIntervalJoin, qZorder,
     qOutliers, qFfill, qAnomaly, qPagerank,
     q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
-    qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma, qCusum, qHolt, qHoltWinters,
+    qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma, qCusum, qHolt, qHoltWinters, qSeasonalDecompose,
     qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops, qSssp,
     qLabelProp, qItemsets, qAttribution, qAssortativity, qKcore,
     qPprTrust, qLinkPredict, qKtruss, qHarmonic, qIncrementalCc, qScc,

@@ -871,6 +871,92 @@ object TextQueries {
 
   /** PMI collocations over adjacent word pairs (min count 5): the
     * oracle re-derives the pair table, both marginals and the total. */
+  /** χ² distinctive terms per `source` (Yang & Pedersen 1997 feature
+    * selection): top-5 positively-associated terms per class with
+    * df ≥ 5. Exact-integer contingency; the one double expression is
+    * association-mirrored in the oracle (see
+    * [[graft.functions.TermStats.chi2Terms]]). */
+  val qChi2Terms = Q(
+    "q_chi2_terms",
+    (s, dir) => {
+      graft.functions.TermStats.chi2Terms(
+        Tables(s, dir).documents, "doc_id", "source", "text",
+        k = 5, minDf = 5L)
+    },
+    Some("""WITH d AS (
+              SELECT source AS cls,
+                list_distinct(list_filter(
+                  string_split_regex(trim(text), '\s+'),
+                  w -> length(w) > 0)) AS toks
+              FROM documents),
+            ex AS (SELECT cls, unnest(toks) AS term FROM d),
+            aa AS (SELECT cls, term, count(*) AS a FROM ex GROUP BY cls, term),
+            dfreq AS (SELECT term, CAST(sum(a) AS BIGINT) AS df
+                      FROM aa GROUP BY term),
+            cs AS (SELECT source AS cls, count(*) AS n_cls
+                   FROM documents GROUP BY source),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT cls, term, a,
+                df - a AS b, n_cls - a AS c, n_docs - n_cls - (df - a) AS d,
+                CAST(a * (n_docs - n_cls - (df - a))
+                     - (df - a) * (n_cls - a) AS DOUBLE) AS diff,
+                n_docs, n_cls, df
+              FROM aa JOIN dfreq USING (term) JOIN cs USING (cls), n
+              WHERE df >= 5 AND a * (n_docs - n_cls) > (df - a) * n_cls),
+            ranked AS (
+              SELECT cls, term, a AS df_class,
+                CAST(n_docs AS DOUBLE) * diff * diff /
+                  (CAST((a + b) * (c + d) AS DOUBLE)
+                    * CAST((a + c) * (b + d) AS DOUBLE)) AS chi2
+              FROM scored)
+            SELECT cls, term, df_class, CAST(rank AS BIGINT) AS rank,
+              floor(chi2 * 10000 + 0.5) / 10000 AS chi2
+            FROM (SELECT cls, term, df_class, chi2,
+                    row_number() OVER (PARTITION BY cls
+                      ORDER BY chi2 DESC, term) AS rank
+                  FROM ranked)
+            WHERE rank <= 5"""))
+
+  /** Hashing-trick featurization into 16 signed BIGINT lanes via the
+    * portable md5 convention — any engine reproduces the exact vector;
+    * see [[graft.functions.TermStats.hashFeatures]]. */
+  val qFeatureHash = Q(
+    "q_feature_hash",
+    (s, dir) => {
+      graft.functions.TermStats.hashFeatures(
+        Tables(s, dir).documents.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS term
+              FROM documents WHERE doc_id % 3 = 0),
+            h AS (
+              SELECT doc_id,
+                ('0x' || substring(md5(term), 1, 1))::BIGINT AS b,
+                CASE WHEN ('0x' || substring(md5(term), 2, 1))::BIGINT % 2 = 0
+                     THEN 1 ELSE -1 END AS sg
+              FROM toks WHERE length(term) > 0)
+            SELECT doc_id,
+              CAST(coalesce(sum(sg) FILTER (WHERE b = 0), 0) AS BIGINT) AS f0,
+              CAST(coalesce(sum(sg) FILTER (WHERE b = 1), 0) AS BIGINT) AS f1,
+              CAST(coalesce(sum(sg) FILTER (WHERE b = 2), 0) AS BIGINT) AS f2,
+              CAST(coalesce(sum(sg) FILTER (WHERE b = 3), 0) AS BIGINT) AS f3,
+              CAST(coalesce(sum(sg) FILTER (WHERE b = 4), 0) AS BIGINT) AS f4,
+              CAST(coalesce(sum(sg) FILTER (WHERE b = 5), 0) AS BIGINT) AS f5,
+              CAST(coalesce(sum(sg) FILTER (WHERE b = 6), 0) AS BIGINT) AS f6,
+              CAST(coalesce(sum(sg) FILTER (WHERE b = 7), 0) AS BIGINT) AS f7,
+              CAST(coalesce(sum(sg) FILTER (WHERE b = 8), 0) AS BIGINT) AS f8,
+              CAST(coalesce(sum(sg) FILTER (WHERE b = 9), 0) AS BIGINT) AS f9,
+              CAST(coalesce(sum(sg) FILTER (WHERE b = 10), 0) AS BIGINT) AS f10,
+              CAST(coalesce(sum(sg) FILTER (WHERE b = 11), 0) AS BIGINT) AS f11,
+              CAST(coalesce(sum(sg) FILTER (WHERE b = 12), 0) AS BIGINT) AS f12,
+              CAST(coalesce(sum(sg) FILTER (WHERE b = 13), 0) AS BIGINT) AS f13,
+              CAST(coalesce(sum(sg) FILTER (WHERE b = 14), 0) AS BIGINT) AS f14,
+              CAST(coalesce(sum(sg) FILTER (WHERE b = 15), 0) AS BIGINT) AS f15
+            FROM h GROUP BY doc_id"""))
+
   val qPmi = Q(
     "q_pmi",
     (s, dir) => {
@@ -1301,5 +1387,5 @@ object TextQueries {
     qPerplexity, qC4Filter, qEpochMix, qTfidf, qPmi, qBpeTrain,
     qWeightedSample, qEntropy, qRrfFusion, qSuffixArray, qLongestRepeat,
     qGlobalSuffix, qCrossRepeat, qWinnow, qWinnowPairs, qRingNegatives,
-    qLeakageSplit)
+    qLeakageSplit, qChi2Terms, qFeatureHash)
 }

@@ -91,4 +91,90 @@ object TermStats {
         (floor(log(col("c12").cast("double") * col("n_pairs")
             / (col("c1") * col("c2"))) * 10000 + lit(0.5)) / 10000).as("pmi"))
   }
+
+  /** χ² distinctive-term selection per class (the feature-selection
+    * battery of Yang & Pedersen, ICML 1997): for each (class, term) over
+    * DISTINCT per-doc tokens, the 2×2 contingency is
+    *   a = class docs with term,   b = other docs with term,
+    *   c = class docs without it,  d = other docs without it,
+    * χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)), keeping only positively
+    * associated terms (a·(N−n_cls) > b·n_cls, exact integer compare) with
+    * df ≥ `minDf`, top `k` per class by (χ² desc, term asc).
+    *
+    * Numeric contract: a,b,c,d and ad−bc are exact BIGINTs (|ad−bc| ≤ N²
+    * < 2⁵³ casts to double exactly); the two denominator halves are exact
+    * BIGINT products cast to double BEFORE the one double multiply that
+    * could overflow int64 — the oracle spells the identical association,
+    * so χ² matches bit for bit before the 4-decimal floor.
+    *
+    * Scale: tokenize is scan-stage; (class, term) / term aggregates are
+    * vocabulary-bounded; class sizes and N broadcast. The top-k window
+    * partitions by class over vocabulary-bounded rows — never corpus
+    * rows. */
+  def chi2Terms(
+      df: DataFrame,
+      idCol: String,
+      classCol: String,
+      textCol: String,
+      k: Int,
+      minDf: Long): DataFrame = {
+    val toks = df.select(col(classCol).as("cls"),
+        explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val a = toks.groupBy(col("cls"), col("term")).agg(count(lit(1)).as("a"))
+      .localCheckpoint(true) // reused by dfreq and the scored join
+    val dfreq = a.groupBy(col("term")).agg(sum(col("a")).as("df"))
+    val clsSize = df.groupBy(col(classCol).as("cls"))
+      .agg(count(lit(1)).as("n_cls"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val scored = a.join(dfreq, "term")
+      .join(broadcast(clsSize), "cls")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= minDf &&
+        col("a") * (col("n_docs") - col("n_cls")) > (col("df") - col("a")) * col("n_cls"))
+      .withColumn("b", col("df") - col("a"))
+      .withColumn("c", col("n_cls") - col("a"))
+      .withColumn("d", col("n_docs") - col("n_cls") - col("b"))
+      .withColumn("diff", (col("a") * col("d") - col("b") * col("c")).cast("double"))
+      .withColumn("chi2",
+        col("n_docs").cast("double") * col("diff") * col("diff") /
+          (((col("a") + col("b")) * (col("c") + col("d"))).cast("double") *
+            ((col("a") + col("c")) * (col("b") + col("d"))).cast("double")))
+    val w = Window.partitionBy(col("cls"))
+      .orderBy(col("chi2").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("cls"), col("term"), col("a").as("df_class"),
+        col("rank").cast("long").as("rank"),
+        (floor(col("chi2") * 10000 + lit(0.5)) / 10000).as("chi2"))
+  }
+
+  /** Hashing-trick featurization (Weinberger et al. ICML 2009): each
+    * token folds into one of `16` signed buckets via the repo's portable
+    * md5 convention — bucket = first md5 hex char, sign = parity of the
+    * second — so ANY engine reproduces the exact integer feature vector
+    * (the signed sum cancels collision bias in expectation). Output: one
+    * row per doc with BIGINT columns f0..f15; token-less docs drop (no
+    * feature mass), mirroring the oracle's GROUP BY domain.
+    *
+    * Scale: md5 + bucket/sign are scan-stage; the vector is 16
+    * partial-aggregatable conditional sums over ONE doc-keyed exchange —
+    * the fixed-width dense layout downstream trainers want, with no
+    * vocabulary table anywhere (the hashing trick's point at 100 TB). */
+  def hashFeatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val h = md5(col("term"))
+    val rows = toks.select(col("doc_id"),
+      conv(substring(h, 1, 1), 16, 10).cast("long").as("b"),
+      when(conv(substring(h, 2, 1), 16, 10).cast("long") % 2 === 0, 1L)
+        .otherwise(-1L).as("sg"))
+    val lanes = (0 until 16).map(j =>
+      coalesce(sum(when(col("b") === j, col("sg"))), lit(0L)).as(s"f$j"))
+    rows.groupBy(col("doc_id")).agg(lanes.head, lanes.tail: _*)
+  }
 }

@@ -139,6 +139,59 @@ object Smoothing {
         col("e.c").as("s_season"))
   }
 
+  /** Classical additive seasonal decomposition (the moving-average method
+    * behind STL's ancestor, Macaulay 1931): x = trend + seasonal + residual.
+    *   trend_i    = centered moving average over ±h rows (FULL frames only
+    *                — edge rows get NULL, never a shrunken biased mean)
+    *   seasonal_p = mean of detrended values at phase p = (rank−1) mod
+    *                `period` within the key
+    *   residual   = detrended − seasonal.
+    * Fully relational — two windows over ONE (key, ord, id) sort plus a
+    * phase-partitioned mean: no fold needed because nothing recurses on
+    * its own output. Scale: one key exchange for the ordered windows, one
+    * (key, phase) exchange for the seasonal mean; both uniform-keyed.
+    *
+    * Numeric contract (the q_naive_bayes fixed-point precedent): values
+    * are milli-quantized at entry (floor(x·1000 + ½) as BIGINT) and every
+    * aggregate is an EXACT integer sum — float enters only in the final
+    * display divisions, which are the same two IEEE ops on both engines.
+    * A raw-double formulation would hang the seasonal mean on the
+    * engines' float-summation ORDER (Spark partial-agg vs DuckDB segment
+    * tree), which was observed to straddle the 4-decimal floor at sf0.1.
+    * Sub-milli signal is below the decomposition's noise floor.
+    *
+    * Output: (key, id, phase, trend, seasonal, resid) for rows with a
+    * full trend frame, UNROUNDED doubles from the exact numerators. */
+  def seasonalDecompose(
+      df: DataFrame, keyCol: String, ordCol: String, idCol: String,
+      valCol: String, period: Int, halfWindow: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(halfWindow >= 1, s"halfWindow must be >= 1, got $halfWindow")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(ordCol), col(idCol))
+    val frame = wOrd.rowsBetween(-halfWindow, halfWindow)
+    val wPhase = Window.partitionBy(col(keyCol), col("phase"))
+    val full = 2 * halfWindow + 1
+    // units: xq in milli; tnum in milli·full; dnum/snum in milli·full
+    val scale = 1000.0 * full
+    df.select(col(keyCol), col(ordCol), col(idCol),
+        floor(col(valCol).cast("double") * 1000 + lit(0.5)).cast("long").as("xq"))
+      .withColumn("phase", (row_number().over(wOrd) - 1) % period)
+      .withColumn("tnum",
+        when(count(lit(1)).over(frame) === full, sum(col("xq")).over(frame)))
+      .withColumn("dnum", col("xq") * full - col("tnum"))
+      .withColumn("snum", sum(col("dnum")).over(wPhase))
+      .withColumn("scnt", count(col("dnum")).over(wPhase))
+      .filter(col("tnum").isNotNull)
+      .select(col(keyCol), col(idCol), col("phase"),
+        (col("tnum").cast("double") / scale).as("trend"),
+        (col("snum").cast("double") / (col("scnt").cast("double") * scale))
+          .as("seasonal"),
+        (col("dnum").cast("double") / scale
+          - col("snum").cast("double") / (col("scnt").cast("double") * scale))
+          .as("resid"))
+  }
+
   final case class Point(key: Long, ts: Long, id: Long, x: Double)
   final case class EwmaState(lastTs: Long, lastId: Long, s: Double)
   final case class Smoothed(key: Long, id: Long, ewma: Double)

@@ -366,6 +366,20 @@ class OpsSpec extends SparkSpec {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("seasonalDecompose: MA trend (full frames only), phase means, zero residuals") {
+    // x = 1,5,3,7 with period 2, ±1 frame: trend null at the edges,
+    // trend(2)=avg(1,5,3)=3, trend(3)=avg(5,3,7)=5 → detr 2 / −2,
+    // seasonal(phase1)=2, seasonal(phase0)=−2 → residuals exactly 0
+    val df = Seq(("a", 1L, 1L, 1.0), ("a", 2L, 2L, 5.0),
+      ("a", 3L, 3L, 3.0), ("a", 4L, 4L, 7.0)).toDF("k", "o", "id", "x")
+    val out = graft.ops.Smoothing
+      .seasonalDecompose(df, "k", "o", "id", "x", period = 2, halfWindow = 1)
+      .orderBy("id")
+      .select("id", "phase", "trend", "seasonal", "resid")
+      .as[(Long, Int, Double, Double, Double)].collect().toSeq
+    assert(out == Seq((2L, 1, 3.0, 2.0, 0.0), (3L, 0, 5.0, -2.0, 0.0)))
+  }
+
   test("holt is partition-layout invariant") {
     val df = (1 to 200).map(i =>
       ((i % 5).toString, (i / 5).toLong, i.toLong, (i % 13).toDouble))

@@ -58,6 +58,53 @@ class TermStatsSpec extends SparkSpec {
     assert(out(("new", "york"))._2 > out(("a", "b"))._2)
   }
 
+  test("chi2Terms: class-exclusive term ranks first; shared terms filtered by association") {
+    // "spam" appears in every ad doc and no news doc → perfectly
+    // associated with ad; "the" is everywhere → fails the positive-
+    // association filter for both classes (a/n_cls == b/n_other)
+    val df = (1L to 6L).map { i =>
+      if (i <= 3) (i, "ad", s"the spam buy offer$i")
+      else (i, "news", s"the report fact item$i")
+    }.toDF("doc_id", "source", "text")
+    val out = TermStats.chi2Terms(df, "doc_id", "source", "text", k = 2, minDf = 1L)
+      .select("cls", "rank", "term", "chi2")
+      .as[(String, Long, String, Double)].collect()
+      .sortBy(r => (r._1, r._2)).toList
+    assert(out.map(r => (r._1, r._2, r._3)) == List(
+      ("ad", 1L, "buy"), ("ad", 2L, "spam"),
+      ("news", 1L, "fact"), ("news", 2L, "report")))
+    // a=3,b=0,c=0,d=3 → χ² = 6·81/81 = 6 for the exclusive terms
+    assert(out.map(_._4).forall(_ == 6.0))
+    assert(!out.exists(_._3 == "the"))
+  }
+
+  test("chi2Terms: minDf floor drops rare terms") {
+    val df = Seq(
+      (1L, "a", "rare common"), (2L, "a", "common"),
+      (3L, "b", "common other"), (4L, "b", "other")).toDF("doc_id", "source", "text")
+    val out = TermStats.chi2Terms(df, "doc_id", "source", "text", k = 5, minDf = 2L)
+      .select("term").as[String].collect().toSet
+    assert(!out.contains("rare")) // df=1 < 2
+  }
+
+  test("hashFeatures: exact signed sums per md5 lane, token-less docs drop") {
+    val df = Seq((1L, "w w z"), (2L, "  ")).toDF("doc_id", "text")
+    val out = TermStats.hashFeatures(df, "doc_id", "text").collect()
+    assert(out.length == 1 && out.head.getAs[Long]("doc_id") == 1L)
+    // reference: bucket = first md5 hex char, sign = parity of second
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = Array.fill(16)(0L)
+    for (t <- Seq("w", "w", "z")) {
+      val h = md5hex(t)
+      val b = Integer.parseInt(h.substring(0, 1), 16)
+      val sg = if (Integer.parseInt(h.substring(1, 2), 16) % 2 == 0) 1L else -1L
+      want(b) += sg
+    }
+    for (j <- 0 until 16)
+      assert(out.head.getAs[Long](s"f$j") == want(j), s"lane $j")
+  }
+
   test("pmiCollocations: single-token docs are ignored") {
     val df = Seq("only", "a b").map(Tuple1.apply).toDF("text")
     val out = TermStats.pmiCollocations(df, "text", minCount = 1)
