@@ -1118,6 +1118,87 @@ object Queries {
             WHERE cum >= ceil(qs.q * total)
             GROUP BY 1, 2"""))
 
+  /** Sketch-driven equi-depth deciles of l_extendedprice per returnflag —
+    * see [[graft.ops.Quantiles.equiDepthBins]] (two passes: bounded
+    * sketch → broadcast boundaries → scan-stage bin fold; replaces a
+    * global-sort ntile). subBits=6 keeps decile boundaries distinct at
+    * 1.6% bucket width. */
+  val qQuantileBins = Q(
+    "q_quantile_bins",
+    (s, dir) => {
+      graft.ops.Quantiles.equiDepthBins(
+        Tables(s, dir).lineitem,
+        floor(col("l_extendedprice")).cast("long"),
+        Seq("l_returnflag"), nBins = 10, subBits = 6)
+    },
+    Some("""WITH v AS (
+              SELECT l_returnflag, CAST(floor(l_extendedprice) AS BIGINT) AS v
+              FROM lineitem),
+            b AS (
+              SELECT l_returnflag, v,
+                CASE WHEN length(bin(v)) - 7 > 0
+                  THEN (v >> (length(bin(v)) - 7)) << (length(bin(v)) - 7)
+                  ELSE v END AS bucket
+              FROM v),
+            c AS (SELECT l_returnflag, bucket, count(*) AS n
+                  FROM b GROUP BY 1, 2),
+            cum AS (
+              SELECT l_returnflag, bucket,
+                sum(n) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+                sum(n) OVER (PARTITION BY l_returnflag) AS total
+              FROM c),
+            qs AS (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5,
+                                  0.6, 0.7, 0.8, 0.9]) AS q),
+            bounds AS (
+              SELECT cum.l_returnflag, qs.q, min(bucket) AS est
+              FROM cum, qs WHERE cum >= ceil(qs.q * total)
+              GROUP BY 1, 2),
+            bl AS (SELECT l_returnflag, list(est ORDER BY q) AS bl
+                   FROM bounds GROUP BY 1),
+            binned AS (
+              SELECT v.l_returnflag,
+                len(list_filter(bl.bl, b -> v.v > b)) AS bin, v.v
+              FROM v JOIN bl USING (l_returnflag))
+            SELECT l_returnflag, CAST(bin AS BIGINT) AS bin,
+              count(*) AS n_rows, min(v) AS v_min, max(v) AS v_max
+            FROM binned GROUP BY 1, 2"""))
+
+  /** Portable KMV distinct estimate of users per event type, with the
+    * exact count alongside — see [[graft.ops.Kmv]] for the bottom-k
+    * sketch, the k-bounded typed aggregate, and the exact-below-k
+    * degradation the gate pins. */
+  val qKmvDistinct = Q(
+    "q_kmv_distinct",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val est = graft.ops.Kmv.distinctEstimate(
+        ev, col("user_id"), Seq(col("event_type")), k = 64)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      est.join(exact, "event_type")
+    },
+    Some("""WITH h AS (
+              SELECT DISTINCT event_type,
+                ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                  AS h
+              FROM events),
+            r AS (
+              SELECT event_type, h,
+                row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+                count(*) OVER (PARTITION BY event_type) AS nd
+              FROM h),
+            ex AS (
+              SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+              FROM events GROUP BY event_type)
+            SELECT r.event_type, CAST(least(nd, 64) AS BIGINT) AS n_kept,
+              CAST(CASE WHEN nd < 64 THEN nd
+                   ELSE floor(CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                              / CAST(h AS DOUBLE))
+                   END AS BIGINT) AS est_distinct,
+              CAST(exact_distinct AS BIGINT) AS exact_distinct
+            FROM r JOIN ex USING (event_type)
+            WHERE rn = least(nd, 64)"""))
+
   /** Unpivot (inverse of q_pivot): wide per-flag measures back to long
     * (flag, measure, value) triples — `Dataset.unpivot` is a zero-shuffle
     * Expand over the (already tiny) aggregate. */
@@ -3188,6 +3269,7 @@ object Queries {
     qRollup, qCube, qRangeJoin, qMovingAvg, qPivot, qSetOps, qTopkAgg,
     qGroupingSets, qScalarSubquery, qPercentiles, qSessionize,
     qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram, qHdrQuantiles,
+    qQuantileBins, qKmvDistinct,
     qUnpivot, qOuterJoin, qWindowRank, qGapFill,
     qDqAudit, qCdcSnapshot, qSnapshotDiff, qMergeUpsert, qHopping, q5Revenue, q13Custdist,
     qNotIn, qSetOpsAll, qIntervalJoin, qZorder,

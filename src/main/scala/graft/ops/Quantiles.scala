@@ -78,4 +78,39 @@ object Quantiles {
       .groupBy(gcols :+ col("q"): _*)
       .agg(min(col("bucket")).as("estimate"))
   }
+
+  /** Sketch-driven equi-depth binning: per group, `nBins` bins bounded by
+    * the q = i/nBins quantile estimates, then per-bin row count and exact
+    * value min/max. The textbook two-pass shape for 100 TB feature
+    * binning: pass 1 builds the bounded sketch (≤ ~500·2^(subBits−3) rows
+    * per group however large the corpus), the ≤ nBins−1 integer
+    * boundaries per group broadcast back, and pass 2 assigns bins in the
+    * SCAN STAGE (a higher-order fold over the boundary array — no join
+    * explosion, no per-row window) before one partial-aggregatable stats
+    * aggregate. A global-sort `ntile` would shuffle and totally order the
+    * corpus instead — the classic scale-killer this op replaces.
+    *
+    * bin(v) = #{boundaries b : v > b} ∈ [0, nBins−1]; coarse sketch
+    * buckets can collapse adjacent boundaries, leaving some bins empty
+    * (absent from the output) — raise subBits for finer boundaries.
+    * All-integer boundaries and values → deterministic cross-engine. */
+  def equiDepthBins(
+      df: DataFrame, value: Column, groupCols: Seq[String], nBins: Int,
+      subBits: Int = 6): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins in [2,1000], got $nBins")
+    val qs = (1 until nBins).map(i => i.toDouble / nBins)
+    val src = df.select(groupCols.map(col) :+ value.as("v"): _*)
+    val bounds = quantiles(src, col("v"), groupCols.map(col), qs, subBits)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("q"), col("estimate"))))
+        .as("bq"))
+      .select(groupCols.map(col) :+
+        transform(col("bq"), e => e.getField("estimate")).as("bl"): _*)
+    src.join(broadcast(bounds), groupCols)
+      .withColumn("bin", aggregate(col("bl"), lit(0),
+        (acc, b) => acc + when(col("v") > b, 1).otherwise(0)).cast("long"))
+      .groupBy(groupCols.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+  }
 }

@@ -218,4 +218,44 @@ class SamplingSpec extends SparkSpec {
     assert(merged.as[(Long, Long)].collect().toSet ==
       direct.as[(Long, Long)].collect().toSet)
   }
+
+  test("equiDepthBins: near-uniform depths on uniform data, exact min/max edges") {
+    import graft.ops.Quantiles
+    val df = (1 to 10000).map(_.toLong).toDF("v").withColumn("g", lit("a"))
+    val bins = Quantiles.equiDepthBins(df, col("v"), Seq("g"), nBins = 10,
+        subBits = 8)
+      .orderBy("bin")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(bins.map(_._2) == (0L to 9L), s"bins: ${bins.map(_._2)}")
+    assert(bins.map(_._3).sum == 10000L)
+    // equi-depth: every decile within the sketch's relative error of 1000
+    assert(bins.forall(b => b._3 > 700 && b._3 < 1300),
+      s"depths: ${bins.map(_._3)}")
+    // bins tile the domain: consecutive (v_min, v_max) ranges abut
+    assert(bins.head._4 == 1L && bins.last._5 == 10000L)
+    assert(bins.sliding(2).forall { case Seq(a, b) => b._4 == a._5 + 1 })
+  }
+
+  test("minKDistinct: dedups, caps at k, merges across partitions") {
+    import graft.plans.MinKDistinct.minKDistinct
+    // 3,1,1,7,5,9 over 3 partitions; k=3 → [1,3,5] (the dup 1 one slot)
+    val df = Seq(3L, 1L, 1L, 7L, 5L, 9L).toDF("v").repartition(3)
+    val got = df.agg(minKDistinct(col("v"), 3).as("ks"))
+      .as[Seq[Long]].collect().head
+    assert(got == Seq(1L, 3L, 5L))
+  }
+
+  test("kmv distinctEstimate: exact below k, within error band above") {
+    import graft.ops.Kmv
+    val few = (1 to 40).map(i => ("a", i.toLong)).toDF("g", "k")
+    val e1 = Kmv.distinctEstimate(few, col("k"), Seq(col("g")), k = 64)
+      .as[(String, Long, Long)].collect().head
+    assert(e1 == (("a", 40L, 40L))) // degrades to exact counting
+    val many = (1 to 20000).map(i => ("b", (i % 5000).toLong)).toDF("g", "k")
+    val e2 = Kmv.distinctEstimate(many, col("k"), Seq(col("g")), k = 64)
+      .as[(String, Long, Long)].collect().head
+    // KMV standard error ~ 1/sqrt(k-2) ≈ 12.7%; allow 4 sigma
+    assert(e2._2 == 64L && e2._3 > 2500 && e2._3 < 7500,
+      s"estimate ${e2._3} for true 5000")
+  }
 }
