@@ -119,6 +119,58 @@ object DedupQueries {
               round(n_common::DOUBLE / n_b, 4) AS containment
             FROM pairs WHERE n_common::DOUBLE / n_b >= 0.3"""))
 
+  /** Fellegi–Sunter probabilistic record linkage (JASA 1969) over
+    * customers blocked on (nation, $1000 balance band): three field
+    * comparisons (segment / balance-within-$100 / name-suffix) with
+    * DESIGN-constant milli-ban weights, exact BIGINT log-odds sums, and
+    * the two-threshold match/possible decision — see
+    * [[graft.ops.Linkage.fellegiSunter]]. Blocking bounds pairs to
+    * O(block²) per (nation, band); scoring is scan-stage. */
+  val qFellegiSunter = Q(
+    "q_fellegi_sunter",
+    (s, dir) => {
+      import graft.ops.Linkage.FieldRule
+      val c = Tables(s, dir).customer.select(
+          col("c_custkey").as("k"), col("c_nationkey").as("nat"),
+          col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal_c"),
+          substring(col("c_name"), -2, 2).as("nm2"))
+        .withColumn("blk", concat_ws(":", col("nat"),
+          floor(col("bal_c") / 100000).cast("long")))
+      val pairs = c.as("a").join(c.as("b"),
+        col("a.blk") === col("b.blk") && col("a.k") < col("b.k"))
+      graft.ops.Linkage.fellegiSunter(pairs, Seq(
+          FieldRule(col("a.seg") === col("b.seg"), 2170L, -3000L),
+          FieldRule(abs(col("a.bal_c") - col("b.bal_c")) <= 10000L, 5410L, -1190L),
+          FieldRule(col("a.nm2") === col("b.nm2"), 6640L, -150L)),
+          matchFloor = 8000L, possibleFloor = 0L)
+        .filter(col("score_mb") >= 0)
+        .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
+          col("score_mb"), col("decision"))
+    },
+    Some("""WITH c AS (
+              SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg,
+                CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c,
+                substring(c_name, -2, 2) AS nm2
+              FROM customer),
+            cb AS (
+              SELECT *, CAST(nat AS VARCHAR) || ':' ||
+                CAST(CAST(floor(bal_c / 100000) AS BIGINT) AS VARCHAR) AS blk
+              FROM c),
+            p AS (
+              SELECT a.k AS key_a, b.k AS key_b,
+                (CASE WHEN a.seg = b.seg THEN 2170 ELSE -3000 END
+                 + CASE WHEN abs(a.bal_c - b.bal_c) <= 10000
+                        THEN 5410 ELSE -1190 END
+                 + CASE WHEN a.nm2 = b.nm2 THEN 6640 ELSE -150 END)
+                  AS score_mb
+              FROM cb a JOIN cb b ON a.blk = b.blk AND a.k < b.k)
+            SELECT key_a, key_b, CAST(score_mb AS BIGINT) AS score_mb,
+              CASE WHEN score_mb >= 8000 THEN 'match'
+                   WHEN score_mb >= 0 THEN 'possible'
+                   ELSE 'non_match' END AS decision
+            FROM p WHERE score_mb >= 0"""))
+
   /** Prefix-filtering similarity self-join (All-Pairs): exact token-set
     * Jaccard ≥ 0.5 pairs where only each doc's rarest (1−t) token prefix
     * is indexed — the corpus-hottest tokens never enter the candidate
@@ -1396,5 +1448,5 @@ object DedupQueries {
     qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qMmr, qSemDedup, qDupNgrams, qIncrementalDedup,
     qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance,
     qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep, qDbscan, qFuzzyMatch, qSortedNeighborhood,
-    qContainment, qBoilerplate, qSimjoinPrefix)
+    qContainment, qBoilerplate, qSimjoinPrefix, qFellegiSunter)
 }

@@ -164,6 +164,24 @@ class OpsSpec extends SparkSpec {
       s"no map-side partial max:\n$plan")
   }
 
+  test("fellegiSunter: exact milli-ban sums, NULL comparisons read as disagreement") {
+    import graft.ops.Linkage
+    import graft.ops.Linkage.FieldRule
+    val pairs = Seq(
+      (1L, 2L, true, Some(true)),   // 2000 + 3000 = 5000 → match
+      (1L, 3L, true, Some(false)),  // 2000 − 500 = 1500 → possible
+      (1L, 4L, false, Option.empty[Boolean]) // −1000 − 500 → non_match
+    ).toDF("a", "b", "f1", "f2")
+    val out = Linkage.fellegiSunter(pairs, Seq(
+        FieldRule(col("f1"), 2000L, -1000L),
+        FieldRule(col("f2"), 3000L, -500L)),
+        matchFloor = 4000L, possibleFloor = 0L)
+      .select("a", "b", "score_mb", "decision")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._2).toSeq
+    assert(out == Seq((1L, 2L, 5000L, "match"),
+      (1L, 3L, 1500L, "possible"), (1L, 4L, -1500L, "non_match")))
+  }
+
   test("cdc mergeInto: update/insert/delete/no-op-delete/keep semantics in one join") {
     import graft.ops.Cdc
     val target = Seq(
