@@ -628,6 +628,65 @@ object DedupQueries {
             FROM knn k1 JOIN knn k2 ON k1.pa = k2.pb AND k1.pb = k2.pa
             WHERE k1.pa < k1.pb"""))
 
+  /** One GraphSAGE mean-aggregation layer over the mutual-5-NN graph of
+    * the %5 embedding subset ([[graft.sim.Gnn.sageMeanLayer]]):
+    * h'(v) = L2-normalized self ⧺ neighbor-mean, exploded to
+    * (vec_id, dim, v) so the oracle rebuilds the identical 128-wide
+    * output relationally (kNN CTEs as in q_mutual_knn, per-dim avg,
+    * zero half for isolated nodes, shared norm). */
+  val qGnnSage = Q(
+    "q_gnn_sage",
+    (s, dir) => {
+      val sub = Tables(s, dir).embeddings
+        .filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val knn = Ann.mutualKnn(sub, "vec_id", "embedding", k = 5)
+      val edges = knn.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(knn.select(col("id_b").as("src"), col("id_a").as("dst")))
+      graft.sim.Gnn.sageMeanLayer(sub, edges, "vec_id", "embedding")
+        .select(col("vec_id"), posexplode(col("h")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          (floor(col("v") * 10000 + 0.5) / 10000).as("v"))
+    },
+    Some("""WITH sub AS MATERIALIZED (
+              SELECT vec_id AS id, embedding AS v
+              FROM embeddings WHERE vec_id % 5 = 0),
+            scored AS MATERIALIZED (
+              SELECT a.id AS pa, b.id AS pb,
+                list_sum(list_transform(range(1, 65),
+                  i -> b.v[i]::DOUBLE * a.v[i]::DOUBLE)) /
+                (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> b.v[i]::DOUBLE * b.v[i]::DOUBLE))) *
+                 sqrt(list_sum(list_transform(range(1, 65),
+                  i -> a.v[i]::DOUBLE * a.v[i]::DOUBLE)))) AS cos
+              FROM sub a, sub b WHERE a.id != b.id),
+            ranked AS (
+              SELECT pa, pb, row_number() OVER
+                (PARTITION BY pa ORDER BY cos DESC, pb) AS rk
+              FROM scored),
+            knn AS (SELECT pa, pb FROM ranked WHERE rk <= 5),
+            mut AS MATERIALIZED (
+              SELECT k1.pa AS src, k1.pb AS dst
+              FROM knn k1 JOIN knn k2 ON k1.pa = k2.pb AND k1.pb = k2.pa),
+            selfd AS MATERIALIZED (
+              SELECT id, unnest(range(0, 64)) AS dim,
+                unnest(list_transform(range(1, 65), i -> v[i]::DOUBLE)) AS x
+              FROM sub),
+            nbrd AS (
+              SELECT m.src AS id, s.dim + 64 AS dim, avg(s.x) AS x
+              FROM mut m JOIN selfd s ON s.id = m.dst
+              GROUP BY m.src, s.dim),
+            allx AS MATERIALIZED (
+              SELECT id, dim, x FROM selfd
+              UNION ALL SELECT id, dim, x FROM nbrd
+              UNION ALL
+              SELECT s.id, s.dim + 64, 0.0 FROM selfd s
+              WHERE s.id NOT IN (SELECT src FROM mut)),
+            norms AS (SELECT id, sqrt(sum(x * x)) AS nrm FROM allx GROUP BY id)
+            SELECT a.id AS vec_id, CAST(a.dim AS BIGINT) AS dim,
+              floor(a.x / greatest(n.nrm, 1e-12) * 10000 + 0.5) / 10000 AS v
+            FROM allx a JOIN norms n USING (id)"""))
+
   /** MMR diversified retrieval against the vec_id=0 query vector:
     * distributed scoring + top-20 shortlist (TakeOrderedAndProject),
     * then [[graft.sim.Ann.mmrRerank]] picks 5 with λ=0.7/μ=0.3 — the
@@ -1445,7 +1504,7 @@ object DedupQueries {
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
-    qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qMmr, qSemDedup, qDupNgrams, qIncrementalDedup,
+    qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qGnnSage, qMmr, qSemDedup, qDupNgrams, qIncrementalDedup,
     qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance,
     qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep, qDbscan, qFuzzyMatch, qSortedNeighborhood,
     qContainment, qBoilerplate, qSimjoinPrefix, qFellegiSunter)

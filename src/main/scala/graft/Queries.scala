@@ -1824,6 +1824,50 @@ object Queries {
                    FROM ew JOIN p2 ON p2.id = ew.src GROUP BY ew.dst)
             SELECT id, round(pr * 1000, 4) AS pr_x1000 FROM p3"""))
 
+  /** Deterministic DeepWalk-style random walks over the undirected
+    * customer–supplier graph ([[graft.graph.Graph.randomWalks]]): one
+    * walk per sampled customer, 4 hops, next-neighbor choice =
+    * portable-md5(walk:step:node) mod degree — so the oracle replays
+    * every hop digit for digit. At scale: adjacency ranked once
+    * (keyed window), each hop ONE frontier-sized equi-join. */
+  val qRandomWalks = Q(
+    "q_random_walks",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val raw = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (-(col("l_suppkey") + 1)).as("dst"))
+      // one materialization feeds both the start sample and the walks
+      val und = graft.graph.Graph.undirected(raw).localCheckpoint(true)
+      val starts = und.filter(col("src") > 0 && col("src") % 50 === 0)
+        .select(col("src").as("walk_id"), col("src").as("node")).distinct()
+      graft.graph.Graph.randomWalks(und, starts, steps = 4)
+    },
+    Some {
+      val hops = (1 to 4).map { s =>
+        s"""w$s AS (SELECT w.walk_id, a.dst AS node
+              FROM w${s - 1} w JOIN adj a ON a.src = w.node
+              AND a.rk = 1 + (('0x' || substring(md5(
+                w.walk_id::VARCHAR || ':$s:' || w.node::VARCHAR),
+                1, 15))::BIGINT % a.deg))"""
+      }.mkString(",\n            ")
+      val out = (0 to 4).map(s =>
+        s"SELECT walk_id, CAST($s AS BIGINT) AS step, node FROM w$s")
+        .mkString("\n            UNION ALL ")
+      s"""WITH eb AS (
+              SELECT DISTINCT o_custkey AS src, -(l_suppkey + 1) AS dst
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            e AS (SELECT src, dst FROM eb UNION SELECT dst, src FROM eb),
+            adj AS (SELECT src, dst,
+                row_number() OVER (PARTITION BY src ORDER BY dst) AS rk,
+                count(*) OVER (PARTITION BY src) AS deg
+              FROM e),
+            w0 AS (SELECT DISTINCT src AS walk_id, src AS node FROM e
+                   WHERE src > 0 AND src % 50 = 0),
+            $hops
+            $out"""
+    })
+
   /** TPC-H Q14 shape (promo revenue share): one fact–dim join, ratio of a
     * conditional sum to the total — both numerator and denominator come
     * from the SAME aggregate over one scan. part broadcasts; at scale the
@@ -3273,7 +3317,7 @@ object Queries {
     qUnpivot, qOuterJoin, qWindowRank, qGapFill,
     qDqAudit, qCdcSnapshot, qSnapshotDiff, qMergeUpsert, qHopping, q5Revenue, q13Custdist,
     qNotIn, qSetOpsAll, qIntervalJoin, qZorder,
-    qOutliers, qFfill, qAnomaly, qPagerank,
+    qOutliers, qFfill, qAnomaly, qPagerank, qRandomWalks,
     q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
     qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma, qCusum, qHolt, qHoltWinters, qSeasonalDecompose,
     qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops, qSssp,

@@ -1380,6 +1380,67 @@ object TextQueries {
               FROM documents)
             GROUP BY 1"""))
 
+  /** RAKE keyword extraction ([[graft.functions.TermStats.rakeKeywords]],
+    * Rose et al. 2010): stopword-delimited candidate phrases, word score
+    * deg/freq, phrase score = Σ word scores, top-3 per doc. The oracle
+    * re-derives segmentation (running stopword count), both word stats
+    * and the ranking relationally. */
+  val qRake = Q(
+    "q_rake",
+    (s, dir) => {
+      graft.functions.TermStats.rakeKeywords(
+        Tables(s, dir).documents, "doc_id", "text", k = 3)
+    },
+    Some("""WITH frags0 AS (
+              SELECT doc_id,
+                string_split_regex(lower(trim(text)), '[^a-z0-9\s]+') AS fs
+              FROM documents),
+            frags AS (
+              SELECT doc_id, unnest(range(1, len(fs) + 1)) AS fi,
+                unnest(fs) AS frag
+              FROM frags0),
+            toks0 AS (
+              SELECT doc_id, fi, string_split_regex(frag, '\s+') AS ts
+              FROM frags),
+            toks1 AS (
+              SELECT doc_id, fi, unnest(range(1, len(ts) + 1)) AS i,
+                unnest(ts) AS tok
+              FROM toks0),
+            toks AS (
+              SELECT doc_id, fi, i, tok,
+                tok IN ('the','a','of','and','to','in','is','it') AS is_stop
+              FROM toks1 WHERE length(tok) > 0),
+            words AS (
+              SELECT doc_id, fi, i, tok, pid FROM (
+                SELECT *, sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id, fi ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS pid
+                FROM toks)
+              WHERE NOT is_stop),
+            wl AS (
+              SELECT doc_id, fi, pid, i, tok,
+                count(*) OVER (PARTITION BY doc_id, fi, pid) AS plen
+              FROM words),
+            wstats AS (
+              SELECT tok, sum(plen)::DOUBLE / count(*) AS wscore
+              FROM wl GROUP BY tok),
+            phr AS (
+              SELECT doc_id, fi, pid,
+                string_agg(tok, ' ' ORDER BY i) AS phrase,
+                sum(wscore) AS score
+              FROM wl JOIN wstats USING (tok) GROUP BY doc_id, fi, pid),
+            ded AS (
+              SELECT doc_id, phrase, max(score) AS score
+              FROM phr GROUP BY doc_id, phrase),
+            rk AS (
+              SELECT doc_id, phrase, score, row_number() OVER
+                (PARTITION BY doc_id ORDER BY score DESC, phrase) AS rank
+              FROM ded)
+            SELECT doc_id, phrase,
+              floor(score * 10000 + 0.5) / 10000 AS score,
+              CAST(rank AS BIGINT) AS rank
+            FROM rk WHERE rank <= 3"""))
+
   def all: Seq[Q] = Seq(qNaiveBayes, qLangId, qQualityScore, qTokenCount, qFingerprint,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
@@ -1387,5 +1448,5 @@ object TextQueries {
     qPerplexity, qC4Filter, qEpochMix, qTfidf, qPmi, qBpeTrain,
     qWeightedSample, qEntropy, qRrfFusion, qSuffixArray, qLongestRepeat,
     qGlobalSuffix, qCrossRepeat, qWinnow, qWinnowPairs, qRingNegatives,
-    qLeakageSplit, qChi2Terms, qFeatureHash)
+    qLeakageSplit, qChi2Terms, qFeatureHash, qRake)
 }

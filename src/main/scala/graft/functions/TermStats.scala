@@ -177,4 +177,66 @@ object TermStats {
       coalesce(sum(when(col("b") === j, col("sg"))), lit(0L)).as(s"f$j"))
     rows.groupBy(col("doc_id")).agg(lanes.head, lanes.tail: _*)
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword/punctuation-free token runs; each word scores
+    * deg(w)/freq(w) where deg sums the lengths of every phrase the word
+    * occurs in and freq counts its occurrences; a phrase scores the sum
+    * of its word scores. Top-k phrases per document, ties broken on the
+    * phrase text (total order across engines).
+    *
+    * Phrase segmentation is the gaps-and-islands idiom at two levels:
+    * punctuation splits the text into fragments, stopwords split a
+    * fragment into runs (phrase id = running stopword count — one
+    * per-(doc, fragment) ordered window, keyed so it shards). Word
+    * stats are a vocabulary-bounded
+    * aggregate; the join back is broadcast-or-shuffle by AQE. No global
+    * window, no driver state — the corpus-sized relations only ever
+    * shuffle (doc_id, token) rows.
+    *
+    * Output: doc_id, phrase, score (4-dec floored), rank (1-based). */
+  def rakeKeywords(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      stopwords: Seq[String] = TextFunctions.defaultStopwords): DataFrame = {
+    // two boundary classes, handled at two levels: punctuation splits the
+    // text into fragments (fi); inside a fragment, stopwords split runs
+    // (pid = running stopword count) — a phrase is one (doc, fi, pid)
+    val frags = df.select(col(idCol).as("doc_id"),
+      posexplode(split(lower(trim(col(textCol))), "[^a-z0-9\\s]+"))
+        .as(Seq("fi", "frag")))
+    val toks = frags.select(col("doc_id"), col("fi"),
+        posexplode(split(col("frag"), "\\s+")).as(Seq("i", "tok")))
+      .filter(length(col("tok")) > 0)
+      .withColumn("is_stop", col("tok").isInCollection(stopwords))
+    val run = Window.partitionBy(col("doc_id"), col("fi")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val words = toks
+      .withColumn("pid", sum(col("is_stop").cast("int")).over(run))
+      .filter(!col("is_stop"))
+    val withLen = words.withColumn("plen",
+      count(lit(1)).over(
+        Window.partitionBy(col("doc_id"), col("fi"), col("pid"))))
+    val wstats = withLen.groupBy(col("tok"))
+      .agg((sum(col("plen")).cast("double") / count(lit(1))).as("wscore"))
+    val phrases = withLen.join(wstats, "tok")
+      .groupBy(col("doc_id"), col("fi"), col("pid"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("i"), col("tok")))),
+          s => s.getField("tok"))).as("phrase"),
+        sum(col("wscore")).as("score"))
+      // identical phrases in one doc carry the same score — collapse
+      // them before ranking so repeats don't crowd the top-k
+      .groupBy(col("doc_id"), col("phrase"))
+      .agg(max(col("score")).as("score"))
+    val rk = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("phrase"))
+    phrases.withColumn("rank", row_number().over(rk).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("phrase"),
+        (floor(col("score") * 10000 + 0.5) / 10000).as("score"), col("rank"))
+  }
 }

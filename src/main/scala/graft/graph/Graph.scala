@@ -944,4 +944,48 @@ object Graph {
     }
     ranks
   }
+
+  /** Deterministic DeepWalk-style random walks (Perozzi et al. 2014
+    * sampling shape, with the RNG replaced by a portable content hash so
+    * replays — and any md5-equipped engine — reproduce every walk
+    * exactly).
+    *
+    * `starts` is (walk_id, node); each walk advances `steps` hops. At
+    * step s the walk at node v picks neighbor rank
+    * `1 + md5₆₀(walk_id:s:v) mod deg(v)` in the dst-sorted adjacency —
+    * i.i.d.-uniform per (walk, step, node) but fully deterministic.
+    * Output (walk_id, step, node), step 0 = the start node; a walk that
+    * reaches a node with no out-edges stops early.
+    *
+    * Scale shape: the adjacency is ranked ONCE with a per-src keyed
+    * window (row_number + degree share one shuffle) and checkpointed —
+    * each hop is then a single equi-join of the walk frontier (bounded:
+    * |starts| rows) against it, keyed on the current node. Nothing
+    * node-count-sized touches the driver, and the frontier never grows,
+    * so 10⁹ walks over 10⁹ nodes is `steps` uniform hash joins. */
+  def randomWalks(edges: DataFrame, starts: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1, "need at least one step")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val adj = edges.toDF("src", "dst").distinct()
+      .withColumn("rk", row_number().over(w))
+      .withColumn("deg", count(lit(1)).over(wd))
+      .localCheckpoint() // reused by every hop below
+    var frontier = starts.toDF("walk_id", "node")
+      .select(col("walk_id"), lit(0L).as("step"), col("node"))
+    var walks = frontier
+    for (s <- 1 to steps) {
+      // portable 60-bit choice hash — same conv(substring(md5)) lane as
+      // ops/Kmv & ops/Bloom, so the DuckDB oracle replays walks verbatim
+      val pick = conv(substring(md5(concat_ws(":",
+        col("walk_id"), lit(s), col("node"))), 1, 15), 16, 10).cast("long")
+      frontier = frontier.join(adj, frontier("node") === adj("src"))
+        .filter(col("rk") === pmod(pick, col("deg")) + 1)
+        .select(col("walk_id"), lit(s.toLong).as("step"),
+          col("dst").as("node"))
+      walks = walks.unionByName(frontier)
+    }
+    walks
+  }
 }

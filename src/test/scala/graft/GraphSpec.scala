@@ -456,4 +456,46 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 10L))
   }
+
+  /** Driver-side replica of the walk's portable choice hash. */
+  private def md5Pick(walkId: Long, step: Int, node: Long, deg: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$walkId:$step:$node".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    (BigInt(hex, 16) % deg).toInt + 1
+  }
+
+  test("randomWalks: hops follow edges, hash-determined, reproducible") {
+    val edges = Graph.undirected(
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst"))
+    val starts = Seq((1L, 1L), (4L, 4L)).toDF("walk_id", "node")
+    val got = Graph.randomWalks(edges, starts, steps = 3)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+
+    // driver-side replay with the same md5 choice lane
+    val adj = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def replay(w: Long): Seq[Long] =
+      (1 to 3).scanLeft(w) { (cur, s) =>
+        val ns = adj(cur); ns(md5Pick(w, s, cur, ns.size) - 1)
+      }
+    assert(got == Map(1L -> replay(1L), 4L -> replay(4L)))
+    // deterministic: a second run yields the identical walks
+    val again = Graph.randomWalks(edges, starts, steps = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == Graph.randomWalks(edges, starts, steps = 3)
+      .as[(Long, Long, Long)].collect().toSet)
+  }
+
+  test("randomWalks: dead-end walk stops early, step 0 is the start") {
+    // directed chain 1→2, node 2 has no out-edge: walk ends after hop 1
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val starts = Seq((1L, 1L)).toDF("walk_id", "node")
+    val got = Graph.randomWalks(edges, starts, steps = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq((1L, 0L, 1L), (1L, 1L, 2L)))
+  }
 }

@@ -111,4 +111,32 @@ class TermStatsSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect().toList
     assert(out.map(r => (r._1, r._2, r._3)) == List(("a", "b", 1L)))
   }
+
+  test("rakeKeywords: multi-word phrases outrank lone words; punctuation splits") {
+    // RAKE's canonical effect: "deep learning" co-occurs (deg 2 each,
+    // freq 1 → score 2+2=4) and beats standalone "systems" (score 1).
+    // The comma is a phrase boundary exactly like a stopword.
+    val df = Seq(
+      (1L, "Deep learning of systems, deep learning"),
+      (2L, "systems")).toDF("id", "text")
+    val out = TermStats.rakeKeywords(df, "id", "text", k = 2)
+      .as[(Long, String, Double, Long)].collect()
+      .sortBy(r => (r._1, r._4)).toList
+    // doc 1 phrases: "deep learning" ×2 (collapsed), "systems";
+    // deep: deg 2+2=4 freq 2 → 2.0; learning likewise 2.0; systems:
+    // deg 1+1=2 freq 2 → 1.0
+    assert(out == List(
+      (1L, "deep learning", 4.0, 1L), (1L, "systems", 1.0, 2L),
+      (2L, "systems", 1.0, 1L)))
+  }
+
+  test("rakeKeywords: stopwords segment phrases and never appear in them") {
+    val df = Seq((7L, "the red fox and a lazy dog")).toDF("id", "text")
+    val out = TermStats.rakeKeywords(df, "id", "text", k = 5)
+      .as[(Long, String, Double, Long)].collect().toList.sortBy(_._4)
+    // two 2-word phrases, each word deg 2 freq 1 → score 4; tie on
+    // phrase text: "lazy dog" < "red fox"
+    assert(out == List(
+      (7L, "lazy dog", 4.0, 1L), (7L, "red fox", 4.0, 2L)))
+  }
 }
