@@ -1837,9 +1837,11 @@ object Queries {
       val raw = t.lineitem
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("src"), (-(col("l_suppkey") + 1)).as("dst"))
-      // one materialization feeds both the start sample and the walks
-      val und = graft.graph.Graph.undirected(raw).localCheckpoint(true)
-      val starts = und.filter(col("src") > 0 && col("src") % 50 === 0)
+      val und = graft.graph.Graph.undirected(raw)
+      // every sampled customer appears as a src in the raw pair list —
+      // deriving starts there keeps the undirected closure single-use
+      // (its one consumer, randomWalks, checkpoints the ranked form)
+      val starts = raw.filter(col("src") > 0 && col("src") % 50 === 0)
         .select(col("src").as("walk_id"), col("src").as("node")).distinct()
       graft.graph.Graph.randomWalks(und, starts, steps = 4)
     },

@@ -957,6 +957,11 @@ object Graph {
     * Output (walk_id, step, node), step 0 = the start node; a walk that
     * reaches a node with no out-edges stops early.
     *
+    * `edges` must be pre-deduplicated (e.g. via [[undirected]]) —
+    * duplicate rows would inflate degrees and skew the choice
+    * distribution; re-deduplicating here would charge every caller a
+    * redundant shuffle for the common already-distinct case.
+    *
     * Scale shape: the adjacency is ranked ONCE with a per-src keyed
     * window (row_number + degree share one shuffle) and checkpointed —
     * each hop is then a single equi-join of the walk frontier (bounded:
@@ -968,7 +973,7 @@ object Graph {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("dst"))
     val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
-    val adj = edges.toDF("src", "dst").distinct()
+    val adj = edges.toDF("src", "dst")
       .withColumn("rk", row_number().over(w))
       .withColumn("deg", count(lit(1)).over(wd))
       .localCheckpoint() // reused by every hop below
