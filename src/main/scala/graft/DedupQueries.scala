@@ -687,6 +687,39 @@ object DedupQueries {
               floor(a.x / greatest(n.nrm, 1e-12) * 10000 + 0.5) / 10000 AS v
             FROM allx a JOIN norms n USING (id)"""))
 
+  /** Hard-negative mining ([[graft.sim.Ann.hardNegatives]]): each %10
+    * anchor takes its 3 highest-cosine DIFFERENT-label vectors — the
+    * near-boundary negatives a contrastive trainer wants. The oracle
+    * re-derives the cross-label scoring and the (cos DESC, id) ranking
+    * relationally. */
+  val qHardNegatives = Q(
+    "q_hard_negatives",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Ann.hardNegatives(
+        emb.filter(col("vec_id") % 10 === 0), emb,
+        "vec_id", "embedding", "label", k = 3)
+    },
+    Some("""WITH anc AS (
+              SELECT vec_id AS aid, embedding AS av, label AS al
+              FROM embeddings WHERE vec_id % 10 = 0),
+            scored AS (
+              SELECT a.aid, e.vec_id AS id,
+                list_sum(list_transform(range(1, 65),
+                  i -> e.embedding[i]::DOUBLE * a.av[i]::DOUBLE)) /
+                (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+                 sqrt(list_sum(list_transform(range(1, 65),
+                  i -> a.av[i]::DOUBLE * a.av[i]::DOUBLE)))) AS cos
+              FROM anc a JOIN embeddings e ON e.label != a.al),
+            ranked AS (
+              SELECT aid, id, cos, row_number() OVER
+                (PARTITION BY aid ORDER BY cos DESC, id) AS rk
+              FROM scored)
+            SELECT aid AS anchor_id, id AS neg_id,
+              round(cos, 4) AS cosine, CAST(rk AS BIGINT) AS rk
+            FROM ranked WHERE rk <= 3"""))
+
   /** MMR diversified retrieval against the vec_id=0 query vector:
     * distributed scoring + top-20 shortlist (TakeOrderedAndProject),
     * then [[graft.sim.Ann.mmrRerank]] picks 5 with λ=0.7/μ=0.3 — the
@@ -1504,7 +1537,7 @@ object DedupQueries {
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
-    qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qGnnSage, qMmr, qSemDedup, qDupNgrams, qIncrementalDedup,
+    qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qGnnSage, qHardNegatives, qMmr, qSemDedup, qDupNgrams, qIncrementalDedup,
     qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance,
     qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep, qDbscan, qFuzzyMatch, qSortedNeighborhood,
     qContainment, qBoilerplate, qSimjoinPrefix, qFellegiSunter)

@@ -1870,6 +1870,76 @@ object Queries {
             $out"""
     })
 
+  /** Deterministic node2vec biased walks
+    * ([[graft.graph.Graph.node2vecWalks]], p=4 q=0.25 — outward/DFS-ish
+    * exploration): hop 1 uniform, later hops weight return edges 1/p,
+    * triangle-closing edges 1, forward edges 1/q, picked by portable
+    * inverse-CDF sampling (md5₆₀/2⁶⁰ × total weight). The oracle
+    * replays every hop: same cumulative window in dst order, same
+    * max(cumw) order-safe total, same ≥ boundary. */
+  val qNode2vec = Q(
+    "q_node2vec",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val raw = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (-(col("l_suppkey") + 1)).as("dst"))
+      val und = graft.graph.Graph.undirected(raw)
+      val starts = raw.filter(col("src") > 0 && col("src") % 50 === 0)
+        .select(col("src").as("walk_id"), col("src").as("node")).distinct()
+      graft.graph.Graph.node2vecWalks(und, starts, steps = 4,
+        p = 4.0, q = 0.25)
+    },
+    Some {
+      val hops = (2 to 4).map { s =>
+        s"""cand$s AS (
+              SELECT w.walk_id, w.prev, w.cur, a.dst
+              FROM st${s - 1} w JOIN e a ON a.src = w.cur),
+            flag$s AS (
+              SELECT c.walk_id, c.prev, c.cur, c.dst,
+                CASE WHEN c.dst = c.prev THEN 0.25
+                     WHEN e2.src IS NOT NULL THEN 1.0
+                     ELSE 4.0 END AS wt
+              FROM cand$s c LEFT JOIN e e2
+                ON e2.src = c.prev AND e2.dst = c.dst),
+            cum$s AS (
+              SELECT *, sum(wt) OVER (PARTITION BY walk_id ORDER BY dst
+                ROWS UNBOUNDED PRECEDING) AS cumw
+              FROM flag$s),
+            thr$s AS (
+              SELECT *,
+                (('0x' || substring(md5(walk_id::VARCHAR || ':$s:' ||
+                    prev::VARCHAR || ':' || cur::VARCHAR),
+                  1, 15))::BIGINT::DOUBLE / 1152921504606846976.0)
+                * max(cumw) OVER (PARTITION BY walk_id) AS rw
+              FROM cum$s),
+            st$s AS (
+              SELECT walk_id, cur AS prev, min(dst) AS cur
+              FROM thr$s WHERE cumw >= rw GROUP BY walk_id, cur)"""
+      }.mkString(",\n            ")
+      val out = (1 to 4).map(s =>
+        s"SELECT walk_id, CAST($s AS BIGINT) AS step, cur AS node FROM st$s")
+        .mkString("\n            UNION ALL ")
+      s"""WITH eb AS (
+              SELECT DISTINCT o_custkey AS src, -(l_suppkey + 1) AS dst
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            e AS (SELECT src, dst FROM eb UNION SELECT dst, src FROM eb),
+            adj AS (SELECT src, dst,
+                row_number() OVER (PARTITION BY src ORDER BY dst) AS rk,
+                count(*) OVER (PARTITION BY src) AS deg
+              FROM e),
+            w0 AS (SELECT DISTINCT src AS walk_id, src AS node FROM eb
+                   WHERE src > 0 AND src % 50 = 0),
+            st1 AS (SELECT w.walk_id, w.node AS prev, a.dst AS cur
+              FROM w0 w JOIN adj a ON a.src = w.node
+              AND a.rk = 1 + (('0x' || substring(md5(
+                w.walk_id::VARCHAR || ':1:' || w.node::VARCHAR),
+                1, 15))::BIGINT % a.deg)),
+            $hops
+            SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0
+            UNION ALL $out"""
+    })
+
   /** TPC-H Q14 shape (promo revenue share): one fact–dim join, ratio of a
     * conditional sum to the total — both numerator and denominator come
     * from the SAME aggregate over one scan. part broadcasts; at scale the
@@ -3319,7 +3389,7 @@ object Queries {
     qUnpivot, qOuterJoin, qWindowRank, qGapFill,
     qDqAudit, qCdcSnapshot, qSnapshotDiff, qMergeUpsert, qHopping, q5Revenue, q13Custdist,
     qNotIn, qSetOpsAll, qIntervalJoin, qZorder,
-    qOutliers, qFfill, qAnomaly, qPagerank, qRandomWalks,
+    qOutliers, qFfill, qAnomaly, qPagerank, qRandomWalks, qNode2vec,
     q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
     qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma, qCusum, qHolt, qHoltWinters, qSeasonalDecompose,
     qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops, qSssp,

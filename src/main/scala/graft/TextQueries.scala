@@ -1441,6 +1441,91 @@ object TextQueries {
               CAST(rank AS BIGINT) AS rank
             FROM rk WHERE rank <= 3"""))
 
+  /** Unicode script profile ([[graft.functions.TextFunctions.scriptCount]]
+    * family): per-script character counts by range-class regexp —
+    * scan-stage, no explode — plus the priority-tiebroken dominant
+    * script. Both the counts and the CASE chain are generated from ONE
+    * range table (`TextFunctions.scriptClasses`), Java-regex syntax on
+    * the Spark side, RE2 `\x{…}` on the oracle side. */
+  val qScriptDetect = Q(
+    "q_script_detect",
+    (s, dir) => {
+      import graft.functions.TextFunctions._
+      val counts = scriptClasses.map { case (n, r) =>
+        n -> scriptCount(col("text"), r)
+      }
+      Tables(s, dir).documents.select(
+        (col("doc_id") +:
+          counts.map { case (n, c) => c.as(s"n_$n") }) :+
+          dominantScript(counts).as("dominant"): _*)
+    },
+    Some {
+      val classes = graft.functions.TextFunctions.scriptClasses
+      def re2(r: Seq[(Int, Int)]): String =
+        r.map { case (a, b) => f"\\x{$a%04x}-\\x{$b%04x}" }
+          .mkString("[", "", "]")
+      val counts = classes.map { case (n, r) =>
+        s"length(text) - length(regexp_replace(text, '${re2(r)}', '', 'g')) AS n_$n"
+      }.mkString(",\n              ")
+      val cases = classes.zipWithIndex.map { case ((n, _), i) =>
+        val rest = classes.drop(i + 1).map("n_" + _._1)
+        val beats = if (rest.isEmpty) s"n_$n > 0"
+          else s"n_$n > 0 AND n_$n >= greatest(${rest.mkString(", ")})"
+        s"WHEN $beats THEN '$n'"
+      }.mkString("\n              ")
+      s"""WITH c AS (
+            SELECT doc_id,
+              $counts
+            FROM documents)
+          SELECT doc_id, ${classes.map("n_" + _._1).mkString(", ")},
+            CASE $cases ELSE 'none' END AS dominant
+          FROM c"""
+    })
+
+  /** Luhn-validated card-number detection
+    * ([[graft.functions.TextFunctions.luhnValid]]): 13–16-digit runs
+    * (maximal — a 17-digit run is NOT a card) checked against the
+    * ISO/IEC 7812 checksum. The corpus carries no card numbers, so each
+    * doc is augmented with one deterministic doc_id-derived 16-digit
+    * run (~10% Luhn-valid by chance) and one known-valid test PAN —
+    * both sides synthesize identically, and the oracle re-runs the full
+    * fold (reverse → double-every-second → mod 10) per candidate. */
+  val qLuhnScan = Q(
+    "q_luhn_scan",
+    (s, dir) => {
+      import graft.functions.TextFunctions.luhnValid
+      val aug = concat(col("text"), lit(" "),
+        lpad(((col("doc_id") * 7919 + 13) % 10000000000000000L)
+          .cast("string"), 16, "0"),
+        lit(" 4111111111111111"))
+      val runs = filter(regexp_extract_all(aug, lit("[0-9]+"), lit(0)),
+        r => length(r) >= 13 && length(r) <= 16)
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        size(runs).cast("long").as("n_runs"),
+        size(filter(runs, r => luhnValid(r))).cast("long").as("n_valid"))
+    },
+    Some("""WITH aug AS (
+              SELECT doc_id, text || ' ' ||
+                lpad(((doc_id * 7919 + 13) % 10000000000000000)::VARCHAR,
+                  16, '0') || ' 4111111111111111' AS t
+              FROM documents),
+            runs AS (
+              SELECT doc_id,
+                list_filter(regexp_extract_all(t, '[0-9]+'),
+                  r -> length(r) BETWEEN 13 AND 16) AS rs
+              FROM aug)
+            SELECT doc_id, CAST(len(rs) AS BIGINT) AS n_runs,
+              CAST(len(list_filter(rs, s ->
+                list_sum(list_transform(range(1, length(s) + 1), i ->
+                  CASE WHEN i % 2 = 0 THEN
+                    CASE WHEN 2 * (ascii(substring(reverse(s), i, 1)) - 48) > 9
+                      THEN 2 * (ascii(substring(reverse(s), i, 1)) - 48) - 9
+                      ELSE 2 * (ascii(substring(reverse(s), i, 1)) - 48) END
+                  ELSE ascii(substring(reverse(s), i, 1)) - 48 END))
+                % 10 = 0)) AS BIGINT) AS n_valid
+            FROM runs"""))
+
   def all: Seq[Q] = Seq(qNaiveBayes, qLangId, qQualityScore, qTokenCount, qFingerprint,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
@@ -1448,5 +1533,5 @@ object TextQueries {
     qPerplexity, qC4Filter, qEpochMix, qTfidf, qPmi, qBpeTrain,
     qWeightedSample, qEntropy, qRrfFusion, qSuffixArray, qLongestRepeat,
     qGlobalSuffix, qCrossRepeat, qWinnow, qWinnowPairs, qRingNegatives,
-    qLeakageSplit, qChi2Terms, qFeatureHash, qRake)
+    qLeakageSplit, qChi2Terms, qFeatureHash, qRake, qScriptDetect, qLuhnScan)
 }

@@ -167,6 +167,22 @@ object TextFunctions {
     regexp_replace(phone, "[0-9]{9,}", "<ID>")
   }
 
+  /** Luhn checksum validity (ISO/IEC 7812) of an all-digit string: from
+    * the right, every second digit doubles (−9 when > 9) and the total
+    * must divide by 10 — the check that separates a real card/IMEI-shaped
+    * number from a random digit run, cutting PII false positives by ~10×.
+    * Pure higher-order column math (reverse → per-position fold), no UDF,
+    * portable to any engine with list_transform/aggregate. */
+  def luhnValid(digits: Column): Column = {
+    val rev = reverse(digits)
+    val vals = transform(sequence(lit(1), length(rev)), i => {
+      val d = ascii(rev.substr(i, lit(1))) - 48
+      when(i % 2 === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    aggregate(vals, lit(0), (a, x) => a + x) % 10 === 0
+  }
+
   /** Text normalization: lowercase, collapse whitespace, strip control
     * chars — the canonical pre-tokenization cleanup. */
   def normalizeText(text: Column): Column =
@@ -261,5 +277,46 @@ object TextFunctions {
       struct(lit(i).as("chunk"),
         shiftright(fp, i * width).bitwiseAND(mask).as("chunk_val"))
     }: _*)
+  }
+
+  /** Unicode script classes for [[scriptCounts]]/[[dominantScript]]:
+    * (name, BMP codepoint ranges). Listed order IS the dominance
+    * tiebreak priority. Kept to character-class ranges both Java regex
+    * and RE2 express, so an oracle can mirror the counts exactly. */
+  val scriptClasses: Seq[(String, Seq[(Int, Int)])] = Seq(
+    "latin" -> Seq(0x41 -> 0x5A, 0x61 -> 0x7A, 0xC0 -> 0x24F),
+    "cyrillic" -> Seq(0x400 -> 0x4FF),
+    "greek" -> Seq(0x370 -> 0x3FF),
+    "cjk" -> Seq(0x3040 -> 0x30FF, 0x4E00 -> 0x9FFF),
+    "arabic" -> Seq(0x600 -> 0x6FF),
+    "hebrew" -> Seq(0x590 -> 0x5FF),
+    "devanagari" -> Seq(0x900 -> 0x97F))
+
+  private def javaClass(ranges: Seq[(Int, Int)]): String =
+    ranges.map { case (a, b) => f"\\u$a%04x-\\u$b%04x" }.mkString("[", "", "]")
+
+  /** Per-script character count: chars *outside* the class are deleted
+    * and the survivors counted — one scan-stage regexp per class, no
+    * explode. Count = length(text) − length(text without class chars). */
+  def scriptCount(text: Column, ranges: Seq[(Int, Int)]): Column =
+    (length(text) - length(regexp_replace(text, javaClass(ranges), "")))
+      .cast("long")
+
+  /** Dominant script among [[scriptClasses]]: the first class in
+    * priority order whose count is ≥ every later class's count — which
+    * is exactly "first occurrence of the maximum" (classes before the
+    * max each fail against it). All-zero → 'none'. */
+  def dominantScript(counts: Seq[(String, Column)]): Column = {
+    val chain = counts.zipWithIndex.foldRight(lit("none"): Column) {
+      case (((name, c), i), acc) =>
+        val rest = counts.drop(i + 1).map(_._2)
+        val beatsRest = rest match {
+          case Seq() => c > 0
+          case Seq(one) => c > 0 && c >= one // greatest() needs ≥ 2 args
+          case many => c > 0 && c >= greatest(many: _*)
+        }
+        when(beatsRest, lit(name)).otherwise(acc)
+    }
+    chain
   }
 }

@@ -993,4 +993,84 @@ object Graph {
     }
     walks
   }
+
+  /** Deterministic node2vec walks (Grover & Leskovec, KDD 2016): the
+    * second-order biased variant of [[randomWalks]]. Hop 1 is uniform
+    * (the paper's convention — no previous node yet, same choice lane as
+    * randomWalks); from hop 2 each neighbor x of the current node cur
+    * with previous node prev weighs
+    *
+    *   1/p if x = prev (return), 1 if edge(prev, x) exists (BFS-ish),
+    *   1/q otherwise (DFS-ish),
+    *
+    * and the walk picks the first neighbor (dst-ascending) whose running
+    * weight reaches md5₆₀(walk:step:prev:cur)/2⁶⁰ × total — inverse-CDF
+    * sampling with a portable uniform, so any md5 engine replays every
+    * hop. The ≥ boundary guarantees a pick even when the fraction rounds
+    * to the total. `edges` must be pre-deduplicated (see randomWalks).
+    *
+    * Scale shape per hop: candidate relation = frontier ⋈ adjacency on
+    * cur (|frontier| × degree rows), the BFS flag a (prev, dst)-keyed
+    * equi-join against the edge list, the cumulative weight a
+    * per-WALK keyed window (never global), the pick a min() aggregate.
+    * Total weight is max(cumw) — the order-safe form — not a second
+    * unordered float sum, so the inverse-CDF threshold is bit-identical
+    * across engines and retries. Frontier never grows; nothing
+    * node-count-sized leaves the executors. */
+  def node2vecWalks(
+      edges: DataFrame,
+      starts: DataFrame,
+      steps: Int,
+      p: Double,
+      q: Double): DataFrame = {
+    require(steps >= 1, "need at least one step")
+    val e = edges.toDF("src", "dst").localCheckpoint() // both join sides, every hop
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val wDeg = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val adj = e
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("deg", count(lit(1)).over(wDeg))
+    val s0 = starts.toDF("walk_id", "node")
+    var out = s0.select(col("walk_id"), lit(0L).as("step"), col("node"))
+    val pick1 = conv(substring(md5(concat_ws(":",
+      col("walk_id"), lit(1), col("node"))), 1, 15), 16, 10).cast("long")
+    var state = s0.join(adj, s0("node") === adj("src"))
+      .filter(col("rk") === pmod(pick1, col("deg")) + 1)
+      .select(col("walk_id"), col("node").as("prev"), col("dst").as("cur"))
+    out = out.unionByName(state.select(col("walk_id"), lit(1L).as("step"),
+      col("cur").as("node")))
+    val two60 = lit(1152921504606846976L).cast("double") // 2^60 exact
+    for (s <- 2 to steps) {
+      val cand = state.join(e, state("cur") === e("src"))
+        .select(col("walk_id"), col("prev"), col("cur"), col("dst"))
+      val flagged = cand.join(
+          e.select(col("src").as("p2"), col("dst").as("d2")),
+          col("prev") === col("p2") && col("dst") === col("d2"), "left")
+        .select(col("walk_id"), col("prev"), col("cur"), col("dst"),
+          when(col("dst") === col("prev"), lit(1.0 / p))
+            .when(col("p2").isNotNull, lit(1.0))
+            .otherwise(lit(1.0 / q)).as("wt"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("walk_id")).orderBy(col("dst"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("walk_id"))
+      val h = conv(substring(md5(concat_ws(":", col("walk_id"), lit(s),
+        col("prev"), col("cur"))), 1, 15), 16, 10).cast("long")
+      val cum = flagged
+        .withColumn("cumw", sum(col("wt")).over(wCum))
+        .withColumn("rw",
+          (h.cast("double") / two60) * max(col("cumw")).over(wAll))
+      state = cum.filter(col("cumw") >= col("rw"))
+        .groupBy(col("walk_id"), col("cur"))
+        .agg(min(col("dst")).as("next"))
+        .select(col("walk_id"), col("cur").as("prev"),
+          col("next").as("cur"))
+      out = out.unionByName(state.select(col("walk_id"),
+        lit(s.toLong).as("step"), col("cur").as("node")))
+    }
+    out
+  }
 }

@@ -257,6 +257,41 @@ object Ann {
     *
     * Returns (id_a, id_b, cosine) with id_a < id_b, one row per mutual
     * pair. */
+  /** Hard-negative mining for contrastive/retrieval training: for each
+    * anchor, the k pool vectors MOST similar to it that carry a
+    * DIFFERENT label — the near-boundary negatives that sharpen a
+    * bi-encoder, versus the uninformative random negatives of
+    * `ops.Sampling.ringNegatives`. Same execution shape as
+    * [[knnJoinExact]]: anchors broadcast, per-pool-partition scoring,
+    * the k-bounded [[graft.plans.TopKByScore]] heap — only k rows per
+    * anchor per partition cross the shuffle, ties (score desc, id asc).
+    * At corpus scale compose with the IVF route exactly as `knnIvf`
+    * does for plain kNN; the label filter rides the scan stage either
+    * way. Output: (anchor_id, neg_id, cosine 4-dec, rk 1..k). */
+  def hardNegatives(
+      anchors: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    import graft.plans.TopKByScore.topkByScore
+    val a = broadcast(anchors.select(col(idCol).as("anchor_id"),
+      col(vecCol).as("av"), col(labelCol).as("al")))
+    corpus.select(col(idCol).as("id"), col(vecCol).as("cv"),
+        col(labelCol).as("cl"))
+      .crossJoin(a)
+      .filter(col("cl") =!= col("al"))
+      .withColumn("cos", vecCosine(col("cv"), col("av")))
+      .groupBy(col("anchor_id"))
+      .agg(topkByScore(col("cos"), col("id"), k).as("top"))
+      .select(col("anchor_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("anchor_id"),
+        col("t").getField("id").as("neg_id"),
+        round(col("t").getField("score"), 4).as("cosine"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
   def mutualKnn(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val knn = knnJoinExact(df, df, idCol, vecCol, k).localCheckpoint(true)
     knn.as("r1").join(knn.as("r2"),

@@ -490,6 +490,52 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet)
   }
 
+  test("node2vecWalks: biased hops match a driver-side inverse-CDF replay") {
+    // path-ish graph with a triangle so all three weight classes occur:
+    // 1-2, 2-3, 3-1 (triangle), 3-4, 4-5
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    val edges = Graph.undirected(base.toDF("src", "dst"))
+    val starts = Seq((1L, 1L), (4L, 4L)).toDF("walk_id", "node")
+    val p = 4.0; val q = 0.25
+    val got = Graph.node2vecWalks(edges, starts, steps = 3, p, q)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+
+    val adj = base.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val eset = base.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    def md60(s: String): BigInt = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      BigInt(md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x")
+        .mkString.take(15), 16)
+    }
+    def replay(w: Long): Seq[Long] = {
+      var prev = w
+      val first = {
+        val ns = adj(w)
+        ns((md60(s"$w:1:$w") % ns.size).toInt)
+      }
+      var cur = first
+      var path = Seq(w, first)
+      for (s <- 2 to 3) {
+        val ns = adj(cur)
+        val wts = ns.map { x =>
+          if (x == prev) 1.0 / p
+          else if (eset((prev, x))) 1.0
+          else 1.0 / q
+        }
+        val cums = wts.scanLeft(0.0)(_ + _).tail
+        val r = (md60(s"$w:$s:$prev:$cur").toDouble / math.pow(2, 60)) *
+          cums.last
+        val next = ns(cums.indexWhere(_ >= r))
+        prev = cur; cur = next; path :+= next
+      }
+      path
+    }
+    assert(got == Map(1L -> replay(1L), 4L -> replay(4L)),
+      s"got $got vs ${Map(1L -> replay(1L), 4L -> replay(4L))}")
+  }
+
   test("randomWalks: dead-end walk stops early, step 0 is the start") {
     // directed chain 1→2, node 2 has no out-edge: walk ends after hop 1
     val edges = Seq((1L, 2L)).toDF("src", "dst")
