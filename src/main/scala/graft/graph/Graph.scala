@@ -1009,14 +1009,19 @@ object Graph {
     * hop. The ≥ boundary guarantees a pick even when the fraction rounds
     * to the total. `edges` must be pre-deduplicated (see randomWalks).
     *
-    * Scale shape per hop: candidate relation = frontier ⋈ adjacency on
-    * cur (|frontier| × degree rows), the BFS flag a (prev, dst)-keyed
-    * equi-join against the edge list, the cumulative weight a
-    * per-WALK keyed window (never global), the pick a min() aggregate.
-    * Total weight is max(cumw) — the order-safe form — not a second
-    * unordered float sum, so the inverse-CDF threshold is bit-identical
-    * across engines and retries. Frontier never grows; nothing
-    * node-count-sized leaves the executors. */
+    * Scale shape: the graph is materialized ONCE as a sorted
+    * neighbor-ARRAY relation (one groupBy shuffle, checkpointed);
+    * each hop is then two frontier-sized keyed joins against it
+    * (neighbors of cur, neighbors of prev) and pure scalar
+    * higher-order-function math — the weight vector, its O(degree)
+    * inverse-CDF fold, and the pick all run in the scan stage with NO
+    * window and NO per-hop edge shuffle (the earlier window/edge-join
+    * formulation re-shuffled the edge list every hop: 5.5 s → this).
+    * The fold accumulates in dst-ascending array order, so its running
+    * sums are bit-identical to an oracle's ordered window cum-sum, and
+    * the ≥ boundary with the fold's own total guarantees a pick.
+    * Frontier never grows; nothing node-count-sized leaves the
+    * executors. */
   def node2vecWalks(
       edges: DataFrame,
       starts: DataFrame,
@@ -1024,50 +1029,64 @@ object Graph {
       p: Double,
       q: Double): DataFrame = {
     require(steps >= 1, "need at least one step")
-    val e = edges.toDF("src", "dst").localCheckpoint() // both join sides, every hop
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("dst"))
-    val wDeg = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
-    val adj = e
-      .withColumn("rk", row_number().over(wRank))
-      .withColumn("deg", count(lit(1)).over(wDeg))
+    // one shuffle total: node → sorted neighbor array, reused every hop
+    val nbrs = edges.toDF("src", "dst")
+      .groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("nb"))
+      .select(col("src").as("node"), col("nb"))
+      .localCheckpoint()
     val s0 = starts.toDF("walk_id", "node")
     var out = s0.select(col("walk_id"), lit(0L).as("step"), col("node"))
     val pick1 = conv(substring(md5(concat_ws(":",
       col("walk_id"), lit(1), col("node"))), 1, 15), 16, 10).cast("long")
-    var state = s0.join(adj, s0("node") === adj("src"))
-      .filter(col("rk") === pmod(pick1, col("deg")) + 1)
-      .select(col("walk_id"), col("node").as("prev"), col("dst").as("cur"))
+    var state = s0.join(nbrs, "node")
+      .select(col("walk_id"), col("node").as("prev"),
+        element_at(col("nb"), (pmod(pick1, size(col("nb"))) + 1).cast("int"))
+          .as("cur"))
     out = out.unionByName(state.select(col("walk_id"), lit(1L).as("step"),
       col("cur").as("node")))
     val two60 = lit(1152921504606846976L).cast("double") // 2^60 exact
     for (s <- 2 to steps) {
-      val cand = state.join(e, state("cur") === e("src"))
-        .select(col("walk_id"), col("prev"), col("cur"), col("dst"))
-      val flagged = cand.join(
-          e.select(col("src").as("p2"), col("dst").as("d2")),
-          col("prev") === col("p2") && col("dst") === col("d2"), "left")
-        .select(col("walk_id"), col("prev"), col("cur"), col("dst"),
-          when(col("dst") === col("prev"), lit(1.0 / p))
-            .when(col("p2").isNotNull, lit(1.0))
-            .otherwise(lit(1.0 / q)).as("wt"))
-      val wCum = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("walk_id")).orderBy(col("dst"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val wAll = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("walk_id"))
+      val withN = state
+        .join(nbrs.select(col("node").as("cur"), col("nb").as("narr")), "cur")
+        .join(nbrs.select(col("node").as("prev"), col("nb").as("parr")), "prev")
       val h = conv(substring(md5(concat_ws(":", col("walk_id"), lit(s),
         col("prev"), col("cur"))), 1, 15), 16, 10).cast("long")
-      val cum = flagged
-        .withColumn("cumw", sum(col("wt")).over(wCum))
-        .withColumn("rw",
-          (h.cast("double") / two60) * max(col("cumw")).over(wAll))
-      state = cum.filter(col("cumw") >= col("rw"))
-        .groupBy(col("walk_id"), col("cur"))
-        .agg(min(col("dst")).as("next"))
+      // weights/total/threshold are STAGED as columns so each is
+      // evaluated once per row — inlining rw (md5 + an O(d) fold)
+      // inside the pick fold's lambda re-evaluates it at every fold
+      // step, turning the hop O(degree²)·md5 (measured 46 s vs 1.5 s
+      // on the sf0.1 battery graph)
+      val staged = withN
+        .withColumn("__wts", transform(col("narr"), x =>
+          when(x === col("prev"), lit(1.0 / p))
+            .when(array_contains(col("parr"), x), lit(1.0))
+            .otherwise(lit(1.0 / q))))
+        // left-to-right fold = the ordered cum-sum an oracle's window
+        // computes; its final value IS the total, so rw ≤ total and
+        // the ≥ test must fire by the last element
+        .withColumn("__total",
+          aggregate(col("__wts"), lit(0.0), (a, w) => a + w))
+        .withColumn("__rw", (h.cast("double") / two60) * col("__total"))
+      val pickSt = aggregate(col("__wts"),
+        struct(lit(0.0).as("s"), lit(0).as("i"), lit(0).as("pk")),
+        (acc, w) => {
+          val s2 = acc.getField("s") + w
+          val i2 = acc.getField("i") + lit(1)
+          struct(s2.as("s"), i2.as("i"),
+            when(acc.getField("pk") > 0, acc.getField("pk"))
+              .when(s2 >= col("__rw"), i2).otherwise(lit(0)).as("pk"))
+        })
+      val pick = when(pickSt.getField("pk") > 0, pickSt.getField("pk"))
+        .otherwise(size(col("narr"))) // unreachable FP belt-and-braces
+      // the pick is materialized BEFORE the prev/cur rename: its
+      // expression tree references col("prev")/col("cur"), and inside a
+      // select that also aliases cur→prev, Spark's LATERAL column alias
+      // resolution would bind those references to the new sibling alias
+      // (observed: the choice hash computed over the renamed columns)
+      state = staged
+        .withColumn("__next", element_at(col("narr"), pick.cast("int")))
         .select(col("walk_id"), col("cur").as("prev"),
-          col("next").as("cur"))
+          col("__next").as("cur"))
       out = out.unionByName(state.select(col("walk_id"),
         lit(s.toLong).as("step"), col("cur").as("node")))
     }
