@@ -720,6 +720,53 @@ object DedupQueries {
               round(cos, 4) AS cosine, CAST(rk AS BIGINT) AS rk
             FROM ranked WHERE rk <= 3"""))
 
+  /** Soundex blocking profile ([[graft.ops.Linkage.soundex]]) over part
+    * first-name tokens: per phonetic code the member count and the
+    * distinct surface forms — the block-size audit run before committing
+    * to phonetic blocking in a linkage pipeline (a hot block = a pair
+    * explosion; a 1-token block = no fuzzy recall). Oracle mirrors every
+    * soundex step textually. */
+  val qSoundexBlock = Q(
+    "q_soundex_block",
+    (s, dir) => {
+      val toks = Tables(s, dir).part
+        .select(element_at(split(col("p_name"), " "), 1).as("tok"))
+      toks.withColumn("code", graft.ops.Linkage.soundex(col("tok")))
+        .groupBy(col("code"))
+        .agg(count(lit(1)).as("n_parts"),
+          countDistinct(col("tok")).as("n_tokens"),
+          min(col("tok")).as("first_tok"))
+    },
+    Some("""WITH toks AS (
+              SELECT string_split(p_name, ' ')[1] AS tok FROM part),
+            m AS (
+              SELECT tok,
+                translate(upper(regexp_replace(tok, '[^A-Za-z]', '', 'g')),
+                  'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                  '01230120022455012623010202') AS mp,
+                upper(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS su
+              FROM toks),
+            c AS (
+              SELECT tok, su,
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(mp,
+                  '0{2,}', '0', 'g'), '1{2,}', '1', 'g'),
+                  '2{2,}', '2', 'g'), '3{2,}', '3', 'g'),
+                  '4{2,}', '4', 'g'), '5{2,}', '5', 'g'),
+                  '6{2,}', '6', 'g') AS cl
+              FROM m),
+            s AS (
+              SELECT tok,
+                CASE WHEN length(su) = 0 THEN ''
+                  ELSE substring(su, 1, 1) ||
+                    rpad(substring(regexp_replace(substring(cl, 2),
+                      '0', '', 'g'), 1, 3), 3, '0') END AS code
+              FROM c)
+            SELECT code, count(*) AS n_parts,
+              count(DISTINCT tok) AS n_tokens, min(tok) AS first_tok
+            FROM s GROUP BY code"""))
+
   /** MMR diversified retrieval against the vec_id=0 query vector:
     * distributed scoring + top-20 shortlist (TakeOrderedAndProject),
     * then [[graft.sim.Ann.mmrRerank]] picks 5 with λ=0.7/μ=0.3 — the
@@ -1540,5 +1587,5 @@ object DedupQueries {
     qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qGnnSage, qHardNegatives, qMmr, qSemDedup, qDupNgrams, qIncrementalDedup,
     qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance,
     qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep, qDbscan, qFuzzyMatch, qSortedNeighborhood,
-    qContainment, qBoilerplate, qSimjoinPrefix, qFellegiSunter)
+    qContainment, qBoilerplate, qSimjoinPrefix, qFellegiSunter, qSoundexBlock)
 }

@@ -1526,6 +1526,67 @@ object TextQueries {
                 % 10 = 0)) AS BIGINT) AS n_valid
             FROM runs"""))
 
+  /** Flesch reading ease + Flesch–Kincaid grade
+    * ([[graft.functions.TextFunctions.syllables]]): sentences = [.!?]+
+    * fragments with content, words = [a-z]+ runs of the lowercased text,
+    * syllables = per-word vowel-run heuristic summed by a scan-stage
+    * fold (no explode — the whole profile is one projection). Division
+    * guards floor sentence/word counts at 1 on both sides. */
+  val qReadability = Q(
+    "q_readability",
+    (s, dir) => {
+      import graft.functions.TextFunctions.syllables
+      val toks = filter(split(lower(col("text")), "[^a-z]+"),
+        t => length(t) > 0)
+      val nw = size(toks).cast("long")
+      val nsyl = aggregate(transform(toks, t => syllables(t)), lit(0),
+        (a, x) => a + x).cast("long")
+      val nsent = size(filter(split(col("text"), "[.!?]+"),
+        f => length(trim(f)) > 0)).cast("long")
+      val wD = greatest(nw, lit(1L)).cast("double")
+      val sD = greatest(nsent, lit(1L)).cast("double")
+      val fl4 = (c: org.apache.spark.sql.Column) =>
+        floor(c * 10000 + lit(0.5)) / 10000
+      Tables(s, dir).documents.select(
+        col("doc_id"), nsent.as("n_sents"), nw.as("n_words"),
+        nsyl.as("n_syllables"),
+        fl4(lit(206.835) - lit(1.015) * (nw.cast("double") / sD)
+          - lit(84.6) * (nsyl.cast("double") / wD)).as("reading_ease"),
+        fl4(lit(0.39) * (nw.cast("double") / sD)
+          + lit(11.8) * (nsyl.cast("double") / wD) - lit(15.59))
+          .as("fk_grade"))
+    },
+    Some("""WITH t AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                  x -> length(x) > 0) AS toks,
+                len(list_filter(string_split_regex(text, '[.!?]+'),
+                  f -> length(trim(f)) > 0)) AS n_sents
+              FROM documents),
+            c AS (
+              SELECT doc_id, CAST(n_sents AS BIGINT) AS n_sents,
+                CAST(len(toks) AS BIGINT) AS n_words,
+                CAST(list_sum(list_transform(toks, w -> greatest(
+                  CASE WHEN regexp_matches(w, 'e$')
+                        AND NOT regexp_matches(w, 'le$')
+                        AND len(regexp_extract_all(w, '[aeiouy]+')) >= 2
+                    THEN len(regexp_extract_all(w, '[aeiouy]+')) - 1
+                    ELSE len(regexp_extract_all(w, '[aeiouy]+')) END,
+                  1))) AS BIGINT) AS n_syllables
+              FROM t)
+            SELECT doc_id, n_sents, n_words,
+              coalesce(n_syllables, 0) AS n_syllables,
+              floor((206.835
+                - 1.015 * (n_words::DOUBLE / greatest(n_sents, 1)::DOUBLE)
+                - 84.6 * (coalesce(n_syllables, 0)::DOUBLE
+                          / greatest(n_words, 1)::DOUBLE))
+                * 10000 + 0.5) / 10000 AS reading_ease,
+              floor((0.39 * (n_words::DOUBLE / greatest(n_sents, 1)::DOUBLE)
+                + 11.8 * (coalesce(n_syllables, 0)::DOUBLE
+                          / greatest(n_words, 1)::DOUBLE)
+                - 15.59) * 10000 + 0.5) / 10000 AS fk_grade
+            FROM c"""))
+
   def all: Seq[Q] = Seq(qNaiveBayes, qLangId, qQualityScore, qTokenCount, qFingerprint,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
@@ -1533,5 +1594,5 @@ object TextQueries {
     qPerplexity, qC4Filter, qEpochMix, qTfidf, qPmi, qBpeTrain,
     qWeightedSample, qEntropy, qRrfFusion, qSuffixArray, qLongestRepeat,
     qGlobalSuffix, qCrossRepeat, qWinnow, qWinnowPairs, qRingNegatives,
-    qLeakageSplit, qChi2Terms, qFeatureHash, qRake, qScriptDetect, qLuhnScan)
+    qLeakageSplit, qChi2Terms, qFeatureHash, qRake, qScriptDetect, qLuhnScan, qReadability)
 }

@@ -167,6 +167,20 @@ object TextFunctions {
     regexp_replace(phone, "[0-9]{9,}", "<ID>")
   }
 
+  /** Heuristic English syllable count of a lowercase word: the number of
+    * [aeiouy]+ vowel runs, minus one for a silent final 'e' (ends in
+    * 'e' but not 'le', with ≥ 2 runs), floored at 1 — the standard
+    * readability-formula approximation (exact syllabification needs a
+    * dictionary; the formulas were CALIBRATED against counts like this).
+    * Deterministic scalar math, mirrored textually by oracles. */
+  def syllables(word: Column): Column = {
+    val runs = size(regexp_extract_all(word, lit("[aeiouy]+"), lit(0)))
+    greatest(
+      when(word.rlike("e$") && !word.rlike("le$") && runs >= 2, runs - 1)
+        .otherwise(runs),
+      lit(1))
+  }
+
   /** Luhn checksum validity (ISO/IEC 7812) of an all-digit string: from
     * the right, every second digit doubles (−9 when > 9) and the total
     * must divide by 10 — the check that separates a real card/IMEI-shaped

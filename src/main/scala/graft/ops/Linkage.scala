@@ -50,4 +50,33 @@ object Linkage {
           .when(col("score_mb") >= possibleFloor, lit("possible"))
           .otherwise(lit("non_match")))
   }
+
+  /** American Soundex phonetic code (Russell 1918; the classic blocking
+    * key for name-based record linkage — "Robert"/"Rupert" → R163).
+    * Simplified variant WITHOUT the H/W-transparency rule (the form most
+    * SQL engines ship), defined exactly as:
+    *
+    *   1. strip non-letters, uppercase; empty → ''.
+    *   2. map every letter to its class digit
+    *      (B F P V→1, C G J K Q S X Z→2, D T→3, L→4, M N→5, R→6,
+    *       vowels + H W Y→0) via one `translate`.
+    *   3. collapse runs of the same digit (adjacent same-class letters
+    *      code once — including the run containing the first letter).
+    *   4. drop the first collapsed digit (the first letter represents
+    *      itself), delete the 0 separators, keep 3 digits, right-pad
+    *      with '0'.
+    *
+    * Pure scan-stage string ops (translate + 7 bounded regexp_replace),
+    * deterministic and engine-portable — the oracle mirrors each step
+    * textually. Blocking on the code is one groupBy/equi-join key. */
+  def soundex(name: Column): Column = {
+    val s = upper(regexp_replace(name, "[^A-Za-z]", ""))
+    val m = translate(s,
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202")
+    val collapsed = (0 to 6).foldLeft(m)((acc, d) =>
+      regexp_replace(acc, s"$d{2,}", s"$d"))
+    val rest = regexp_replace(substring(collapsed, 2, 1000000), "0", "")
+    when(length(s) === 0, lit(""))
+      .otherwise(concat(substring(s, 1, 1), rpad(substring(rest, 1, 3), 3, "0")))
+  }
 }

@@ -34,6 +34,38 @@ class TextProfileSpec extends SparkSpec {
     assert(c(0) == 7 && d == "latin") // 3 accents + 'caf' + 'é'
   }
 
+  test("soundex: classic codes, run collapse, vowel-leading names") {
+    val cases = Seq(
+      "Robert" -> "R163", "Rupert" -> "R163",   // the canonical pair
+      "Tymczak" -> "T522",                       // vowel separators reset runs
+      "Pfister" -> "P236",                       // adjacent same-class collapses (simplified variant)
+      "Jackson" -> "J250",
+      "Adam" -> "A350",                          // vowel first letter
+      "BB" -> "B000", "Lee" -> "L000",
+      "a!!" -> "A000", "123" -> "")              // stripped / empty
+    val got = cases.map(_._1).toDF("s")
+      .select(col("s"), graft.ops.Linkage.soundex(col("s")))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (s, want) =>
+      assert(got(s) == want, s"soundex($s) = ${got(s)}, want $want")
+    }
+  }
+
+  test("syllables: vowel runs with silent-e adjustment, floor 1") {
+    val cases = Seq(
+      "cat" -> 1, "table" -> 2,   // ends 'le' — e kept
+      "move" -> 1,                // silent e dropped
+      "idea" -> 2,                // 'i','ea' runs
+      "rhythm" -> 1,              // y counts as vowel
+      "e" -> 1, "tv" -> 1)        // floor at 1
+    val got = cases.map(_._1).toDF("w")
+      .select(col("w"), syllables(col("w"))).as[(String, Int)]
+      .collect().toMap
+    cases.foreach { case (w, want) =>
+      assert(got(w) == want, s"syllables($w) = ${got(w)}, want $want")
+    }
+  }
+
   test("luhnValid: known PANs and near-misses") {
     val cases = Seq(
       "4111111111111111" -> true,  // classic Visa test number
