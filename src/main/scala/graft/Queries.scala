@@ -1870,6 +1870,71 @@ object Queries {
             $out"""
     })
 
+  /** Two synchronous Louvain local-move sweeps from singletons
+    * ([[graft.graph.Graph.louvainMove]]) over the co-purchase graph:
+    * the exact-integer gain S = 2m·k_vC − tot'(C)·k_v makes every move
+    * (and so the final assignment) engine-reproducible; the oracle
+    * replays both sweeps with the same argmin-struct pick. */
+  val qLouvain = Q(
+    "q_louvain",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val buyers = t.lineitem.filter(col("l_partkey") % 100 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("p"), col("o_custkey").as("c"))
+        .distinct()
+      val canon = buyers.as("b1")
+        .join(buyers.as("b2"),
+          col("b1.p") === col("b2.p") && col("b1.c") < col("b2.c"))
+        .select(col("b1.c").as("src"), col("b2.c").as("dst")).distinct()
+      graft.graph.Graph.louvain(
+        graft.graph.Graph.undirected(canon), rounds = 2)
+    },
+    Some {
+      val rounds = (1 to 2).map { r =>
+        s"""tot$r AS (
+              SELECT a.cid, sum(d.k) AS tot
+              FROM a${r - 1} a JOIN deg d USING (node) GROUP BY a.cid),
+            cand$r AS (
+              SELECT node, cand_cid, sum(k_vc) AS k_vc FROM (
+                SELECT e.src AS node, a.cid AS cand_cid,
+                  count(*) AS k_vc
+                FROM e JOIN a${r - 1} a ON a.node = e.dst
+                GROUP BY e.src, a.cid
+                UNION ALL
+                SELECT node, cid, CAST(0 AS BIGINT) FROM a${r - 1})
+              GROUP BY node, cand_cid),
+            sc$r AS (
+              SELECT c.node, c.cand_cid,
+                2 * (SELECT m FROM mm) * c.k_vc
+                  - (t.tot - CASE WHEN c.cand_cid = a.cid
+                      THEN d.k ELSE CAST(0 AS BIGINT) END) * d.k AS s
+              FROM cand$r c
+              JOIN a${r - 1} a USING (node)
+              JOIN deg d USING (node)
+              JOIN tot$r t ON t.cid = c.cand_cid),
+            a$r AS (
+              SELECT node,
+                (min(struct_pack(ns := -s, cc := cand_cid))).cc AS cid
+              FROM sc$r GROUP BY node)"""
+      }.mkString(",\n            ")
+      s"""WITH buyers AS (
+              SELECT DISTINCT l_partkey AS p, o_custkey AS c
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_partkey % 100 = 0),
+            eb AS (
+              SELECT DISTINCT b1.c AS src, b2.c AS dst
+              FROM buyers b1 JOIN buyers b2
+                ON b1.p = b2.p AND b1.c < b2.c),
+            e AS MATERIALIZED (
+              SELECT src, dst FROM eb UNION SELECT dst, src FROM eb),
+            mm AS (SELECT count(*) // 2 AS m FROM e),
+            deg AS (SELECT src AS node, count(*) AS k FROM e GROUP BY src),
+            a0 AS (SELECT DISTINCT src AS node, src AS cid FROM e),
+            $rounds
+            SELECT node, cid FROM a2"""
+    })
+
   /** Deterministic node2vec biased walks
     * ([[graft.graph.Graph.node2vecWalks]], p=4 q=0.25 — outward/DFS-ish
     * exploration): hop 1 uniform, later hops weight return edges 1/p,
@@ -3389,7 +3454,7 @@ object Queries {
     qUnpivot, qOuterJoin, qWindowRank, qGapFill,
     qDqAudit, qCdcSnapshot, qSnapshotDiff, qMergeUpsert, qHopping, q5Revenue, q13Custdist,
     qNotIn, qSetOpsAll, qIntervalJoin, qZorder,
-    qOutliers, qFfill, qAnomaly, qPagerank, qRandomWalks, qNode2vec,
+    qOutliers, qFfill, qAnomaly, qPagerank, qRandomWalks, qNode2vec, qLouvain,
     q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
     qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma, qCusum, qHolt, qHoltWinters, qSeasonalDecompose,
     qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops, qSssp,

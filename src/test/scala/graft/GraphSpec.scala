@@ -490,6 +490,40 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet)
   }
 
+  test("louvainMove: one sweep matches hand-computed integer gains") {
+    // two triangles bridged at 3-4; m=7. Hand-scored S = 2m·k_vC − tot'·k_v:
+    // node 1: C2 → 14−4=10 beats C3 (8) and own (0) → 2; node 2 → 1;
+    // node 3: C1 and C2 tie at 8 → smaller cid 1; symmetric on the right.
+    // The synchronous 1↔2 / 5↔6 swap is the documented variant behavior.
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val und = Graph.undirected(base.toDF("src", "dst"))
+    val a0 = (1L to 6L).map(n => (n, n)).toDF("node", "cid")
+    val got = Graph.louvainMove(und, a0)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      4L -> 5L, 5L -> 6L, 6L -> 5L), s"got $got")
+  }
+
+  test("louvainMove: isolated node keeps its community") {
+    val und = Graph.undirected(Seq((1L, 2L)).toDF("src", "dst"))
+    val a0 = Seq((1L, 1L), (2L, 2L), (9L, 7L)).toDF("node", "cid")
+    val got = Graph.louvainMove(und, a0).as[(Long, Long)].collect().toMap
+    assert(got(9L) == 7L, s"isolated node dropped or moved: $got")
+    assert(got.keySet == Set(1L, 2L, 9L))
+  }
+
+  test("louvain: rounds from singletons converge the bridged triangles") {
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val und = Graph.undirected(base.toDF("src", "dst"))
+    val g1 = Graph.louvain(und, rounds = 1).as[(Long, Long)].collect().toMap
+    val move = Graph.louvainMove(und,
+      (1L to 6L).map(n => (n, n)).toDF("node", "cid"))
+      .as[(Long, Long)].collect().toMap
+    assert(g1 == move, "louvain(1) must equal one louvainMove from singletons")
+  }
+
   test("node2vecWalks: biased hops match a driver-side inverse-CDF replay") {
     // path-ish graph with a triangle so all three weight classes occur:
     // 1-2, 2-3, 3-1 (triangle), 3-4, 4-5
