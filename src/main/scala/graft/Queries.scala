@@ -913,6 +913,100 @@ object Queries {
               count(*) AS n
             FROM events GROUP BY event_type"""))
 
+  /** Theil–Sen robust trend per user ([[graft.ops.Robust.theilSen]]):
+    * median of all pairwise slopes — the 29%-breakdown alternative to
+    * q_regression's OLS. The oracle re-derives the pair relation and
+    * the interpolated median. */
+  val qTheilSen = Q(
+    "q_theil_sen",
+    (s, dir) => {
+      graft.ops.Robust.theilSen(Tables(s, dir).events,
+          "user_id", "ts", "value")
+        .select(col("k").as("user_id"), col("n_events"),
+          col("n_pairs"), col("slope_hr"))
+    },
+    Some("""WITH pts AS (
+              SELECT user_id AS k, epoch_us(ts) AS t, value::DOUBLE AS v
+              FROM events),
+            pairs AS (
+              SELECT a.k,
+                (b.v - a.v) * 3.6e9 / CAST(b.t - a.t AS DOUBLE) AS slope
+              FROM pts a JOIN pts b ON a.k = b.k AND a.t < b.t),
+            n AS (SELECT k, count(*) AS n_events FROM pts GROUP BY k)
+            SELECT p.k AS user_id, n.n_events, count(*) AS n_pairs,
+              floor(quantile_cont(slope, 0.5) * 10000 + 0.5) / 10000
+                AS slope_hr
+            FROM pairs p JOIN n USING (k)
+            GROUP BY p.k, n.n_events"""))
+
+  /** Winsorized + trimmed means per event type
+    * ([[graft.ops.Robust.winsorized]], 5/95 fences): the heavy-tail
+    * location estimates reported alongside the raw mean. */
+  val qWinsorized = Q(
+    "q_winsorized",
+    (s, dir) => {
+      graft.ops.Robust.winsorized(Tables(s, dir).events,
+          "event_type", "value", pLo = 0.05, pHi = 0.95)
+        .select(col("k").as("event_type"), col("n"), col("p_lo"),
+          col("p_hi"), col("mean"), col("wins_mean"), col("trim_mean"))
+    },
+    Some("""WITH f AS (
+              SELECT event_type AS k,
+                quantile_cont(value::DOUBLE, 0.05) AS lo,
+                quantile_cont(value::DOUBLE, 0.95) AS hi
+              FROM events GROUP BY event_type)
+            SELECT e.event_type, count(*) AS n,
+              floor(any_value(f.lo) * 10000 + 0.5) / 10000 AS p_lo,
+              floor(any_value(f.hi) * 10000 + 0.5) / 10000 AS p_hi,
+              floor(avg(e.value::DOUBLE) * 10000 + 0.5) / 10000 AS mean,
+              floor(avg(least(greatest(e.value::DOUBLE, f.lo), f.hi))
+                * 10000 + 0.5) / 10000 AS wins_mean,
+              floor(avg(CASE WHEN e.value::DOUBLE >= f.lo
+                  AND e.value::DOUBLE <= f.hi THEN e.value::DOUBLE END)
+                * 10000 + 0.5) / 10000 AS trim_mean
+            FROM events e JOIN f ON f.k = e.event_type
+            GROUP BY e.event_type"""))
+
+  /** Benford first-digit audit over lineitem amounts (Benford 1938;
+    * Nigrini's fraud-screening standard): first significant digit taken
+    * from EXACT integer cents (float formatting never touches the
+    * digit), observed share vs log10(1+1/d), per-digit Pearson χ²
+    * terms. Scan-stage digit extraction, one 9-group aggregate, the
+    * total a 1-row broadcast. */
+  val qBenford = Q(
+    "q_benford",
+    (s, dir) => {
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val counts = Tables(s, dir).lineitem
+        .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("total"))
+      val exp9 = lit(1.0) + lit(1.0) / col("digit").cast("double")
+      counts.crossJoin(broadcast(tot))
+        .withColumn("expected_share", log10(exp9))
+        .select(col("digit").cast("long").as("digit"), col("n"),
+          fl4(col("n").cast("double") / col("total")).as("share"),
+          fl4(col("expected_share")).as("expected"),
+          fl4(pow(col("n").cast("double")
+              - col("total") * col("expected_share"), 2)
+            / (col("total") * col("expected_share"))).as("chi_term"))
+    },
+    Some("""WITH c AS (
+              SELECT CAST(substring(
+                  CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS INT) AS digit,
+                count(*) AS n
+              FROM lineitem GROUP BY 1),
+            t AS (SELECT sum(n) AS total FROM c)
+            SELECT CAST(digit AS BIGINT) AS digit, n,
+              floor(n::DOUBLE / total * 10000 + 0.5) / 10000 AS share,
+              floor(log10(1.0 + 1.0 / digit::DOUBLE) * 10000 + 0.5) / 10000
+                AS expected,
+              floor(pow(n::DOUBLE - total * log10(1.0 + 1.0 / digit::DOUBLE), 2)
+                / (total * log10(1.0 + 1.0 / digit::DOUBLE))
+                * 10000 + 0.5) / 10000 AS chi_term
+            FROM c, t"""))
+
   /** Declarative gaps-and-islands sessionization (30-min gap) — the
     * batch/SQL twin of the stateful streaming sessionizer (same
     * semantics, spec-asserted); ONE shuffle end-to-end: the window's
@@ -3449,7 +3543,7 @@ object Queries {
     qBloomJoin, qSaltedJoin, qAsofJoin,
     qRollup, qCube, qRangeJoin, qMovingAvg, qPivot, qSetOps, qTopkAgg,
     qGroupingSets, qScalarSubquery, qPercentiles, qSessionize,
-    qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram, qHdrQuantiles,
+    qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram, qHdrQuantiles, qTheilSen, qWinsorized, qBenford,
     qQuantileBins, qKmvDistinct,
     qUnpivot, qOuterJoin, qWindowRank, qGapFill,
     qDqAudit, qCdcSnapshot, qSnapshotDiff, qMergeUpsert, qHopping, q5Revenue, q13Custdist,

@@ -194,4 +194,51 @@ class RobustStatsSpec extends SparkSpec {
       assert(math.abs(z) > 2.5)
     }
   }
+
+  test("theilSen: outlier-resistant slope matches driver-side median of pair slopes") {
+    // line v = 2t/hr with one wild outlier; TS ignores it, OLS would not
+    val hourUs = 3.6e9.toLong
+    val rows = (0 to 9).map { i =>
+      val v = if (i == 5) 1000.0 else 2.0 * i
+      (1L, new java.sql.Timestamp(i.toLong * hourUs / 1000), v)
+    }
+    val df = rows.toDF("user_id", "ts", "value")
+    val got = graft.ops.Robust.theilSen(df, "user_id", "ts", "value")
+      .as[(Long, Long, Long, Double)].collect().head
+    // driver replay
+    val pts = rows.map { case (_, ts, v) => (ts.getTime * 1000L, v) }
+    val slopes = (for {
+      i <- pts.indices; j <- pts.indices if pts(i)._1 < pts(j)._1
+    } yield (pts(j)._2 - pts(i)._2) * 3.6e9 / (pts(j)._1 - pts(i)._1).toDouble)
+      .sorted
+    val m = (slopes(slopes.size / 2 - 1) + slopes(slopes.size / 2)) / 2
+    val want = math.floor(m * 10000 + 0.5) / 10000
+    assert(got == ((1L, 10L, 45L, want)), s"got $got want slope $want")
+    assert(math.abs(want - 2.0) < 0.5, "median slope shrugs off the outlier")
+  }
+
+  test("winsorized: fences clip and trim as computed by hand") {
+    // 0..9 plus outlier 1000; p10/p90 interpolated fences
+    val vals = ((0 to 9).map(_.toDouble) :+ 1000.0)
+    val df = vals.map(("a", _)).toDF("k", "v")
+    val got = graft.ops.Robust.winsorized(df, "k", "v", 0.10, 0.90)
+      .as[(String, Long, Double, Double, Double, Double, Double)]
+      .collect().head
+    val sorted = vals.sorted
+    def q(p: Double): Double = {
+      val pos = p * (sorted.size - 1); val lo = pos.toInt
+      val f = pos - lo
+      if (lo + 1 < sorted.size) sorted(lo) * (1 - f) + sorted(lo + 1) * f
+      else sorted(lo)
+    }
+    def fl(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val (lo, hi) = (q(0.10), q(0.90))
+    val wins = vals.map(v => math.min(math.max(v, lo), hi))
+    val trim = vals.filter(v => v >= lo && v <= hi)
+    assert(got._1 == "a" && got._2 == 11L)
+    assert(got._3 == fl(lo) && got._4 == fl(hi))
+    assert(got._6 == fl(wins.sum / wins.size), "winsorized mean")
+    assert(got._7 == fl(trim.sum / trim.size), "trimmed mean")
+    assert(got._6 < got._5, "clipping pulls the mean off the outlier")
+  }
 }
