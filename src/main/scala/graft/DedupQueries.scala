@@ -720,6 +720,59 @@ object DedupQueries {
               round(cos, 4) AS cosine, CAST(rk AS BIGINT) AS rk
             FROM ranked WHERE rk <= 3"""))
 
+  /** Content-defined chunking dedup profile
+    * ([[graft.ops.Chunking.cdcChunks]]): Rabin-style md5₆₀ boundaries
+    * over a corpus with one-third of the docs re-ingested under new
+    * ids — identical text yields identical chunk hashes, so every
+    * chunk of a re-ingested doc shows up duplicated. Per-doc summary:
+    * chunk count, longest chunk, chunks shared with another doc. */
+  val qCdcChunks = Q(
+    "q_cdc_chunks",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      val tab = graft.ops.Chunking.cdcChunks(corpus, "doc_id", "text")
+        .localCheckpoint(false) // feeds the freq table AND the join back
+      val dfreq = tab.groupBy(col("chunk_md5"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      tab.join(dfreq, "chunk_md5")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          max(col("chunk_len")).as("max_chunk_len"),
+          sum(when(col("df") > 1, 1L).otherwise(0L)).as("dup_chunks"))
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id % 3 = 0),
+            d AS (
+              SELECT doc_id, text AS s, length(text) AS n
+              FROM corpus WHERE length(text) >= 8),
+            cuts AS (
+              SELECT doc_id, s, n,
+                list_sort(list_distinct(
+                  [0] || list_transform(
+                    list_filter(range(1, n - 6),
+                      p -> ('0x' || substring(md5(substring(s, p, 8)),
+                        1, 15))::BIGINT % 64 = 0),
+                    p -> p + 7) || [n])) AS c
+              FROM d),
+            chunks AS (
+              SELECT doc_id, substring(s, c[i - 1] + 1, c[i] - c[i - 1]) AS ch
+              FROM (SELECT doc_id, s, c,
+                      unnest(range(2, len(c) + 1)) AS i
+                    FROM cuts)),
+            tab AS (
+              SELECT doc_id, length(ch) AS clen, md5(ch) AS h FROM chunks),
+            dfreq AS (
+              SELECT h, count(DISTINCT doc_id) AS df FROM tab GROUP BY h)
+            SELECT t.doc_id, count(*) AS n_chunks,
+              CAST(max(clen) AS BIGINT) AS max_chunk_len,
+              CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
+            FROM tab t JOIN dfreq USING (h) GROUP BY t.doc_id"""))
+
   /** Soundex blocking profile ([[graft.ops.Linkage.soundex]]) over part
     * first-name tokens: per phonetic code the member count and the
     * distinct surface forms — the block-size audit run before committing
@@ -1587,5 +1640,5 @@ object DedupQueries {
     qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qGnnSage, qHardNegatives, qMmr, qSemDedup, qDupNgrams, qIncrementalDedup,
     qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance,
     qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep, qDbscan, qFuzzyMatch, qSortedNeighborhood,
-    qContainment, qBoilerplate, qSimjoinPrefix, qFellegiSunter, qSoundexBlock)
+    qContainment, qBoilerplate, qSimjoinPrefix, qFellegiSunter, qSoundexBlock, qCdcChunks)
 }

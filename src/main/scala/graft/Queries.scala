@@ -1007,6 +1007,102 @@ object Queries {
                 * 10000 + 0.5) / 10000 AS chi_term
             FROM c, t"""))
 
+  /** Hill tail-index per event type ([[graft.ops.Robust.hillAlpha]],
+    * k=20): heavy-tail exponent from the top-21 order statistics only —
+    * a k-bounded TopKByScore heap, never a sorted window over the
+    * distribution. The oracle re-ranks with the identical
+    * (value DESC, id) tiebreak and mirrors the log-sum. */
+  val qHillTail = Q(
+    "q_hill_tail",
+    (s, dir) => {
+      graft.ops.Robust.hillAlpha(Tables(s, dir).events,
+          "event_type", "value", "event_id", k = 20)
+        .select(col("key").as("event_type"), col("n_pos"),
+          col("x_k1"), col("alpha"))
+    },
+    Some("""WITH pos AS (
+              SELECT event_type, value::DOUBLE AS v, event_id
+              FROM events WHERE value > 0),
+            ranked AS (
+              SELECT event_type, v, row_number() OVER
+                (PARTITION BY event_type ORDER BY v DESC, event_id) AS rk
+              FROM pos),
+            np AS (SELECT event_type, count(*) AS n_pos FROM pos
+                   GROUP BY event_type),
+            tops AS (
+              SELECT event_type, list(v ORDER BY rk) AS xs
+              FROM ranked WHERE rk <= 21 GROUP BY event_type
+              HAVING count(*) = 21)
+            SELECT t.event_type, np.n_pos,
+              floor(xs[21] * 10000 + 0.5) / 10000 AS x_k1,
+              floor(20.0 / list_sum(list_transform(list_slice(xs, 1, 20),
+                  x -> ln(x / xs[21])))
+                * 10000 + 0.5) / 10000 AS alpha
+            FROM tops t JOIN np USING (event_type)"""))
+
+  /** ABC / Pareto analysis of customer revenue per nation: rank by
+    * revenue within nation, cumulative share classes A (≤80%),
+    * B (≤95%), C — the classic concentration report. ALL sums run in
+    * EXACT integer cents (class membership must not hang on float
+    * summation order); the one division per output row happens after
+    * the exact arithmetic. The cumulative rides a NATION-keyed window
+    * in pinned (revenue DESC, custkey) order. */
+  val qParetoAbc = Q(
+    "q_pareto_abc",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val rev = t.orders.groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("rev_c"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nation"), col("o_custkey"),
+          col("rev_c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("nation"))
+        .orderBy(col("rev_c").desc, col("o_custkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("nation"))
+      val classed = rev
+        .withColumn("cum", sum(col("rev_c")).over(w))
+        .withColumn("tot", max(col("cum")).over(wAll))
+        // 100·cum ≤ 80·tot etc: exact BIGINT class boundaries
+        .withColumn("cls",
+          when(col("cum") * 100 <= col("tot") * 80, "A")
+            .when(col("cum") * 100 <= col("tot") * 95, "B")
+            .otherwise("C"))
+      classed.groupBy(col("nation"), col("cls"))
+        .agg(count(lit(1)).as("n_cust"),
+          fl4(sum(col("rev_c")).cast("double") / first(col("tot")))
+            .as("share"))
+    },
+    Some("""WITH rev AS (
+              SELECT cu.c_nationkey AS nation, o.o_custkey,
+                sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS rev_c
+              FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey
+              GROUP BY 1, 2),
+            cum AS (
+              SELECT nation, o_custkey, rev_c,
+                sum(rev_c) OVER (PARTITION BY nation
+                  ORDER BY rev_c DESC, o_custkey
+                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM rev),
+            cum2 AS (
+              SELECT *, max(cum) OVER (PARTITION BY nation) AS tot
+              FROM cum),
+            classed AS (
+              SELECT nation, rev_c, tot,
+                CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                     WHEN cum * 100 <= tot * 95 THEN 'B'
+                     ELSE 'C' END AS cls
+              FROM cum2)
+            SELECT nation, cls, count(*) AS n_cust,
+              floor(CAST(sum(rev_c) AS DOUBLE) / any_value(tot)
+                * 10000 + 0.5) / 10000 AS share
+            FROM classed GROUP BY nation, cls"""))
+
   /** Declarative gaps-and-islands sessionization (30-min gap) — the
     * batch/SQL twin of the stateful streaming sessionizer (same
     * semantics, spec-asserted); ONE shuffle end-to-end: the window's
@@ -3543,7 +3639,7 @@ object Queries {
     qBloomJoin, qSaltedJoin, qAsofJoin,
     qRollup, qCube, qRangeJoin, qMovingAvg, qPivot, qSetOps, qTopkAgg,
     qGroupingSets, qScalarSubquery, qPercentiles, qSessionize,
-    qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram, qHdrQuantiles, qTheilSen, qWinsorized, qBenford,
+    qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram, qHdrQuantiles, qTheilSen, qWinsorized, qBenford, qHillTail, qParetoAbc,
     qQuantileBins, qKmvDistinct,
     qUnpivot, qOuterJoin, qWindowRank, qGapFill,
     qDqAudit, qCdcSnapshot, qSnapshotDiff, qMergeUpsert, qHopping, q5Revenue, q13Custdist,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sliding-window document chunking — the context-window prep step of a
@@ -42,5 +42,62 @@ object Chunking {
         (col("__start") / stride).cast("long").as("chunk_id"),
         array_join(slice(col("__toks"), col("__start") + 1, lit(window)), " ").as("chunk_text"),
         size(slice(col("__toks"), col("__start") + 1, lit(window))).cast("long").as("n_chunk_tokens"))
+  }
+
+  /** Content-defined chunking (Rabin-style; the storage-dedup boundary
+    * rule behind rsync/LBFS/FastCDC): a chunk ends after character
+    * p+k−1 wherever the k-gram starting at p hashes to
+    * `0 mod (mask+1)` — boundaries move WITH the content, so an
+    * insertion re-chunks only its neighborhood while a fixed-width
+    * splitter shifts every later chunk (the property that makes
+    * chunk-hash dedup survive edits). Basic form: no FastCDC min/max
+    * normalization (those suppressions are sequential state), gram
+    * hash = the portable md5₆₀ lane so any engine reproduces every
+    * boundary. Docs shorter than k chars are outside the domain
+    * (mirrors Winnow) and are filtered.
+    *
+    * Output: (idCol, chunk_no 1-based, chunk_len, chunk_md5).
+    *
+    * Scale shape: boundary detection, cut assembly and chunk slicing
+    * are STAGED per-row array math in the scan stage (no window, no
+    * shuffle; the explode multiplies rows only at the end) — a 100 TB
+    * corpus chunks at full scan parallelism, and downstream dedup is
+    * one groupBy on chunk_md5. */
+  def cdcChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      mask: Int = 63): DataFrame = {
+    require(k >= 1 && mask >= 1, s"need k,mask >= 1, got k=$k mask=$mask")
+    val gramHash = (p: Column) =>
+      conv(substring(md5(col("__s").substr(p, lit(k))), 1, 15), 16, 10)
+        .cast("long")
+    // cut positions: 0, every content boundary, end-of-doc
+    val cuts = array_sort(array_distinct(concat(
+      array(lit(0)),
+      transform(
+        filter(sequence(lit(1), col("__n") - (k - 1)),
+          p => gramHash(p) % (mask + 1) === 0),
+        p => p + (k - 1)),
+      array(col("__n")))))
+    // array(…)/flatten let-binding (the Winnow trick): the cut array —
+    // whose computation is the O(n)·md5 boundary scan — becomes a lambda
+    // variable evaluated ONCE per row; naming it via withColumn instead
+    // lets CollapseProject inline the scan into all three element_at
+    // references per chunk (measured 57 s vs 3.9 s at sf0.1)
+    val chunks = flatten(transform(array(cuts), cs =>
+      transform(sequence(lit(2), size(cs)),
+        i => col("__s").substr(
+          element_at(cs, i - 1) + 1,
+          element_at(cs, i) - element_at(cs, i - 1)))))
+    df
+      .select(col(idCol), col(textCol).as("__s"))
+      .withColumn("__n", length(col("__s")))
+      .filter(col("__n") >= k)
+      .select(col(idCol), posexplode(chunks).as(Seq("__i", "__c")))
+      .select(col(idCol), (col("__i") + 1).cast("long").as("chunk_no"),
+        length(col("__c")).cast("long").as("chunk_len"),
+        md5(col("__c")).as("chunk_md5"))
   }
 }

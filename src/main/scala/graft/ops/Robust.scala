@@ -46,6 +46,42 @@ object Robust {
       .select(col("k"), col("n_events"), col("n_pairs"), col("slope_hr"))
   }
 
+  /** Hill tail-index estimator per key (Hill 1975): over the k+1 largest
+    * values, α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) — the standard
+    * heavy-tail exponent estimate (α ≈ 1: extreme concentration; large
+    * α: thin tail) for degree/frequency/value distributions. Only the
+    * top k+1 order statistics are needed, so the plan is ONE
+    * [[graft.plans.TopKByScore]] partial aggregate (k+1-bounded heap —
+    * k rows per key per partition cross the shuffle, never a sorted
+    * window over the distribution) plus scalar array math on the
+    * result. Keys with fewer than k+1 positive values are excluded
+    * (the estimator is undefined there). */
+  def hillAlpha(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    import graft.plans.TopKByScore.topkByScore
+    val top = df
+      .select(col(keyCol).as("key"), col(valCol).cast("double").as("v"),
+        col(idCol).cast("long").as("i"))
+      .filter(col("v") > 0)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_pos"),
+        topkByScore(col("v"), col("i"), k + 1).as("top"))
+      .filter(size(col("top")) === k + 1)
+    top
+      .withColumn("__xs",
+        transform(col("top"), t => t.getField("score")))
+      .withColumn("__xk1", element_at(col("__xs"), k + 1))
+      .select(col("key"), col("n_pos"),
+        (floor(col("__xk1") * 10000 + 0.5) / 10000).as("x_k1"),
+        (floor(lit(k.toDouble) / aggregate(slice(col("__xs"), 1, k),
+            lit(0.0), (a, x) => a + log(x / col("__xk1")))
+          * 10000 + 0.5) / 10000).as("alpha"))
+  }
+
   /** Winsorized and trimmed means per key at the [pLo, pHi] percentile
     * fences: `mean` (raw), `wins_mean` (values CLIPPED to the fences),
     * `trim_mean` (values OUTSIDE the fences dropped) — the standard

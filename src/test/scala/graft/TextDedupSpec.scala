@@ -476,4 +476,30 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L) == ((3L, 2L, 0.6667)))
     assert(out(4L) == ((1L, 0L, 0.0)))
   }
+
+  test("cdcChunks: lengths reassemble, deterministic, edit-local boundaries") {
+    // deterministic pseudo-random text (repetitive text would put a
+    // boundary everywhere or nowhere)
+    val text = (1 to 400).map(i => ('a' + (i * 7919 % 26)).toChar).mkString
+    val edited = text.substring(0, 50) + "XYZ" + text.substring(50)
+    def chunksOf(t: String): Seq[(Long, Long, String)] =
+      graft.ops.Chunking.cdcChunks(
+          Seq((1L, t)).toDF("doc_id", "text"), "doc_id", "text")
+        .select(col("chunk_no"), col("chunk_len"), col("chunk_md5"))
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val c1 = chunksOf(text)
+    // chunk lengths cover the text exactly, in order
+    assert(c1.map(_._2).sum == text.length)
+    assert(c1.map(_._1) == (1L to c1.size))
+    // deterministic across runs
+    assert(chunksOf(text) == c1)
+    // content-defined locality: the edit at position 50 must leave the
+    // chunks after its neighborhood identical (a fixed-width splitter
+    // would shift every later chunk)
+    val c2 = chunksOf(edited)
+    val shared = c1.map(_._3).toSet.intersect(c2.map(_._3).toSet)
+    assert(shared.size >= c1.size - 3,
+      s"edit rewrote ${c1.size - shared.size} of ${c1.size} chunks")
+    assert(c2.map(_._2).sum == edited.length)
+  }
 }
