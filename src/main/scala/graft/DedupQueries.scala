@@ -720,6 +720,103 @@ object DedupQueries {
               round(cos, 4) AS cosine, CAST(rk AS BIGINT) AS rk
             FROM ranked WHERE rk <= 3"""))
 
+  /** Golden-record consolidation — the full MDM pipeline composed from
+    * the repo's own pieces: plant dirty variants of the customer table
+    * (one-in-4 a " jr" copy with zeroed balance, one-in-8 a " sr" copy
+    * with unknown segment), block on the 18-char name prefix, score
+    * pairs with [[graft.ops.Linkage.fellegiSunter]] integer milli-ban
+    * rules, cluster matches with
+    * [[graft.graph.Graph.connectedComponents]], and emit one consensus
+    * record per cluster (min id canonical, longest name, max balance).
+    * The rule weights are set so " jr" copies match their base while
+    * " sr" copies land below the floor — both decisions exercised. The
+    * planted topology has diameter ≤ 2 with the hub as min id, so the
+    * oracle's ONE-hop min closure equals the general CC Spark runs. */
+  val qGoldenRecord = Q(
+    "q_golden_record",
+    (s, dir) => {
+      import graft.ops.Linkage
+      val c = Tables(s, dir).customer
+      val base = c.select(col("c_custkey").as("rid"),
+        col("c_name").as("name"), col("c_nationkey").as("nat"),
+        col("c_acctbal").cast("double").as("bal"),
+        col("c_mktsegment").as("seg"))
+      val var1 = c.filter(col("c_custkey") % 4 === 0).select(
+        (col("c_custkey") + 1000000).as("rid"),
+        concat(col("c_name"), lit(" jr")).as("name"),
+        col("c_nationkey").as("nat"), lit(0.0).as("bal"),
+        col("c_mktsegment").as("seg"))
+      val var2 = c.filter(col("c_custkey") % 8 === 0).select(
+        (col("c_custkey") + 2000000).as("rid"),
+        concat(col("c_name"), lit(" sr")).as("name"),
+        col("c_nationkey").as("nat"), col("c_acctbal").cast("double").as("bal"),
+        lit("UNKNOWN").as("seg"))
+      val recs = base.unionByName(var1).unionByName(var2)
+        .withColumn("bk", substring(col("name"), 1, 18))
+        .localCheckpoint(true) // both pair sides + the consensus join
+      val pairs = recs.as("a").join(recs.as("b"),
+          col("a.bk") === col("b.bk") && col("a.rid") < col("b.rid"))
+        .select(col("a.rid").as("rid_a"), col("b.rid").as("rid_b"),
+          col("a.name").as("name_a"), col("b.name").as("name_b"),
+          col("a.nat").as("nat_a"), col("b.nat").as("nat_b"),
+          col("a.bal").as("bal_a"), col("b.bal").as("bal_b"),
+          col("a.seg").as("seg_a"), col("b.seg").as("seg_b"))
+      val rules = Seq(
+        Linkage.FieldRule(col("name_a") === col("name_b"), 2000, -300),
+        Linkage.FieldRule(col("nat_a") === col("nat_b"), 1500, -2500),
+        Linkage.FieldRule(col("seg_a") === col("seg_b"), 800, -1200),
+        Linkage.FieldRule(abs(col("bal_a") - col("bal_b")) < 0.01, 500, -400))
+      val matches = Linkage
+        .fellegiSunter(pairs, rules, matchFloor = 1500, possibleFloor = 0)
+        .filter(col("decision") === "match")
+        .select(col("rid_a").as("src"), col("rid_b").as("dst"))
+      val cc = graft.graph.Graph.connectedComponents(
+        recs.select(col("rid").as("id")), matches)
+      recs.join(cc, recs("rid") === cc("id"))
+        .groupBy(col("component").as("cluster"))
+        .agg(count(lit(1)).as("n_records"),
+          min(col("rid")).as("canonical_rid"),
+          max(struct(length(col("name")).as("l"), col("name").as("n")))
+            .getField("n").as("name"),
+          min(col("nat")).as("nation"),
+          (floor(max(col("bal")) * 10000 + 0.5) / 10000).as("max_bal"))
+    },
+    Some("""WITH recs AS (
+              SELECT c_custkey AS rid, c_name AS name,
+                c_nationkey AS nat, c_acctbal::DOUBLE AS bal,
+                c_mktsegment AS seg
+              FROM customer
+              UNION ALL
+              SELECT c_custkey + 1000000, c_name || ' jr', c_nationkey,
+                0.0, c_mktsegment
+              FROM customer WHERE c_custkey % 4 = 0
+              UNION ALL
+              SELECT c_custkey + 2000000, c_name || ' sr', c_nationkey,
+                c_acctbal::DOUBLE, 'UNKNOWN'
+              FROM customer WHERE c_custkey % 8 = 0),
+            bk AS (SELECT *, substring(name, 1, 18) AS bk FROM recs),
+            pairs AS (
+              SELECT a.rid AS ra, b.rid AS rb,
+                (CASE WHEN a.name = b.name THEN 2000 ELSE -300 END
+                 + CASE WHEN a.nat = b.nat THEN 1500 ELSE -2500 END
+                 + CASE WHEN a.seg = b.seg THEN 800 ELSE -1200 END
+                 + CASE WHEN abs(a.bal - b.bal) < 0.01
+                     THEN 500 ELSE -400 END) AS score_mb
+              FROM bk a JOIN bk b ON a.bk = b.bk AND a.rid < b.rid),
+            matches AS (SELECT ra, rb FROM pairs WHERE score_mb >= 1500),
+            neigh AS (
+              SELECT ra AS id, rb AS nb FROM matches
+              UNION ALL SELECT rb, ra FROM matches
+              UNION ALL SELECT rid, rid FROM recs),
+            comp AS (SELECT id, min(nb) AS component FROM neigh GROUP BY id)
+            SELECT c.component AS cluster, count(*) AS n_records,
+              min(r.rid) AS canonical_rid,
+              (max(struct_pack(l := length(r.name), n := r.name))).n AS name,
+              min(r.nat) AS nation,
+              floor(max(r.bal) * 10000 + 0.5) / 10000 AS max_bal
+            FROM recs r JOIN comp c ON c.id = r.rid
+            GROUP BY c.component"""))
+
   /** Content-defined chunking dedup profile
     * ([[graft.ops.Chunking.cdcChunks]]): Rabin-style md5₆₀ boundaries
     * over a corpus with one-third of the docs re-ingested under new
@@ -1640,5 +1737,5 @@ object DedupQueries {
     qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qGnnSage, qHardNegatives, qMmr, qSemDedup, qDupNgrams, qIncrementalDedup,
     qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance,
     qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep, qDbscan, qFuzzyMatch, qSortedNeighborhood,
-    qContainment, qBoilerplate, qSimjoinPrefix, qFellegiSunter, qSoundexBlock, qCdcChunks)
+    qContainment, qBoilerplate, qSimjoinPrefix, qFellegiSunter, qSoundexBlock, qCdcChunks, qGoldenRecord)
 }

@@ -1587,6 +1587,75 @@ object TextQueries {
                 - 15.59) * 10000 + 0.5) / 10000 AS fk_grade
             FROM c"""))
 
+  /** Corpus drift monitor: per-term Jensen–Shannon divergence
+    * contributions between the even- and odd-numbered sources —
+    * the distribution-shift alarm run between two crawl snapshots or
+    * source cohorts. Laplace-smoothed probabilities from EXACT integer
+    * counts (per-term doubles are then bit-identical across engines, so
+    * the top-10 ranking needs no tolerance); outputs ppm-scaled values
+    * (raw JS terms round to zero at 4 decimals). Vocabulary-bounded
+    * aggregate + a 1-row broadcast of totals + TakeOrderedAndProject —
+    * no corpus shuffle, no window. */
+  val qJsDrift = Q(
+    "q_js_drift",
+    (s, dir) => {
+      val toks = Tables(s, dir).documents
+        .select(col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+        .withColumn("b",
+          expr("CAST(substring(source, 4, 10) AS INT) % 2"))
+      val tc = toks.groupBy(col("term")).agg(
+        sum(when(col("b") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("b") === 1, 1L).otherwise(0L)).as("n_b"))
+      val tot = tc.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"),
+        count(lit(1)).as("v"))
+      val p = (col("n_a") + 1).cast("double") /
+        (col("ta") + col("v")).cast("double")
+      val q = (col("n_b") + 1).cast("double") /
+        (col("tb") + col("v")).cast("double")
+      val fl4 = (c: org.apache.spark.sql.Column) =>
+        floor(c * 10000 + lit(0.5)) / 10000
+      tc.crossJoin(broadcast(tot))
+        .withColumn("p", p).withColumn("q", q)
+        .withColumn("m", (col("p") + col("q")) / 2)
+        .withColumn("js",
+          lit(0.5) * col("p") * log(col("p") / col("m"))
+            + lit(0.5) * col("q") * log(col("q") / col("m")))
+        .orderBy(col("js").desc, col("term")).limit(10)
+        .select(col("term"), col("n_a"), col("n_b"),
+          fl4(col("p") * 1000000).as("p_ppm"),
+          fl4(col("q") * 1000000).as("q_ppm"),
+          fl4(col("js") * 1000000).as("js_ppm"))
+    },
+    Some("""WITH toks AS (
+              SELECT CAST(substring(source, 4, 10) AS INT) % 2 AS b,
+                unnest(string_split_regex(trim(text), '\s+')) AS term
+              FROM documents),
+            tc AS (
+              SELECT term,
+                sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS n_a,
+                sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS n_b
+              FROM toks WHERE length(term) > 0 GROUP BY term),
+            tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb,
+                      count(*) AS v FROM tc),
+            scored AS (
+              SELECT term, n_a, n_b,
+                (n_a + 1)::DOUBLE / (ta + v)::DOUBLE AS p,
+                (n_b + 1)::DOUBLE / (tb + v)::DOUBLE AS q
+              FROM tc, tot),
+            js AS (
+              SELECT term, n_a, n_b, p, q,
+                0.5 * p * ln(p / ((p + q) / 2))
+                  + 0.5 * q * ln(q / ((p + q) / 2)) AS js
+              FROM scored)
+            SELECT term, CAST(n_a AS BIGINT) AS n_a,
+              CAST(n_b AS BIGINT) AS n_b,
+              floor(p * 1000000 * 10000 + 0.5) / 10000 AS p_ppm,
+              floor(q * 1000000 * 10000 + 0.5) / 10000 AS q_ppm,
+              floor(js * 1000000 * 10000 + 0.5) / 10000 AS js_ppm
+            FROM js ORDER BY js DESC, term LIMIT 10"""))
+
   def all: Seq[Q] = Seq(qNaiveBayes, qLangId, qQualityScore, qTokenCount, qFingerprint,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
@@ -1594,5 +1663,5 @@ object TextQueries {
     qPerplexity, qC4Filter, qEpochMix, qTfidf, qPmi, qBpeTrain,
     qWeightedSample, qEntropy, qRrfFusion, qSuffixArray, qLongestRepeat,
     qGlobalSuffix, qCrossRepeat, qWinnow, qWinnowPairs, qRingNegatives,
-    qLeakageSplit, qChi2Terms, qFeatureHash, qRake, qScriptDetect, qLuhnScan, qReadability)
+    qLeakageSplit, qChi2Terms, qFeatureHash, qRake, qScriptDetect, qLuhnScan, qReadability, qJsDrift)
 }
