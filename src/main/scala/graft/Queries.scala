@@ -1103,6 +1103,182 @@ object Queries {
                 * 10000 + 0.5) / 10000 AS share
             FROM classed GROUP BY nation, cls"""))
 
+  /** Spearman rank correlation per event type between value and arrival
+    * order: Pearson's corr over AVERAGE ranks (the standard tie
+    * treatment — tied values share the mean of their row numbers), all
+    * ranks from keyed windows with pinned tiebreaks, so both engines
+    * rank identically; the monotonic-trend detector that q_corr_cov's
+    * raw Pearson is not. */
+  val qSpearman = Q(
+    "q_spearman",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir).events.select(
+        col("event_type").as("k"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("value").cast("double").as("v"))
+      val rnV = row_number().over(
+        W.partitionBy(col("k")).orderBy(col("v"), col("t"), col("event_id")))
+      val rnT = row_number().over(
+        W.partitionBy(col("k")).orderBy(col("t"), col("event_id")))
+      val ranked = e.withColumn("rn_v", rnV).withColumn("rt", rnT)
+        .withColumn("rv",
+          avg(col("rn_v")).over(W.partitionBy(col("k"), col("v"))))
+      ranked.groupBy(col("k").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          fl4(corr(col("rv"), col("rt"))).as("spearman_rho"))
+    },
+    Some("""WITH e AS (
+              SELECT event_type AS k, epoch_us(ts) AS t, event_id,
+                value::DOUBLE AS v
+              FROM events),
+            ranked AS (
+              SELECT k, v,
+                row_number() OVER (PARTITION BY k
+                  ORDER BY v, t, event_id) AS rn_v,
+                row_number() OVER (PARTITION BY k
+                  ORDER BY t, event_id) AS rt
+              FROM e),
+            avgr AS (
+              SELECT k, rt,
+                avg(rn_v) OVER (PARTITION BY k, v) AS rv
+              FROM ranked)
+            SELECT k AS event_type, count(*) AS n,
+              floor(corr(rv, rt) * 10000 + 0.5) / 10000 AS spearman_rho
+            FROM avgr GROUP BY k"""))
+
+  /** Wald SPRT per user (Wald 1945): is this user's purchase rate 0.4
+    * (H1) or 0.2 (H0)? Per-event integer MILLI-BAN log-likelihood
+    * increments (design constants, the Linkage/CUSUM precedent:
+    * +693 purchase, −288 otherwise), cumulative on a user-keyed
+    * pinned-order window, decision at the FIRST crossing of
+    * ±ln(19)·1000 ≈ ±2944 — exact BIGINT accumulation end to end, so
+    * stopping times are engine-reproducible. */
+  val qSprt = Q(
+    "q_sprt",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir).events.select(
+        col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"),
+        when(col("event_type") === "purchase", 693L).otherwise(-288L)
+          .as("w"))
+      val wOrd = W.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val cum = e
+        .withColumn("n", row_number().over(
+          W.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))))
+        .withColumn("llr", sum(col("w")).over(wOrd))
+      cum.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(when(col("llr") >= 2944 || col("llr") <= -2944,
+            struct(col("n").as("n"), col("llr").as("l")))).as("stop"),
+          max(struct(col("n").as("n"), col("llr").as("l"))).as("last"))
+        .select(col("user_id"), col("n_events"),
+          when(col("stop").isNull, "continue")
+            .when(col("stop").getField("l") >= 2944, "accept_h1")
+            .otherwise("accept_h0").as("decision"),
+          coalesce(col("stop").getField("n"), col("n_events"))
+            .cast("long").as("n_stop"),
+          coalesce(col("stop").getField("l"), col("last").getField("l"))
+            .as("llr_mb"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id, epoch_us(ts) AS t, event_id,
+                CASE WHEN event_type = 'purchase' THEN 693 ELSE -288 END
+                  AS w
+              FROM events),
+            cum AS (
+              SELECT user_id,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY t, event_id) AS n,
+                sum(w) OVER (PARTITION BY user_id ORDER BY t, event_id
+                  ROWS UNBOUNDED PRECEDING) AS llr
+              FROM e),
+            agg AS (
+              SELECT user_id, count(*) AS n_events,
+                min(CASE WHEN llr >= 2944 OR llr <= -2944
+                  THEN struct_pack(n := n, l := llr) END) AS stop,
+                max(struct_pack(n := n, l := llr)) AS last
+              FROM cum GROUP BY user_id)
+            SELECT user_id, n_events,
+              CASE WHEN stop IS NULL THEN 'continue'
+                   WHEN (stop).l >= 2944 THEN 'accept_h1'
+                   ELSE 'accept_h0' END AS decision,
+              CAST(coalesce((stop).n, n_events) AS BIGINT) AS n_stop,
+              CAST(coalesce((stop).l, (last).l) AS BIGINT) AS llr_mb
+            FROM agg"""))
+
+  /** Consistent-hash ring assignment (Karger et al. 1997) with 16
+    * virtual nodes per shard: doc → the ring point at minimal CLOCKWISE
+    * distance pmod(pos − h, 2⁶⁰) — one argmin folds successor lookup
+    * AND wrap-around, no union of a fallback branch. Ring and doc
+    * hashes both ride the portable md5₆₀ lane. At scale the 128-row
+    * ring is a broadcast and the argmin runs map-side — the corpus
+    * never shuffles; the query reports the balance profile vnodes
+    * exist to flatten. */
+  val qHashRing = Q(
+    "q_hash_ring",
+    (s, dir) => {
+      val spark = s
+      val ring = spark.range(8).select(col("id").as("shard"))
+        .crossJoin(spark.range(16).select(col("id").as("vn")))
+        .select(col("shard"), conv(substring(md5(concat_ws(":",
+          lit("ring"), col("shard"), col("vn"))), 1, 15), 16, 10)
+          .cast("long").as("pos"))
+      val docs = Tables(s, dir).documents.select(col("doc_id"),
+        conv(substring(md5(concat(lit("doc:"), col("doc_id"))), 1, 15),
+          16, 10).cast("long").as("h"))
+      val P = 1152921504606846976L // 2^60
+      // ring folds to ONE broadcast row of 128 structs; the assignment
+      // argmin is then a scan-stage fold per doc — no 128× row blowup,
+      // no per-doc groupBy (1.26 s → 0.68 s). Lexicographic (d, p, s)
+      // min is order-independent, so collect_list order is immaterial.
+      val ringArr = ring
+        .agg(collect_list(struct(col("pos"), col("shard"))).as("ring"))
+      val assigned = docs.crossJoin(broadcast(ringArr))
+        .withColumn("w", aggregate(col("ring"),
+          struct(lit(Long.MaxValue).as("d"), lit(Long.MaxValue).as("p"),
+            lit(-1L).as("s")),
+          (acc, r) => {
+            val d = pmod(r.getField("pos") - col("h"), lit(P))
+            val p = r.getField("pos")
+            val sh = r.getField("shard")
+            when(d < acc.getField("d")
+                || (d === acc.getField("d") && (p < acc.getField("p")
+                || (p === acc.getField("p") && sh < acc.getField("s")))),
+              struct(d.as("d"), p.as("p"), sh.as("s"))).otherwise(acc)
+          }))
+        .select(col("doc_id"), col("w").getField("s").as("shard"))
+      val counts = assigned.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum(col("n_docs")).as("n"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"),
+          fl4(col("n_docs").cast("double") / col("n")).as("share"))
+    },
+    Some("""WITH ring AS (
+              SELECT s.range AS shard, v.range AS vn,
+                ('0x' || substring(md5('ring:' || s.range || ':' ||
+                  v.range), 1, 15))::BIGINT AS pos
+              FROM range(8) s, range(16) v),
+            docs AS (
+              SELECT doc_id,
+                ('0x' || substring(md5('doc:' || doc_id), 1, 15))::BIGINT
+                  AS h
+              FROM documents),
+            assigned AS (
+              SELECT doc_id,
+                (min(struct_pack(
+                  d := ((pos - h) % 1152921504606846976
+                        + 1152921504606846976) % 1152921504606846976,
+                  p := pos, s := shard))).s AS shard
+              FROM docs, ring GROUP BY doc_id),
+            tot AS (SELECT count(*) AS n FROM assigned)
+            SELECT shard, count(*) AS n_docs,
+              floor(count(*)::DOUBLE / any_value(t.n) * 10000 + 0.5)
+                / 10000 AS share
+            FROM assigned, tot t GROUP BY shard"""))
+
   /** Declarative gaps-and-islands sessionization (30-min gap) — the
     * batch/SQL twin of the stateful streaming sessionizer (same
     * semantics, spec-asserted); ONE shuffle end-to-end: the window's
@@ -3639,7 +3815,7 @@ object Queries {
     qBloomJoin, qSaltedJoin, qAsofJoin,
     qRollup, qCube, qRangeJoin, qMovingAvg, qPivot, qSetOps, qTopkAgg,
     qGroupingSets, qScalarSubquery, qPercentiles, qSessionize,
-    qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram, qHdrQuantiles, qTheilSen, qWinsorized, qBenford, qHillTail, qParetoAbc,
+    qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram, qHdrQuantiles, qTheilSen, qWinsorized, qBenford, qHillTail, qParetoAbc, qSpearman, qSprt, qHashRing,
     qQuantileBins, qKmvDistinct,
     qUnpivot, qOuterJoin, qWindowRank, qGapFill,
     qDqAudit, qCdcSnapshot, qSnapshotDiff, qMergeUpsert, qHopping, q5Revenue, q13Custdist,
