@@ -720,6 +720,66 @@ object DedupQueries {
               round(cos, 4) AS cosine, CAST(rk AS BIGINT) AS rk
             FROM ranked WHERE rk <= 3"""))
 
+  /** Item-item collaborative similarity (Sarwar et al. WWW 2001; the
+    * Amazon-style recommender primitive): cosine over the binary
+    * user–item matrix — co(a,b)/√(n_a·n_b) from the user-keyed wedge
+    * join (pairs share a buyer; never all-pairs), top-3 per item via
+    * the k-bounded TopKByScore heap. The oracle re-derives
+    * co-occurrence, the cosine and the (cos DESC, other) ranking. */
+  val qItemSim = Q(
+    "q_item_sim",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val ui = t.lineitem.filter(col("l_partkey") % 10 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("item"))
+        .distinct()
+        .localCheckpoint(true) // both wedge sides + the degree table
+      val deg = ui.groupBy(col("item")).agg(count(lit(1)).as("n"))
+      val co = ui.as("a").join(ui.as("b"),
+          col("a.u") === col("b.u") && col("a.item") =!= col("b.item"))
+        .groupBy(col("a.item").as("item"), col("b.item").as("other"))
+        .agg(count(lit(1)).as("co"))
+      val scored = co
+        .join(deg.select(col("item"), col("n").as("na")), "item")
+        .join(deg.select(col("item").as("other"), col("n").as("nb")),
+          "other")
+        .withColumn("cos",
+          col("co").cast("double") / sqrt(col("na") * col("nb")))
+      scored.groupBy(col("item"))
+        .agg(graft.plans.TopKByScore.topkByScore(col("cos"), col("other"), 3)
+          .as("top"))
+        .select(col("item"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("item"), col("t").getField("id").as("other"),
+          (floor(col("t").getField("score") * 10000 + 0.5) / 10000)
+            .as("cosine"),
+          (col("pos") + 1).cast("long").as("rk"))
+    },
+    Some("""WITH ui AS (
+              SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_partkey % 10 = 0),
+            deg AS (SELECT item, count(*) AS n FROM ui GROUP BY item),
+            co AS (
+              SELECT a.item AS item, b.item AS other, count(*) AS co
+              FROM ui a JOIN ui b
+                ON a.u = b.u AND a.item != b.item
+              GROUP BY a.item, b.item),
+            scored AS (
+              SELECT c.item, c.other,
+                c.co::DOUBLE / sqrt(da.n * db.n) AS cos
+              FROM co c
+              JOIN deg da ON da.item = c.item
+              JOIN deg db ON db.item = c.other),
+            ranked AS (
+              SELECT item, other, cos, row_number() OVER
+                (PARTITION BY item ORDER BY cos DESC, other) AS rk
+              FROM scored)
+            SELECT item, other,
+              floor(cos * 10000 + 0.5) / 10000 AS cosine,
+              CAST(rk AS BIGINT) AS rk
+            FROM ranked WHERE rk <= 3"""))
+
   /** Golden-record consolidation — the full MDM pipeline composed from
     * the repo's own pieces: plant dirty variants of the customer table
     * (one-in-4 a " jr" copy with zeroed balance, one-in-8 a " sr" copy
@@ -1737,5 +1797,5 @@ object DedupQueries {
     qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qGnnSage, qHardNegatives, qMmr, qSemDedup, qDupNgrams, qIncrementalDedup,
     qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance,
     qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep, qDbscan, qFuzzyMatch, qSortedNeighborhood,
-    qContainment, qBoilerplate, qSimjoinPrefix, qFellegiSunter, qSoundexBlock, qCdcChunks, qGoldenRecord)
+    qContainment, qBoilerplate, qSimjoinPrefix, qFellegiSunter, qSoundexBlock, qCdcChunks, qGoldenRecord, qItemSim)
 }

@@ -1279,6 +1279,98 @@ object Queries {
                 / 10000 AS share
             FROM assigned, tot t GROUP BY shard"""))
 
+  /** Kolmogorov–Smirnov two-sample statistic per event type between the
+    * even- and odd-user cohorts: D = max |F̂_a − F̂_b| evaluated at the
+    * DISTINCT-value grid (the correct tie handling — the ECDF gap is
+    * read after all rows of a value), cumulative counts exact BIGINT on
+    * a type-keyed value-ordered window, one division per grid point.
+    * The distribution-shape companion to q_ab_test's mean-only Welch
+    * t. */
+  val qKsTest = Q(
+    "q_ks_test",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir).events.select(
+        col("event_type").as("k"), col("value").cast("double").as("v"),
+        (col("user_id") % 2).as("side"))
+      val grid = e.groupBy(col("k"), col("v")).agg(
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb"))
+      val wCum = W.partitionBy(col("k")).orderBy(col("v"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val wAll = W.partitionBy(col("k"))
+      grid
+        .withColumn("cuma", sum(col("ca")).over(wCum))
+        .withColumn("cumb", sum(col("cb")).over(wCum))
+        .withColumn("na", sum(col("ca")).over(wAll))
+        .withColumn("nb", sum(col("cb")).over(wAll))
+        .groupBy(col("k").as("event_type"))
+        .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+          fl4(max(abs(col("cuma").cast("double") / col("na")
+            - col("cumb").cast("double") / col("nb")))).as("ks_d"))
+    },
+    Some("""WITH e AS (
+              SELECT event_type AS k, value::DOUBLE AS v,
+                user_id % 2 AS side
+              FROM events),
+            grid AS (
+              SELECT k, v,
+                sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+                sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+              FROM e GROUP BY k, v),
+            cum AS (
+              SELECT k, v,
+                sum(ca) OVER (PARTITION BY k ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS cuma,
+                sum(cb) OVER (PARTITION BY k ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS cumb,
+                sum(ca) OVER (PARTITION BY k) AS na,
+                sum(cb) OVER (PARTITION BY k) AS nb
+              FROM grid)
+            SELECT k AS event_type,
+              CAST(any_value(na) AS BIGINT) AS n_a,
+              CAST(any_value(nb) AS BIGINT) AS n_b,
+              floor(max(abs(cuma::DOUBLE / na - cumb::DOUBLE / nb))
+                * 10000 + 0.5) / 10000 AS ks_d
+            FROM cum GROUP BY k"""))
+
+  /** Late-event audit — the batch mirror of a streaming watermark:
+    * arrival order = event_id (the generator's ingest order),
+    * per-user high-watermark = running max event time in that order,
+    * lateness = watermark − own event time. Events more than 10 min
+    * late would be DROPPED by a 10-min watermark — this query measures
+    * that loss before anyone picks the delay. Exact µs integers on
+    * user-keyed windows. */
+  val qLateEvents = Q(
+    "q_late_events",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir).events.select(col("user_id"),
+        col("event_id"), unix_micros(col("ts")).as("t"))
+      val wm = max(col("t")).over(
+        W.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+      e.withColumn("late_us", wm - col("t"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_us") > 600000000L, 1L).otherwise(0L))
+            .as("n_dropped_10m"),
+          floor(max(col("late_us")) / 1000000L).cast("long")
+            .as("max_late_s"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+            wm AS (
+              SELECT user_id,
+                max(t) OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS UNBOUNDED PRECEDING) - t AS late_us
+              FROM e)
+            SELECT user_id, count(*) AS n_events,
+              CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped_10m,
+              CAST(floor(max(late_us) / 1000000) AS BIGINT) AS max_late_s
+            FROM wm GROUP BY user_id"""))
+
   /** Declarative gaps-and-islands sessionization (30-min gap) — the
     * batch/SQL twin of the stateful streaming sessionizer (same
     * semantics, spec-asserted); ONE shuffle end-to-end: the window's
@@ -3815,7 +3907,7 @@ object Queries {
     qBloomJoin, qSaltedJoin, qAsofJoin,
     qRollup, qCube, qRangeJoin, qMovingAvg, qPivot, qSetOps, qTopkAgg,
     qGroupingSets, qScalarSubquery, qPercentiles, qSessionize,
-    qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram, qHdrQuantiles, qTheilSen, qWinsorized, qBenford, qHillTail, qParetoAbc, qSpearman, qSprt, qHashRing,
+    qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram, qHdrQuantiles, qTheilSen, qWinsorized, qBenford, qHillTail, qParetoAbc, qSpearman, qSprt, qHashRing, qKsTest, qLateEvents,
     qQuantileBins, qKmvDistinct,
     qUnpivot, qOuterJoin, qWindowRank, qGapFill,
     qDqAudit, qCdcSnapshot, qSnapshotDiff, qMergeUpsert, qHopping, q5Revenue, q13Custdist,
