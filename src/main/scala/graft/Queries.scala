@@ -1371,6 +1371,137 @@ object Queries {
               CAST(floor(max(late_us) / 1000000) AS BIGINT) AS max_late_s
             FROM wm GROUP BY user_id"""))
 
+  /** Kaplan–Meier survival curves (product-limit estimator, JASA 1958)
+    * per user cohort: lifetime = days between a user's first and last
+    * event (HOUR granularity — the corpus spans ~30 days of uniform
+    * activity); users whose last event falls in the global final 12
+    * hours are CENSORED (still alive — they leave the risk set without
+    * a churn event, the estimator's whole point). S(t) accumulates as
+    * exp(Σ ln(1−d/n)) over the ordered churn-time grid — the running
+    * product as an ordered-window sum, identical FP sequence on both
+    * engines; risk counts are exact BIGINT. */
+  val qKaplanMeier = Q(
+    "q_kaplan_meier",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir).events.select(col("user_id"),
+        unix_micros(col("ts")).as("t"))
+      val horizon = e.agg(max(col("t")).as("tmax"))
+      val users = e.groupBy(col("user_id"))
+        .agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+        .crossJoin(broadcast(horizon))
+        .select((col("user_id") % 4).as("cohort"),
+          floor((col("t1") - col("t0")) / 3600000000L).cast("long")
+            .as("life_h"),
+          (col("t1") < col("tmax") - 12L * 3600000000L).as("churned"))
+      val grid = users.groupBy(col("cohort"), col("life_h"))
+        .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
+          count(lit(1)).as("ends"))
+      val wCum = W.partitionBy(col("cohort")).orderBy(col("life_h"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val wAll = W.partitionBy(col("cohort"))
+      grid
+        .withColumn("total", sum(col("ends")).over(wAll))
+        .withColumn("n_risk",
+          col("total") - sum(col("ends")).over(wCum) + col("ends"))
+        .withColumn("s", exp(sum(
+          log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+          .over(wCum)))
+        .filter(col("d") > 0)
+        .select(col("cohort"), col("life_h"), col("n_risk"), col("d"),
+          fl4(col("s")).as("survival"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id, epoch_us(ts) AS t FROM events),
+            hz AS (SELECT max(t) AS tmax FROM e),
+            users AS (
+              SELECT user_id % 4 AS cohort,
+                CAST(floor((max(t) - min(t)) / 3600000000) AS BIGINT)
+                  AS life_h,
+                max(t) < (SELECT tmax FROM hz) - 12 * 3600000000
+                  AS churned
+              FROM e GROUP BY user_id),
+            grid AS (
+              SELECT cohort, life_h,
+                sum(CASE WHEN churned THEN 1 ELSE 0 END) AS d,
+                count(*) AS ends
+              FROM users GROUP BY cohort, life_h),
+            cum AS (
+              SELECT cohort, life_h, d, ends,
+                sum(ends) OVER (PARTITION BY cohort) AS total,
+                sum(ends) OVER (PARTITION BY cohort ORDER BY life_h
+                  ROWS UNBOUNDED PRECEDING) AS cume
+              FROM grid),
+            km AS (
+              SELECT cohort, life_h, d,
+                total - cume + ends AS n_risk,
+                exp(sum(ln(1.0 - d::DOUBLE / (total - cume + ends)))
+                  OVER (PARTITION BY cohort ORDER BY life_h
+                    ROWS UNBOUNDED PRECEDING)) AS s
+              FROM cum)
+            SELECT cohort, life_h, CAST(n_risk AS BIGINT) AS n_risk,
+              CAST(d AS BIGINT) AS d,
+              floor(s * 10000 + 0.5) / 10000 AS survival
+            FROM km WHERE d > 0"""))
+
+  /** Good–Turing frequency-of-frequencies profile (Good 1953; the
+    * smoothing behind Katz backoff): N_r = vocabulary types seen
+    * exactly r times, adjusted count r* = (r+1)·N_{r+1}/N_r, and the
+    * Turing unseen-mass estimate P₀ = N₁/N — the "how much corpus have
+    * I NOT seen" number a crawl-coverage decision needs. Counted over
+    * TRIGRAM types (the unigram vocabulary of the synthetic corpus has
+    * no rare words; trigram space does — and n-gram FoF is the form
+    * Katz backoff actually consumes). Two n-gram-type-bounded
+    * aggregates + a 1-row broadcast total. */
+  val qGoodTuring = Q(
+    "q_good_turing",
+    (s, dir) => {
+      // array/flatten let-binding: the regex split must not be inlined
+      // into every gram's slice (the CDC-chunking lesson)
+      val grams = flatten(transform(array(split(trim(col("text")), "\\s+")),
+        ts => when(size(ts) >= 3,
+            transform(sequence(lit(1), size(ts) - 2),
+              i => concat_ws(" ", slice(ts, i, lit(3)))))
+          .otherwise(array().cast("array<string>"))))
+      val toks = Tables(s, dir).documents
+        .select(explode(grams).as("term"))
+        .filter(length(col("term")) > 0)
+      val tc = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val ff = tc.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+      val tot = tc.agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"))
+      val nxt = ff.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
+      ff.filter(col("r") <= 10)
+        .join(nxt, Seq("r"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("r"), col("n_r"),
+          fl4((col("r") + 1).cast("double")
+            * coalesce(col("n_r1"), lit(0L)) / col("n_r")).as("r_star"),
+          fl4(col("n1").cast("double") / col("n_tokens")).as("p0"))
+    },
+    Some("""WITH toks AS (
+              SELECT string_split_regex(trim(text), '\s+') AS t
+              FROM documents),
+            tc AS (
+              SELECT term, count(*) AS c FROM (
+                SELECT unnest(list_transform(
+                  range(1, greatest(len(t) - 2, 0) + 1),
+                  i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+                  AS term
+                FROM toks)
+              WHERE length(term) > 0 GROUP BY term),
+            ff AS (SELECT c AS r, count(*) AS n_r FROM tc GROUP BY c),
+            tot AS (SELECT sum(c) AS n_tokens,
+              sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1 FROM tc)
+            SELECT f.r, f.n_r,
+              floor((f.r + 1)::DOUBLE * coalesce(nx.n_r, 0) / f.n_r
+                * 10000 + 0.5) / 10000 AS r_star,
+              floor(t.n1::DOUBLE / t.n_tokens * 10000 + 0.5) / 10000
+                AS p0
+            FROM ff f
+            LEFT JOIN ff nx ON nx.r = f.r + 1, tot t
+            WHERE f.r <= 10"""))
+
   /** Declarative gaps-and-islands sessionization (30-min gap) — the
     * batch/SQL twin of the stateful streaming sessionizer (same
     * semantics, spec-asserted); ONE shuffle end-to-end: the window's
@@ -3907,7 +4038,7 @@ object Queries {
     qBloomJoin, qSaltedJoin, qAsofJoin,
     qRollup, qCube, qRangeJoin, qMovingAvg, qPivot, qSetOps, qTopkAgg,
     qGroupingSets, qScalarSubquery, qPercentiles, qSessionize,
-    qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram, qHdrQuantiles, qTheilSen, qWinsorized, qBenford, qHillTail, qParetoAbc, qSpearman, qSprt, qHashRing, qKsTest, qLateEvents,
+    qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram, qHdrQuantiles, qTheilSen, qWinsorized, qBenford, qHillTail, qParetoAbc, qSpearman, qSprt, qHashRing, qKsTest, qLateEvents, qKaplanMeier, qGoodTuring,
     qQuantileBins, qKmvDistinct,
     qUnpivot, qOuterJoin, qWindowRank, qGapFill,
     qDqAudit, qCdcSnapshot, qSnapshotDiff, qMergeUpsert, qHopping, q5Revenue, q13Custdist,
