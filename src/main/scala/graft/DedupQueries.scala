@@ -720,6 +720,80 @@ object DedupQueries {
               round(cos, 4) AS cosine, CAST(rk AS BIGINT) AS rk
             FROM ranked WHERE rk <= 3"""))
 
+  /** Simplified silhouette (Kaufman & Rousseeuw's medoid-free variant)
+    * for a 4-centroid clustering of the %5 embedding subset: per point
+    * a = distance to own centroid, b = nearest OTHER centroid,
+    * s = (b−a)/max(a,b); reported per cluster. Per-point s values are
+    * quantized to 1e-6 FIXED POINT before averaging (the NaiveBayes
+    * precedent — a raw double mean hangs on engine summation order),
+    * so the cluster means are exact integer arithmetic. Centroids are
+    * the four seed vectors (vec_id 0/5/10/15) broadcast as one row;
+    * assignment + distances are scan-stage folds. */
+  val qSilhouette = Q(
+    "q_silhouette",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val cents = emb.filter(col("vec_id").isin(0L, 5L, 10L, 15L))
+        .select(collect_list(struct(col("vec_id").as("cid"),
+          col("embedding").as("cv"))).as("cs"))
+      val d2 = (v: org.apache.spark.sql.Column,
+          c: org.apache.spark.sql.Column) =>
+        aggregate(zip_with(v, c, (a, b) =>
+            (a.cast("double") - b.cast("double"))
+              * (a.cast("double") - b.cast("double"))),
+          lit(0.0), (acc, x) => acc + x)
+      val scored = emb.filter(col("vec_id") % 5 === 0)
+        .crossJoin(broadcast(cents))
+        // per-point distance table to all 4 centroids, let-bound
+        .withColumn("ds", transform(col("cs"), cRow =>
+          struct(d2(col("embedding"), cRow.getField("cv")).as("d"),
+            cRow.getField("cid").as("cid"))))
+        .withColumn("own", array_min(col("ds")))
+        .withColumn("b", array_min(filter(col("ds"),
+          x => x.getField("cid") =!= col("own").getField("cid"))))
+        .withColumn("a", sqrt(col("own").getField("d")))
+        .withColumn("bd", sqrt(col("b").getField("d")))
+        .withColumn("s_q", floor(
+          (col("bd") - col("a")) / greatest(col("a"), col("bd"))
+            * 1000000 + 0.5).cast("long"))
+      scored.groupBy(col("own").getField("cid").as("cluster"))
+        .agg(count(lit(1)).as("n"),
+          (floor(sum(col("s_q")).cast("double") / count(lit(1)) / 100
+            + 0.5) / 10000).as("mean_silhouette"))
+    },
+    Some("""WITH cents AS (
+              SELECT vec_id AS cid, embedding AS cv FROM embeddings
+              WHERE vec_id IN (0, 5, 10, 15)),
+            pts AS (
+              SELECT vec_id, embedding AS v FROM embeddings
+              WHERE vec_id % 5 = 0),
+            dist AS (
+              SELECT p.vec_id, c.cid,
+                list_sum(list_transform(range(1, 65),
+                  i -> (p.v[i]::DOUBLE - c.cv[i]::DOUBLE)
+                     * (p.v[i]::DOUBLE - c.cv[i]::DOUBLE))) AS d2
+              FROM pts p, cents c),
+            own AS (
+              SELECT vec_id,
+                (min(struct_pack(d := d2, cid := cid))).cid AS cluster,
+                (min(struct_pack(d := d2, cid := cid))).d AS da
+              FROM dist GROUP BY vec_id),
+            b AS (
+              SELECT d.vec_id, min(d.d2) AS db
+              FROM dist d JOIN own o
+                ON o.vec_id = d.vec_id AND d.cid != o.cluster
+              GROUP BY d.vec_id),
+            sq AS (
+              SELECT o.cluster,
+                CAST(floor((sqrt(b.db) - sqrt(o.da))
+                  / greatest(sqrt(o.da), sqrt(b.db))
+                  * 1000000 + 0.5) AS BIGINT) AS s_q
+              FROM own o JOIN b USING (vec_id))
+            SELECT cluster, count(*) AS n,
+              floor(CAST(sum(s_q) AS DOUBLE) / count(*) / 100 + 0.5)
+                / 10000 AS mean_silhouette
+            FROM sq GROUP BY cluster"""))
+
   /** Item-item collaborative similarity (Sarwar et al. WWW 2001; the
     * Amazon-style recommender primitive): cosine over the binary
     * user–item matrix — co(a,b)/√(n_a·n_b) from the user-keyed wedge
@@ -1797,5 +1871,5 @@ object DedupQueries {
     qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qGnnSage, qHardNegatives, qMmr, qSemDedup, qDupNgrams, qIncrementalDedup,
     qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance,
     qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep, qDbscan, qFuzzyMatch, qSortedNeighborhood,
-    qContainment, qBoilerplate, qSimjoinPrefix, qFellegiSunter, qSoundexBlock, qCdcChunks, qGoldenRecord, qItemSim)
+    qContainment, qBoilerplate, qSimjoinPrefix, qFellegiSunter, qSoundexBlock, qCdcChunks, qGoldenRecord, qItemSim, qSilhouette)
 }

@@ -1656,6 +1656,52 @@ object TextQueries {
               floor(js * 1000000 * 10000 + 0.5) / 10000 AS js_ppm
             FROM js ORDER BY js DESC, term LIMIT 10"""))
 
+  /** N-gram novelty profile in ingestion order: for each doc, the
+    * fraction of its trigram INSTANCES whose first corpus occurrence
+    * (min doc_id — the ingest order) is this very doc — the
+    * diminishing-returns curve of continued crawling, and the
+    * instance-level complement of q_decontaminate's set overlap.
+    * First-occurrence is a partial-aggregatable min on the gram key;
+    * the join back is gram-keyed; ratios are exact-integer counts with
+    * one final division. */
+  val qNgramNovelty = Q(
+    "q_ngram_novelty",
+    (s, dir) => {
+      val grams = flatten(transform(array(split(trim(col("text")), "\\s+")),
+        ts => when(size(ts) >= 3,
+            transform(sequence(lit(1), size(ts) - 2),
+              i => concat_ws(" ", slice(ts, i, lit(3)))))
+          .otherwise(array().cast("array<string>"))))
+      val g = Tables(s, dir).documents
+        .select(col("doc_id"), explode(grams).as("g"))
+        .localCheckpoint(false) // first-occurrence agg + the join back
+      val firstSeen = g.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+      g.join(firstSeen, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          (floor(col("n_novel").cast("double") / col("n_grams")
+            * 10000 + 0.5) / 10000).as("novelty"))
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id, unnest(list_transform(
+                range(1, greatest(len(t) - 2, 0) + 1),
+                i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+              FROM toks),
+            fs AS (SELECT g, min(doc_id) AS fd FROM g GROUP BY g)
+            SELECT x.doc_id, count(*) AS n_grams,
+              CAST(sum(CASE WHEN fs.fd = x.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+              floor(CAST(sum(CASE WHEN fs.fd = x.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS novelty
+            FROM g x JOIN fs USING (g)
+            GROUP BY x.doc_id"""))
+
   def all: Seq[Q] = Seq(qNaiveBayes, qLangId, qQualityScore, qTokenCount, qFingerprint,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
@@ -1663,5 +1709,5 @@ object TextQueries {
     qPerplexity, qC4Filter, qEpochMix, qTfidf, qPmi, qBpeTrain,
     qWeightedSample, qEntropy, qRrfFusion, qSuffixArray, qLongestRepeat,
     qGlobalSuffix, qCrossRepeat, qWinnow, qWinnowPairs, qRingNegatives,
-    qLeakageSplit, qChi2Terms, qFeatureHash, qRake, qScriptDetect, qLuhnScan, qReadability, qJsDrift)
+    qLeakageSplit, qChi2Terms, qFeatureHash, qRake, qScriptDetect, qLuhnScan, qReadability, qJsDrift, qNgramNovelty)
 }
