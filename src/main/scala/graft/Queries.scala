@@ -3739,6 +3739,102 @@ object Queries {
             FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
             GROUP BY a.s"""))
 
+  /** Bowtie decomposition (Broder et al. WWW 2000) of the q_scc
+    * part-transition graph: CORE = the largest SCC (size desc, label
+    * asc tiebreak), IN = nodes that reach the core, OUT = nodes the
+    * core reaches, OTHER = the rest — the classic web-corpus structure
+    * map, composed from [[graft.graph.Graph.stronglyConnectedComponents]]
+    * and two bounded multi-source BFS sweeps
+    * ([[graft.graph.Graph.hopDistance]], forward + reversed edges).
+    * The oracle reuses q_scc's recursive transitive closure for both
+    * reachability directions. */
+  val qBowtie = Q(
+    "q_bowtie",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val fp = t.lineitem.filter(col("l_partkey") % 20 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_custkey") % 4 === 0)
+        .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .agg(min(col("o_orderdate")).as("d0"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c")).orderBy(col("d0"), col("p"))
+      val edges = fp.withColumn("nxt", lead(col("p"), 1).over(w))
+        .filter(col("nxt").isNotNull && col("nxt") =!= col("p"))
+        .select(col("p").as("src"), col("nxt").as("dst"))
+        .distinct().localCheckpoint(true) // SCC + both BFS sweeps
+      val nodes = fp.select(col("p").as("id")).distinct()
+        .localCheckpoint(true)
+      val scc = graft.graph.Graph.stronglyConnectedComponents(nodes, edges)
+      val coreId = scc.groupBy(col("component"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("component")).limit(1)
+        .select(col("component").as("core_id"))
+      val coreN = scc.join(broadcast(coreId),
+          col("component") === col("core_id"))
+        .select(col("id")).localCheckpoint(true)
+      val fwd = graft.graph.Graph.hopDistance(coreN, edges, maxHops = 40)
+        .select(col("id"), lit(1).as("f"))
+      val bwd = graft.graph.Graph.hopDistance(coreN,
+          edges.select(col("dst").as("src"), col("src").as("dst")),
+          maxHops = 40)
+        .select(col("id"), lit(1).as("b"))
+      nodes
+        .join(coreN.select(col("id"), lit(1).as("c")), Seq("id"), "left")
+        .join(fwd, Seq("id"), "left")
+        .join(bwd, Seq("id"), "left")
+        .withColumn("category",
+          when(col("c").isNotNull, "core")
+            .when(col("b").isNotNull, "in")
+            .when(col("f").isNotNull, "out")
+            .otherwise("other"))
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"))
+    },
+    Some("""WITH RECURSIVE fp AS MATERIALIZED (
+              SELECT o.o_custkey AS c, l.l_partkey AS p,
+                     min(o.o_orderdate) AS d0
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_partkey % 20 = 0 AND o.o_custkey % 4 = 0
+              GROUP BY 1, 2),
+            seq AS (
+              SELECT c, p,
+                lead(p) OVER (PARTITION BY c ORDER BY d0, p) AS nxt
+              FROM fp),
+            e AS MATERIALIZED (
+              SELECT DISTINCT p AS src, nxt AS dst FROM seq
+              WHERE nxt IS NOT NULL AND nxt <> p),
+            nodes AS MATERIALIZED (SELECT DISTINCT p AS id FROM fp),
+            reach(s, d) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT r.s, e.dst FROM reach r JOIN e ON e.src = r.d),
+            scc AS MATERIALIZED (
+              SELECT a.s AS id, min(a.d) AS component
+              FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+              GROUP BY a.s),
+            core AS (
+              SELECT component AS core_id FROM (
+                SELECT component, count(*) AS n FROM scc
+                GROUP BY component ORDER BY n DESC, component LIMIT 1)),
+            coren AS (
+              SELECT id FROM scc
+              WHERE component = (SELECT core_id FROM core)),
+            fwd AS (SELECT DISTINCT r.d AS id
+                    FROM reach r JOIN coren c ON r.s = c.id),
+            bwd AS (SELECT DISTINCT r.s AS id
+                    FROM reach r JOIN coren c ON r.d = c.id),
+            cls AS (
+              SELECT n.id,
+                CASE WHEN n.id IN (SELECT id FROM coren) THEN 'core'
+                     WHEN n.id IN (SELECT id FROM bwd) THEN 'in'
+                     WHEN n.id IN (SELECT id FROM fwd) THEN 'out'
+                     ELSE 'other' END AS category
+              FROM nodes n)
+            SELECT category, count(*) AS n_nodes, min(id) AS min_id
+            FROM cls GROUP BY category"""))
+
   /** HITS hubs & authorities over the same part-transition graph as
     * q_scc: parts frequently bought AFTER many others are authorities,
     * parts that lead INTO many others are hubs. Exact 1e-6 fixed-point
@@ -4049,7 +4145,7 @@ object Queries {
     qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops, qSssp,
     qLabelProp, qItemsets, qAttribution, qAssortativity, qKcore,
     qPprTrust, qLinkPredict, qKtruss, qHarmonic, qIncrementalCc, qScc,
-    qHits, qModularity, qDensest) ++
+    qHits, qModularity, qDensest, qBowtie) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all
 }

@@ -1702,6 +1702,48 @@ object TextQueries {
             FROM g x JOIN fs USING (g)
             GROUP BY x.doc_id"""))
 
+  /** Term burstiness (Church & Gale 1995): the variance-to-mean ratio
+    * of a term's per-document counts over the documents CONTAINING it —
+    * VMR ≈ 1 is Poisson (function words), VMR ≫ 1 is bursty (topical
+    * content words; the signal behind Katz's K-mixture and tf
+    * saturation in BM25). Computed from EXACT integer moments
+    * (n·Σc² − (Σc)²)/((n−1)·Σc) with one final division — no float
+    * summation anywhere. Vocabulary-bounded aggregates only. */
+  val qBurstiness = Q(
+    "q_burstiness",
+    (s, dir) => {
+      val tc = Tables(s, dir).documents
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+      tc.groupBy(col("term"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("c")).as("total"),
+          sum(col("c") * col("c")).as("sc2"))
+        .filter(col("n_docs") >= 10)
+        .select(col("term"), col("n_docs"), col("total"),
+          (floor((col("n_docs") * col("sc2") - col("total") * col("total"))
+              .cast("double")
+            / ((col("n_docs") - 1) * col("total"))
+            * 10000 + 0.5) / 10000).as("vmr"))
+    },
+    Some("""WITH tc AS (
+              SELECT term, doc_id, count(*) AS c FROM (
+                SELECT doc_id,
+                  unnest(string_split_regex(trim(text), '\s+')) AS term
+                FROM documents)
+              WHERE length(term) > 0 GROUP BY term, doc_id),
+            m AS (
+              SELECT term, count(*) AS n_docs, sum(c) AS total,
+                sum(c * c) AS sc2
+              FROM tc GROUP BY term)
+            SELECT term, n_docs, CAST(total AS BIGINT) AS total,
+              floor((n_docs * sc2 - total * total)::DOUBLE
+                / ((n_docs - 1) * total) * 10000 + 0.5) / 10000 AS vmr
+            FROM m WHERE n_docs >= 10"""))
+
   def all: Seq[Q] = Seq(qNaiveBayes, qLangId, qQualityScore, qTokenCount, qFingerprint,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
@@ -1709,5 +1751,5 @@ object TextQueries {
     qPerplexity, qC4Filter, qEpochMix, qTfidf, qPmi, qBpeTrain,
     qWeightedSample, qEntropy, qRrfFusion, qSuffixArray, qLongestRepeat,
     qGlobalSuffix, qCrossRepeat, qWinnow, qWinnowPairs, qRingNegatives,
-    qLeakageSplit, qChi2Terms, qFeatureHash, qRake, qScriptDetect, qLuhnScan, qReadability, qJsDrift, qNgramNovelty)
+    qLeakageSplit, qChi2Terms, qFeatureHash, qRake, qScriptDetect, qLuhnScan, qReadability, qJsDrift, qNgramNovelty, qBurstiness)
 }

@@ -535,13 +535,23 @@ object Graph {
     val e = edges.toDF("src", "dst").localCheckpoint(true)
     var dist = seeds.toDF("id").distinct()
       .select(col("id"), lit(0L).as("hops")).localCheckpoint(true)
-    for (h <- 1 to maxHops) {
+    var h = 1
+    var growing = true
+    while (h <= maxHops && growing) {
       val frontier = dist.filter(col("hops") === lit(h - 1).cast("long"))
       val next = frontier.join(e, frontier("id") === e("src"))
         .select(e("dst").as("id"), lit(h.toLong).as("hops"))
       dist = dist.unionByName(next)
         .groupBy(col("id")).agg(min(col("hops")).as("hops"))
         .localCheckpoint(true)
+      // fixpoint early exit: an empty round-h frontier means every
+      // remaining round is a no-op — identical result, so callers can
+      // pass a generous eccentricity bound without paying for it. The
+      // check itself is one extra job per round, so it only arms past
+      // round 8: tight-bound callers (q_bfs_hops' 4 hops) pay nothing,
+      // generous-bound callers (bowtie's 40) stop at the diameter
+      growing = h < 8 || !dist.filter(col("hops") === lit(h.toLong)).isEmpty
+      h += 1
     }
     dist
   }
