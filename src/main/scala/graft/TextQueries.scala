@@ -1744,6 +1744,80 @@ object TextQueries {
                 / ((n_docs - 1) * total) * 10000 + 0.5) / 10000 AS vmr
             FROM m WHERE n_docs >= 10"""))
 
+  /** Zipf rank–frequency fit (Zipf 1949): OLS slope of ln(freq) on
+    * ln(rank) over the full vocabulary — the canonical corpus health
+    * check (natural text ≈ −1; a slope near 0 screams templated/
+    * synthetic text). Ranks come from an exact count-of-better self
+    * join (no global window, no unpartitioned-window warning); the OLS
+    * moments are ORDERED list folds on both engines, so every float
+    * accumulates in rank order. */
+  val qZipfFit = Q(
+    "q_zipf_fit",
+    (s, dir) => {
+      val tc = Tables(s, dir).documents
+        .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val ranked = tc.as("a").join(tc.as("b"),
+          col("b.cnt") > col("a.cnt")
+            || (col("b.cnt") === col("a.cnt")
+                && col("b.term") < col("a.term")), "left")
+        .groupBy(col("a.term"), col("a.cnt"))
+        .agg((count(col("b.term")) + 1).as("rank"))
+        .select(col("a.cnt").as("cnt"), col("rank"))
+      val one = ranked
+        .agg(collect_list(struct(col("rank"), col("cnt"))).as("ps"),
+          count(lit(1)).cast("double").as("n"))
+        .withColumn("sorted", array_sort(col("ps")))
+        .withColumn("xs", transform(col("sorted"),
+          p => log(p.getField("rank").cast("double"))))
+        .withColumn("ys", transform(col("sorted"),
+          p => log(p.getField("cnt").cast("double"))))
+        .withColumn("sx", aggregate(col("xs"), lit(0.0), (a, x) => a + x))
+        .withColumn("sy", aggregate(col("ys"), lit(0.0), (a, x) => a + x))
+        .withColumn("sxx",
+          aggregate(col("xs"), lit(0.0), (a, x) => a + x * x))
+        .withColumn("sxy", aggregate(
+          zip_with(col("xs"), col("ys"), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      one.select(col("n").cast("long").as("n_terms"),
+        (floor(slope * 10000 + 0.5) / 10000).as("slope"),
+        (floor((col("sy") - slope * col("sx")) / col("n") * 10000 + 0.5)
+          / 10000).as("intercept"))
+    },
+    Some("""WITH tc AS (
+              SELECT term, count(*) AS cnt FROM (
+                SELECT unnest(string_split_regex(trim(text), '\s+'))
+                  AS term
+                FROM documents)
+              WHERE length(term) > 0 GROUP BY term),
+            ranked AS (
+              SELECT a.cnt,
+                1 + count(b.term) AS rank
+              FROM tc a LEFT JOIN tc b
+                ON b.cnt > a.cnt OR (b.cnt = a.cnt AND b.term < a.term)
+              GROUP BY a.term, a.cnt),
+            lists AS (
+              SELECT count(*)::DOUBLE AS n,
+                list(ln(rank::DOUBLE) ORDER BY rank) AS xs,
+                list(ln(cnt::DOUBLE) ORDER BY rank) AS ys
+              FROM ranked),
+            moms AS (
+              SELECT n,
+                list_sum(xs) AS sx, list_sum(ys) AS sy,
+                list_sum(list_transform(xs, x -> x * x)) AS sxx,
+                list_sum(list_transform(range(1, len(xs) + 1),
+                  i -> xs[i] * ys[i])) AS sxy
+              FROM lists)
+            SELECT CAST(n AS BIGINT) AS n_terms,
+              floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                * 10000 + 0.5) / 10000 AS slope,
+              floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                / n * 10000 + 0.5) / 10000 AS intercept
+            FROM moms"""))
+
   def all: Seq[Q] = Seq(qNaiveBayes, qLangId, qQualityScore, qTokenCount, qFingerprint,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
@@ -1751,5 +1825,5 @@ object TextQueries {
     qPerplexity, qC4Filter, qEpochMix, qTfidf, qPmi, qBpeTrain,
     qWeightedSample, qEntropy, qRrfFusion, qSuffixArray, qLongestRepeat,
     qGlobalSuffix, qCrossRepeat, qWinnow, qWinnowPairs, qRingNegatives,
-    qLeakageSplit, qChi2Terms, qFeatureHash, qRake, qScriptDetect, qLuhnScan, qReadability, qJsDrift, qNgramNovelty, qBurstiness)
+    qLeakageSplit, qChi2Terms, qFeatureHash, qRake, qScriptDetect, qLuhnScan, qReadability, qJsDrift, qNgramNovelty, qBurstiness, qZipfFit)
 }
