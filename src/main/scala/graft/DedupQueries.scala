@@ -1214,6 +1214,98 @@ object DedupQueries {
             SELECT probe_id, id, round(cos, 4) AS cosine, CAST(rk AS BIGINT) AS rk
             FROM ranked WHERE rk <= 3"""))
 
+  /** ANN quality evaluation: recall@10 of the IVF index (nlist 16,
+    * nprobe 2) against exact brute-force kNN for every %50 probe — the
+    * measurement that justifies (or vetoes) an approximate index before
+    * it ships. Both rankings pin ties (cos DESC, id); recall is an
+    * exact-integer overlap count over a (probe, id)-keyed left join.
+    * The oracle recomputes BOTH retrievals relationally. */
+  val qAnnRecall = Q(
+    "q_ann_recall",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val probes = emb.filter(col("vec_id") % 50 === 0)
+      val exact = Ann.knnJoinExact(probes, emb, "vec_id", "embedding",
+        k = 10).select(col("probe_id"), col("id"))
+      val index = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 16)
+      val approx = Ann.knnJoinIvf(probes, index, "vec_id", "embedding",
+          nprobe = 2, k = 10)
+        .select(col("probe_id").as("p2"), col("id").as("id2"))
+      exact.join(approx,
+          col("probe_id") === col("p2") && col("id") === col("id2"),
+          "left")
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("k"), count(col("id2")).as("n_hit"))
+        .select(col("probe_id"), col("k"), col("n_hit"),
+          (floor(col("n_hit").cast("double") / col("k") * 10000 + 0.5)
+            / 10000).as("recall"))
+    },
+    Some("""WITH cents AS (
+              SELECT vec_id AS cid, embedding AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 16),
+            probes AS (
+              SELECT vec_id AS probe_id, embedding AS pv
+              FROM embeddings WHERE vec_id % 50 = 0),
+            exact AS (
+              SELECT probe_id, id FROM (
+                SELECT p.probe_id, e.vec_id AS id, row_number() OVER
+                  (PARTITION BY p.probe_id ORDER BY
+                    list_sum(list_transform(range(1, 65),
+                      i -> e.embedding[i]::DOUBLE * p.pv[i]::DOUBLE)) /
+                    (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+                     sqrt(list_sum(list_transform(range(1, 65),
+                      i -> p.pv[i]::DOUBLE * p.pv[i]::DOUBLE)))) DESC,
+                    e.vec_id) AS rk
+                FROM probes p JOIN embeddings e
+                  ON e.vec_id != p.probe_id)
+              WHERE rk <= 10),
+            adist AS (
+              SELECT e.vec_id AS id, c.cid,
+                list_sum(list_transform(range(1, 65),
+                  i -> (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE)
+                     * (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE))) AS dist
+              FROM embeddings e, cents c),
+            assigned AS (
+              SELECT id, (min(struct_pack(dist := dist, cid := cid))).cid
+                AS cid
+              FROM adist GROUP BY id),
+            pdist AS (
+              SELECT p.probe_id, c.cid,
+                list_sum(list_transform(range(1, 65),
+                  i -> (p.pv[i]::DOUBLE - c.cv[i]::DOUBLE)
+                     * (p.pv[i]::DOUBLE - c.cv[i]::DOUBLE))) AS dist
+              FROM probes p, cents c),
+            pcells AS (
+              SELECT probe_id, cid FROM (
+                SELECT probe_id, cid, row_number() OVER
+                  (PARTITION BY probe_id ORDER BY dist, cid) AS rk
+                FROM pdist) WHERE rk <= 2),
+            approx AS (
+              SELECT probe_id, id FROM (
+                SELECT pc.probe_id, a.id, row_number() OVER
+                  (PARTITION BY pc.probe_id ORDER BY
+                    list_sum(list_transform(range(1, 65),
+                      i -> e.embedding[i]::DOUBLE * p.pv[i]::DOUBLE)) /
+                    (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+                     sqrt(list_sum(list_transform(range(1, 65),
+                      i -> p.pv[i]::DOUBLE * p.pv[i]::DOUBLE)))) DESC,
+                    a.id) AS rk
+                FROM pcells pc
+                JOIN assigned a USING (cid)
+                JOIN embeddings e ON e.vec_id = a.id
+                JOIN probes p ON p.probe_id = pc.probe_id
+                WHERE a.id != pc.probe_id)
+              WHERE rk <= 10)
+            SELECT x.probe_id, count(*) AS k,
+              count(ap.id) AS n_hit,
+              floor(count(ap.id)::DOUBLE / count(*) * 10000 + 0.5)
+                / 10000 AS recall
+            FROM exact x LEFT JOIN approx ap
+              ON ap.probe_id = x.probe_id AND ap.id = x.id
+            GROUP BY x.probe_id"""))
+
   /** k-NN label propagation: the 20% of vectors with vec_id%5=0 act as the
     * labeled seed; every other vector takes the majority label of its 5
     * nearest seeds. The oracle re-derives ranking (cos DESC, lid), voting
@@ -1871,5 +1963,5 @@ object DedupQueries {
     qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qGnnSage, qHardNegatives, qMmr, qSemDedup, qDupNgrams, qIncrementalDedup,
     qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance,
     qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep, qDbscan, qFuzzyMatch, qSortedNeighborhood,
-    qContainment, qBoilerplate, qSimjoinPrefix, qFellegiSunter, qSoundexBlock, qCdcChunks, qGoldenRecord, qItemSim, qSilhouette)
+    qContainment, qBoilerplate, qSimjoinPrefix, qFellegiSunter, qSoundexBlock, qCdcChunks, qGoldenRecord, qItemSim, qSilhouette, qAnnRecall)
 }
