@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.Codecs._
-import graft.multimodal.Multimodal
+import graft.multimodal.{Multimodal, Png}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Queries.Q
@@ -369,8 +369,59 @@ object CodecQueries {
             FROM vals
             GROUP BY doc_id, sample_rate, frame_id"""))
 
+  /** REAL PNG pixel decode: per-row PNG streams are SYNTHESIZED from
+    * doc_id (dimensions/channels/filter type all closed functions of the
+    * id — every scanline filter 0..4 is exercised across the corpus;
+    * pixel p = (id·31 + p·7) mod 256), written as actual deflate-
+    * compressed PNGs ([[graft.multimodal.Png.encode]]), then decoded
+    * BACK from the real bytes — chunk walk, CRC verify, Inflater,
+    * unfilter — by [[graft.multimodal.Multimodal.pngPixelStats]] and
+    * reduced to exact-integer per-image pixel stats. The oracle states
+    * the pixel closed form directly (no byte parsing), so a mismatch
+    * means the decoder mis-reconstructed real pixels. Decode-side
+    * independence from the encoder is pinned by PngSpec's hand-built
+    * stored-block fixtures. */
+  val qPngPixels = Q(
+    "q_png_pixels",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      val pngs = docs.map { id =>
+        val w = (id % 6 + 2).toInt; val h = (id % 4 + 2).toInt
+        val ch = (id % 3) match { case 0 => 1; case 1 => 3; case _ => 4 }
+        val n = w * h * ch
+        val px = Array.tabulate(n)(p => ((id * 31 + p * 7) % 256).toInt)
+        (id, Png.encode(w, h, ch, (id % 5).toInt, px))
+      }.toDF("doc_id", "png")
+      Multimodal.pngPixelStats(pngs, "doc_id", "png")(s)
+        .toDF().withColumnRenamed("id", "doc_id")
+    },
+    Some("""WITH base AS (
+              SELECT doc_id,
+                     doc_id % 6 + 2 AS width,
+                     doc_id % 4 + 2 AS height,
+                     CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                          ELSE 4 END AS BIGINT) AS channels
+              FROM documents
+            ), px AS (
+              SELECT doc_id, width, height, channels,
+                     list_transform(range(0, width*height*channels),
+                                    p -> (doc_id*31 + p*7) % 256) AS vals
+              FROM base)
+            SELECT doc_id, width, height, channels,
+              CAST(list_sum(vals) AS BIGINT) AS px_sum,
+              CAST(list_min(vals) AS BIGINT) AS px_min,
+              CAST(list_max(vals) AS BIGINT) AS px_max,
+              CAST(list_sum(list_transform(
+                list_filter(range(0, width*height*channels),
+                            p -> p % channels = 0),
+                p -> (doc_id*31 + p*7) % 256)) AS BIGINT) AS ch0_sum
+            FROM px"""))
+
   def all: Seq[Q] = Seq(
     qJsonParse, qJsonFormat, qEncodeDecode, qB64Roundtrip, qCsvFormat,
     qCsvParse, qXmlFormat, qXmlParse, qHl7Parse, qEmailFormat, qHttpUrl,
-    qSourceRoundtrip, qMultimodalMeta, qJpegMeta, qMp4Meta, qWavFrames)
+    qSourceRoundtrip, qMultimodalMeta, qJpegMeta, qMp4Meta, qWavFrames,
+    qPngPixels)
 }

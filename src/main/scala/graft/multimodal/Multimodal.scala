@@ -6,12 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal column support: image/audio/video as opaque `binary` columns
   * with typed metadata, plus batched decode/feature-extract plumbing.
   *
-  * The decode step itself is STUBBED (this container has no image/audio
-  * libraries): `fakeDecode` derives a deterministic feature vector from the
-  * bytes. Everything around it — schema, batch iteration shape, chunking,
-  * partition-parallel execution — is the real Spark plumbing a production
-  * decoder would drop into (swap `fakeDecode` for an actual JNI/ONNX call
-  * operating on the same `Iterator[Media]` batches).
+  * The decode tier is REAL for the formats the JDK can carry: PNG pixels
+  * ([[Png.decode]] — Inflater + scanline unfilter, no image library) and
+  * 16-bit PCM WAV ([[wavPcmFrames]] — pure column math). JPEG/MP4 decode
+  * headers natively (plans.JpegMeta/Mp4Meta); only their entropy-coded
+  * payloads fall back to [[fallbackFeatures]] (no JPEG/H.264 codec in
+  * this container — a production decoder drops into the same
+  * `Iterator[Media]` batches).
   */
 object Multimodal {
 
@@ -34,9 +35,11 @@ object Multimodal {
       lit(mime).as("mime")).as[Media]
   }
 
-  /** STUB decode: deterministic 8-dim feature vector from byte content.
-    * Stands in for image decode + model forward pass. */
-  def fakeDecode(bytes: Array[Byte]): Array[Float] = {
+  /** Non-image fallback: deterministic 8-dim feature vector from byte
+    * content. PNG payloads take the REAL pixel path ([[Png.decode]]) in
+    * [[extractFeatures]]; this fold stands in only for formats this
+    * container has no codec for. */
+  def fallbackFeatures(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](8)
     var i = 0
     while (i < bytes.length) {
@@ -48,7 +51,9 @@ object Multimodal {
 
   /** Batched feature extraction over partitions — the `mapPartitions` shape
     * a real decoder needs (amortizes model/codec init per partition, not
-    * per row). */
+    * per row). PNG payloads DECODE FOR REAL ([[Png.decode]]: Inflater +
+    * scanline unfilter) and featurize from pixel values (per-channel
+    * means, normalized); everything else falls back to the byte fold. */
   def extractFeatures(media: Dataset[Media])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
@@ -56,9 +61,72 @@ object Multimodal {
       rows.map { m =>
         val md = java.security.MessageDigest.getInstance("MD5")
         val hash = md.digest(m.bytes).map("%02x".format(_)).mkString
-        MediaFeatures(m.id, m.bytes.length.toLong, hash, fakeDecode(m.bytes))
+        val feats = Png.decode(m.bytes) match {
+          case Some(img) =>
+            // real pixel features: per-channel mean + global min/max/size
+            val out = new Array[Float](8)
+            val sums = new Array[Long](4)
+            val n = img.pixels.length
+            var i = 0; var mn = 255; var mx = 0
+            while (i < n) {
+              val v = img.pixels(i)
+              sums(i % img.channels) += v
+              if (v < mn) mn = v; if (v > mx) mx = v
+              i += 1
+            }
+            val perChan = n / img.channels
+            var c = 0
+            while (c < img.channels) {
+              out(c) = (sums(c).toDouble / perChan / 255.0).toFloat; c += 1
+            }
+            out(4) = mn / 255.0f; out(5) = mx / 255.0f
+            out(6) = img.width.toFloat; out(7) = img.height.toFloat
+            out
+          case None => fallbackFeatures(m.bytes)
+        }
+        MediaFeatures(m.id, m.bytes.length.toLong, hash, feats)
       }
     }
+  }
+
+  /** One decoded-pixel stats row per image. Exact integers only
+    * (sums/min/max as longs) so the result is hash-stable across engines;
+    * decode failures surface as width = -1 rather than silent drops. */
+  final case class PngStats(
+      id: Long, width: Long, height: Long, channels: Long,
+      px_sum: Long, px_min: Long, px_max: Long, ch0_sum: Long)
+
+  /** REAL image decode tier — the PNG sibling of [[wavPcmFrames]]: every
+    * payload runs the full Inflater + unfilter pipeline ([[Png.decode]])
+    * and reduces to exact per-image pixel statistics. `mapPartitions`
+    * batch shape: decode parallelism is the scan's, transient memory is
+    * one image's recon buffer (bounded by [[Png.maxPixels]]). */
+  def pngPixelStats(df: DataFrame, idCol: String, binCol: String)(
+      implicit spark: SparkSession): Dataset[PngStats] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(binCol).cast("binary").as("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          Png.decode(bytes) match {
+            case Some(img) =>
+              var sum = 0L; var ch0 = 0L
+              var mn = 255L; var mx = 0L
+              var i = 0
+              while (i < img.pixels.length) {
+                val v = img.pixels(i).toLong
+                sum += v
+                if (i % img.channels == 0) ch0 += v
+                if (v < mn) mn = v; if (v > mx) mx = v
+                i += 1
+              }
+              PngStats(id, img.width.toLong, img.height.toLong,
+                img.channels.toLong, sum, mn, mx, ch0)
+            case None => PngStats(id, -1L, -1L, -1L, -1L, -1L, -1L, -1L)
+          }
+        }
+      }
   }
 
   /** Real metadata decode from PNG bytes — no image library needed: the
