@@ -668,24 +668,32 @@ object DedupQueries {
             mut AS MATERIALIZED (
               SELECT k1.pa AS src, k1.pb AS dst
               FROM knn k1 JOIN knn k2 ON k1.pa = k2.pb AND k1.pb = k2.pa),
-            selfd AS MATERIALIZED (
+            selfq AS MATERIALIZED (
               SELECT id, unnest(range(0, 64)) AS dim,
-                unnest(list_transform(range(1, 65), i -> v[i]::DOUBLE)) AS x
+                unnest(list_transform(range(1, 65),
+                  i -> CAST(floor(v[i]::DOUBLE * 1e6 + 0.5) AS BIGINT))) AS q
               FROM sub),
-            nbrd AS (
-              SELECT m.src AS id, s.dim + 64 AS dim, avg(s.x) AS x
-              FROM mut m JOIN selfd s ON s.id = m.dst
-              GROUP BY m.src, s.dim),
-            allx AS MATERIALIZED (
-              SELECT id, dim, x FROM selfd
-              UNION ALL SELECT id, dim, x FROM nbrd
+            cnts AS MATERIALIZED (
+              SELECT src AS id, CAST(count(*) AS BIGINT) AS cnt
+              FROM mut GROUP BY src),
+            allih AS MATERIALIZED (
+              SELECT s.id, s.dim, s.q * coalesce(c.cnt, 1) AS ih
+              FROM selfq s LEFT JOIN cnts c USING (id)
               UNION ALL
-              SELECT s.id, s.dim + 64, 0.0 FROM selfd s
-              WHERE s.id NOT IN (SELECT src FROM mut)),
-            norms AS (SELECT id, sqrt(sum(x * x)) AS nrm FROM allx GROUP BY id)
+              SELECT m.src AS id, s.dim + 64 AS dim,
+                CAST(sum(s.q) AS BIGINT) AS ih
+              FROM mut m JOIN selfq s ON s.id = m.dst
+              GROUP BY m.src, s.dim
+              UNION ALL
+              SELECT s.id, s.dim + 64, 0 FROM selfq s
+              WHERE s.id NOT IN (SELECT id FROM cnts)),
+            norms AS (
+              SELECT id, CAST(sum(ih * ih) AS DOUBLE) AS n2
+              FROM allih GROUP BY id)
             SELECT a.id AS vec_id, CAST(a.dim AS BIGINT) AS dim,
-              floor(a.x / greatest(n.nrm, 1e-12) * 10000 + 0.5) / 10000 AS v
-            FROM allx a JOIN norms n USING (id)"""))
+              floor(a.ih::DOUBLE / sqrt(greatest(n.n2, 1e-12)) * 10000 + 0.5)
+                / 10000 AS v
+            FROM allih a JOIN norms n USING (id)"""))
 
   /** Hard-negative mining ([[graft.sim.Ann.hardNegatives]]): each %10
     * anchor takes its 3 highest-cosine DIFFERENT-label vectors — the

@@ -1032,7 +1032,9 @@ object Queries {
             tops AS (
               SELECT event_type, list(v ORDER BY rk) AS xs
               FROM ranked WHERE rk <= 21 GROUP BY event_type
-              HAVING count(*) = 21)
+              -- degenerate guard mirrors hillAlpha: all-equal top k+1
+              -- would divide by zero
+              HAVING count(*) = 21 AND max(v) <> min(v))
             SELECT t.event_type, np.n_pos,
               floor(xs[21] * 10000 + 0.5) / 10000 AS x_k1,
               floor(20.0 / list_sum(list_transform(list_slice(xs, 1, 20),
@@ -1885,7 +1887,11 @@ object Queries {
         .select(col("user_id"), col("ts").cast("date").as("day"))
       val daily = ev.groupBy(col("user_id"), col("day"))
         .agg(count(lit(1)).as("n"))
-      val spine = ev.groupBy(col("user_id"))
+      // spine bounds come from DAILY (distinct user-days), not raw
+      // events: the second aggregate re-reduces ~span×users rows instead
+      // of the event stream, and its child plan is the same exchange as
+      // the join's build side, so AQE reuses it
+      val spine = daily.groupBy(col("user_id"))
         .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
         .select(col("user_id"),
           explode(sequence(col("d0"), col("d1"))).as("day"))
@@ -3773,11 +3779,16 @@ object Queries {
       val coreN = scc.join(broadcast(coreId),
           col("component") === col("core_id"))
         .select(col("id")).localCheckpoint(true)
-      val fwd = graft.graph.Graph.hopDistance(coreN, edges, maxHops = 40)
+      // effectively-unbounded sweeps: the oracle's transitive closure has
+      // no hop cap, and hopDistance's fixpoint early-exit stops at the
+      // true diameter anyway — a finite guess (the old 40) would silently
+      // undercount IN/OUT on a graph with larger eccentricity
+      val fwd = graft.graph.Graph.hopDistance(coreN, edges,
+          maxHops = Int.MaxValue)
         .select(col("id"), lit(1).as("f"))
       val bwd = graft.graph.Graph.hopDistance(coreN,
           edges.select(col("dst").as("src"), col("src").as("dst")),
-          maxHops = 40)
+          maxHops = Int.MaxValue)
         .select(col("id"), lit(1).as("b"))
       nodes
         .join(coreN.select(col("id"), lit(1).as("c")), Seq("id"), "left")

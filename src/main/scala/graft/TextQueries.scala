@@ -982,10 +982,18 @@ object TextQueries {
             WHERE c12 >= 5"""))
 
   /** Full BPE merge-learning loop (10 rounds over the vocabulary-bounded
-    * word table). The learned merge table is deterministic (count-desc,
-    * lexicographic tiebreak) but the iterative state update is not
-    * SQL-expressible → rows-only; BpeSpec checks the merge sequence
-    * against a from-scratch reference implementation. */
+    * word table), now with a FULL oracle: the iterative state update is
+    * unrolled as k MATERIALIZED CTE rounds (the q_hits/q_kcore
+    * precedent). Each round re-derives weighted adjacent-pair counts,
+    * picks the (count desc, lexicographic) best pair, and replays the
+    * exact left-to-right non-overlapping merge rule of
+    * [[graft.plans.MergePair]] via a double-separator string replace:
+    * pieces encode as ' p1  p2  … ' (single space flanks, double space
+    * joins — pieces can never contain a space, the corpus was split on
+    * \s+), so `replace(' a  b ' → ' ab ')` consumes matches left to
+    * right without letting consecutive merges share a separator.
+    * BpeSpec additionally checks the merge sequence against a
+    * from-scratch reference implementation. */
   val qBpeTrain = Q(
     "q_bpe_train",
     (s, dir) => {
@@ -994,7 +1002,41 @@ object TextQueries {
       import s.implicits._
       merges.toDF().select(col("step").cast("long").as("step"),
         col("left"), col("right"), col("freq"))
-    })
+    },
+    Some(bpeTrainOracle(10)))
+
+  /** Unrolled-round oracle SQL for [[qBpeTrain]] (see its scaladoc). */
+  private def bpeTrainOracle(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { r =>
+      s"""pairs$r AS (
+  SELECT p[1] AS a, p[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, unnest(list_transform(range(1, length(pieces)),
+                i -> [pieces[i], pieces[i+1]])) AS p
+        FROM w$r WHERE length(pieces) >= 2)
+  GROUP BY 1, 2),
+best$r AS MATERIALIZED (
+  SELECT a, b, cnt FROM pairs$r ORDER BY cnt DESC, a, b LIMIT 1),
+w${r + 1} AS MATERIALIZED (
+  SELECT word, freq,
+    string_split(trim(replace(
+      ' ' || array_to_string(pieces, '  ') || ' ',
+      ' ' || (SELECT a FROM best$r) || '  ' || (SELECT b FROM best$r) || ' ',
+      ' ' || (SELECT a FROM best$r) || (SELECT b FROM best$r) || ' '),
+      ' '), '  ') AS pieces
+  FROM w$r)"""
+    }.mkString(",\n")
+    val union = (1 to nMerges).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS step, a AS left, b AS right, " +
+        s"cnt AS freq FROM best$r").mkString(" UNION ALL ")
+    s"""WITH w1 AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+         list_append(regexp_split_to_array(w, ''), '</w>') AS pieces
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY w),
+$rounds
+SELECT * FROM ($union)"""
+  }
 
   /** Per-document suffix array over a 1-in-97 document sample (capped at
     * 256 chars): [[graft.ops.SuffixArrays.suffixRanks]] builds ranks by

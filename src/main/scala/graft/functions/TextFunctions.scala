@@ -319,18 +319,30 @@ object TextFunctions {
   /** Dominant script among [[scriptClasses]]: the first class in
     * priority order whose count is ≥ every later class's count — which
     * is exactly "first occurrence of the maximum" (classes before the
-    * max each fail against it). All-zero → 'none'. */
+    * max each fail against it). All-zero → 'none'.
+    *
+    * The raw count expressions are STAGED through the array()/flatten
+    * let-binding before the dominance chain reads them: passed inline,
+    * CollapseProject would inline each count (a regexp_replace scan of
+    * the whole text) into every CASE comparison — the expression-reuse
+    * trap this repo has measured at 10-15x elsewhere. Here each count
+    * evaluates once per row; the chain compares lambda-bound array
+    * elements. */
   def dominantScript(counts: Seq[(String, Column)]): Column = {
-    val chain = counts.zipWithIndex.foldRight(lit("none"): Column) {
-      case (((name, c), i), acc) =>
-        val rest = counts.drop(i + 1).map(_._2)
-        val beatsRest = rest match {
-          case Seq() => c > 0
-          case Seq(one) => c > 0 && c >= one // greatest() needs ≥ 2 args
-          case many => c > 0 && c >= greatest(many: _*)
-        }
-        when(beatsRest, lit(name)).otherwise(acc)
-    }
-    chain
+    val names = counts.map(_._1)
+    def chainOver(a: Column): Column =
+      names.zipWithIndex.foldRight(lit("none"): Column) {
+        case ((name, i), acc) =>
+          val c = element_at(a, i + 1)
+          val rest = (i + 1 until names.size).map(j => element_at(a, j + 1))
+          val beatsRest = rest match {
+            case Seq() => c > 0
+            case Seq(one) => c > 0 && c >= one // greatest() needs ≥ 2 args
+            case many => c > 0 && c >= greatest(many: _*)
+          }
+          when(beatsRest, lit(name)).otherwise(acc)
+      }
+    element_at(
+      transform(array(array(counts.map(_._2): _*)), a => chainOver(a)), 1)
   }
 }

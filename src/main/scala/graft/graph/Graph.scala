@@ -549,7 +549,7 @@ object Graph {
       // pass a generous eccentricity bound without paying for it. The
       // check itself is one extra job per round, so it only arms past
       // round 8: tight-bound callers (q_bfs_hops' 4 hops) pay nothing,
-      // generous-bound callers (bowtie's 40) stop at the diameter
+      // unbounded callers (bowtie's Int.MaxValue) stop at the diameter
       growing = h < 8 || !dist.filter(col("hops") === lit(h.toLong)).isEmpty
       h += 1
     }

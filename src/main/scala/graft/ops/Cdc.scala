@@ -59,7 +59,13 @@ object Cdc {
     *   - unmatched target                      → kept as-is
     * `source` must hold ONE row per key — the SQL standard's cardinality
     * rule (a multi-row source makes the update ambiguous); compact with
-    * [[latestSnapshot]] first. A NULL delete flag reads as false
+    * [[latestSnapshot]] first. The rule is ENFORCED, not assumed: a
+    * per-key count rides a source-side window and `assert_true` fails
+    * the job at execution time on the first duplicate key (silently
+    * fanning matched target rows out into duplicates is the worse
+    * failure). `checkSourceCardinality = false` opts out when the
+    * source is already compacted by construction and the extra
+    * source-side exchange matters. A NULL delete flag reads as false
     * (an upsert feed that never sets it must not delete).
     *
     * Scale shape: ONE null-safe full outer join on the key — the same
@@ -75,12 +81,27 @@ object Cdc {
       source: DataFrame,
       keyCols: Seq[String],
       payloadCols: Seq[String],
-      deleteCol: String): DataFrame = {
+      deleteCol: String,
+      checkSourceCardinality: Boolean = true): DataFrame = {
     val t = target.select((keyCols ++ payloadCols).map(col): _*)
       .withColumn("__in_t", lit(true))
       .select(keyCols.map(c => col(c).as(s"${c}__t")) ++
         payloadCols.map(c => col(c).as(s"${c}__pt")) :+ col("__in_t"): _*)
-    val s = source.select((keyCols ++ payloadCols :+ deleteCol).map(col): _*)
+    val checkedSource = if (!checkSourceCardinality) source else {
+      // count rides a key-partitioned window (null-safe, no extra join);
+      // assert_true lives in a Filter so column pruning can't drop it
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+      source
+        .withColumn("__cnt", count(lit(1)).over(wk))
+        .filter(assert_true(col("__cnt") === 1,
+          lit("mergeInto: source must hold exactly one row per key " +
+            "(SQL MERGE cardinality rule); compact with latestSnapshot " +
+            "first")).isNull)
+        .drop("__cnt")
+    }
+    val s = checkedSource
+      .select((keyCols ++ payloadCols :+ deleteCol).map(col): _*)
       .withColumn("__in_s", lit(true))
       .select(keyCols.map(c => col(c).as(s"${c}__s")) ++
         payloadCols.map(c => col(c).as(s"${c}__ps")) ++

@@ -55,7 +55,9 @@ object Robust {
     * k rows per key per partition cross the shuffle, never a sorted
     * window over the distribution) plus scalar array math on the
     * result. Keys with fewer than k+1 positive values are excluded
-    * (the estimator is undefined there). */
+    * (the estimator is undefined there), as are degenerate keys whose
+    * top k+1 values are ALL equal — there Σln(x_i/x_(k+1)) = 0 and the
+    * division would emit Infinity rather than a tail index. */
   def hillAlpha(
       df: DataFrame,
       keyCol: String,
@@ -75,6 +77,8 @@ object Robust {
       .withColumn("__xs",
         transform(col("top"), t => t.getField("score")))
       .withColumn("__xk1", element_at(col("__xs"), k + 1))
+      // degenerate guard: x_(1) == x_(k+1) ⇒ zero denominator
+      .filter(element_at(col("__xs"), 1) =!= col("__xk1"))
       .select(col("key"), col("n_pos"),
         (floor(col("__xk1") * 10000 + 0.5) / 10000).as("x_k1"),
         (floor(lit(k.toDouble) / aggregate(slice(col("__xs"), 1, k),

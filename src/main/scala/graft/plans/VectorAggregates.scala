@@ -241,3 +241,114 @@ object VecGram {
     ColumnBridge.column(
       VecGram(ColumnBridge.expression(v)).toAggregateExpression())
 }
+
+/** Partial-aggregatable element-wise EXACT vector sum over
+  * `array<long>` — the integer lane of [[VecMean]]. Long addition is
+  * associative and commutative with NO rounding, so the reduction is
+  * bit-identical under any partitioning/merge order — the property the
+  * oracle-parity fixed-point patterns need (quantize inputs to a 1e-6
+  * grid as longs, aggregate exactly, divide/normalize once at the end).
+  * Same scale shape as VecMean: one (sum[dims], n) buffer per group.
+  * Overflow is the caller's contract: Σ|qᵢ| per dimension must fit a
+  * signed 64-bit long (at 1e-6 quantization of unit-scale values that
+  * allows ~10¹² rows per group).
+  */
+case class VecSumLong(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VecSumLong.Buf] {
+
+  override def prettyName: String = "vec_sum_long"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // resolution-time check must be lazy: child.dataType throws while the
+  // plan is still unresolved at construction
+  @transient private lazy val checkedType: Unit = child.dataType match {
+    case ArrayType(LongType, _) => ()
+    case t => throw new IllegalArgumentException(
+      s"vec_sum_long needs array<long>, got $t")
+  }
+
+  override def createAggregationBuffer(): VecSumLong.Buf = {
+    checkedType
+    new VecSumLong.Buf
+  }
+
+  override def update(buf: VecSumLong.Buf, input: InternalRow): VecSumLong.Buf = {
+    val v = child.eval(input).asInstanceOf[ArrayData]
+    if (v != null) {
+      val d = v.numElements()
+      if (buf.sum == null) buf.sum = new Array[Long](d)
+      require(buf.sum.length == d,
+        s"vec_sum_long: mixed dimensionality ${buf.sum.length} vs $d")
+      var i = 0
+      while (i < d) { buf.sum(i) += v.getLong(i); i += 1 }
+      buf.n += 1
+    }
+    buf
+  }
+
+  override def merge(buf: VecSumLong.Buf, other: VecSumLong.Buf): VecSumLong.Buf = {
+    if (other.sum != null) {
+      if (buf.sum == null) { buf.sum = other.sum.clone(); buf.n = other.n }
+      else {
+        require(buf.sum.length == other.sum.length,
+          s"vec_sum_long: mixed dimensionality ${buf.sum.length} vs ${other.sum.length}")
+        var i = 0
+        while (i < buf.sum.length) { buf.sum(i) += other.sum(i); i += 1 }
+        buf.n += other.n
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: VecSumLong.Buf): Any =
+    if (buf.sum == null) null else new GenericArrayData(buf.sum)
+
+  override def serialize(buf: VecSumLong.Buf): Array[Byte] = {
+    val d = if (buf.sum == null) 0 else buf.sum.length
+    val bb = java.nio.ByteBuffer.allocate(12 + d * 8)
+    bb.putLong(buf.n)
+    bb.putInt(d)
+    var i = 0
+    while (i < d) { bb.putLong(buf.sum(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): VecSumLong.Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new VecSumLong.Buf
+    buf.n = bb.getLong
+    val d = bb.getInt
+    // same null-buffer invariant as VecMean: a group of zero-length
+    // arrays must survive serialization with a non-null empty sum
+    if (d > 0 || buf.n > 0) {
+      buf.sum = new Array[Long](d)
+      var i = 0
+      while (i < d) { buf.sum(i) = bb.getLong; i += 1 }
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VecSumLong =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VecSumLong =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs(0))
+}
+
+object VecSumLong {
+  final class Buf {
+    var sum: Array[Long] = null
+    var n: Long = 0L
+  }
+
+  /** Column API: exact element-wise sum vector per group, as array<long>. */
+  def vecSumLong(v: Column): Column =
+    ColumnBridge.column(
+      VecSumLong(ColumnBridge.expression(v)).toAggregateExpression())
+}

@@ -28,11 +28,25 @@ object Gnn {
     * 2 × dim.
     *
     * Scale shape: ONE edge-keyed shuffle (join edges ⋈ nodes on dst,
-    * uniform key), then the VecMean partial aggregate — only
-    * num-nodes × dim doubles cross the second exchange, never a
+    * uniform key), then the VecSumLong partial aggregate — only
+    * num-nodes × dim longs cross the second exchange, never a
     * neighbor-list-sized relation; the self side re-joins on the node
     * id. No windows, no driver materialization, so the layer runs
     * unchanged on a 10⁹-node graph.
+    *
+    * Determinism: inputs quantize to a 1e-6 fixed-point grid
+    * (`floor(x·10⁶ + ½)` as long) before ANY aggregation, so the
+    * neighbor reduction is exact integer math — bit-identical under any
+    * partitioning or retry order (an unordered float sum would be
+    * summation-order dependent at the output-rounding boundary). L2
+    * normalization is scale-invariant, so instead of dividing the
+    * neighbor sum by its count we scale the SELF half by the count:
+    * int_h = [q_self·max(cnt,1) ⧺ Σq_nbr] points exactly along
+    * [self ⧺ mean], and both the norm (Σ int_h², exact in long) and the
+    * final division are single correctly-rounded IEEE ops. Overflow
+    * contract: Σ int_h² must fit a signed long — holds for unit-scale
+    * inputs (|x| ≲ 1) up to degree ~10³ at d = 128; quantized values
+    * are clamped elsewhere, not here.
     */
   def sageMeanLayer(
       nodes: DataFrame,
@@ -40,22 +54,24 @@ object Gnn {
       idCol: String,
       vecCol: String): DataFrame = {
     val e = edges.toDF("src", "dst")
-    val nbrMean = e
-      .join(nodes.select(col(idCol).as("dst"), col(vecCol).as("__nv")), "dst")
+    val qn = nodes.select(col(idCol),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * 1e6 + 0.5).cast("long")).as("__q"))
+    val nbrSum = e
+      .join(qn.select(col(idCol).as("dst"), col("__q").as("__nv")), "dst")
       .groupBy(col("src"))
-      .agg(graft.plans.VecMean.vecMean(col("__nv")).as("__nmean"))
-    nodes
-      .select(col(idCol),
-        transform(col(vecCol), x => x.cast("double")).as("__self"))
-      .join(nbrMean, col(idCol) === col("src"), "left")
-      .withColumn("__h",
-        concat(col("__self"),
+      .agg(graft.plans.VecSumLong.vecSumLong(col("__nv")).as("__nsum"),
+        count(lit(1)).as("__ncnt"))
+    val cnt = coalesce(col("__ncnt"), lit(1L))
+    qn.join(nbrSum, col(idCol) === col("src"), "left")
+      .withColumn("__ih",
+        concat(transform(col("__q"), x => x * cnt),
           // zero vector of the node's own width — no static dim needed
-          coalesce(col("__nmean"), transform(col("__self"), _ => lit(0.0)))))
-      .withColumn("__norm",
-        sqrt(aggregate(col("__h"), lit(0.0), (a, x) => a + x * x)))
+          coalesce(col("__nsum"), transform(col("__q"), _ => lit(0L)))))
+      .withColumn("__n2",
+        aggregate(col("__ih"), lit(0L), (a, x) => a + x * x))
       .select(col(idCol),
-        transform(col("__h"),
-          x => x / greatest(col("__norm"), lit(1e-12))).as("h"))
+        transform(col("__ih"), x => x.cast("double") /
+          sqrt(greatest(col("__n2").cast("double"), lit(1e-12)))).as("h"))
   }
 }

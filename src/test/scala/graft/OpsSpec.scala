@@ -200,6 +200,23 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq(("a", "A1", 9.0), ("c", "C0", 3.0), ("d", "D1", 4.0)))
   }
 
+  test("cdc mergeInto: multi-row-per-key source FAILS loudly (SQL cardinality rule)") {
+    import graft.ops.Cdc
+    val target = Seq(("a", 1.0)).toDF("key", "v")
+    val source = Seq(("a", 2.0, false), ("a", 3.0, false)).toDF("key", "v", "del")
+    val ex = intercept[Exception] {
+      Cdc.mergeInto(target, source, Seq("key"), Seq("v"), "del").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => String.valueOf(e.getMessage) +: messages(e.getCause))
+    assert(messages(ex).exists(_.contains("one row per key")),
+      s"expected the cardinality message, got: $ex")
+    // opt-out keeps the old fan-out behavior for by-construction-compact feeds
+    val rows = Cdc.mergeInto(target, source, Seq("key"), Seq("v"), "del",
+      checkSourceCardinality = false).collect()
+    assert(rows.length == 2)
+  }
+
   test("cdc mergeInto: NULL key values merge null-safely") {
     import graft.ops.Cdc
     val target = Seq((Option("x"), 1.0), (Option.empty[String], 2.0)).toDF("key", "v")
