@@ -987,7 +987,8 @@ object DedupQueries {
               SELECT doc_id + 1000000, text FROM documents
               WHERE doc_id % 3 = 0),
             d AS (
-              SELECT doc_id, text AS s, length(text) AS n
+              -- mirrors cdcChunks' maxChars skew cap (identity below 2^20)
+              SELECT doc_id, text AS s, least(length(text), 1048576) AS n
               FROM corpus WHERE length(text) >= 8),
             cuts AS (
               SELECT doc_id, s, n,

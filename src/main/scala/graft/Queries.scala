@@ -1459,8 +1459,11 @@ object Queries {
     "q_good_turing",
     (s, dir) => {
       // array/flatten let-binding: the regex split must not be inlined
-      // into every gram's slice (the CDC-chunking lesson)
-      val grams = flatten(transform(array(split(trim(col("text")), "\\s+")),
+      // into every gram's slice (the CDC-chunking lesson). The 2^20-char
+      // cap bounds the per-row transient gram array (the per-doc skew
+      // unit) — identity for this corpus, mirrored in the oracle
+      val grams = flatten(transform(
+        array(split(trim(substring(col("text"), 1, 1 << 20)), "\\s+")),
         ts => when(size(ts) >= 3,
             transform(sequence(lit(1), size(ts) - 2),
               i => concat_ws(" ", slice(ts, i, lit(3)))))
@@ -1482,7 +1485,8 @@ object Queries {
           fl4(col("n1").cast("double") / col("n_tokens")).as("p0"))
     },
     Some("""WITH toks AS (
-              SELECT string_split_regex(trim(text), '\s+') AS t
+              SELECT string_split_regex(trim(substring(text, 1, 1048576)),
+                '\s+') AS t
               FROM documents),
             tc AS (
               SELECT term, count(*) AS c FROM (

@@ -1326,16 +1326,21 @@ SELECT * FROM ($union)"""
                 regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
               FROM documents),
             g AS (
-              SELECT doc_id, unnest(generate_series(1, length(s) - 7)) AS p,
-                     s, length(s) - 7 AS n
+              SELECT doc_id,
+                     unnest(generate_series(1,
+                       least(length(s), 1048576) - 7)) AS p,
+                     s, least(length(s), 1048576) - 7 AS n,
+                     length(s) > 1048576 AS truncated
               FROM d WHERE length(s) >= 23),
-            h AS (SELECT doc_id, p, n, md5(substr(s, p, 8)) AS hh FROM g),
+            h AS (SELECT doc_id, p, n, truncated,
+                    md5(substr(s, p, 8)) AS hh FROM g),
             wmin AS (
-              SELECT doc_id, p, n,
+              SELECT doc_id, p, n, truncated,
                      min(hh) OVER (PARTITION BY doc_id ORDER BY p
                        ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
               FROM h)
-            SELECT DISTINCT doc_id, fp FROM wmin WHERE p <= n - 15"""))
+            SELECT DISTINCT doc_id, fp, truncated
+            FROM wmin WHERE p <= n - 15"""))
 
   /** Near-duplicate pairs from shared winnowing fingerprints: equi-join on
     * the fingerprint value (never all-pairs), ≥3 shared = a guaranteed

@@ -56,20 +56,29 @@ object Chunking {
     * boundary. Docs shorter than k chars are outside the domain
     * (mirrors Winnow) and are filtered.
     *
-    * Output: (idCol, chunk_no 1-based, chunk_len, chunk_md5).
+    * Output: (idCol, chunk_no 1-based, chunk_len, chunk_md5, truncated).
     *
     * Scale shape: boundary detection, cut assembly and chunk slicing
     * are STAGED per-row array math in the scan stage (no window, no
     * shuffle; the explode multiplies rows only at the end) — a 100 TB
     * corpus chunks at full scan parallelism, and downstream dedup is
-    * one groupBy on chunk_md5. */
+    * one groupBy on chunk_md5.
+    *
+    * Skew bound: only the first `maxChars` characters chunk. The
+    * boundary scan holds an O(doc-length) transient gram-hash pass per
+    * row, so an uncapped 100 MB outlier would own gigabytes of one
+    * task's memory; the cap pins the per-task peak to O(maxChars) by
+    * construction. Truncation is loud: affected rows carry
+    * `truncated = true`. */
   def cdcChunks(
       df: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 8,
-      mask: Int = 63): DataFrame = {
+      mask: Int = 63,
+      maxChars: Int = 1 << 20): DataFrame = {
     require(k >= 1 && mask >= 1, s"need k,mask >= 1, got k=$k mask=$mask")
+    require(maxChars >= k, s"maxChars=$maxChars below one gram (k=$k)")
     val gramHash = (p: Column) =>
       conv(substring(md5(col("__s").substr(p, lit(k))), 1, 15), 16, 10)
         .cast("long")
@@ -93,11 +102,12 @@ object Chunking {
           element_at(cs, i) - element_at(cs, i - 1)))))
     df
       .select(col(idCol), col(textCol).as("__s"))
-      .withColumn("__n", length(col("__s")))
+      .withColumn("__n", least(length(col("__s")), lit(maxChars)))
       .filter(col("__n") >= k)
-      .select(col(idCol), posexplode(chunks).as(Seq("__i", "__c")))
+      .select(col(idCol), posexplode(chunks).as(Seq("__i", "__c")),
+        (length(col("__s")) > maxChars).as("truncated"))
       .select(col(idCol), (col("__i") + 1).cast("long").as("chunk_no"),
         length(col("__c")).cast("long").as("chunk_len"),
-        md5(col("__c")).as("chunk_md5"))
+        md5(col("__c")).as("chunk_md5"), col("truncated"))
   }
 }

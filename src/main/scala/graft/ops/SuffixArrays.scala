@@ -117,10 +117,19 @@ object SuffixArrays {
       .select(col("id"), (col("pos0") + 1).cast("long").as("pos"), col("ch"))
       .localCheckpoint(true)
     // seed rank: broadcast alphabet table (bounded by charset size),
-    // never a global window
-    val alphabet = chars.select(col("ch")).distinct().collect()
+    // never a global window. The collect is alphabet-bounded for TEXT
+    // (≤ the Unicode codespace, in practice a few hundred chars); guard
+    // it explicitly so arbitrary binary-as-string inputs fail loudly
+    // instead of materializing an unbounded driver table
+    val maxAlphabet = 1 << 16
+    val alphabet = chars.select(col("ch")).distinct()
+      .limit(maxAlphabet + 1).collect()
       .map(_.getString(0)).sorted.zipWithIndex
       .map { case (c, i) => (c, (i + 1).toLong) }.toSeq
+    require(alphabet.size <= maxAlphabet,
+      s"globalSuffixRanks: distinct-character alphabet exceeds " +
+        s"$maxAlphabet — this input is not text; the broadcast seed-rank " +
+        s"table is only bounded for bounded alphabets")
     if (alphabet.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],

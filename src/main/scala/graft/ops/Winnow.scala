@@ -43,16 +43,28 @@ object Winnow {
   def normalize(text: Column): Column =
     regexp_replace(lower(text), "[^a-z0-9]", "")
 
-  /** Fingerprint set per document: (idCol, fp) rows, fp = md5 hex of a
-    * selected k-gram. Documents with fewer than k+w−1 normalized chars
-    * (no complete window) emit nothing — matching the guarantee's domain. */
+  /** Fingerprint set per document: (idCol, fp, truncated) rows, fp = md5
+    * hex of a selected k-gram. Documents with fewer than k+w−1 normalized
+    * chars (no complete window) emit nothing — matching the guarantee's
+    * domain.
+    *
+    * Skew bound: grams are drawn only from the first `maxChars`
+    * normalized characters. The per-row transient state is the k-gram
+    * hash array (~48 B/char), so an UNCAPPED 100 MB outlier document
+    * would allocate ~5 GB inside one task — the cap makes the per-task
+    * peak `maxChars · 48 B` (48 MB at the 2²⁰ default) by construction,
+    * independent of the worst document in the corpus. Truncation is
+    * loud, not silent: affected rows carry `truncated = true`. */
   def fingerprints(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 16): DataFrame = {
+      k: Int = 8, w: Int = 16, maxChars: Int = 1 << 20): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
-    // all k-gram hashes of __s, 1-indexed by start position
+    require(maxChars >= k + w - 1,
+      s"maxChars=$maxChars below one window (k+w-1=${k + w - 1})")
+    // all k-gram hashes of the first maxChars chars of __s, 1-indexed by
+    // start position (the cap bounds the SEQUENCE — no second regex pass)
     val hashes = transform(
-      sequence(lit(1), length(col("__s")) - (k - 1)),
+      sequence(lit(1), least(length(col("__s")), lit(maxChars)) - (k - 1)),
       p => md5(gramAt(col("__s"), p, k)))
     // the array(…)/flatten pair is a let-binding: `hashes` is evaluated
     // exactly once per row (as the single outer element) however many of
@@ -63,7 +75,8 @@ object Winnow {
     Spread.toSessionParallelism(docs, idCol)
       .select(col(idCol), normalize(col(textCol)).as("__s"))
       .filter(length(col("__s")) >= k + w - 1)
-      .select(col(idCol), explode(array_distinct(minima)).as("fp"))
+      .select(col(idCol), explode(array_distinct(minima)).as("fp"),
+        (length(col("__s")) > maxChars).as("truncated"))
   }
 
   /** `substring(s, pos, len)` with a COLUMN position (the built-in DSL

@@ -502,4 +502,26 @@ class TextDedupSpec extends SparkSpec {
       s"edit rewrote ${c1.size - shared.size} of ${c1.size} chunks")
     assert(c2.map(_._2).sum == edited.length)
   }
+
+  test("cdcChunks maxChars skew cap: only the first cap chars chunk, loudly") {
+    val text = (1 to 4000).map(i => ('a' + (i * 7919 % 26)).toChar).mkString
+    val cap = 1000
+    val capped = graft.ops.Chunking.cdcChunks(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text",
+        maxChars = cap)
+      .select(col("chunk_no"), col("chunk_len"), col("chunk_md5"),
+        col("truncated"))
+      .as[(Long, Long, String, Boolean)].collect().sortBy(_._1).toSeq
+    assert(capped.forall(_._4), "capped rows must carry truncated = true")
+    assert(capped.map(_._2).sum == cap, "chunks must cover exactly cap chars")
+    // ≡ uncapped chunking of the prefix
+    val pre = graft.ops.Chunking.cdcChunks(
+        Seq((1L, text.substring(0, cap))).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select(col("chunk_no"), col("chunk_len"), col("chunk_md5"),
+        col("truncated"))
+      .as[(Long, Long, String, Boolean)].collect().sortBy(_._1).toSeq
+    assert(pre.forall(!_._4))
+    assert(capped.map(c => (c._1, c._2, c._3)) == pre.map(c => (c._1, c._2, c._3)))
+  }
 }

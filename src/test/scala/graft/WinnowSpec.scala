@@ -56,6 +56,30 @@ class WinnowSpec extends SparkSpec {
     assert((fps(1L) & fps(2L)).isEmpty)
   }
 
+  test("maxChars skew cap: 10 MB document stays bounded, truncation is loud") {
+    // per-task transient state is O(maxChars), not O(doc): the gram
+    // sequence is bounded BEFORE hashing, so this completes with a small
+    // cap where the uncapped form would stage ~10M md5 strings
+    val big = {
+      val sb = new StringBuilder(10 * 1024 * 1024)
+      var i = 0
+      while (i < 10 * 1024 * 1024) { sb.append(('a' + (i * 7919 % 26)).toChar); i += 1 }
+      sb.toString
+    }
+    val cap = 5000
+    val df = Seq((1L, big)).toDF("doc_id", "text")
+    val rows = Winnow.fingerprints(df, "doc_id", "text", k = 5, w = 4,
+      maxChars = cap).collect()
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(2)),
+      "capped rows must carry truncated = true")
+    // semantics: capped run ≡ uncapped run over the first cap chars
+    val pre = Seq((1L, big.substring(0, cap))).toDF("doc_id", "text")
+    val wantRows = Winnow.fingerprints(pre, "doc_id", "text", k = 5, w = 4)
+      .collect()
+    assert(wantRows.forall(!_.getBoolean(2)), "under-cap rows unflagged")
+    assert(rows.map(_.getString(1)).toSet == wantRows.map(_.getString(1)).toSet)
+  }
+
   test("nearDuplicates: fingerprint equi-join surfaces the overlapping pair, a<b") {
     val fps = Winnow.fingerprints(docs, "doc_id", "text", k = 5, w = 4)
     val pairs = Winnow.nearDuplicates(fps, "doc_id", minShared = 1L)
