@@ -279,4 +279,56 @@ class ScalePathSpec extends SparkSpec {
       .count()
     assert(got == want && got > 0)
   }
+
+  // ---- round-9 Catalyst-trap regression gates -------------------------
+  // The three traps (PLANS.md / round-9): CollapseProject inlining of
+  // let-bound arrays, per-fold-step re-evaluation inside aggregate()
+  // lambdas, lateral alias capture. These gates fail loudly if a future
+  // Spark upgrade re-inlines or re-shapes the fixed plans.
+
+  private def countOccurrences(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("gate: winnow fingerprints — no window/sort, md5 scan evaluated once") {
+    val fps = graft.ops.Winnow.fingerprints(
+      Tables(spark, sf).documents, "doc_id", "text")
+    val plan = fps.queryExecution.executedPlan.toString
+    // the zero-shuffle array form: no Window, no Sort (the pre-rewrite
+    // explode+window shape had both). The only Exchange allowed is the
+    // Spread parallelism floor (identity at real split counts).
+    assert(!plan.contains("Window"), s"winnow regressed to a window:\n$plan")
+    assert(!plan.contains("Sort "), s"winnow regressed to a sort:\n$plan")
+    assert(countOccurrences(plan, "Exchange") <= 1,
+      s"winnow shuffles beyond the Spread floor:\n$plan")
+    // let-binding held: the O(n)-gram md5 hash pass appears ONCE in the
+    // optimized plan — CollapseProject re-inlining it into each of the n
+    // window-minimum consumers would print it per consumer
+    val m = countOccurrences(plan, "md5(")
+    assert(m == 1, s"winnow md5 let-binding inlined ($m call sites):\n$plan")
+  }
+
+  test("gate: cdc chunking — cut-array let-binding survives optimization") {
+    val tab = graft.ops.Chunking.cdcChunks(
+      Tables(spark, sf).documents, "doc_id", "text")
+    val plan = tab.queryExecution.optimizedPlan.toString
+    // exactly two md5 call sites: the boundary gram hash (inside the
+    // let-bound cut array) and the final chunk_md5 — inlining the cut
+    // array into its three element_at readers would multiply the former
+    // (the measured 57 s vs 3.9 s trap)
+    val m = countOccurrences(plan, "md5(")
+    assert(m == 2, s"cdc cut-array let-binding inlined ($m call sites):\n$plan")
+  }
+
+  test("gate: series folds stay native single-call (no aggregate() HOF)") {
+    val ev = Tables(spark, sf).events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+    val out = graft.ops.Smoothing.ewma(
+      ev, "user_id", "us", "event_id", "value", 0.3)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(countOccurrences(plan, "ewma_fold") == 1,
+      s"ewma fold not exactly one native call:\n$plan")
+    assert(!plan.contains("aggregate("),
+      s"ewma regressed to the per-step-re-eval aggregate() HOF:\n$plan")
+  }
 }
