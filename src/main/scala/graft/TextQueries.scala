@@ -981,6 +981,91 @@ object TextQueries {
             FROM bc JOIN c1 USING (w1) JOIN c2 USING (w2), n
             WHERE c12 >= 5"""))
 
+  /** Per-source rank normalization
+    * ([[graft.ops.Curation.rankNormalize]]): percentile-calibrated
+    * scores within each source — the cross-source-comparable form a
+    * mixing decision needs. ONE group-keyed window; rank ties share a
+    * value so no id tiebreak is needed for determinism. */
+  val qRankNormalize = Q(
+    "q_rank_normalize",
+    (s, dir) => {
+      graft.ops.Curation.rankNormalize(
+        Tables(s, dir).documents.select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "n_chars")
+    },
+    Some("""SELECT doc_id, source, n_chars,
+              floor(percent_rank() OVER (PARTITION BY source
+                ORDER BY n_chars) * 10000 + 0.5) / 10000 AS pct
+            FROM documents"""))
+
+  /** Phrase-blocklist gate ([[graft.ops.Curation.blocklistFilter]]):
+    * token-blocked candidate generation (doc tokens ⋈ broadcast
+    * first-token table) + full-phrase verify — never corpus × phrases.
+    * The oracle states the naive doc×phrase containment semantics the
+    * blocked plan must reproduce; one never-matching phrase pins the
+    * zero-hit path. */
+  val qBlocklist = Q(
+    "q_blocklist",
+    (s, dir) => {
+      graft.ops.Curation.blocklistFilter(
+          Tables(s, dir).documents, "doc_id", "text",
+          Seq("table hash", "slow key", "customer join",
+            "purple monkey dishwasher"))
+        .select(col("doc_id"), col("n_hits"),
+          array_join(col("hit_phrases"), ",").as("hits_csv"), col("keep"))
+    },
+    Some("""WITH p(phrase) AS (VALUES ('table hash'), ('slow key'),
+              ('customer join'), ('purple monkey dishwasher')),
+            d AS (SELECT doc_id,
+                    ' ' || regexp_replace(trim(text), '\s+', ' ', 'g')
+                      || ' ' AS t
+                  FROM documents),
+            hit AS (SELECT d.doc_id, p.phrase FROM d, p
+                    WHERE contains(d.t, ' ' || p.phrase || ' ')),
+            agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+                      string_agg(phrase, ',' ORDER BY phrase) AS hits_csv
+                    FROM hit GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(a.n_hits, 0) AS n_hits,
+              coalesce(a.hits_csv, '') AS hits_csv,
+              a.n_hits IS NULL AS keep
+            FROM d LEFT JOIN agg a USING (doc_id)"""))
+
+  /** Interpolated Kneser–Ney bigram smoothing
+    * ([[graft.functions.TermStats.kneserNeyBigrams]], D = 0.75): exact
+    * BIGINT count/continuation/type statistics over the corpus bigram
+    * table, one fixed-order double formula both sides. The oracle
+    * restates the textbook definition relationally (left stats from one
+    * grouped pass, the novelty count N₁₊(·,w2) from distinct left
+    * contexts). */
+  val qKneserNey = Q(
+    "q_kneser_ney",
+    (s, dir) => {
+      graft.functions.TermStats.kneserNeyBigrams(
+        Tables(s, dir).documents, "text", minCount = 5L)
+    },
+    Some("""WITH toks AS (
+              SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                       w -> length(w) > 0) AS t
+              FROM documents),
+            pairs AS (
+              SELECT t[s + 1] AS w1, t[s + 2] AS w2
+              FROM (SELECT t, unnest(range(0, len(t) - 1)) AS s
+                    FROM toks WHERE len(t) >= 2)),
+            bc AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+            lf AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                          CAST(count(*) AS BIGINT) AS t1
+                   FROM bc GROUP BY w1),
+            ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS cont
+                   FROM bc GROUP BY w2),
+            bt AS (SELECT CAST(count(*) AS BIGINT) AS btypes FROM bc)
+            SELECT w1, w2, c12,
+              floor((greatest(c12::DOUBLE - 0.75, 0.0) / c1
+                     + 0.75 * t1 / c1 * cont / btypes)
+                * 10000 + 0.5) / 10000 AS p_kn
+            FROM bc JOIN lf USING (w1) JOIN ct USING (w2), bt
+            WHERE c12 >= 5"""))
+
   /** Full BPE merge-learning loop (10 rounds over the vocabulary-bounded
     * word table), now with a FULL oracle: the iterative state update is
     * unrolled as k MATERIALIZED CTE rounds (the q_hits/q_kcore
@@ -1869,7 +1954,7 @@ SELECT * FROM ($union)"""
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
     qGopherRules, qChunk, qTemperatureMix, qDsirWeights, qGreedyPieces,
-    qPerplexity, qC4Filter, qEpochMix, qTfidf, qPmi, qBpeTrain,
+    qPerplexity, qC4Filter, qEpochMix, qTfidf, qPmi, qKneserNey, qRankNormalize, qBlocklist, qBpeTrain,
     qWeightedSample, qEntropy, qRrfFusion, qSuffixArray, qLongestRepeat,
     qGlobalSuffix, qCrossRepeat, qWinnow, qWinnowPairs, qRingNegatives,
     qLeakageSplit, qChi2Terms, qFeatureHash, qRake, qScriptDetect, qLuhnScan, qReadability, qJsDrift, qNgramNovelty, qBurstiness, qZipfFit)

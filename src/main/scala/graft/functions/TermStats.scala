@@ -92,6 +92,60 @@ object TermStats {
             / (col("c1") * col("c2"))) * 10000 + lit(0.5)) / 10000).as("pmi"))
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney, ICASSP
+    * 1995; the absolute-discounting form of Chen & Goodman 1999 §2.7) —
+    * the smoothing a count-based LM quality filter actually wants:
+    *
+    *   P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+    *            + D·N₁₊(w1,·)/c(w1·) · N₁₊(·,w2)/B
+    *
+    * where N₁₊(w1,·) = distinct continuations of w1, N₁₊(·,w2) = distinct
+    * LEFT contexts of w2 (the "how many contexts has this word completed"
+    * novelty count that distinguishes KN from plain backoff), and B =
+    * distinct bigram types. D is the standard 0.75 absolute discount.
+    *
+    * Numeric contract: every count is an exact BIGINT from
+    * vocabulary-bounded aggregation; the probability is ONE fixed-order
+    * double expression over those integers (identical IEEE sequence in
+    * the oracle), floored at 4 decimals.
+    *
+    * Scale shape: tokenize/pair in the scan stage; the bigram count
+    * table is checkpointed once and feeds three vocabulary-bounded
+    * partial aggregates (left-context stats fused into ONE groupBy); the
+    * type total is a 1-row broadcast. The corpus never shuffles — only
+    * (token-pair, count) rows do. */
+  def kneserNeyBigrams(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    val toks = df.select(
+      filter(split(trim(col(textCol)), "\\s+"), w => length(w) > 0).as("__t"))
+    val pairs = toks
+      .select(explode(when(size(col("__t")) >= 2,
+          transform(sequence(lit(0), size(col("__t")) - 2),
+            i => struct(element_at(col("__t"), i + 1).as("w1"),
+              element_at(col("__t"), i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("__b"))
+      .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val bc = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true) // feeds three marginals + the final join
+    val left = bc.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("t1"))
+    val cont = bc.groupBy(col("w2")).agg(count(lit(1)).as("cont"))
+    val btypes = bc.agg(count(lit(1)).as("btypes"))
+    bc.filter(col("c12") >= minCount)
+      .join(left, "w1").join(cont, "w2").crossJoin(broadcast(btypes))
+      .select(col("w1"), col("w2"), col("c12"),
+        (floor((greatest(col("c12").cast("double") - discount, lit(0.0))
+            / col("c1")
+          + lit(discount) * col("t1") / col("c1") * col("cont")
+            / col("btypes"))
+          * 10000 + lit(0.5)) / 10000).as("p_kn"))
+  }
+
   /** χ² distinctive-term selection per class (the feature-selection
     * battery of Yang & Pedersen, ICML 1997): for each (class, term) over
     * DISTINCT per-doc tokens, the 2×2 contingency is

@@ -185,4 +185,77 @@ object Curation {
         (col("__n") - size(col("__kept"))).as("n_dropped"),
         (size(col("__kept")) >= minLines && !col("__ban")).as("page_keep"))
   }
+  /** Per-group rank normalization (score calibration): raw quality
+    * scores are not comparable ACROSS sources (each scorer/domain has
+    * its own scale), so mixing decisions use the within-group percentile
+    * instead — `pct = percent_rank()` over the group, 0 for the worst
+    * document of its source, 1 for the best. Ties share a rank (SQL
+    * `rank` semantics), so the output is deterministic without an id
+    * tiebreak and identical across engines.
+    *
+    * Scale shape: ONE window keyed on the group column — the same
+    * exchange a per-source groupBy would pay; nothing else moves. Skewed
+    * giant sources sort within their partitions (Spark spills window
+    * sorts); if one source dominates the corpus, pre-split it upstream.
+    */
+  def rankNormalize(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    df.withColumn("pct",
+      floor(percent_rank().over(w) * 10000 + lit(0.5)) / 10000)
+  }
+
+  /** Token-blocked phrase-blocklist filter (the C4 "bad words" gate at
+    * phrase granularity): flag every document containing any of
+    * `phrases` as a whitespace-delimited phrase match.
+    *
+    * Scale shape — never corpus × phrases: documents explode to DISTINCT
+    * (doc, token) rows; the phrase table (tiny) keys by its FIRST token
+    * and broadcast-joins against them, so a document only pairs with
+    * phrases whose first token it contains. Survivor candidates
+    * (bounded by first-token selectivity) equi-join back to the corpus
+    * on the doc id for full-phrase verification — one substring check on
+    * the single-spaced normalized text per candidate. Two doc-keyed
+    * shuffles + one broadcast; the full text crosses an exchange only
+    * for candidate docs.
+    *
+    * Output: one row per INPUT document — n_hits, hit phrases sorted
+    * (empty when clean), keep = no hit. */
+  def blocklistFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "empty blocklist")
+    require(phrases.forall(_.trim.nonEmpty), "blank phrase in blocklist")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ptab = phrases.map(_.trim.replaceAll("\\s+", " "))
+      .map(p => (p.split(" ").head, p)).toDF("tok", "phrase")
+    val norm = concat(lit(" "),
+      regexp_replace(trim(col(textCol)), "\\s+", " "), lit(" "))
+    val docs = df.select(col(idCol), norm.as("__t")).localCheckpoint(false)
+    val toks = docs.select(col(idCol),
+      explode(array_distinct(split(trim(col("__t")), " "))).as("tok"))
+    val candidates = toks.join(broadcast(ptab), "tok")
+      .select(col(idCol), col("phrase")).distinct()
+    val hits = candidates.join(docs, Seq(idCol))
+      .filter(col("__t").contains(concat(lit(" "), col("phrase"), lit(" "))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        array_sort(collect_list(col("phrase"))).as("hit_phrases"))
+    df.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("hit_phrases"),
+          array().cast("array<string>")).as("hit_phrases"),
+        // NOT col("n_hits").isNull as a sibling of the n_hits re-alias —
+        // lateral alias capture would bind it to the coalesced sibling
+        // (the round-9 trap); this form reads only the join output
+        (coalesce(col("n_hits"), lit(0L)) === 0).as("keep"))
+  }
 }
