@@ -434,4 +434,59 @@ class OpsSpec extends SparkSpec {
       df.repartition(7), "k", "o", "id", "x", 6.0, 0.5, 4.0)
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
+  test("blocklistFilter: phrase positions, failed candidates, normalization, zero-hit") {
+    import graft.ops.Curation
+    val docs = Seq(
+      (1L, "bad phrase in the middle here"),       // mid-text hit
+      (2L, "bad phrase leads this document"),      // at start
+      (3L, "this one ends with bad phrase"),       // at end
+      (4L, "bad luck only, no full match"),        // first token, verify fails
+      (5L, "totally clean text"),                  // clean
+      (6L, "weird   spacing  bad   phrase works"), // multi-space normalized
+      (7L, "bad phrase and also worse phrase")     // two hits
+    ).toDF("doc_id", "text")
+    val out = Curation.blocklistFilter(docs, "doc_id", "text",
+        Seq("bad phrase", "worse phrase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[String](2).toList, r.getBoolean(3))).sortBy(_._1).toList
+    assert(out == List(
+      (1L, 1L, List("bad phrase"), false),
+      (2L, 1L, List("bad phrase"), false),
+      (3L, 1L, List("bad phrase"), false),
+      (4L, 0L, Nil, true),
+      (5L, 0L, Nil, true),
+      (6L, 1L, List("bad phrase"), false),
+      (7L, 2L, List("bad phrase", "worse phrase"), false)), s"got $out")
+  }
+
+  test("rankNormalize: ties share a percentile; endpoints are 0 and 1") {
+    import graft.ops.Curation
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 20.0), ("a", 4L, 40.0),
+      ("b", 5L, 7.0)).toDF("src", "id", "score")
+    val got = Curation.rankNormalize(df, "src", "score")
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    assert(got(1L) == 0.0 && got(4L) == 1.0)
+    assert(got(2L) == got(3L), "ties must share a percentile")
+    // rank semantics: (rank-1)/(n-1) = (2-1)/3
+    assert(math.abs(got(2L) - 0.3333) < 1e-9)
+    assert(got(5L) == 0.0, "singleton group sits at 0 (percent_rank)")
+  }
+
+  test("kneserNeyBigrams: hand-computed probability on a 3-doc corpus") {
+    import graft.functions.TermStats
+    // corpus bigrams: (a b) x2, (a c) x1, (d b) x1
+    val docs = Seq("a b", "a b", "a c", "d b").toDF("text")
+    val got = TermStats.kneserNeyBigrams(docs, "text", minCount = 1L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // counts: c(a.)=3, T1(a)=2 {b,c}; c(d.)=1, T1(d)=1; cont(b)=2 {a,d},
+    // cont(c)=1; B=3 bigram types
+    // P(b|a) = (2-.75)/3 + .75*2/3*(2/3) = 0.41667 + 0.33333 = 0.75
+    assert(got(("a", "b")) == ((2L, 0.75)))
+    // P(c|a) = (1-.75)/3 + .75*2/3*(1/3) = 0.08333 + 0.16667 = 0.25
+    assert(got(("a", "c")) == ((1L, 0.25)))
+    // P(b|d) = (1-.75)/1 + .75*1/1*(2/3) = 0.25 + 0.5 = 0.75
+    assert(got(("d", "b")) == ((1L, 0.75)))
+  }
 }
