@@ -1794,6 +1794,62 @@ object Queries {
             FROM r JOIN ex USING (event_type)
             WHERE rn = least(nd, 64)"""))
 
+  /** KMV sketch SET ALGEBRA ([[graft.ops.Kmv.setEstimates]]): pairwise
+    * vocabulary overlap between document sources — union/intersection
+    * estimates and Jaccard from the per-source bottom-64 token sketches
+    * alone, no second corpus scan (the theta-sketch trick HLL registers
+    * cannot do). The oracle rebuilds each bottom-k set relationally and
+    * replays the identical md5₄₈ estimator arithmetic. */
+  val qKmvSetops = Q(
+    "q_kmv_setops",
+    (s, dir) => {
+      val toks = Tables(s, dir).documents
+        .select(col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+      graft.ops.Kmv.setEstimates(toks, col("w"), "source", k = 64)
+    },
+    Some("""WITH h AS (
+              SELECT DISTINCT source,
+                ('0x' || substring(md5(w), 1, 12))::BIGINT AS h
+              FROM (SELECT source,
+                      unnest(string_split_regex(trim(text), '\s+')) AS w
+                    FROM documents)
+              WHERE w <> ''),
+            r AS (
+              SELECT source, h,
+                row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+              FROM h),
+            sk AS (
+              SELECT source, list(h ORDER BY h) AS ks
+              FROM r WHERE rn <= 64 GROUP BY source),
+            pairs AS (
+              SELECT a.source AS ga, b.source AS gb, a.ks AS ka, b.ks AS kb
+              FROM sk a JOIN sk b ON a.source < b.source),
+            c1 AS (
+              SELECT ga, gb, ka, kb,
+                list_slice(list_sort(list_distinct(ka || kb)), 1, 64) AS ku
+              FROM pairs),
+            c2 AS (
+              SELECT ga, gb, len(ku) AS nu,
+                len(list_filter(ku, x ->
+                  list_contains(ka, x) AND list_contains(kb, x))) AS nboth,
+                ku
+              FROM c1),
+            c3 AS (
+              SELECT ga, gb, nu, nboth,
+                CASE WHEN nu < 64 THEN CAST(nu AS BIGINT)
+                     ELSE CAST(floor(63.0 * 281474976710656.0
+                                     / CAST(ku[64] AS DOUBLE)) AS BIGINT)
+                END AS union_est
+              FROM c2)
+            SELECT ga, gb, CAST(nu AS BIGINT) AS n_union_kept, union_est,
+              CAST(floor(CAST(nboth AS DOUBLE) * CAST(union_est AS DOUBLE)
+                         / CAST(nu AS DOUBLE)) AS BIGINT) AS inter_est,
+              floor(CAST(nboth AS DOUBLE) / CAST(nu AS DOUBLE)
+                * 10000 + 0.5) / 10000 AS jaccard
+            FROM c3"""))
+
   /** Unpivot (inverse of q_pivot): wide per-flag measures back to long
     * (flag, measure, value) triples — `Dataset.unpivot` is a zero-shuffle
     * Expand over the (already tiny) aggregate. */
@@ -4150,7 +4206,7 @@ object Queries {
     qRollup, qCube, qRangeJoin, qMovingAvg, qPivot, qSetOps, qTopkAgg,
     qGroupingSets, qScalarSubquery, qPercentiles, qSessionize,
     qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram, qHdrQuantiles, qTheilSen, qWinsorized, qBenford, qHillTail, qParetoAbc, qSpearman, qSprt, qHashRing, qKsTest, qLateEvents, qKaplanMeier, qGoodTuring,
-    qQuantileBins, qKmvDistinct,
+    qQuantileBins, qKmvDistinct, qKmvSetops,
     qUnpivot, qOuterJoin, qWindowRank, qGapFill,
     qDqAudit, qCdcSnapshot, qSnapshotDiff, qMergeUpsert, qHopping, q5Revenue, q13Custdist,
     qNotIn, qSetOpsAll, qIntervalJoin, qZorder,

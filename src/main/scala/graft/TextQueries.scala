@@ -840,6 +840,63 @@ object TextQueries {
             FROM bigrams JOIN probs USING (w1, w2)
             GROUP BY doc_id"""))
 
+  /** CCNet head/middle/tail perplexity buckets (Wenzek et al. 2020 §4.3
+    * — the actual corpus-selection step their LM perplexity feeds):
+    * per-language perplexity TERCILES split documents into head (best
+    * third), middle, tail. Composes [[graft.ops.Curation
+    * .bigramPerplexity]] with the exact-percentile cut pattern of
+    * q_percentiles; thresholds compare on the fl4-floored ppl both
+    * sides, so bucket boundaries cannot drift between engines. Scale:
+    * the cut table is |languages| rows broadcast back; the corpus joins
+    * it on lang — nothing new shuffles beyond the perplexity op. */
+  val qCcnetBuckets = Q(
+    "q_ccnet_buckets",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val ppl = graft.ops.Curation.bigramPerplexity(docs, "doc_id", "text")
+      val wl = ppl.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .localCheckpoint(true) // feeds the cut table AND the bucket join
+      val cuts = wl.groupBy(col("lang")).agg(
+        expr("percentile(ppl, 1.0D/3.0D)").as("p33"),
+        expr("percentile(ppl, 2.0D/3.0D)").as("p66"))
+      wl.join(broadcast(cuts), "lang")
+        .select(col("doc_id"), col("lang"), col("ppl"),
+          when(col("ppl") <= col("p33"), "head")
+            .when(col("ppl") <= col("p66"), "middle")
+            .otherwise("tail").as("bucket"))
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+            bigrams AS (
+              SELECT doc_id,
+                t[s + 1] AS w1, t[s + 2] AS w2
+              FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS s
+                    FROM toks WHERE len(t) >= 2)),
+            bc AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY w1, w2),
+            hc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+            vs AS (SELECT count(DISTINCT w) AS v FROM (
+                     SELECT unnest(t) AS w FROM toks)),
+            probs AS (
+              SELECT bc.w1, bc.w2,
+                ln((c12 + 1)::DOUBLE / (c1 + v)::DOUBLE) AS lp
+              FROM bc JOIN hc USING (w1), vs),
+            ppl AS (
+              SELECT doc_id,
+                floor(exp(-sum(lp) / count(*)) * 10000 + 0.5) / 10000 AS ppl
+              FROM bigrams JOIN probs USING (w1, w2)
+              GROUP BY doc_id),
+            wl AS (SELECT p.doc_id, d.lang, p.ppl
+                   FROM ppl p JOIN documents d USING (doc_id)),
+            cuts AS (SELECT lang,
+                       quantile_cont(ppl, 1.0/3.0) AS p33,
+                       quantile_cont(ppl, 2.0/3.0) AS p66
+                     FROM wl GROUP BY lang)
+            SELECT doc_id, lang, ppl,
+              CASE WHEN ppl <= p33 THEN 'head'
+                   WHEN ppl <= p66 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+            FROM wl JOIN cuts USING (lang)"""))
+
   /** TF-IDF keyterm extraction: top-3 terms per document (smoothed idf,
     * lexicographic tie-break → total order). The oracle recomputes tf,
     * df and the windowed top-k relationally. */
@@ -980,6 +1037,53 @@ object TextQueries {
                 AS pmi
             FROM bc JOIN c1 USING (w1) JOIN c2 USING (w2), n
             WHERE c12 >= 5"""))
+
+  /** HTML/markup stripping
+    * ([[graft.functions.TextFunctions.stripMarkup]]): per-doc HTML is
+    * SYNTHESIZED around the document text (script with a `<` in its
+    * body, style, comment, tags, all five entities — every branch of
+    * the stripper exercised), then stripped back; the oracle replays
+    * the identical regex chain in RE2 (shared syntax by construction).
+    * Output is md5+length of the cleaned text, so a one-character
+    * divergence anywhere fails the hash. */
+  val qStripMarkup = Q(
+    "q_strip_markup",
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val html = concat(
+        lit("<html><head><title>t</title><style type=\"text/css\">.c { color: red; }</style>" +
+          "<script>if (a < b) { f(\"x\"); }</script><!-- note --></head><body><p>"),
+        col("text"),
+        lit("</p><div class=\"f\">&amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>"))
+      val clean = TextFunctions.stripMarkup(html)
+      Tables(s, dir).documents.select(col("doc_id"),
+        md5(clean).as("clean_md5"),
+        length(clean).cast("long").as("clean_len"))
+    },
+    Some("""WITH h AS (
+              SELECT doc_id,
+                '<html><head><title>t</title><style type="text/css">.c { color: red; }</style>'
+                || '<script>if (a < b) { f("x"); }</script><!-- note --></head><body><p>'
+                || text ||
+                '</p><div class="f">&amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>'
+                  AS html
+              FROM documents),
+            c AS (
+              SELECT doc_id, trim(regexp_replace(
+                replace(replace(replace(replace(replace(replace(
+                  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                    html,
+                    '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                    '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                    '(?s)<!--.*?-->', ' ', 'g'),
+                    '<[^>]*>', ' ', 'g'),
+                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                  '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                '\s+', ' ', 'g')) AS clean
+              FROM h)
+            SELECT doc_id, md5(clean) AS clean_md5,
+              CAST(length(clean) AS BIGINT) AS clean_len
+            FROM c"""))
 
   /** Per-source rank normalization
     * ([[graft.ops.Curation.rankNormalize]]): percentile-calibrated
@@ -1954,7 +2058,7 @@ SELECT * FROM ($union)"""
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
     qGopherRules, qChunk, qTemperatureMix, qDsirWeights, qGreedyPieces,
-    qPerplexity, qC4Filter, qEpochMix, qTfidf, qPmi, qKneserNey, qRankNormalize, qBlocklist, qBpeTrain,
+    qPerplexity, qCcnetBuckets, qC4Filter, qEpochMix, qTfidf, qPmi, qKneserNey, qStripMarkup, qRankNormalize, qBlocklist, qBpeTrain,
     qWeightedSample, qEntropy, qRrfFusion, qSuffixArray, qLongestRepeat,
     qGlobalSuffix, qCrossRepeat, qWinnow, qWinnowPairs, qRingNegatives,
     qLeakageSplit, qChi2Terms, qFeatureHash, qRake, qScriptDetect, qLuhnScan, qReadability, qJsDrift, qNgramNovelty, qBurstiness, qZipfFit)

@@ -9,6 +9,32 @@ import org.apache.spark.sql.functions._
   * shuffle; at 100 TB these run inside the scan stage.
   */
 object TextFunctions {
+  /** HTML/markup stripping — the boilerplate-removal step between a raw
+    * web crawl and every text operator in this package: drop
+    * script/style blocks wholesale (their CONTENT is code, not prose),
+    * remove remaining tags, decode the five core character entities
+    * (amp LAST, so `&amp;lt;` decodes to the literal `&lt;` and not to
+    * `<` — the standard anti-double-decode ordering), collapse
+    * whitespace. Pure chained regexp_replace — scan-stage, zero shuffle,
+    * and every pattern is shared Java-regex/RE2 syntax so a SQL oracle
+    * can replay the identical chain.
+    *
+    * This is the regex tier (NCSA-style cleaning), not a spec-complete
+    * HTML5 parser: CDATA, conditional comments and malformed nesting
+    * degrade gracefully (tags still stripped) rather than exactly. */
+  def stripMarkup(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val ent = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(from), to) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
 
   /** Occurrences of `needle` in `hay` via the replace trick (portable to any
     * SQL engine, no regex engine differences). */
