@@ -2336,6 +2336,62 @@ object Queries {
             FROM z
             ORDER BY z, event_id LIMIT 64"""))
 
+  /** Hilbert-curve layout clustering ([[graft.ops.Layout.hilbertIndex]],
+    * the locality-superior Z-order sibling — consecutive values are
+    * always ADJACENT cells, no power-of-two diagonal jumps): same
+    * bucket/bounds shape as q_zorder, the index from the unrolled
+    * 16-level xy2d fold. The oracle replays every level as its own CTE
+    * with PER-LEVEL column names (xk/yk/dk — immune to lateral alias
+    * capture) and must match the fold bit for bit. */
+  val qHilbert = Q(
+    "q_hilbert",
+    (s, dir) => {
+      graft.ops.Layout.withHilbertValue(
+          Tables(s, dir).events.select(col("event_id"), col("value"),
+            col("user_id")),
+          "value", "user_id", bits = 16)
+        .select(col("event_id"), col("h"))
+        .orderBy(col("h"), col("event_id"))
+        .limit(64)
+    },
+    Some(hilbertOracle(16)))
+
+  /** Unrolled xy2d CTE chain for [[qHilbert]] — step K processes level
+    * i = bits − K over state (x{K−1}, y{K−1}, d{K−1}). */
+  private def hilbertOracle(bits: Int): String = {
+    val n = 1L << bits
+    val steps = (1 to bits).map { k =>
+      val i = bits - k
+      val s = 1L << i
+      val px = s"x${k - 1}"; val py = s"y${k - 1}"; val pd = s"d${k - 1}"
+      s"""st$k AS (
+              SELECT event_id,
+                CASE WHEN (($py >> $i) & 1) = 0
+                     THEN CASE WHEN (($px >> $i) & 1) = 1
+                               THEN ${n - 1} - $py ELSE $py END
+                     ELSE $px END AS x$k,
+                CASE WHEN (($py >> $i) & 1) = 0
+                     THEN CASE WHEN (($px >> $i) & 1) = 1
+                               THEN ${n - 1} - $px ELSE $px END
+                     ELSE $py END AS y$k,
+                $pd + ${s * s} * xor(3 * (($px >> $i) & 1),
+                                     ($py >> $i) & 1) AS d$k
+              FROM st${k - 1})"""
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT min(value) AS xlo, max(value) AS xhi,
+                 min(user_id) AS ylo, max(user_id) AS yhi FROM events),
+        st0 AS (SELECT event_id,
+                  least(${n - 1}, CAST(floor((value - xlo) * $n
+                    / (xhi - xlo + 1e-12)) AS BIGINT)) AS x0,
+                  least(${n - 1}, CAST(floor((user_id - ylo) * $n
+                    / (yhi - ylo + 1e-12)) AS BIGINT)) AS y0,
+                  CAST(0 AS BIGINT) AS d0
+                FROM events, b),
+        $steps
+        SELECT event_id, CAST(d$bits AS BIGINT) AS h
+        FROM st$bits ORDER BY h, event_id LIMIT 64"""
+  }
+
   /** Tukey-fence outlier profile per event type: exact quartiles → IQR
     * fences → per-type outlier accounting. The quartile table is rows =
     * #types (tiny) and broadcasts back onto the fact scan — the events
@@ -4209,7 +4265,7 @@ object Queries {
     qQuantileBins, qKmvDistinct, qKmvSetops,
     qUnpivot, qOuterJoin, qWindowRank, qGapFill,
     qDqAudit, qCdcSnapshot, qSnapshotDiff, qMergeUpsert, qHopping, q5Revenue, q13Custdist,
-    qNotIn, qSetOpsAll, qIntervalJoin, qZorder,
+    qNotIn, qSetOpsAll, qIntervalJoin, qZorder, qHilbert,
     qOutliers, qFfill, qAnomaly, qPagerank, qRandomWalks, qNode2vec, qLouvain,
     q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
     qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma, qCusum, qHolt, qHoltWinters, qSeasonalDecompose,
