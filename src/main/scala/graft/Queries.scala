@@ -827,6 +827,31 @@ object Queries {
             USING (user_id)
             GROUP BY event_type"""))
 
+  /** ADAPTIVE salted fact-fact join ([[graft.ops.SkewOps
+    * .adaptiveSaltedJoin]]): only keys with ≥ 20 events salt/replicate —
+    * the tail joins unsalted, so the dimension side grows by
+    * |hot|·(salts−1) rows, not |dim|·(salts−1) like the blanket-salt
+    * q_salted_join. Salt placement is md5-deterministic (retry-stable);
+    * the join is row-equivalent to the plain join, which is exactly what
+    * the oracle states. */
+  val qAdaptiveSalt = Q(
+    "q_adaptive_salt",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val dim = Tables(s, dir).events
+        .groupBy(col("user_id")).agg(count(lit(1)).as("user_total"))
+      graft.ops.SkewOps.adaptiveSaltedJoin(
+          ev, dim, "user_id", col("event_id"), salts = 8, hotMinCount = 20L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_total")).as("sum_user_total"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+              CAST(sum(user_total) AS BIGINT) AS sum_user_total
+            FROM events JOIN (
+              SELECT user_id, count(*) AS user_total FROM events GROUP BY user_id)
+            USING (user_id)
+            GROUP BY event_type"""))
+
   /** GROUPING SETS: the general form ROLLUP/CUBE are shorthands of —
     * three hand-picked grouping sets in ONE pass (a single Expand +
     * partial agg + one shuffle, same plan shape as q_rollup; the naive
@@ -4258,7 +4283,7 @@ object Queries {
   def all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3Topk, qWindow, qDistinct, qSemiAnti,
     qAggStats, qStreamWindow, qTopkPerGroup, qSketch, qHll, qCms,
-    qBloomJoin, qSaltedJoin, qAsofJoin,
+    qBloomJoin, qSaltedJoin, qAdaptiveSalt, qAsofJoin,
     qRollup, qCube, qRangeJoin, qMovingAvg, qPivot, qSetOps, qTopkAgg,
     qGroupingSets, qScalarSubquery, qPercentiles, qSessionize,
     qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram, qHdrQuantiles, qTheilSen, qWinsorized, qBenford, qHillTail, qParetoAbc, qSpearman, qSprt, qHashRing, qKsTest, qLateEvents, qKaplanMeier, qGoodTuring,

@@ -17,6 +17,29 @@ class SkewSketchSpec extends SparkSpec {
       plain.groupBy("k").count().orderBy("k").collect().toSeq)
   }
 
+  test("adaptiveSaltedJoin: row-equivalent, only hot keys replicate the dim side") {
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) 1 else i, i.toLong))
+      .toDF("k", "rid") // key 1 is hot (10% of rows); tail keys are singletons
+    val dim = Seq((1, "hot"), (2, "a"), (3, "b"), (77, "c")).toDF("k", "label")
+    val out = SkewOps.adaptiveSaltedJoin(
+      big, dim, "k", col("rid"), salts = 4, hotMinCount = 50L)
+    val plain = big.join(dim, Seq("k"), "inner")
+    assert(out.count() == plain.count())
+    assert(out.groupBy("k").count().orderBy("k").collect().toSeq ==
+      plain.groupBy("k").count().orderBy("k").collect().toSeq)
+    // hot rows actually spread over multiple salts (not all in bucket 0)
+    val hotSalts = big.filter(col("k") === 1)
+      .withColumn("__salt", pmod(
+        conv(substring(md5(col("rid").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(4L)))
+      .select("__salt").distinct().count()
+    assert(hotSalts > 1, "hot key must fan out over salts")
+    // determinism: identical output across runs (md5 salt, no rand())
+    val again = SkewOps.adaptiveSaltedJoin(
+      big, dim, "k", col("rid"), salts = 4, hotMinCount = 50L)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
+
   test("skewReport surfaces the hot key with its share") {
     val big = (1 to 100).map(i => (if (i <= 40) 7 else i, "x")).toDF("k", "v")
     val top = SkewOps.skewReport(big, "k", 1).head()
