@@ -1067,6 +1067,38 @@ object Queries {
                 * 10000 + 0.5) / 10000 AS alpha
             FROM tops t JOIN np USING (event_type)"""))
 
+  /** MAD robust-scale profile per event type
+    * ([[graft.ops.Robust.madProfile]]): median, 1.4826-scaled MAD, and
+    * the robust-z outlier count (|x − med| > 3·1.4826·MAD) — the
+    * 50%-breakdown companion to q_outliers' Tukey fences. The oracle
+    * replays both exact medians with quantile_cont and the identical
+    * comparison arithmetic. */
+  val qMad = Q(
+    "q_mad",
+    (s, dir) => {
+      graft.ops.Robust.madProfile(Tables(s, dir).events,
+          "event_type", "value")
+        .withColumnRenamed("k", "event_type")
+    },
+    Some("""WITH v AS (SELECT event_type AS k, value::DOUBLE AS v
+                       FROM events),
+            med AS (SELECT k, quantile_cont(v, 0.5) AS med
+                    FROM v GROUP BY k),
+            dev AS (SELECT v.k, abs(v.v - m.med) AS dev, m.med
+                    FROM v JOIN med m USING (k)),
+            madt AS (SELECT k, count(*) AS n, any_value(med) AS medraw,
+                       quantile_cont(dev, 0.5) AS madraw
+                     FROM dev GROUP BY k),
+            outl AS (SELECT d.k,
+                       CAST(sum(CASE WHEN d.dev > t.madraw * 1.4826 * 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+                     FROM dev d JOIN madt t USING (k) GROUP BY d.k)
+            SELECT t.k AS event_type, t.n,
+              floor(t.medraw * 10000 + 0.5) / 10000 AS median,
+              floor(t.madraw * 1.4826 * 10000 + 0.5) / 10000 AS mad_sigma,
+              o.n_outliers
+            FROM madt t JOIN outl o USING (k)"""))
+
   /** ABC / Pareto analysis of customer revenue per nation: rank by
     * revenue within nation, cumulative share classes A (≤80%),
     * B (≤95%), C — the classic concentration report. ALL sums run in
@@ -1305,6 +1337,53 @@ object Queries {
               floor(count(*)::DOUBLE / any_value(t.n) * 10000 + 0.5)
                 / 10000 AS share
             FROM assigned, tot t GROUP BY shard"""))
+
+  /** Rendezvous / HRW sharding ([[graft.ops.Rendezvous.hrwShard]]) —
+    * the ring's vnode-free sibling: per-shard balance by construction,
+    * and the MINIMAL-DISRUPTION property is checked EXACTLY — the query
+    * assigns every doc under 8 shards AND under 7 (shard 7 removed);
+    * only shard 7's docs may move (`n_moved` must be 0 elsewhere and
+    * n_docs on shard 7), which the oracle re-derives relationally.
+    * Zero shuffle for assignment: a `greatest` over 8 scan-stage
+    * structs, no ring table, no broadcast. */
+  val qHrwShard = Q(
+    "q_hrw_shard",
+    (s, dir) => {
+      import graft.ops.Rendezvous
+      val assigned = Tables(s, dir).documents.select(col("doc_id"),
+        Rendezvous.hrwShard(col("doc_id"), 0 until 8).as("shard"),
+        Rendezvous.hrwShard(col("doc_id"), 0 until 7).as("shard_after_drop"))
+      val counts = assigned.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("shard") =!= col("shard_after_drop"), 1L)
+            .otherwise(0L)).as("n_moved"))
+      val tot = counts.agg(sum(col("n_docs")).as("n"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"), col("n_moved"),
+          fl4(col("n_docs").cast("double") / col("n")).as("share"))
+    },
+    Some("""WITH w AS (
+              SELECT doc_id, s.range AS shard,
+                ('0x' || substring(md5('hrw:' || doc_id || ':' || s.range),
+                  1, 15))::BIGINT AS h
+              FROM documents, range(8) s),
+            a8 AS (
+              SELECT doc_id,
+                (max(struct_pack(h := h, s := shard))).s AS shard
+              FROM w GROUP BY doc_id),
+            a7 AS (
+              SELECT doc_id,
+                (max(struct_pack(h := h, s := shard))).s AS shard_after_drop
+              FROM w WHERE shard < 7 GROUP BY doc_id),
+            counts AS (
+              SELECT a8.shard, count(*) AS n_docs,
+                CAST(sum(CASE WHEN a8.shard <> a7.shard_after_drop
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+              FROM a8 JOIN a7 USING (doc_id) GROUP BY a8.shard),
+            tot AS (SELECT sum(n_docs) AS n FROM counts)
+            SELECT shard, n_docs, n_moved,
+              floor(n_docs::DOUBLE / t.n * 10000 + 0.5) / 10000 AS share
+            FROM counts, tot t"""))
 
   /** Kolmogorov–Smirnov two-sample statistic per event type between the
     * even- and odd-user cohorts: D = max |F̂_a − F̂_b| evaluated at the
@@ -4286,7 +4365,7 @@ object Queries {
     qBloomJoin, qSaltedJoin, qAdaptiveSalt, qAsofJoin,
     qRollup, qCube, qRangeJoin, qMovingAvg, qPivot, qSetOps, qTopkAgg,
     qGroupingSets, qScalarSubquery, qPercentiles, qSessionize,
-    qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram, qHdrQuantiles, qTheilSen, qWinsorized, qBenford, qHillTail, qParetoAbc, qSpearman, qSprt, qHashRing, qKsTest, qLateEvents, qKaplanMeier, qGoodTuring,
+    qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram, qHdrQuantiles, qTheilSen, qWinsorized, qMad, qBenford, qHillTail, qParetoAbc, qSpearman, qSprt, qHashRing, qHrwShard, qKsTest, qLateEvents, qKaplanMeier, qGoodTuring,
     qQuantileBins, qKmvDistinct, qKmvSetops,
     qUnpivot, qOuterJoin, qWindowRank, qGapFill,
     qDqAudit, qCdcSnapshot, qSnapshotDiff, qMergeUpsert, qHopping, q5Revenue, q13Custdist,

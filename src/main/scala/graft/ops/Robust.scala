@@ -86,6 +86,44 @@ object Robust {
           * 10000 + 0.5) / 10000).as("alpha"))
   }
 
+  /** Median-absolute-deviation profile per key — THE robust scale
+    * estimate (50% breakdown point; σ and IQR break at 50%/25% gross
+    * contamination): MAD = median(|x − median(x)|), consistency-scaled
+    * by 1.4826 to estimate σ under normality, plus the robust-z outlier
+    * count at |x − med| > 3·1.4826·MAD — the outlier rule that, unlike
+    * q_anomaly's rolling z-score, cannot be dragged by the outliers it
+    * hunts. Two exact-percentile passes: per-key median (tiny agg,
+    * joined back on the uniform key), then the deviation median + count
+    * in one second aggregate. Both engines interpolate percentiles
+    * identically (Spark percentile ≡ DuckDB quantile_cont), and the
+    * deviation values are identical doubles, so the verdicts are
+    * engine-exact before the fl4 floor. */
+  def madProfile(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String): DataFrame = {
+    val v = df.select(col(keyCol).as("k"), col(valCol).cast("double").as("v"))
+    val med = v.groupBy(col("k"))
+      .agg(expr("percentile(v, 0.5D)").as("med"))
+    // deviation relation feeds the MAD aggregate AND the outlier count
+    val dev = v.join(med, "k")
+      .withColumn("dev", abs(col("v") - col("med")))
+      .localCheckpoint(false)
+    val madT = dev.groupBy(col("k")).agg(
+      count(lit(1)).as("n"),
+      first(col("med")).as("medRaw"),
+      expr("percentile(dev, 0.5D)").as("madRaw"))
+    val outl = dev.join(madT.select(col("k"), col("madRaw")), "k")
+      .groupBy(col("k"))
+      .agg(sum(when(col("dev") > col("madRaw") * 1.4826 * 3, 1L)
+        .otherwise(0L)).as("n_outliers"))
+    madT.join(outl, "k")
+      .select(col("k"), col("n"),
+        (floor(col("medRaw") * 10000 + 0.5) / 10000).as("median"),
+        (floor(col("madRaw") * 1.4826 * 10000 + 0.5) / 10000).as("mad_sigma"),
+        col("n_outliers"))
+  }
+
   /** Winsorized and trimmed means per key at the [pLo, pHi] percentile
     * fences: `mean` (raw), `wins_mean` (values CLIPPED to the fences),
     * `trim_mean` (values OUTSIDE the fences dropped) — the standard
