@@ -1223,6 +1223,135 @@ object DedupQueries {
             SELECT probe_id, id, round(cos, 4) AS cosine, CAST(rk AS BIGINT) AS rk
             FROM ranked WHERE rk <= 3"""))
 
+  /** NN-Descent k-NN-graph refinement ([[graft.sim.Ann.nnDescent]],
+    * Dong et al. 2011): the IVF within-cell seed graph, then two
+    * local-join rounds; per round the query reports edge count and
+    * recall vs the exact graph — the monotone recall climb IS the
+    * algorithm's correctness signature. The oracle unrolls the entire
+    * recursion (IVF assignment, per-round candidate local join,
+    * (cos DESC, id)-pinned top-k, exact graph, recall arithmetic) as
+    * MATERIALIZED CTEs. */
+  val qNnDescent = Q(
+    "q_nn_descent",
+    (s, dir) => {
+      val sub = Tables(s, dir).embeddings.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val graphs = Ann.nnDescent(sub, "vec_id", "embedding",
+        k = 5, rounds = 2, nlist = 8)
+      val exact = Ann.knnJoinExact(sub, sub, "vec_id", "embedding", 5)
+        .select(col("probe_id").as("src"), col("id").as("dst"))
+        .localCheckpoint(true)
+      val rows = graphs.zipWithIndex.map { case (g, r) =>
+        g.select(col("src"), col("dst")).withColumn("round", lit(r.toLong))
+      }.reduce(_ unionByName _)
+      val tot = exact.agg(count(lit(1)).as("n_exact"))
+      val hits = rows.join(exact, Seq("src", "dst"))
+        .groupBy(col("round")).agg(count(lit(1)).as("n_hits"))
+      rows.groupBy(col("round")).agg(count(lit(1)).as("n_edges"))
+        .join(hits, Seq("round"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("round"), col("n_edges"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (floor(coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("n_exact") * 10000 + 0.5) / 10000).as("recall"))
+    },
+    Some(nnDescentOracle(rounds = 2)))
+
+  /** Unrolled NN-Descent oracle for [[qNnDescent]] — round r's CTEs are
+    * generated from one template (candidate local join over the
+    * undirected edge list, rescore, pinned top-5). */
+  private def nnDescentOracle(rounds: Int): String = {
+    def cos(av: String, bv: String): String =
+      s"""list_sum(list_transform(range(1, 65),
+            i -> $av[i]::DOUBLE * $bv[i]::DOUBLE)) /
+          (sqrt(list_sum(list_transform(range(1, 65),
+            i -> $av[i]::DOUBLE * $av[i]::DOUBLE))) *
+           sqrt(list_sum(list_transform(range(1, 65),
+            i -> $bv[i]::DOUBLE * $bv[i]::DOUBLE))))"""
+    val roundCtes = (1 to rounds).map { r =>
+      s"""und${r - 1} AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+              SELECT src, dst FROM g${r - 1}
+              UNION ALL SELECT dst, src FROM g${r - 1})),
+          cand$r AS (
+            SELECT DISTINCT src, dst FROM (
+              SELECT l.dst AS src, r2.dst AS dst
+              FROM und${r - 1} l JOIN und${r - 1} r2
+                ON l.src = r2.src AND l.dst <> r2.dst
+              UNION ALL SELECT src, dst FROM g${r - 1})),
+          p$r AS (
+            SELECT c.src, c.dst, ${cos("sa.v", "sb.v")} AS cc
+            FROM cand$r c JOIN sub sa ON sa.id = c.src
+              JOIN sub sb ON sb.id = c.dst),
+          g$r AS MATERIALIZED (
+            SELECT src, dst FROM (
+              SELECT src, dst, row_number() OVER
+                (PARTITION BY src ORDER BY cc DESC, dst) AS rk
+              FROM p$r) WHERE rk <= 5)"""
+    }.mkString(",\n")
+    val recalls = (0 to rounds).map { r =>
+      s"""SELECT $r AS round,
+            (SELECT count(*) FROM g$r) AS n_edges,
+            (SELECT count(*) FROM g$r JOIN exact USING (src, dst))
+              AS n_hits"""
+    }.mkString(" UNION ALL ")
+    s"""WITH sub AS MATERIALIZED (
+          SELECT vec_id AS id, embedding AS v FROM embeddings
+          WHERE vec_id % 5 = 0),
+        cents AS (SELECT id AS cid, v AS cv FROM sub ORDER BY id LIMIT 8),
+        asg AS MATERIALIZED (
+          SELECT s.id, (min(struct_pack(
+            dist := list_sum(list_transform(range(1, 65),
+              i -> (s.v[i]::DOUBLE - c.cv[i]::DOUBLE)
+                 * (s.v[i]::DOUBLE - c.cv[i]::DOUBLE))),
+            cid := c.cid))).cid AS cid
+          FROM sub s, cents c GROUP BY s.id),
+        sc AS MATERIALIZED (
+          SELECT s.id, s.v, a.cid FROM sub s JOIN asg a USING (id)),
+        rkd AS MATERIALIZED (
+          SELECT id, row_number() OVER (ORDER BY hsh, id) AS rn
+          FROM (SELECT id,
+                  ('0x' || substring(md5('nnd:' || id), 1, 15))::BIGINT
+                    AS hsh
+                FROM sub)),
+        ncnt AS (SELECT count(*) AS ntot FROM rkd),
+        ringp AS (
+          SELECT a.id AS src, b.id AS dst
+          FROM rkd a, ncnt, (VALUES (1), (2)) d(delta), rkd b
+          WHERE b.rn = ((a.rn - 1 + d.delta) % ntot) + 1
+            AND a.id <> b.id),
+        seed AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT a.id AS src, b.id AS dst
+            FROM sc a JOIN sc b ON a.cid = b.cid AND a.id <> b.id
+            UNION ALL SELECT src, dst FROM ringp)),
+        p0 AS (
+          SELECT s0.src, s0.dst, ${cos("sa.v", "sb.v")} AS cc
+          FROM seed s0 JOIN sub sa ON sa.id = s0.src
+            JOIN sub sb ON sb.id = s0.dst),
+        g0 AS MATERIALIZED (
+          SELECT src, dst FROM (
+            SELECT src, dst, row_number() OVER
+              (PARTITION BY src ORDER BY cc DESC, dst) AS rk
+            FROM p0) WHERE rk <= 5),
+        $roundCtes,
+        ep AS (
+          SELECT a.id AS src, b.id AS dst, ${cos("a.v", "b.v")} AS cc
+          FROM sub a JOIN sub b ON a.id <> b.id),
+        exact AS MATERIALIZED (
+          SELECT src, dst FROM (
+            SELECT src, dst, row_number() OVER
+              (PARTITION BY src ORDER BY cc DESC, dst) AS rk
+            FROM ep) WHERE rk <= 5),
+        tot AS (SELECT count(*) AS n_exact FROM exact),
+        perround AS ($recalls)
+        SELECT CAST(round AS BIGINT) AS round,
+          CAST(n_edges AS BIGINT) AS n_edges,
+          CAST(n_hits AS BIGINT) AS n_hits,
+          floor(n_hits::DOUBLE / t.n_exact * 10000 + 0.5) / 10000 AS recall
+        FROM perround, tot t"""
+  }
+
   /** ANN quality evaluation: recall@10 of the IVF index (nlist 16,
     * nprobe 2) against exact brute-force kNN for every %50 probe — the
     * measurement that justifies (or vetoes) an approximate index before
@@ -1972,5 +2101,5 @@ object DedupQueries {
     qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qGnnSage, qHardNegatives, qMmr, qSemDedup, qDupNgrams, qIncrementalDedup,
     qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance,
     qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep, qDbscan, qFuzzyMatch, qSortedNeighborhood,
-    qContainment, qBoilerplate, qSimjoinPrefix, qFellegiSunter, qSoundexBlock, qCdcChunks, qGoldenRecord, qItemSim, qSilhouette, qAnnRecall)
+    qContainment, qBoilerplate, qSimjoinPrefix, qFellegiSunter, qSoundexBlock, qCdcChunks, qGoldenRecord, qItemSim, qSilhouette, qAnnRecall, qNnDescent)
 }

@@ -185,6 +185,108 @@ object Ann {
         (col("pos") + 1).cast("long").as("rk"))
   }
 
+  /** NN-Descent k-NN-graph construction (Dong, Charikar & Li, WWW 2011)
+    * — the graph-refinement ANN family next to the bucketed ones
+    * (IVF/SRP): start from a cheap approximate graph and repeatedly run
+    * the LOCAL JOIN — every node introduces its (forward ∪ reverse)
+    * neighbors to each other; each node keeps the best k of (current ∪
+    * introduced) by cosine. Converges toward the exact graph because a
+    * true neighbor is overwhelmingly likely to be a neighbor-of-a-
+    * neighbor ("the neighbor of my neighbor is my neighbor").
+    *
+    * Init is the IVF within-cell graph (deterministic first-`nlist`
+    * centroids — the q_ann_ivf lane) UNIONed with a deterministic
+    * md5-order RING (each node → its next `ringNeighbors` nodes in hash
+    * order): the cell graph supplies good local edges, but alone it is
+    * CLOSED under neighbor-of-neighbor — the local join could never
+    * cross cells and recall would freeze at the seed (observed before
+    * the ring was added). The hash ring is the deterministic stand-in
+    * for the paper's random init: pseudo-random cross-cell bridges that
+    * every round's local join then exploits. The ring rank is one
+    * ordered row_number over the node set — for a corpus-scale build
+    * substitute a range-partitioned rank; the rest of the operator
+    * never sorts globally.
+    *
+    * Scale shape per round: one self-join of the undirected edge list on
+    * the shared middle node — candidate volume Σ_u deg(u)² ≤ n·(2k)², a
+    * constant multiple of the corpus, never all-pairs — then one
+    * DISTINCT and the k-bounded TopKByScore heap, so only k rows per
+    * node cross the final exchange. Ties pin to (cos DESC, id); every
+    * arithmetic step rides the exact index-ordered vecCosine fold, so
+    * the whole recursion has a relational oracle.
+    *
+    * Returns graphs by round: element 0 = init, element r = after r
+    * local-join rounds; each is (src, dst, cos UNROUNDED, rk). */
+  def nnDescent(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int, nlist: Int,
+      ringNeighbors: Int = 2): Seq[DataFrame] = {
+    require(k >= 1 && rounds >= 0 && nlist >= 1 && ringNeighbors >= 1,
+      "bad nnDescent params")
+    import graft.plans.TopKByScore.topkByScore
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).as("vec")).localCheckpoint(true)
+
+    def topkGraph(pairs: DataFrame): DataFrame =
+      pairs.groupBy(col("src"))
+        .agg(topkByScore(col("cos"), col("dst"), k).as("top"))
+        .select(col("src"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("src"), col("t").getField("id").as("dst"),
+          col("t").getField("score").as("cos"),
+          (col("pos") + 1).cast("long").as("rk"))
+        .localCheckpoint(true)
+
+    val assigned = ivfAssign(df, idCol, vecCol, nlist)
+      .select(col("id"), col("cid"))
+    val withCell = v.join(assigned, "id")
+    val cellPairs = withCell.as("a").join(withCell.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"))
+    // deterministic md5-order ring: cross-cell seed bridges
+    val ranked = v.select(col("id"),
+        conv(substring(md5(concat(lit("nnd:"), col("id").cast("string"))),
+          1, 15), 16, 10).cast("long").as("hsh"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("hsh"), col("id"))))
+      .localCheckpoint(true)
+    val nTot = ranked.agg(count(lit(1)).as("ntot"))
+    val ringPairs = ranked.crossJoin(broadcast(nTot))
+      .withColumn("delta",
+        explode(sequence(lit(1), lit(ringNeighbors))))
+      .withColumn("rn2",
+        pmod(col("rn") - 1 + col("delta"), col("ntot")) + 1)
+      .join(ranked.select(col("id").as("dst"), col("rn").as("rn2")), "rn2")
+      .filter(col("id") =!= col("dst"))
+      .select(col("id").as("src"), col("dst"))
+    val seed = cellPairs.unionByName(ringPairs).distinct()
+      .join(v.select(col("id").as("src"), col("vec").as("sv")), "src")
+      .join(v.select(col("id").as("dst"), col("vec").as("dv")), "dst")
+      .select(col("src"), col("dst"),
+        vecCosine(col("sv"), col("dv")).as("cos"))
+    val g0 = topkGraph(seed)
+
+    val graphs = scala.collection.mutable.ArrayBuffer(g0)
+    for (_ <- 1 to rounds) {
+      val g = graphs.last
+      val und = g.select(col("src"), col("dst"))
+        .unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(true)
+      val cand = und.as("l").join(und.as("r"),
+          col("l.src") === col("r.src") && col("l.dst") =!= col("r.dst"))
+        .select(col("l.dst").as("src"), col("r.dst").as("dst"))
+        .unionByName(g.select(col("src"), col("dst")))
+        .distinct()
+      val scored = cand
+        .join(v.select(col("id").as("src"), col("vec").as("sv")), "src")
+        .join(v.select(col("id").as("dst"), col("vec").as("dv")), "dst")
+        .select(col("src"), col("dst"),
+          vecCosine(col("sv"), col("dv")).as("cos"))
+      graphs += topkGraph(scored)
+    }
+    graphs.toSeq
+  }
+
   /** MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998):
     * greedily pick k documents from a scored shortlist, each pick
     * maximizing λ·relevance − μ·max-similarity-to-already-picked — the

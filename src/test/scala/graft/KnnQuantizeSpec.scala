@@ -233,6 +233,41 @@ class KnnQuantizeSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("nnDescent: recall vs exact graph climbs monotonically over rounds") {
+    import graft.sim.Ann
+    // 4 well-separated clusters of 10, 8-dim; exact 3-NN stays in-cluster
+    val rnd = new scala.util.Random(7)
+    val vecs = for (c <- 0 until 4; j <- 0 until 10) yield {
+      val base = Array.tabulate(8)(d => if (d == c * 2) 10f else 0f)
+      ((c * 10 + j).toLong,
+        base.map(x => x + rnd.nextFloat() * 0.5f).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val graphs = Ann.nnDescent(df, "vec_id", "embedding",
+      k = 3, rounds = 3, nlist = 4)
+    val exact = Ann.knnJoinExact(df, df, "vec_id", "embedding", 3)
+      .select(col("probe_id").as("src"), col("id").as("dst"))
+    val exactSet = exact.as[(Long, Long)].collect().toSet
+    val recalls = graphs.map { g =>
+      val edges = g.select(col("src"), col("dst"))
+        .as[(Long, Long)].collect().toSet
+      edges.intersect(exactSet).size.toDouble / exactSet.size
+    }
+    recalls.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a, s"recall must not regress: $recalls")
+    }
+    assert(recalls.last > recalls.head,
+      s"local joins must improve the seed graph: $recalls")
+    assert(recalls.last > 0.8,
+      s"clustered data should converge near the exact graph: $recalls")
+    // every graph keeps at most k edges per node
+    graphs.foreach { g =>
+      val maxDeg = g.groupBy("src").count()
+        .agg(max(col("count"))).head().getLong(0)
+      assert(maxDeg <= 3)
+    }
+  }
+
   test("mmrRerank diversifies: near-duplicate of pick 1 is demoted below an orthogonal doc") {
     // Pure relevance order would be 1, 2, 4 — but doc 2 is nearly
     // identical to doc 1 (cos ≈ 0.999), so with λ=0.7/μ=0.3 its MMR
