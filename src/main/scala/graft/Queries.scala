@@ -3924,7 +3924,16 @@ object Queries {
     * reachability. */
   val qScc = Q(
     "q_scc",
-    (s, dir) => {
+    (s2, dir2) => {
+      val (nodes, edges) = partTransitionGraph(s2, dir2)
+      graft.graph.Graph.stronglyConnectedComponents(nodes, edges)
+    },
+    qSccOracleSql)
+
+  /** The part-transition graph shared by q_scc / q_luby_mis: per-customer
+    * purchase sequences over the %20-part, %4-customer slice. */
+  private def partTransitionGraph(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
       val t = Tables(s, dir)
       val fp = t.lineitem.filter(col("l_partkey") % 20 === 0)
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
@@ -3940,8 +3949,10 @@ object Queries {
         .select(col("p").as("src"), col("nxt").as("dst"))
         .distinct()
       val nodes = fp.select(col("p").as("id")).distinct()
-      graft.graph.Graph.stronglyConnectedComponents(nodes, edges)
-    },
+      (nodes, edges)
+  }
+
+  private def qSccOracleSql: Option[String] =
     Some("""WITH RECURSIVE fp AS MATERIALIZED (
               SELECT o.o_custkey AS c, l.l_partkey AS p,
                      min(o.o_orderdate) AS d0
@@ -3963,7 +3974,75 @@ object Queries {
               SELECT r.s, e.dst FROM reach r JOIN e ON e.src = r.d)
             SELECT a.s AS id, min(a.d) AS component
             FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
-            GROUP BY a.s"""))
+            GROUP BY a.s""")
+
+  /** Luby's maximal independent set ([[graft.graph.Graph.lubyMis]])
+    * over the part-transition graph (undirected): per round, every
+    * active node draws a round-salted md5 priority and enters the MIS
+    * iff it beats every active neighbor; winners + neighborhoods
+    * deactivate. The oracle unrolls all 8 rounds (sel/rem/act CTE
+    * chain, struct-compare priority contest) — convergence inside the
+    * unroll is enforced loudly on the Spark side. */
+  val qLubyMis = Q(
+    "q_luby_mis",
+    (s, dir) => {
+      val (nodes, edges) = partTransitionGraph(s, dir)
+      graft.graph.Graph.lubyMis(nodes, edges, maxRounds = 8)
+    },
+    Some(lubyMisOracle(8)))
+
+  /** Unrolled Luby oracle for [[qLubyMis]] over the q_scc graph CTEs. */
+  private def lubyMisOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""pr$r AS MATERIALIZED (
+            SELECT id, ('0x' || substring(md5('mis:' || id || ':' || $r),
+              1, 15))::BIGINT AS p
+            FROM act${r - 1}),
+          nm$r AS (
+            SELECT e.src AS id,
+              max(struct_pack(p := pd.p, i := e.dst)) AS mx
+            FROM und e
+            JOIN pr$r ps ON ps.id = e.src
+            JOIN pr$r pd ON pd.id = e.dst
+            GROUP BY e.src),
+          sel$r AS MATERIALIZED (
+            SELECT pr.id FROM pr$r pr LEFT JOIN nm$r n USING (id)
+            WHERE n.mx IS NULL
+               OR struct_pack(p := pr.p, i := pr.id) > n.mx),
+          rem$r AS (
+            SELECT id FROM sel$r
+            UNION
+            SELECT e.dst FROM und e JOIN sel$r s ON s.id = e.src),
+          act$r AS MATERIALIZED (
+            SELECT id FROM act${r - 1}
+            EXCEPT SELECT id FROM rem$r)"""
+    }.mkString(",\n")
+    val selAll = (1 to rounds).map(r =>
+      s"SELECT id, $r AS r FROM sel$r").mkString(" UNION ALL ")
+    s"""WITH fp AS MATERIALIZED (
+          SELECT o.o_custkey AS c, l.l_partkey AS p,
+                 min(o.o_orderdate) AS d0
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_partkey % 20 = 0 AND o.o_custkey % 4 = 0
+          GROUP BY 1, 2),
+        seq AS (
+          SELECT c, p,
+            lead(p) OVER (PARTITION BY c ORDER BY d0, p) AS nxt
+          FROM fp),
+        e AS (
+          SELECT DISTINCT p AS src, nxt AS dst FROM seq
+          WHERE nxt IS NOT NULL AND nxt <> p),
+        und AS MATERIALIZED (
+          SELECT src, dst FROM e
+          UNION SELECT dst, src FROM e),
+        act0 AS MATERIALIZED (SELECT DISTINCT p AS id FROM fp),
+        $roundCtes,
+        selall AS ($selAll)
+        SELECT n.id, s.r IS NOT NULL AS in_mis,
+          CAST(coalesce(s.r, -1) AS BIGINT) AS sel_round
+        FROM act0 n LEFT JOIN selall s USING (id)"""
+  }
 
   /** Bowtie decomposition (Broder et al. WWW 2000) of the q_scc
     * part-transition graph: CORE = the largest SCC (size desc, label
@@ -4373,7 +4452,7 @@ object Queries {
     qOutliers, qFfill, qAnomaly, qPagerank, qRandomWalks, qNode2vec, qLouvain,
     q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
     qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma, qCusum, qHolt, qHoltWinters, qSeasonalDecompose,
-    qTriangles, qClusteringCoef, qConnectedComponents, qBfsHops, qSssp,
+    qTriangles, qClusteringCoef, qConnectedComponents, qLubyMis, qBfsHops, qSssp,
     qLabelProp, qItemsets, qAttribution, qAssortativity, qKcore,
     qPprTrust, qLinkPredict, qKtruss, qHarmonic, qIncrementalCc, qScc,
     qHits, qModularity, qDensest, qBowtie) ++

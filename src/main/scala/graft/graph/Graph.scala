@@ -1187,4 +1187,71 @@ object Graph {
     }
     out
   }
+
+  /** Luby's maximal-independent-set algorithm (Luby, STOC 1985) — the
+    * canonical symmetry-breaking primitive of parallel graph processing
+    * (schedule non-conflicting work, pick cluster exemplars, seed
+    * sparsifiers): repeatedly let every ACTIVE node draw a priority and
+    * join the MIS iff it beats every active neighbor, then deactivate
+    * winners and their neighborhoods. Priorities here are md5-derived
+    * and RE-DRAWN each round with the round number as salt — the
+    * re-randomization Luby's O(log n)-round bound needs, yet a pure
+    * function of (node, round): task retries, reruns and a SQL oracle
+    * all reproduce the identical MIS.
+    *
+    * Scale shape per round: one edge-keyed join of the active edge list
+    * against the priority relation + one node-keyed max aggregate
+    * (neighbor maxima), one anti join to deactivate — all uniform keys;
+    * driver state is only the active-count scalar for the early exit.
+    * Expected active-set decay is geometric, so rounds ~ O(log n);
+    * `maxRounds` bounds the unrolled oracle and non-convergence is LOUD
+    * (require), never a silently partial MIS.
+    *
+    * Output: (id, in_mis, sel_round) for every input node; sel_round =
+    * −1 for non-members. Independence and maximality hold by
+    * construction; GraphSpec re-verifies both against the edge list. */
+  def lubyMis(
+      nodes: DataFrame, edges: DataFrame, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val und = undirected(edges).localCheckpoint(true)
+    val all = nodes.toDF("id").distinct().localCheckpoint(true)
+    var active = all
+    var selected: DataFrame = null
+    var r = 1
+    var done = false
+    while (r <= maxRounds && !done) {
+      val pr = active.select(col("id"),
+        conv(substring(md5(concat(lit("mis:"), col("id").cast("string"),
+          lit(s":$r"))), 1, 15), 16, 10).cast("long").as("p"))
+        .localCheckpoint(true)
+      // neighbor maxima over ACTIVE-ACTIVE edges only
+      val nm = und
+        .join(pr.select(col("id").as("src"), col("p").as("sp")), "src")
+        .join(pr.select(col("id").as("dst"), col("p").as("dp")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(max(struct(col("dp").as("p"), col("dst").as("i"))).as("mx"))
+      val win = pr.join(nm, Seq("id"), "left")
+        .filter(col("mx").isNull ||
+          struct(col("p").as("p"), col("id").as("i")) > col("mx"))
+        .select(col("id"), lit(r.toLong).as("sel_round"))
+        .localCheckpoint(true)
+      selected =
+        if (selected == null) win else selected.unionByName(win)
+      // deactivate winners and their whole neighborhoods
+      val nbrOfWin = und.join(
+          win.select(col("id").as("src")), "src")
+        .select(col("dst").as("id")).distinct()
+      val removed = win.select(col("id")).unionByName(nbrOfWin).distinct()
+      active = active.join(removed, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      done = active.isEmpty
+      r += 1
+    }
+    require(done,
+      s"lubyMis did not converge within $maxRounds rounds — raise maxRounds")
+    all.join(selected, Seq("id"), "left")
+      .select(col("id"),
+        col("sel_round").isNotNull.as("in_mis"),
+        coalesce(col("sel_round"), lit(-1L)).as("sel_round"))
+  }
 }

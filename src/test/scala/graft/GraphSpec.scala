@@ -578,4 +578,34 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._2)
     assert(got.toSeq == Seq((1L, 0L, 1L), (1L, 1L, 2L)))
   }
+
+  test("lubyMis: independent, maximal, deterministic; isolated nodes join") {
+    // path 1-2-3-4-5, a triangle 6-7-8, and isolated node 9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (7L, 8L), (6L, 8L)).toDF("src", "dst")
+    val nodes = (1L to 9L).toDF("id")
+    val out = Graph.lubyMis(nodes, edges, maxRounds = 8)
+      .as[(Long, Boolean, Long)].collect().sortBy(_._1)
+    val mis = out.filter(_._2).map(_._1).toSet
+    val und = Seq((1, 2), (2, 3), (3, 4), (4, 5), (6, 7), (7, 8), (6, 8))
+      .map { case (a, b) => (a.toLong, b.toLong) }
+    // independence: no edge inside the MIS
+    und.foreach { case (a, b) =>
+      assert(!(mis(a) && mis(b)), s"edge ($a,$b) inside MIS $mis")
+    }
+    // maximality: every non-member has a MIS neighbor
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    (1L to 9L).filterNot(mis).foreach { v =>
+      assert(nbrs.getOrElse(v, Set.empty).exists(mis),
+        s"non-member $v has no MIS neighbor — not maximal")
+    }
+    assert(mis(9L), "isolated node must be in every MIS")
+    // exactly one triangle vertex
+    assert(Seq(6L, 7L, 8L).count(mis) == 1)
+    // deterministic across runs
+    val again = Graph.lubyMis(nodes, edges, maxRounds = 8)
+      .as[(Long, Boolean, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == again.toSeq)
+  }
 }
