@@ -1038,6 +1038,41 @@ object TextQueries {
             FROM bc JOIN c1 USING (w1) JOIN c2 USING (w2), n
             WHERE c12 >= 5"""))
 
+  /** Unicode NFC normalization ([[graft.plans.NfcNormalize]] — JDK
+    * `java.text.Normalizer`, the dedup-correctness primitive before any
+    * hash lane: precomposed U+00E9 and decomposed e+U+0301 must hash
+    * identically). Per-doc text is suffixed with a parity-chosen
+    * precomposed OR decomposed marker; the expression must collapse
+    * both to one NFC form — md5 of the normalized text is
+    * parity-invariant and the oracle replays it with DuckDB's
+    * `nfc_normalize` (the same UAX #15 transform). */
+  val qNfcNormalize = Q(
+    "q_nfc_normalize",
+    (s, dir) => {
+      import graft.plans.TextNative
+      val raw = concat(col("text"), lit(" "),
+        when(col("doc_id") % 2 === 0, lit("caf\u00e9 latte"))
+          .otherwise(lit("cafe\u0301 latte")))
+      val norm = TextNative.nfcNormalize(raw)
+      Tables(s, dir).documents.select(col("doc_id"),
+        length(raw).cast("long").as("raw_cp"),
+        length(norm).cast("long").as("norm_cp"),
+        (raw =!= norm).as("changed"),
+        md5(norm).as("norm_md5"))
+    },
+    Some("""WITH h AS (
+              SELECT doc_id,
+                text || ' ' || CASE WHEN doc_id % 2 = 0
+                  THEN 'caf' || chr(233) || ' latte'
+                  ELSE 'cafe' || chr(769) || ' latte' END AS raw
+              FROM documents)
+            SELECT doc_id,
+              CAST(length(raw) AS BIGINT) AS raw_cp,
+              CAST(length(nfc_normalize(raw)) AS BIGINT) AS norm_cp,
+              raw <> nfc_normalize(raw) AS changed,
+              md5(nfc_normalize(raw)) AS norm_md5
+            FROM h"""))
+
   /** HTML/markup stripping
     * ([[graft.functions.TextFunctions.stripMarkup]]): per-doc HTML is
     * SYNTHESIZED around the document text (script with a `<` in its
@@ -2058,7 +2093,7 @@ SELECT * FROM ($union)"""
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
     qGopherRules, qChunk, qTemperatureMix, qDsirWeights, qGreedyPieces,
-    qPerplexity, qCcnetBuckets, qC4Filter, qEpochMix, qTfidf, qPmi, qKneserNey, qStripMarkup, qRankNormalize, qBlocklist, qBpeTrain,
+    qPerplexity, qCcnetBuckets, qC4Filter, qEpochMix, qTfidf, qPmi, qKneserNey, qNfcNormalize, qStripMarkup, qRankNormalize, qBlocklist, qBpeTrain,
     qWeightedSample, qEntropy, qRrfFusion, qSuffixArray, qLongestRepeat,
     qGlobalSuffix, qCrossRepeat, qWinnow, qWinnowPairs, qRingNegatives,
     qLeakageSplit, qChi2Terms, qFeatureHash, qRake, qScriptDetect, qLuhnScan, qReadability, qJsDrift, qNgramNovelty, qBurstiness, qZipfFit)

@@ -513,10 +513,41 @@ case class PortableSimHash60(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Unicode NFC normalization — canonical composition via
+  * `java.text.Normalizer` (the JDK's ICU-equivalent tables). The
+  * dedup-correctness primitive web text needs before ANY exact or
+  * hash-based comparison: "é" arrives both precomposed (U+00E9) and
+  * decomposed (e + U+0301) in real crawls, and every md5/xxhash lane in
+  * this repo would treat them as different documents. Fast path: scan
+  * once with `Normalizer.isNormalized` (true for pure-ASCII and most
+  * Latin text) and return the INPUT UTF8String unchanged — no
+  * allocation; only rows that actually carry decomposed sequences pay
+  * the recomposition. DuckDB's `nfc_normalize` implements the same UAX
+  * #15 transform, giving the oracle lane. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str,
+      java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextNative {
   import ColumnBridge.{column => c, expression => e}
 
   def wordShingles(text: Column, n: Int): Column = c(WordShingles(e(text), n))
+  def nfcNormalize(text: Column): Column = c(NfcNormalize(e(text)))
   def minhashSig(shingleArr: Column, k: Int): Column = c(MinHashSig(e(shingleArr), k))
   def simhash64(text: Column): Column = c(SimHash64(e(text)))
   def repetitionProfile(text: Column, n: Int): Column = c(RepetitionProfile(e(text), n))
