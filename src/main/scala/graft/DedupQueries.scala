@@ -216,7 +216,10 @@ object DedupQueries {
             FROM m"""))
 
   /** Fellegi–Sunter probabilistic record linkage (JASA 1969) over
-    * customers blocked on (nation, $1000 balance band): three field
+    * customers blocked on the name suffix — the rule-aligned block
+    * q_blocking_eval proved LOSSLESS for matches (every combination
+    * reaching the match floor requires the nm2 agreement; the old
+    * nation/balance-band block caught ~3%): three field
     * comparisons (segment / balance-within-$100 / name-suffix) with
     * DESIGN-constant milli-ban weights, exact BIGINT log-odds sums, and
     * the two-threshold match/possible decision — see
@@ -231,8 +234,10 @@ object DedupQueries {
           col("c_mktsegment").as("seg"),
           floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal_c"),
           substring(col("c_name"), -2, 2).as("nm2"))
-        .withColumn("blk", concat_ws(":", col("nat"),
-          floor(col("bal_c") / 100000).cast("long")))
+        .withColumn("blk", col("nm2")) // rule-aligned block: every
+      // >= matchFloor combination REQUIRES the nm2 agreement, so this
+      // block is lossless for matches (proven by q_blocking_eval, which
+      // showed the previous nation/balance-band block catching ~3%)
       val pairs = c.as("a").join(c.as("b"),
         col("a.blk") === col("b.blk") && col("a.k") < col("b.k"))
       graft.ops.Linkage.fellegiSunter(pairs, Seq(
@@ -249,10 +254,7 @@ object DedupQueries {
                 CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c,
                 substring(c_name, -2, 2) AS nm2
               FROM customer),
-            cb AS (
-              SELECT *, CAST(nat AS VARCHAR) || ':' ||
-                CAST(CAST(floor(bal_c / 100000) AS BIGINT) AS VARCHAR) AS blk
-              FROM c),
+            cb AS (SELECT *, nm2 AS blk FROM c),
             p AS (
               SELECT a.k AS key_a, b.k AS key_b,
                 (CASE WHEN a.seg = b.seg THEN 2170 ELSE -3000 END
