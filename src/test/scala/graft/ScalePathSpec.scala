@@ -331,4 +331,38 @@ class ScalePathSpec extends SparkSpec {
     assert(!plan.contains("aggregate("),
       s"ewma regressed to the per-step-re-eval aggregate() HOF:\n$plan")
   }
+  test("round-10 operator plans: broadcasts and bounded shuffles where promised") {
+    // blocklist: phrase table broadcast, no cartesian anywhere
+    val bl = graft.ops.Curation.blocklistFilter(
+      Tables(spark, sf).documents, "doc_id", "text",
+      Seq("table hash", "slow key"))
+    val blPlan = bl.queryExecution.executedPlan.toString
+    assert(blPlan.contains("BroadcastHashJoin"),
+      s"blocklist first-token table not broadcast:\n$blPlan")
+    assert(!blPlan.contains("CartesianProduct"),
+      s"blocklist degraded to a cross product:\n$blPlan")
+    // HRW sharding: assignment is scan-stage — no Exchange before the agg
+    val hrw = Tables(spark, sf).documents.select(col("doc_id"),
+      graft.ops.Rendezvous.hrwShard(col("doc_id"), 0 until 8).as("shard"))
+    assert(!hrw.queryExecution.executedPlan.toString.contains("Exchange"),
+      "HRW assignment must not shuffle")
+    // adaptive salt: hot set broadcast to both sides, equi-join only
+    val ev = Tables(spark, sf).events
+    val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("t"))
+    val sj = graft.ops.SkewOps.adaptiveSaltedJoin(
+      ev, dim, "user_id", col("event_id"), salts = 4, hotMinCount = 20L)
+    val sjPlan = sj.queryExecution.executedPlan.toString
+    assert(sjPlan.contains("BroadcastHashJoin"),
+      s"hot-key set not broadcast:\n$sjPlan")
+    assert(!sjPlan.contains("CartesianProduct"), "salted join cross product")
+    // KMV set algebra: pairwise stage joins the broadcast sketch table
+    val toks = Tables(spark, sf).documents
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val km = graft.ops.Kmv.setEstimates(toks, col("w"), "source", k = 16)
+    val kmPlan = km.queryExecution.executedPlan.toString
+    assert(kmPlan.contains("BroadcastNestedLoopJoin")
+        || kmPlan.contains("BroadcastHashJoin"),
+      s"sketch pair join must broadcast the tiny sketch table:\n$kmPlan")
+  }
 }
