@@ -57,6 +57,54 @@ class HilbertSpec extends SparkSpec {
     }
   }
 
+  test("data skipping: Hilbert file boxes are tighter than Z-order on real events") {
+    // cluster events by (value, user_id) both ways, cut into 32 'files'
+    // by curve rank, and compare the per-file min/max bounding boxes —
+    // the statistic a reader's skip decision actually consults. The
+    // Hilbert curve's no-diagonal-jumps property must shrink the total
+    // box area vs the Z-curve on identical data.
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, sf).events
+      .select(col("event_id"), col("value"), col("user_id"))
+    def totalBoxArea(indexed: org.apache.spark.sql.DataFrame,
+        idxCol: String): Double = {
+      val w = Window.orderBy(col(idxCol), col("event_id"))
+      indexed
+        .withColumn("file", ntile(32).over(w))
+        .groupBy(col("file"))
+        .agg((max(col("value")) - min(col("value"))).as("dv"),
+          (max(col("user_id")) - min(col("user_id"))).as("du"))
+        .agg(sum(col("dv") * col("du"))).head().getDouble(0)
+    }
+    def filesTouched(indexed: org.apache.spark.sql.DataFrame,
+        idxCol: String, dim: String, lo: Double, hi: Double): Long = {
+      val w = Window.orderBy(col(idxCol), col("event_id"))
+      indexed
+        .withColumn("file", ntile(32).over(w))
+        .groupBy(col("file"))
+        .agg(min(col(dim)).as("mn"), max(col(dim)).as("mx"))
+        .filter(col("mx") >= lo && col("mn") <= hi)
+        .count()
+    }
+    val zi = graft.ops.Layout.withZValue(ev, "value", "user_id", 16)
+    val hi_ = graft.ops.Layout.withHilbertValue(ev, "value", "user_id", 16)
+    val z = totalBoxArea(zi, "z")
+    val h = totalBoxArea(hi_, "h")
+    assert(h < z, s"hilbert boxes ($h) must beat z-order boxes ($z)")
+    // balanced skipping: for a narrow USER-dimension probe, both curves
+    // must touch far fewer files than a value-only sort (whose files all
+    // span the full user range); a total-area comparison against the
+    // 1-D sort is misleading (dv≈0 × full-du products can be tiny)
+    val vSorted = ev.withColumn("v1", col("value"))
+    val probeLo = 10.0; val probeHi = 60.0 // narrow user_id slice
+    val hTouch = filesTouched(hi_, "h", "user_id", probeLo, probeHi)
+    val zTouch = filesTouched(zi, "z", "user_id", probeLo, probeHi)
+    val sTouch = filesTouched(vSorted, "v1", "user_id", probeLo, probeHi)
+    assert(hTouch < sTouch && zTouch < sTouch,
+      s"curve layouts must skip files on the non-sorted dimension: " +
+        s"hilbert=$hTouch z=$zTouch value-sort=$sTouch of 32")
+  }
+
   test("hilbert continuity: consecutive indexes are adjacent cells (Z-order is not)") {
     val bits = 3
     val pts = for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y)
