@@ -2824,6 +2824,97 @@ object Queries {
     * conditional sum to the total — both numerator and denominator come
     * from the SAME aggregate over one scan. part broadcasts; at scale the
     * join is the only exchange and produces a single row. */
+  /** TPC-H Q2 shape (min-cost supplier): for each %25 part, the supplier
+    * with the LOWEST average unit price over its line items — the
+    * correlated-min pattern Q2 runs over partsupp, re-expressed over
+    * lineitem (this dataset carries no partsupp): one (part, supp)
+    * aggregate (exact BIGINT cents and quantities), then the per-part
+    * argmin on (cents/qty, suppkey) — the division inputs are identical
+    * exact integers on both engines, so the ordering doubles are
+    * bit-identical and the pick cannot drift; one supplier→nation
+    * broadcast join finishes. The reported average divides once. */
+  val q2MinCost = Q(
+    "q2_min_cost",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val ps2 = t.lineitem.filter(col("l_partkey") % 25 === 0)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .as("cents"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+      val best = ps2
+        .withColumn("r",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("l_partkey"))
+            .orderBy((col("cents").cast("double") / col("qty")).asc,
+              col("l_suppkey"))))
+        .filter(col("r") === 1)
+      best.join(broadcast(t.supplier),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("s_suppkey"), col("s_name"), col("n_name"),
+          col("cents"), col("qty"),
+          (floor(col("cents").cast("double") / col("qty") * 100 + 0.5)
+            / 100).as("avg_unit_price"))
+    },
+    Some("""WITH ps AS (
+              SELECT l_partkey, l_suppkey,
+                CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+              FROM lineitem WHERE l_partkey % 25 = 0
+              GROUP BY l_partkey, l_suppkey),
+            best AS (
+              SELECT * FROM (
+                SELECT ps.*, row_number() OVER (PARTITION BY l_partkey
+                  ORDER BY cents::DOUBLE / qty, l_suppkey) AS r
+                FROM ps) WHERE r = 1)
+            SELECT b.l_partkey AS p_partkey, s.s_suppkey, s.s_name,
+              n.n_name, b.cents, b.qty,
+              floor(b.cents::DOUBLE / b.qty * 100 + 0.5) / 100
+                AS avg_unit_price
+            FROM best b
+            JOIN supplier s ON b.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey"""))
+
+  /** TPC-H Q7 shape (volume shipping): revenue flowing between two
+    * nation PAIRS (supplier nation → customer nation, both directions)
+    * by ship year — the two-dimension-join + conditional-pair filter
+    * pattern: lineitem joins orders→customer (nation 1) and supplier
+    * (nation 2), both dims broadcast; one grouped aggregate. */
+  val q7Volume = Q(
+    "q7_volume",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val li = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.customer.select(col("c_custkey"),
+          col("c_nationkey").as("cust_nat"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.supplier.select(col("s_suppkey"),
+          col("s_nationkey").as("supp_nat"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .filter((col("supp_nat") === 1 && col("cust_nat") === 2) ||
+          (col("supp_nat") === 2 && col("cust_nat") === 1))
+      li.groupBy(col("supp_nat"), col("cust_nat"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"), count(lit(1)).as("n_items"))
+    },
+    Some("""SELECT s.s_nationkey AS supp_nat, c.c_nationkey AS cust_nat,
+              CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                AS revenue,
+              count(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE (s.s_nationkey = 1 AND c.c_nationkey = 2)
+               OR (s.s_nationkey = 2 AND c.c_nationkey = 1)
+            GROUP BY 1, 2, 3"""))
+
   val q14Promo = Q(
     "q14_promo",
     (s, dir) => {
@@ -4450,7 +4541,7 @@ object Queries {
     qDqAudit, qCdcSnapshot, qSnapshotDiff, qMergeUpsert, qHopping, q5Revenue, q13Custdist,
     qNotIn, qSetOpsAll, qIntervalJoin, qZorder, qHilbert,
     qOutliers, qFfill, qAnomaly, qPagerank, qRandomWalks, qNode2vec, qLouvain,
-    q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
+    q2MinCost, q7Volume, q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
     qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma, qCusum, qHolt, qHoltWinters, qSeasonalDecompose,
     qTriangles, qClusteringCoef, qConnectedComponents, qLubyMis, qBfsHops, qSssp,
     qLabelProp, qItemsets, qAttribution, qAssortativity, qKcore,
