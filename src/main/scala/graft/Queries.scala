@@ -1067,6 +1067,61 @@ object Queries {
                 * 10000 + 0.5) / 10000 AS alpha
             FROM tops t JOIN np USING (event_type)"""))
 
+  /** Poisson-bootstrap 95% CI of mean event value per type
+    * ([[graft.ops.Robust.bootstrapCi]], B = 32): per-row Poisson(1)
+    * replicate weights from the md5₆₀ uniform with fixed inverse-CDF
+    * thresholds; exact-integer replicate means; exact percentiles over
+    * the 32 means. The oracle replays the identical draw, weights,
+    * means and quantiles. */
+  val qBootstrapCi = Q(
+    "q_bootstrap_ci",
+    (s, dir) => {
+      graft.ops.Robust.bootstrapCi(Tables(s, dir).events,
+          "event_type", "value", "event_id", b = 32, level = 0.95)
+        .withColumnRenamed("k", "event_type")
+    },
+    Some("""WITH r AS (
+              SELECT event_type AS k,
+                CAST(floor(value::DOUBLE * 100 + 0.5) AS BIGINT) AS cents,
+                event_id AS id, b.range AS b
+              FROM events, range(32) b),
+            u AS (
+              SELECT k, cents, b,
+                ('0x' || substring(md5('boot:' || k || ':' || id || ':' ||
+                  (b // 3)), (b % 3) * 10 + 1, 10))::BIGINT::DOUBLE
+                  / 1099511627776.0 AS u
+              FROM r),
+            w AS (
+              SELECT k, b, cents,
+                CASE WHEN u < 0.36788 THEN 0 WHEN u < 0.73576 THEN 1
+                     WHEN u < 0.91970 THEN 2 WHEN u < 0.98101 THEN 3
+                     WHEN u < 0.99634 THEN 4 WHEN u < 0.99941 THEN 5
+                     ELSE 6 END AS w
+              FROM u),
+            reps AS (
+              SELECT k, b,
+                CAST(sum(w * cents) AS BIGINT)::DOUBLE
+                  / CAST(sum(w) AS BIGINT) AS m
+              FROM w GROUP BY k, b HAVING sum(w) > 0),
+            ml AS (SELECT k, list(m ORDER BY m) AS ms FROM reps GROUP BY k)
+            SELECT k AS event_type,
+              CAST(len(ms) AS BIGINT) AS n_reps,
+              floor((ms[CAST(floor(0.025 * (len(ms) - 1)) AS INT) + 1]
+                + (0.025 * (len(ms) - 1)
+                   - floor(0.025 * (len(ms) - 1)))
+                * (ms[least(CAST(floor(0.025 * (len(ms) - 1)) AS INT) + 2,
+                           len(ms))]
+                   - ms[CAST(floor(0.025 * (len(ms) - 1)) AS INT) + 1]))
+                / 100 * 10000 + 0.5) / 10000 AS ci_lo,
+              floor((ms[CAST(floor(0.975 * (len(ms) - 1)) AS INT) + 1]
+                + (0.975 * (len(ms) - 1)
+                   - floor(0.975 * (len(ms) - 1)))
+                * (ms[least(CAST(floor(0.975 * (len(ms) - 1)) AS INT) + 2,
+                           len(ms))]
+                   - ms[CAST(floor(0.975 * (len(ms) - 1)) AS INT) + 1]))
+                / 100 * 10000 + 0.5) / 10000 AS ci_hi
+            FROM ml"""))
+
   /** MAD robust-scale profile per event type
     * ([[graft.ops.Robust.madProfile]]): median, 1.4826-scaled MAD, and
     * the robust-z outlier count (|x − med| > 3·1.4826·MAD) — the
@@ -4535,7 +4590,7 @@ object Queries {
     qBloomJoin, qSaltedJoin, qAdaptiveSalt, qAsofJoin,
     qRollup, qCube, qRangeJoin, qMovingAvg, qPivot, qSetOps, qTopkAgg,
     qGroupingSets, qScalarSubquery, qPercentiles, qSessionize,
-    qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram, qHdrQuantiles, qTheilSen, qWinsorized, qMad, qBenford, qHillTail, qParetoAbc, qSpearman, qSprt, qHashRing, qHrwShard, qKsTest, qLateEvents, qKaplanMeier, qGoodTuring,
+    qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram, qHdrQuantiles, qTheilSen, qWinsorized, qMad, qBootstrapCi, qBenford, qHillTail, qParetoAbc, qSpearman, qSprt, qHashRing, qHrwShard, qKsTest, qLateEvents, qKaplanMeier, qGoodTuring,
     qQuantileBins, qKmvDistinct, qKmvSetops,
     qUnpivot, qOuterJoin, qWindowRank, qGapFill,
     qDqAudit, qCdcSnapshot, qSnapshotDiff, qMergeUpsert, qHopping, q5Revenue, q13Custdist,

@@ -352,3 +352,60 @@ object VecSumLong {
     ColumnBridge.column(
       VecSumLong(ColumnBridge.expression(v)).toAggregateExpression())
 }
+
+/** Native Poisson-bootstrap weight vector — the scan-stage half of
+  * [[graft.ops.Robust.bootstrapCi]]: for row (key, id), the B Poisson(1)
+  * replicate weights drawn by inverting the CDF on 40-bit md5 uniforms
+  * (3 per digest, hex slices — EXACTLY the arithmetic the SQL oracle
+  * spells, so weights are engine-identical). One tight JVM loop per row
+  * replaces the interpreted nested-HOF form, which evaluated an
+  * element_at + conv + substring + CASE chain per replicate per row
+  * (measured 5.8 s HOF vs 0.41 s native+VecSumLong on the q_bootstrap_ci shape).
+  */
+case class PoissonWeights(left: Expression, right: Expression, b: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(b >= 1, s"b must be >= 1, got $b")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "poisson_weights"
+
+  override def nullSafeEval(kAny: Any, idAny: Any): Any = {
+    val k = kAny.toString
+    val id = idAny.asInstanceOf[Long]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](b)
+    var i = 0
+    var g = 0
+    while (i < b) {
+      val bytes = md.digest(s"boot:$k:$id:$g".getBytes("UTF-8"))
+      val hex = new StringBuilder(32)
+      var j = 0
+      while (j < 16) { hex.append(f"${bytes(j) & 0xff}%02x"); j += 1 }
+      var s = 0
+      while (s < 3 && i < b) {
+        val u = java.lang.Long.parseLong(
+          hex.substring(s * 10, s * 10 + 10), 16).toDouble / 1099511627776.0
+        out(i) =
+          if (u < 0.36788) 0L else if (u < 0.73576) 1L
+          else if (u < 0.91970) 2L else if (u < 0.98101) 3L
+          else if (u < 0.99634) 4L else if (u < 0.99941) 5L else 6L
+        i += 1; s += 1
+      }
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PoissonWeights {
+  def poissonWeights(key: Column, id: Column, b: Int): Column =
+    ColumnBridge.column(PoissonWeights(
+      ColumnBridge.expression(key.cast("string")),
+      ColumnBridge.expression(id.cast("long")), b))
+}
