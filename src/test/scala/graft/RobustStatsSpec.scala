@@ -241,4 +241,34 @@ class RobustStatsSpec extends SparkSpec {
     assert(got._7 == fl(trim.sum / trim.size), "trimmed mean")
     assert(got._6 < got._5, "clipping pulls the mean off the outlier")
   }
+
+  test("bootstrapCi: brackets the true mean, scales with n, deterministic") {
+    import graft.ops.Robust
+    // two keys: tight (mean 50, small spread, n=400) and loose (n=40)
+    val rnd = new scala.util.Random(11)
+    val rows =
+      (1 to 400).map(i => ("tight", 50.0 + rnd.nextGaussian(), i.toLong)) ++
+      (1 to 40).map(i => ("loose", 50.0 + 10 * rnd.nextGaussian(), 1000L + i))
+    val df = rows.toDF("k", "v", "id")
+    val out = Robust.bootstrapCi(df, "k", "v", "id", b = 32)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (nT, loT, hiT) = out("tight")
+    val (nL, loL, hiL) = out("loose")
+    assert(nT == 32L && nL == 32L)
+    assert(loT < hiT && loL < hiL)
+    // the CI must bracket the empirical mean of its own data
+    val meanT = rows.filter(_._1 == "tight").map(_._2).sum / 400
+    val meanL = rows.filter(_._1 == "loose").map(_._2).sum / 40
+    assert(loT <= meanT && meanT <= hiT, s"tight CI [$loT,$hiT] vs $meanT")
+    assert(loL <= meanL && meanL <= hiL, s"loose CI [$loL,$hiL] vs $meanL")
+    // more data + less spread → tighter interval
+    assert(hiT - loT < hiL - loL,
+      s"tight width ${hiT - loT} !< loose width ${hiL - loL}")
+    // md5 weights: identical across runs
+    val again = Robust.bootstrapCi(df, "k", "v", "id", b = 32)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out == again)
+  }
 }
