@@ -2950,8 +2950,10 @@ object Queries {
         .join(broadcast(t.supplier.select(col("s_suppkey"),
           col("s_nationkey").as("supp_nat"))),
           col("l_suppkey") === col("s_suppkey"))
-        .filter((col("supp_nat") === 1 && col("cust_nat") === 2) ||
-          (col("supp_nat") === 2 && col("cust_nat") === 1))
+        // pair (2,3)/(3,2): nation 3 is the one supplier nation present
+        // at the sf0.001 smoke scale, so the query is non-empty there too
+        .filter((col("supp_nat") === 2 && col("cust_nat") === 3) ||
+          (col("supp_nat") === 3 && col("cust_nat") === 2))
       li.groupBy(col("supp_nat"), col("cust_nat"),
           year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
@@ -2966,8 +2968,8 @@ object Queries {
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
-            WHERE (s.s_nationkey = 1 AND c.c_nationkey = 2)
-               OR (s.s_nationkey = 2 AND c.c_nationkey = 1)
+            WHERE (s.s_nationkey = 2 AND c.c_nationkey = 3)
+               OR (s.s_nationkey = 3 AND c.c_nationkey = 2)
             GROUP BY 1, 2, 3"""))
 
   val q14Promo = Q(
