@@ -2933,6 +2933,76 @@ object Queries {
             JOIN supplier s ON b.l_suppkey = s.s_suppkey
             JOIN nation n ON s.s_nationkey = n.n_nationkey"""))
 
+  /** TPC-H Q11 shape (important stock): per-part revenue within one
+    * nation's suppliers, kept only where the part's share exceeds a
+    * fraction of that nation slice's TOTAL — the HAVING-against-scalar-
+    * subquery pattern. Exact integer cents throughout; the total is a
+    * 1-row broadcast; the share threshold compares cross-multiplied
+    * BIGINTs (cents·10⁴ > total·frac·10⁴ as integers), so membership
+    * cannot hang on a float division. */
+  val q11ImportantStock = Q(
+    "q11_important_stock",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val li = t.lineitem
+        .join(broadcast(t.supplier.select(col("s_suppkey"),
+          col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .filter(col("s_nationkey") === 3)
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .as("cents"))
+      val tot = li.agg(sum(col("cents")).as("total_cents"))
+      li.crossJoin(broadcast(tot))
+        // share > 0.1%: cents * 1000 > total — exact integer compare
+        .filter(col("cents") * 1000 > col("total_cents"))
+        .select(col("l_partkey"), col("cents"),
+          (floor(col("cents").cast("double") / col("total_cents")
+            * 1000000 + 0.5) / 1000000).as("share"))
+    },
+    Some("""WITH li AS (
+              SELECT l_partkey,
+                CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+              FROM lineitem l
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              WHERE s.s_nationkey = 3
+              GROUP BY l_partkey),
+            tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM li)
+            SELECT l_partkey, cents,
+              floor(cents::DOUBLE / t.total_cents * 1000000 + 0.5) / 1000000
+                AS share
+            FROM li, tot t WHERE cents * 1000 > t.total_cents"""))
+
+  /** first/last/nth_value window battery — the frame-sensitive value
+    * functions q_window_rank's ranking battery does not cover:
+    * first_value over the default frame, last_value over the FULL
+    * partition frame (the default running frame is the classic
+    * surprise — it returns the CURRENT row), and nth_value(3). Pinned
+    * (ts, event_id) order; %40 user slice. */
+  val qWindowValues = Q(
+    "q_window_values",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables(s, dir).events.filter(col("user_id") < 40)
+        .select(col("user_id"), col("event_id"),
+          first(col("event_id")).over(w).as("first_ev"),
+          last(col("event_id")).over(wFull).as("last_ev"),
+          nth_value(col("event_id"), 3).over(wFull).as("third_ev"))
+    },
+    Some("""SELECT user_id, event_id,
+              first_value(event_id) OVER w AS first_ev,
+              last_value(event_id) OVER wf AS last_ev,
+              nth_value(event_id, 3) OVER wf AS third_ev
+            FROM events WHERE user_id < 40
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+              wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""))
+
   /** TPC-H Q7 shape (volume shipping): revenue flowing between two
     * nation PAIRS (supplier nation → customer nation, both directions)
     * by ship year — the two-dimension-join + conditional-pair filter
@@ -4598,7 +4668,7 @@ object Queries {
     qDqAudit, qCdcSnapshot, qSnapshotDiff, qMergeUpsert, qHopping, q5Revenue, q13Custdist,
     qNotIn, qSetOpsAll, qIntervalJoin, qZorder, qHilbert,
     qOutliers, qFfill, qAnomaly, qPagerank, qRandomWalks, qNode2vec, qLouvain,
-    q2MinCost, q7Volume, q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
+    q2MinCost, q7Volume, q11ImportantStock, qWindowValues, q14Promo, q18LargeOrders, qSoloSupplier, qTransitions, qMode,
     qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma, qCusum, qHolt, qHoltWinters, qSeasonalDecompose,
     qTriangles, qClusteringCoef, qConnectedComponents, qLubyMis, qBfsHops, qSssp,
     qLabelProp, qItemsets, qAttribution, qAssortativity, qKcore,
