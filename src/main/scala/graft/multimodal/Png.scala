@@ -73,7 +73,10 @@ object Png {
     val crc = new CRC32()
     while (ok && !sawEnd && off + 12 <= bytes.length) {
       val len = beInt(bytes, off)
-      if (len < 0 || off + 12 + len > bytes.length) { ok = false }
+      // `bytes.length - off - 12` is non-negative here (loop guard), so this
+      // comparison cannot overflow — unlike `off + 12 + len > bytes.length`,
+      // which wraps negative for hostile lengths near Int.MaxValue.
+      if (len < 0 || len > bytes.length - off - 12) { ok = false }
       else {
         val typ = new String(bytes, off + 4, 4, "US-ASCII")
         crc.reset()

@@ -56,10 +56,15 @@ object SkewOps {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= hotMinCount)
       .select(col(key), lit(1).as("__hot"))
-    val saltOf = pmod(
-      conv(substring(md5(saltSource.cast("string")), 1, 15), 16, 10)
-        .cast("long"),
-      lit(salts.toLong))
+    // coalesce: md5(NULL) is NULL, and a null __salt would silently drop
+    // the row from the inner join below — a NULL saltSource lands in
+    // bucket 0 instead, preserving row-equivalence with the plain join.
+    val saltOf = coalesce(
+      pmod(
+        conv(substring(md5(saltSource.cast("string")), 1, 15), 16, 10)
+          .cast("long"),
+        lit(salts.toLong)),
+      lit(0L))
     val s = skewed.join(broadcast(hot), Seq(key), "left")
       .withColumn("__salt",
         when(col("__hot").isNotNull, saltOf).otherwise(lit(0L)))

@@ -42,11 +42,18 @@ object Gnn {
     * normalization is scale-invariant, so instead of dividing the
     * neighbor sum by its count we scale the SELF half by the count:
     * int_h = [q_self·max(cnt,1) ⧺ Σq_nbr] points exactly along
-    * [self ⧺ mean], and both the norm (Σ int_h², exact in long) and the
-    * final division are single correctly-rounded IEEE ops. Overflow
-    * contract: Σ int_h² must fit a signed long — holds for unit-scale
-    * inputs (|x| ≲ 1) up to degree ~10³ at d = 128; quantized values
-    * are clamped elsewhere, not here.
+    * [self ⧺ mean]. The squared norm Σ int_h² is accumulated in Double:
+    * a long accumulator overflows for unit-SCALE (|x| ≲ 1, not
+    * unit-norm) inputs already at degree ~250 with d = 128 (components
+    * reach 1e9, squares 1e18, 256 of them ≈ 2.5e20 > Long.MaxValue).
+    * The Double fold is still oracle-exact in the parity regime: while
+    * Σ int_h² < 2⁵³ every partial sum is an integer that Double
+    * represents exactly, so the fold equals the exact integer sum
+    * bit-for-bit (what the oracle computes via BIGINT-sum-then-cast).
+    * Beyond 2⁵³ it degrades gracefully to an order-FIXED rounding —
+    * `aggregate` over an array column is a sequential left fold in the
+    * array's fixed element order, identical on every retry — instead
+    * of the long lane's silent wraparound.
     */
   def sageMeanLayer(
       nodes: DataFrame,
@@ -69,9 +76,10 @@ object Gnn {
           // zero vector of the node's own width — no static dim needed
           coalesce(col("__nsum"), transform(col("__q"), _ => lit(0L)))))
       .withColumn("__n2",
-        aggregate(col("__ih"), lit(0L), (a, x) => a + x * x))
+        aggregate(col("__ih"), lit(0.0d),
+          (a, x) => a + x.cast("double") * x.cast("double")))
       .select(col(idCol),
         transform(col("__ih"), x => x.cast("double") /
-          sqrt(greatest(col("__n2").cast("double"), lit(1e-12)))).as("h"))
+          sqrt(greatest(col("__n2"), lit(1e-12)))).as("h"))
   }
 }

@@ -29,6 +29,25 @@ class GnnSpec extends SparkSpec {
     }
   }
 
+  test("sageMeanLayer: degree-1000 unit-scale node does not overflow the norm") {
+    // Quantized components reach 1e6·cnt = 1e9 on the self half; their
+    // squares are 1e18 each, and 32 of them (d=16, both halves) sum to
+    // ~3.2e19 > Long.MaxValue — a long accumulator wraps silently. The
+    // Double accumulator must produce the exact unit vector 1/√32.
+    val d = 16
+    val hub = Seq((0L, Seq.fill(d)(1f))).toDF("id", "vec")
+    val leaves = (1L to 1000L).map(i => (i, Seq.fill(d)(1f))).toDF("id", "vec")
+    val nodes = hub.union(leaves)
+    val edges = (1L to 1000L).map(i => (0L, i)).toDF("src", "dst")
+    val h0 = Gnn.sageMeanLayer(nodes, edges, "id", "vec")
+      .filter(col("id") === 0L)
+      .as[(Long, Seq[Double])].head()._2
+    val want = 1.0 / math.sqrt(2.0 * d)
+    assert(h0.size == 2 * d)
+    h0.foreach(v => assert(math.abs(v - want) < 1e-12,
+      s"$v vs $want — a wrapped long norm would corrupt this"))
+  }
+
   test("sageMeanLayer: isolated node keeps a zero neighbor half") {
     val nodes = Seq((1L, Seq(3f, 4f)), (9L, Seq(0f, 5f))).toDF("id", "vec")
     val edges = Seq((1L, 9L)).toDF("src", "dst") // 9 has no out-edge

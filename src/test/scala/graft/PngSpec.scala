@@ -120,6 +120,19 @@ class PngSpec extends SparkSpec {
     }
   }
 
+  test("hostile chunk length near Int.MaxValue → None, not a throw") {
+    // A length field of 0x7ffffff0 would make `off + 12 + len` wrap
+    // negative in a naive bounds check, passing the guard and then
+    // throwing from CRC32.update. The guard must compare without
+    // overflow and return None.
+    val good = handPng(2, 1, 0, Array[Byte](0, 1, 2))
+    val hostile = good.clone()
+    // first chunk's length field lives at offset 8..11 (IHDR)
+    hostile(8) = 0x7f.toByte; hostile(9) = 0xff.toByte
+    hostile(10) = 0xff.toByte; hostile(11) = 0xf0.toByte
+    assert(Png.decode(hostile).isEmpty)
+  }
+
   test("oversize IHDR is refused, not allocated") {
     // 1<<14 x 1<<14 RGBA = 2^30 samples > maxPixels
     val big = Png.encode(2, 2, 4, 0, Array.fill(16)(0))

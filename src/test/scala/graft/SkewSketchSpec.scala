@@ -40,6 +40,19 @@ class SkewSketchSpec extends SparkSpec {
     assert(out.except(again).isEmpty && again.except(out).isEmpty)
   }
 
+  test("adaptiveSaltedJoin: NULL saltSource on a hot-key row is kept, not dropped") {
+    // 60 hot-key rows, one with a NULL rid: md5(NULL) is NULL, and an
+    // uncoalesced salt would silently drop that row from the inner join.
+    val big = ((1 to 60).map(i => (1, Some(i.toLong))) :+ ((1, None)) :+
+      ((2, Some(999L)))).toDF("k", "rid")
+    val dim = Seq((1, "hot"), (2, "a")).toDF("k", "label")
+    val out = SkewOps.adaptiveSaltedJoin(
+      big, dim, "k", col("rid"), salts = 4, hotMinCount = 50L)
+    val plain = big.join(dim, Seq("k"), "inner")
+    assert(out.count() == plain.count(),
+      "NULL saltSource must land in bucket 0, preserving row-equivalence")
+  }
+
   test("skewReport surfaces the hot key with its share") {
     val big = (1 to 100).map(i => (if (i <= 40) 7 else i, "x")).toDF("k", "v")
     val top = SkewOps.skewReport(big, "k", 1).head()
