@@ -201,7 +201,8 @@ object CodecQueries {
 
   /** Multimodal: opaque binary payload + typed metadata extraction +
     * chunk/frame counting — the columnar plumbing for image/audio work
-    * (decode itself is env-stubbed; see graft.multimodal). */
+    * (real pixel/sample decodes live in q_png_pixels / q_jpeg_pixels /
+    * q_wav_frames; see graft.multimodal). */
   val qMultimodalMeta = Q(
     "q_multimodal_meta",
     (s, dir) => {
@@ -419,9 +420,56 @@ object CodecQueries {
                 p -> (doc_id*31 + p*7) % 256)) AS BIGINT) AS ch0_sum
             FROM px"""))
 
+  /** REAL JPEG pixel decode: per-row SOLID-color JPEGs are SYNTHESIZED
+    * from doc_id (dims/channels/fill all closed functions of the id),
+    * encoded as actual entropy-coded streams ([[graft.multimodal.Jpeg]]
+    * over javax.imageio at quality 0.95), then decoded BACK from the real
+    * bytes by [[graft.multimodal.Multimodal.jpegPixelStats]]. JPEG is
+    * lossy, so unlike q_png_pixels the oracle cannot state raw samples:
+    * it states the DIMENSIONS closed form exactly (lossless in JPEG) plus
+    * a tolerance VERDICT on values — solid fills are DC-only per 8×8
+    * block, so decode error is ≤ quantStep/16 ≈ 1 per sample and a ±8
+    * gate has ~8× headroom; `within_tol = false` (or width = -1) on any
+    * decode corruption breaks the hash. */
+  val qJpegPixels = Q(
+    "q_jpeg_pixels",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      val jpgs = docs.mapPartitions { ids =>
+        val enc = graft.multimodal.Jpeg.encoderFor(0.95f)
+        ids.map { id =>
+          val w = (id % 6 + 8).toInt; val h = (id % 5 + 8).toInt
+          val bytes =
+            if (id % 2 == 0) enc.encodeSolid(w, h, 1, Array((id % 256).toInt))
+            else enc.encodeSolid(w, h, 3, Array((id % 256).toInt,
+              (id * 7 % 256).toInt, (id * 13 % 256).toInt))
+          (id, bytes)
+        } // Encoder leak note: one writer per partition, freed with the task
+      }.toDF("doc_id", "jpg")
+      val stats = Multimodal.jpegPixelStats(jpgs, "doc_id", "jpg")(s)
+        .toDF().withColumnRenamed("id", "doc_id")
+      val r = pmod(col("doc_id"), lit(256L))
+      val g = pmod(col("doc_id") * 7, lit(256L))
+      val b = pmod(col("doc_id") * 13, lit(256L))
+      val lo = when(pmod(col("doc_id"), lit(2)) === 0, r).otherwise(least(r, g, b))
+      val hi = when(pmod(col("doc_id"), lit(2)) === 0, r).otherwise(greatest(r, g, b))
+      stats.select(
+        col("doc_id"), col("width"), col("height"), col("channels"),
+        (col("px_min") >= lo - 8 && col("px_max") <= hi + 8).as("within_tol"))
+    },
+    Some("""SELECT doc_id,
+              doc_id % 6 + 8 AS width,
+              doc_id % 5 + 8 AS height,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT)
+                AS channels,
+              true AS within_tol
+            FROM documents"""))
+
   def all: Seq[Q] = Seq(
     qJsonParse, qJsonFormat, qEncodeDecode, qB64Roundtrip, qCsvFormat,
     qCsvParse, qXmlFormat, qXmlParse, qHl7Parse, qEmailFormat, qHttpUrl,
     qSourceRoundtrip, qMultimodalMeta, qJpegMeta, qMp4Meta, qWavFrames,
-    qPngPixels)
+    qPngPixels, qJpegPixels)
 }

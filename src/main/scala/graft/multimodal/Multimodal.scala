@@ -6,13 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column support: image/audio/video as opaque `binary` columns
   * with typed metadata, plus batched decode/feature-extract plumbing.
   *
-  * The decode tier is REAL for the formats the JDK can carry: PNG pixels
-  * ([[Png.decode]] — Inflater + scanline unfilter, no image library) and
-  * 16-bit PCM WAV ([[wavPcmFrames]] — pure column math). JPEG/MP4 decode
-  * headers natively (plans.JpegMeta/Mp4Meta); only their entropy-coded
-  * payloads fall back to [[fallbackFeatures]] (no JPEG/H.264 codec in
-  * this container — a production decoder drops into the same
-  * `Iterator[Media]` batches).
+  * The decode tier is REAL for every format the JDK can carry: PNG pixels
+  * ([[Png.decode]] — Inflater + scanline unfilter, no image library),
+  * JPEG pixels ([[Jpeg.decode]] — javax.imageio with a pre-decode
+  * allocation guard), 16-bit PCM WAV ([[wavPcmFrames]] — pure column
+  * math), and JPEG/MP4 headers natively (plans.JpegMeta/Mp4Meta). Only
+  * formats with no JDK codec at all (H.264 video frames et al.) fall
+  * back to [[fallbackFeatures]]; a production decoder drops into the
+  * same `Iterator[Media]` batches.
   */
 object Multimodal {
 
@@ -51,9 +52,10 @@ object Multimodal {
 
   /** Batched feature extraction over partitions — the `mapPartitions` shape
     * a real decoder needs (amortizes model/codec init per partition, not
-    * per row). PNG payloads DECODE FOR REAL ([[Png.decode]]: Inflater +
-    * scanline unfilter) and featurize from pixel values (per-channel
-    * means, normalized); everything else falls back to the byte fold. */
+    * per row). PNG and JPEG payloads DECODE FOR REAL ([[Png.decode]]:
+    * Inflater + scanline unfilter; [[Jpeg.decode]]: javax.imageio) and
+    * featurize from pixel values (per-channel means, normalized); only
+    * formats with no JDK codec fall back to the byte fold. */
   def extractFeatures(media: Dataset[Media])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
@@ -61,7 +63,7 @@ object Multimodal {
       rows.map { m =>
         val md = java.security.MessageDigest.getInstance("MD5")
         val hash = md.digest(m.bytes).map("%02x".format(_)).mkString
-        val feats = Png.decode(m.bytes) match {
+        val feats = Png.decode(m.bytes).orElse(Jpeg.decode(m.bytes)) match {
           case Some(img) =>
             // real pixel features: per-channel mean + global min/max/size
             val out = new Array[Float](8)
@@ -124,6 +126,50 @@ object Multimodal {
               PngStats(id, img.width.toLong, img.height.toLong,
                 img.channels.toLong, sum, mn, mx, ch0)
             case None => PngStats(id, -1L, -1L, -1L, -1L, -1L, -1L, -1L)
+          }
+        }
+      }
+  }
+
+  /** One decoded-JPEG stats row per image — the lossy sibling of
+    * [[PngStats]]. Same exact-integer reduction (the DECODED samples are
+    * definite bytes; only their relation to the pre-encode source is
+    * approximate), same loud width = -1 failure lane. */
+  final case class JpegStats(
+      id: Long, width: Long, height: Long, channels: Long,
+      px_sum: Long, px_min: Long, px_max: Long, ch0_sum: Long)
+
+  /** REAL JPEG pixel decode tier — [[pngPixelStats]] for JPEG payloads:
+    * every payload runs the full javax.imageio decode ([[Jpeg.decode]] —
+    * header-probed allocation guard, R,G,B band order) and reduces to
+    * per-image pixel statistics. `mapPartitions` batch shape: decode
+    * parallelism is the scan's, transient memory one image bounded by
+    * [[Png.maxPixels]]. Because JPEG is lossy, downstream oracles check
+    * dimensions exactly and values via tolerance verdicts
+    * (CodecQueries.qJpegPixels), never raw samples. */
+  def jpegPixelStats(df: DataFrame, idCol: String, binCol: String)(
+      implicit spark: SparkSession): Dataset[JpegStats] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(binCol).cast("binary").as("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          Jpeg.decode(bytes) match {
+            case Some(img) =>
+              var sum = 0L; var ch0 = 0L
+              var mn = 255L; var mx = 0L
+              var i = 0
+              while (i < img.pixels.length) {
+                val v = img.pixels(i).toLong
+                sum += v
+                if (i % img.channels == 0) ch0 += v
+                if (v < mn) mn = v; if (v > mx) mx = v
+                i += 1
+              }
+              JpegStats(id, img.width.toLong, img.height.toLong,
+                img.channels.toLong, sum, mn, mx, ch0)
+            case None => JpegStats(id, -1L, -1L, -1L, -1L, -1L, -1L, -1L)
           }
         }
       }
