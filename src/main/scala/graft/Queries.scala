@@ -654,18 +654,42 @@ object Queries {
 
   /** Sketch aggregates: HLL distinct + approximate quantiles — the
     * bounded-memory path for 100 TB cardinality/percentile questions.
-    * Approximation algorithms differ across engines → rows-only check;
-    * exact-bound assertions live in the spec. */
+    * The sketches themselves are engine-private (Spark's HLL++ register
+    * layout and KLL variant aren't portable), so instead of emitting raw
+    * estimates this emits VERDICT rows: each estimate compared against
+    * its declared error bound around the EXACT answer, computed in the
+    * same aggregation. DuckDB reproduces the exact side identically and
+    * predicts every verdict true, making the approximation
+    * hash-checkable (the q_hll/q_cms graduation pattern): a sketch
+    * regression — wrong merge, wrong register math, wrong rank bound —
+    * flips a boolean and breaks the hash. Bounds: HLL++ rsd defaults to
+    * 5% → gate at 3σ = 15% relative (+10 absolute slack for tiny
+    * groups); percentile_approx(acc=1000) guarantees rank error
+    * ≤ n/1000 → gate p50 inside exact [p48, p52], p99 inside
+    * [p98, max] — 10–20× the guaranteed headroom, still failing loudly
+    * on a broken sketch. */
   val qSketch = Q(
     "q_sketch",
     (s, dir) => {
       Tables(s, dir).events
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
-          percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"))
-    })
+          countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id")).as("__hll"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("__p50"),
+          percentile_approx(col("value"), lit(0.99), lit(1000)).as("__p99"),
+          expr("percentile(value, array(0.48, 0.52, 0.98))").as("__px"),
+          max(col("value")).as("__mx"))
+        .select(
+          col("event_type"), col("n_exact"),
+          (abs(col("__hll") - col("n_exact")) <=
+            greatest(col("n_exact") * 0.15, lit(10.0))).as("hll_ok"),
+          col("__p50").between(col("__px")(0), col("__px")(1)).as("p50_ok"),
+          col("__p99").between(col("__px")(2), col("__mx")).as("p99_ok"))
+    },
+    Some("""SELECT event_type, count(DISTINCT user_id) AS n_exact,
+              true AS hll_ok, true AS p50_ok, true AS p99_ok
+            FROM events GROUP BY event_type"""))
 
   /** Portable HyperLogLog distinct-users-per-event-type, ORACLE-CHECKED:
     * unlike `q_sketch`'s engine-private `approx_count_distinct`,
