@@ -64,6 +64,23 @@ object Bench {
           name -> 1e9 // poison the total — a broken query must not look fast
       }
     }
+    // Streaming-tier datapoint (file watcher end-to-end, ChangeFeed,
+    // windowed heavy hitters): once per full-battery run, n=1 AvailableNow
+    // passes — see StreamBench. Focused runs (named args) skip it, and
+    // SPARK_GRAFT_STREAM_BENCH=0 disables it outright. A failure is
+    // reported, never silent — but doesn't poison the batch total (the
+    // gate compares per-query medians; streaming rides as its own block).
+    val streamResults: Seq[(String, StreamBench.Metrics)] =
+      if (args.nonEmpty || sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "0")
+        Seq.empty
+      else try StreamBench.run(spark, sfDir)
+      catch {
+        case e: Throwable =>
+          failed :+= "stream_bench" ->
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          Seq.empty
+      }
+
     // Full JSON string escaping: Spark exception messages routinely carry
     // newlines (AnalysisException plan dumps) — emitting one raw would make
     // the whole artifact unparseable. Control chars and lone surrogates
@@ -90,6 +107,13 @@ object Bench {
     val fs = failed.map { case (k, v) => s"\"" + k + "\":\"" + esc(v.take(120)) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val smap = streamResults.map { case (k, m) =>
+      s"\"" + k + "\":{" +
+        s"\"rows\":${m.rows},\"wall_s\":${fmt(m.wallS)}," +
+        s"\"rows_per_s\":${fmt(m.rowsPerS)}," +
+        s"\"batch_ms_median\":${fmt(m.batchMsMedian)}," +
+        s"\"n_batches\":${m.nBatches}}"
+    }.mkString("{", ",", "}")
     // The driver keeps only a ~2000-char tail of stdout, and a 184-query
     // map is ~5 KB — printing it all makes the artifact unparseable
     // (BENCH_r07 "parsed": null). So: the COMPLETE per-query map goes to a
@@ -97,12 +121,12 @@ object Bench {
     // carrying the slowest-N subset (the regression-relevant entries) plus
     // a pointer to the full dump. Failures always ride stdout in full.
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(results)},"failed":$fs,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(results)},"failed":$fs,"reps":$reps,"streaming":$smap,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] full dump write failed: ${e.getMessage}") }
     val slowest = results.sortBy(-_._2).take(30)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(slowest)},"failed":$fs,"reps":$reps,"n_queries":${results.size},"queries_file":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(slowest)},"failed":$fs,"reps":$reps,"n_queries":${results.size},"queries_file":"$outPath","streaming":$smap,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

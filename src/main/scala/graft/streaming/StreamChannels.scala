@@ -99,10 +99,12 @@ final class FileWatcherChannel(
     outDir: String,
     checkpointDir: String,
     format: String = "parquet",
-    intervalMs: Long = 1000) {
+    intervalMs: Long = 1000,
+    maxFilesPerTrigger: Int = 100) {
 
   def start(): StreamingQuery = {
-    val transformed = StreamChannels.fileWatcher(spark, watchDir, schema, format, channel)
+    val transformed = StreamChannels.fileWatcher(
+      spark, watchDir, schema, format, channel, maxFilesPerTrigger)
     val trigger =
       if (intervalMs <= 0) Trigger.AvailableNow() else Trigger.ProcessingTime(intervalMs)
     transformed.writeStream
