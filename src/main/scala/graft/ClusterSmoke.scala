@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Multi-JVM scale smoke — the cheapest way to surface what `local[32]`
+  * structurally hides. In local mode every "exchange" is an in-process
+  * array handoff and every "broadcast" a pointer: serialization bugs,
+  * oversized broadcast payloads, and task-binary bloat are invisible.
+  * `local-cluster[4,8,8192]` (4 real worker JVMs × 8 cores × 8 GiB,
+  * standalone master/worker in-process but EXECUTORS as separate
+  * processes) forces the real paths: closure + task serialization, wire
+  * exchanges, TorrentBroadcast, remote block fetch.
+  *
+  * Target set: the top-20 most expensive battery queries (the
+  * graph/iterative tier — where per-round exchanges amplify any wire
+  * cost) plus the specific hazards the round-10 verdict called out as
+  * locally-invisible: VecGram's d² buffers (q_dup_ngrams), the packed
+  * Bloom literal (q_bloom_join), collected PQ codebooks
+  * (q_ann_pq/q_ann_ivfpq), vector aggregates (q_gnn_sage,
+  * q_bootstrap_ci), fused native md5 lanes (q_dedup_minhash), and two
+  * shuffle-join shapes (q3_topk, q18_large_orders).
+  *
+  * Method: per query one untimed warmup + `SPARK_GRAFT_BENCH_REPS`
+  * (default 1) timed runs (min reported — the smoke question is "does
+  * the plan survive real exchanges at sane cost", not a steady-state
+  * median). Compare the SAME main run with `SPARK_GRAFT_MASTER=
+  * local[32]` and diff; divergence ≫ the worker-count ratio means a
+  * serialization/broadcast assumption broke. Results → PLANS.md table.
+  */
+object ClusterSmoke {
+
+  /** top-20 by committed baseline + verdict-named hazard shapes */
+  val targets: Seq[String] = Seq(
+    // expensive tier (baseline order)
+    "q_bowtie", "q_cross_repeat", "q_global_suffix", "q_cdc_chunks",
+    "q_louvain", "q_luby_mis", "q_scc", "q_node2vec", "q_ktruss",
+    "q_incremental_cc", "q_nn_descent", "q_random_walks", "q_dbscan",
+    "q_link_predict", "q_sorted_neighborhood", "q_harmonic",
+    "q_boilerplate", "q_ppr_trust", "q_simjoin_prefix",
+    "q_connected_components",
+    // locally-invisible hazards
+    "q_dup_ngrams", "q_bloom_join", "q_ann_pq", "q_ann_ivfpq",
+    "q_gnn_sage", "q_bootstrap_ci", "q_dedup_minhash",
+    "q3_topk", "q18_large_orders")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[4,8,8192]")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    // executors are separate JVMs: they need the repo classes on their
+    // own classpath (the driver's sbt classpath does not propagate)
+    val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val spark = GraftSession.configure(SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.executor.extraClassPath", classesDir)
+      .config("spark.executor.memory", "7g"))
+      .getOrCreate()
+    GraftSession.install(spark)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val selected =
+      if (args.isEmpty) targets else args.toSeq
+    val results = selected.map { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query: $name"))
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
+        dt
+      }
+      val r = try {
+        once() // warmup
+        val t = (1 to reps).map(_ => once()).min
+        println(f"[cluster-smoke] $name%-24s ${t}%7.2f s  ($master)")
+        name -> t
+      } catch {
+        case e: Throwable =>
+          println(s"[cluster-smoke] $name FAILED: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(200))
+          name -> -1.0
+      }
+      r
+    }
+    val ok = results.filter(_._2 >= 0)
+    println(f"[cluster-smoke] total ${ok.map(_._2).sum}%.1f s over ${ok.size} ok / ${results.size} run; master=$master")
+    spark.stop()
+  }
+}
