@@ -93,12 +93,12 @@ object MessageQueries {
           (col("value") < 75, (c: Channel) => c.add(Node("mid")(_.withColumn("route", lit("mid"))))))
         .runMain(ev)
         .groupBy(col("route"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+        .agg(count(lit(1)).as("n"), round(sum(floor(col("value") * 100 + lit(0.5)).cast("long")) / 100.0, 4).as("total_value"))
     },
     Some("""SELECT CASE WHEN value < 25 THEN 'low'
                         WHEN value < 75 THEN 'mid'
                         ELSE 'high' END AS route,
-              count(*) AS n, round(sum(value), 4) AS total_value
+              count(*) AS n, round(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0, 4) AS total_value
             FROM events GROUP BY 1"""))
 
   /** Drop node / drop_nodes side output. */
@@ -106,15 +106,15 @@ object MessageQueries {
     "q_filter_drop",
     (s, dir) => {
       val r = Channel("d").dropWhen(col("value") < 10).run(Tables(s, dir).events)
-      val kept = r.main.agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      val kept = r.main.agg(count(lit(1)).as("n"), round(sum(floor(col("value") * 100 + lit(0.5)).cast("long")) / 100.0, 4).as("total_value"))
         .select(lit("kept").as("bucket"), col("n"), col("total_value"))
       val dropped = r.dropped.get
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+        .agg(count(lit(1)).as("n"), round(sum(floor(col("value") * 100 + lit(0.5)).cast("long")) / 100.0, 4).as("total_value"))
         .select(lit("dropped").as("bucket"), col("n"), col("total_value"))
       kept.unionByName(dropped)
     },
     Some("""SELECT CASE WHEN value < 10 THEN 'dropped' ELSE 'kept' END AS bucket,
-              count(*) AS n, round(sum(value), 4) AS total_value
+              count(*) AS n, round(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0, 4) AS total_value
             FROM events GROUP BY 1"""))
 
   /** Reject node: rejected rows carry state 'rejected'. */

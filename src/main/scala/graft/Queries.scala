@@ -28,12 +28,27 @@ object Queries {
     * DuckDB oracle must spell the identical expression. */
   private def fl4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
 
+  /** Exact money lane (round-11 fl4 audit, PLANS.md): the testdata money
+    * columns (l_quantity/l_extendedprice/l_discount/o_totalprice/
+    * events.value) are all 2-decimal values stored as doubles (max fp
+    * drift ~4e-9), so `floor(x·100 + ½)` recovers exact integer cents and
+    * BIGINT sums of them are ORDER-FREE — immune to the partial-agg
+    * merge-order nondeterminism a raw double sum inherits from shuffle
+    * arrival order (the straddle hazard: a float sum landing within an
+    * ulp of a 4-decimal boundary hashes differently per run). The oracle
+    * spells the identical cents expression. */
+  private def cents(c: Column): Column =
+    floor(c * 100 + lit(0.5)).cast("long")
+
   // ===========================================================
   // §2.5 analytics core
   // ===========================================================
 
   /** TPC-H Q1 shape: scan → filter → grouped agg with partial (map-side)
-    * aggregation; at 100 TB this is a single shuffle of ~6 groups. */
+    * aggregation; at 100 TB this is a single shuffle of ~6 groups. All
+    * money sums ride the exact [[cents]] lane: BIGINT sums, one final
+    * division — order-free under any partial-agg merge order. disc_price
+    * is price_c·(100−disc_pct), exact at 1e4 scale. */
   val q1Agg = Q(
     "q1_agg",
     (s, dir) => {
@@ -41,17 +56,21 @@ object Queries {
       li.filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          r4(sum(col("l_quantity"))).as("sum_qty"),
-          r4(sum(col("l_extendedprice"))).as("sum_base_price"),
-          r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-          r4(avg(col("l_quantity"))).as("avg_qty"),
+          r4(sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+          r4(sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
+          r4(sum(cents(col("l_extendedprice"))
+            * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+            .as("sum_disc_price"),
+          r4(sum(cents(col("l_quantity")))
+            / (count(lit(1)) * 100.0)).as("avg_qty"),
           count(lit(1)).as("count_order"))
     },
     Some("""SELECT l_returnflag, l_linestatus,
-            round(sum(l_quantity), 4) AS sum_qty,
-            round(sum(l_extendedprice), 4) AS sum_base_price,
-            round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-            round(avg(l_quantity), 4) AS avg_qty,
+            round(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0, 4) AS sum_qty,
+            round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0, 4) AS sum_base_price,
+            round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+              * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) / 10000.0, 4) AS sum_disc_price,
+            round(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / (count(*) * 100.0), 4) AS avg_qty,
             count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
             GROUP BY l_returnflag, l_linestatus"""))
@@ -85,7 +104,10 @@ object Queries {
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        // exact cents lane: order-free BIGINT revenue, and the top-k
+        // boundary can't hang on a float summation order either
+        .agg(r4(sum(cents(col("l_extendedprice"))
+          * (lit(100L) - cents(col("l_discount")))) / 10000.0).as("revenue"))
         .select(
           col("l_orderkey"),
           col("o_orderdate").cast("date").as("o_orderdate"),
@@ -94,7 +116,8 @@ object Queries {
         .limit(10)
     },
     Some("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-            round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+              * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) / 10000.0, 4) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -113,16 +136,20 @@ object Queries {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       Tables(s, dir).events
         .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("running_value", r4(sum(col("value")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+        // exact cents lane (fl4 audit): the cumulative sum is BIGINT —
+        // immune to the engines' differing prefix-accumulation orders
+        .withColumn("running_value", r4(sum(cents(col("value"))).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) / 100.0))
         .filter(col("rn") <= 3)
         .select(col("user_id"), col("event_id"), col("rn"), col("running_value"))
     },
     Some("""SELECT user_id, event_id, rn, running_value FROM (
               SELECT user_id, event_id,
                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-                round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+                round(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 4)
+                  AS running_value
               FROM events) WHERE rn <= 3"""))
 
   /** Distinct users per event type — partial-aggregatable count-distinct. */
@@ -160,23 +187,47 @@ object Queries {
                               WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
             GROUP BY c_mktsegment"""))
 
-  /** Statistical aggregates (all partial-aggregatable). */
+  /** Statistical aggregates (all partial-aggregatable). Round-11 fl4
+    * audit: avg and stddev ride exact integer lanes — Σc and Σc² are
+    * BIGINT/DECIMAL(38,0) sums of per-row longs (c ≤ 56021 cents, c² ≤
+    * 3.2e9 — the c² sum is decimal so even 1e9-row groups at 100 TB
+    * can't wrap), so the merged totals are identical under ANY partial-
+    * agg merge order; the only float ops are one division and one sqrt
+    * over exact integers, bit-identical on both engines. */
   val qAggStats = Q(
     "q_agg_stats",
     (s, dir) => {
+      val c = cents(col("value"))
       Tables(s, dir).events
         .groupBy(col("event_type"))
         .agg(
-          r4(avg(col("value"))).as("avg_value"),
-          r4(stddev(col("value"))).as("sd_value"),
+          count(lit(1)).as("n"),
+          sum(c).as("sc"),
+          sum((c * c).cast("decimal(38,0)")).as("sc2"),
           r4(min(col("value"))).as("min_value"),
           r4(max(col("value"))).as("max_value"))
+        .select(
+          col("event_type"),
+          r4(col("sc") / (col("n") * 100.0)).as("avg_value"),
+          r4(sqrt((col("n") * col("sc2") - (col("sc").cast("decimal(38,0)")
+              * col("sc"))).cast("double")
+            / (col("n") * (col("n") - 1))) / 100.0).as("sd_value"),
+          col("min_value"), col("max_value"))
     },
-    Some("""SELECT event_type, round(avg(value), 4) AS avg_value,
-            round(stddev(value), 4) AS sd_value,
-            round(min(value), 4) AS min_value,
-            round(max(value), 4) AS max_value
-            FROM events GROUP BY event_type"""))
+    Some("""WITH a AS (
+              SELECT event_type, count(*) AS n,
+                sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sc,
+                sum(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                  * CAST(floor(value * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS sc2,
+                round(min(value), 4) AS min_value,
+                round(max(value), 4) AS max_value
+              FROM events GROUP BY event_type)
+            SELECT event_type,
+              round(sc / (n * 100.0), 4) AS avg_value,
+              round(sqrt(CAST(n * sc2 - CAST(sc AS HUGEINT) * sc AS DOUBLE)
+                / (n * (n - 1))) / 100.0, 4) AS sd_value,
+              min_value, max_value
+            FROM a"""))
 
   /** Time-window aggregation — the batch-checked shape of the streaming
     * windowed agg (graft.streaming uses the same expression on readStream).
@@ -189,10 +240,13 @@ object Queries {
           to_date(col("ts")).as("day"),
           hour(col("ts")).as("hr"),
           col("event_type"))
-        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("total_value"))
+        .agg(count(lit(1)).as("n"),
+          // exact cents lane (fl4 audit): order-free BIGINT sum
+          r4(sum(cents(col("value"))) / 100.0).as("total_value"))
     },
     Some("""SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS INT) AS hr, event_type,
-            count(*) AS n, round(sum(value), 4) AS total_value
+            count(*) AS n,
+            round(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0, 4) AS total_value
             FROM events GROUP BY 1, 2, 3"""))
 
   /** Top-k per group: dense top-3 parts by retail price per brand. */
@@ -300,10 +354,11 @@ object Queries {
     (s, dir) => {
       Tables(s, dir).lineitem
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), r4(sum(col("l_quantity"))).as("qty"))
+        .agg(count(lit(1)).as("n"),
+          r4(sum(cents(col("l_quantity"))) / 100.0).as("qty"))
     },
     Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
-              round(sum(l_quantity), 4) AS qty
+              round(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0, 4) AS qty
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
 
@@ -315,10 +370,11 @@ object Queries {
     (s, dir) => {
       Tables(s, dir).lineitem
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), r4(sum(col("l_extendedprice"))).as("revenue"))
+        .agg(count(lit(1)).as("n"),
+          r4(sum(cents(col("l_extendedprice"))) / 100.0).as("revenue"))
     },
     Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
-              round(sum(l_extendedprice), 4) AS revenue
+              round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0, 4) AS revenue
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)"""))
 
@@ -365,14 +421,18 @@ object Queries {
         .rangeBetween(-3600L, 0L)
       Tables(s, dir).events
         .withColumn("ts_s", unix_seconds(col("ts").cast("timestamp")))
-        .withColumn("avg_1h", r4(avg(col("value")).over(w)))
+        // exact cents lane (fl4 audit): BIGINT frame sum / frame count —
+        // one final division, no float accumulation across the frame
         .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("avg_1h",
+          r4(sum(cents(col("value"))).over(w) / (col("n_1h") * 100.0)))
         .filter(col("event_id") % 20 === 0)
         .select(col("event_id"), col("user_id"), col("avg_1h"), col("n_1h"))
     },
     Some("""SELECT event_id, user_id, avg_1h, n_1h FROM (
               SELECT event_id, user_id,
-                round(avg(value) OVER w, 4) AS avg_1h,
+                round(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+                  / (count(*) OVER w * 100.0), 4) AS avg_1h,
                 count(*) OVER w AS n_1h
               FROM (SELECT event_id, user_id, value,
                       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
@@ -892,14 +952,14 @@ object Queries {
         .agg(
           (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
             .cast("long").as("g_id"),
-          r4(sum(col("l_quantity"))).as("sum_qty"),
+          r4(sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
           count(lit(1)).as("n"))
         .select(col("l_returnflag"), col("l_linestatus"), col("g_id"),
           col("sum_qty"), col("n"))
     },
     Some("""SELECT l_returnflag, l_linestatus,
               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS g_id,
-              round(sum(l_quantity), 4) AS sum_qty,
+              round(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0, 4) AS sum_qty,
               count(*) AS n
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
@@ -919,9 +979,16 @@ object Queries {
       val t = Tables(s, dir)
       t.lineitem.createOrReplaceTempView("graft_q17_lineitem")
       t.part.createOrReplaceTempView("graft_q17_part")
+      // exact cents lane on the outer revenue sum; the correlated avg
+      // threshold is already order-safe (integer-valued quantities, every
+      // partial sum exact in double far below 2^53)
+      // NB: in Spark SQL text `100.0` is a DECIMAL literal (BIGINT/DECIMAL
+      // → DECIMAL(36,6) output, wrong schema); cast the exact sum to
+      // DOUBLE first so the result column stays DOUBLE like the oracle's
       s.sql("""SELECT p_brand,
                  count(*) AS n_small,
-                 floor(sum(l_extendedprice) / 7.0 * 10000 + 0.5) / 10000 AS avg_yearly
+                 floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 100.0 / 7.0 * 10000 + 0.5) / 10000 AS avg_yearly
                FROM graft_q17_lineitem JOIN graft_q17_part ON p_partkey = l_partkey
                WHERE p_size <= 5
                  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -931,7 +998,8 @@ object Queries {
     },
     Some("""SELECT p_brand,
               count(*) AS n_small,
-              floor(sum(l_extendedprice) / 7.0 * 10000 + 0.5) / 10000 AS avg_yearly
+              floor(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
+                / 7.0 * 10000 + 0.5) / 10000 AS avg_yearly
             FROM lineitem JOIN part ON p_partkey = l_partkey
             WHERE p_size <= 5
               AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -1258,12 +1326,29 @@ object Queries {
         W.partitionBy(col("k")).orderBy(col("v"), col("t"), col("event_id")))
       val rnT = row_number().over(
         W.partitionBy(col("k")).orderBy(col("t"), col("event_id")))
+      // Round-11 fl4 audit: tie-averaged ranks (a+b)/2 and the Pearson
+      // merge are the two float-order hazards here. Both go exact: within
+      // a tie group row_numbers are CONSECUTIVE integers, so 2·avg(rank)
+      // = min+max (exact BIGINT, column "x"); corr is scale-invariant per
+      // variable, so corr(rv, rt) = corr(x, rt) computed from exact
+      // moment sums (products in LONG, sums in DECIMAL(38,0) — no group
+      // size wraps them). Only the final divisions/sqrt touch doubles.
       val ranked = e.withColumn("rn_v", rnV).withColumn("rt", rnT)
-        .withColumn("rv",
-          avg(col("rn_v")).over(W.partitionBy(col("k"), col("v"))))
+        .withColumn("x",
+          min(col("rn_v")).over(W.partitionBy(col("k"), col("v")))
+            + max(col("rn_v")).over(W.partitionBy(col("k"), col("v"))))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val x = col("x").cast("long"); val y = col("rt").cast("long")
       ranked.groupBy(col("k").as("event_type"))
         .agg(count(lit(1)).as("n"),
-          fl4(corr(col("rv"), col("rt"))).as("spearman_rho"))
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(dec(x * x)).as("sx2"), sum(dec(y * y)).as("sy2"),
+          sum(dec(x * y)).as("sxy"))
+        .select(col("event_type"), col("n"),
+          fl4((col("n") * col("sxy") - dec(col("sx")) * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sx2") - dec(col("sx")) * col("sx")).cast("double"))
+              * sqrt((col("n") * col("sy2") - dec(col("sy")) * col("sy")).cast("double"))))
+            .as("spearman_rho"))
     },
     Some("""WITH e AS (
               SELECT event_type AS k, epoch_us(ts) AS t, event_id,
@@ -1277,12 +1362,23 @@ object Queries {
                   ORDER BY t, event_id) AS rt
               FROM e),
             avgr AS (
-              SELECT k, rt,
-                avg(rn_v) OVER (PARTITION BY k, v) AS rv
-              FROM ranked)
-            SELECT k AS event_type, count(*) AS n,
-              floor(corr(rv, rt) * 10000 + 0.5) / 10000 AS spearman_rho
-            FROM avgr GROUP BY k"""))
+              SELECT k, CAST(rt AS BIGINT) AS y,
+                CAST(min(rn_v) OVER (PARTITION BY k, v)
+                  + max(rn_v) OVER (PARTITION BY k, v) AS BIGINT) AS x
+              FROM ranked),
+            a AS (
+              SELECT k, count(*) AS n,
+                sum(x) AS sx, sum(y) AS sy,
+                sum(CAST(x * x AS HUGEINT)) AS sx2,
+                sum(CAST(y * y AS HUGEINT)) AS sy2,
+                sum(CAST(x * y AS HUGEINT)) AS sxy
+              FROM avgr GROUP BY k)
+            SELECT k AS event_type, n,
+              floor(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                / (sqrt(CAST(n * sx2 - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                  * sqrt(CAST(n * sy2 - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+                * 10000 + 0.5) / 10000 AS spearman_rho
+            FROM a"""))
 
   /** Wald SPRT per user (Wald 1945): is this user's purchase rate 0.4
     * (H1) or 0.2 (H0)? Per-event integer MILLI-BAN log-likelihood
@@ -1819,20 +1915,65 @@ object Queries {
   val qCorrCov = Q(
     "q_corr_cov",
     (s, dir) => {
+      // Round-11 fl4 audit: Pearson corr / covar_samp / stddev_samp from
+      // EXACT moment sums instead of Spark's order-sensitive streaming
+      // merges. Per-row products stay in LONG (≤5.25e10); their sums ride
+      // DECIMAL(38,0) so no group size can wrap them; the cross terms
+      // (Σx·Σy up to ~1.2e21) multiply as decimals. The only float ops
+      // are the final divisions/sqrts over exact integers — the DuckDB
+      // oracle spells the identical expression tree over HUGEINTs.
+      val q = cents(col("l_quantity"))
+      val p = cents(col("l_extendedprice"))
+      val d = cents(col("l_discount"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
       Tables(s, dir).lineitem
         .groupBy(col("l_returnflag"))
         .agg(
-          fl4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
-          fl4(covar_samp(col("l_quantity"), col("l_discount"))).as("cov_qd"),
-          fl4(stddev_samp(col("l_extendedprice"))).as("sd_price"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"),
+          sum(q).as("sq"), sum(p).as("sp"), sum(d).as("sd"),
+          sum(dec(q * q)).as("sq2"), sum(dec(p * p)).as("sp2"),
+          sum(dec(q * p)).as("sqp"), sum(dec(q * d)).as("sqd"))
+        .select(
+          col("l_returnflag"),
+          fl4((col("n") * col("sqp") - dec(col("sq")) * col("sp")).cast("double")
+            / (sqrt((col("n") * col("sq2") - dec(col("sq")) * col("sq")).cast("double"))
+              * sqrt((col("n") * col("sp2") - dec(col("sp")) * col("sp")).cast("double"))))
+            .as("corr_qp"),
+          fl4((col("n") * col("sqd") - dec(col("sq")) * col("sd")).cast("double")
+            / (lit(10000L) * col("n") * (col("n") - 1)).cast("double"))
+            .as("cov_qd"),
+          fl4(sqrt((col("n") * col("sp2") - dec(col("sp")) * col("sp")).cast("double")
+            / (col("n") * (col("n") - 1)).cast("double")) / 100.0)
+            .as("sd_price"),
+          col("n"))
     },
-    Some("""SELECT l_returnflag,
-              floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS corr_qp,
-              floor(covar_samp(l_quantity, l_discount) * 10000 + 0.5) / 10000 AS cov_qd,
-              floor(stddev_samp(l_extendedprice) * 10000 + 0.5) / 10000 AS sd_price,
-              count(*) AS n
-            FROM lineitem GROUP BY l_returnflag"""))
+    Some("""WITH c AS (
+              SELECT l_returnflag,
+                CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+                CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+                CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
+              FROM lineitem),
+            a AS (
+              SELECT l_returnflag, count(*) AS n,
+                sum(q) AS sq, sum(p) AS sp, sum(d) AS sd,
+                sum(CAST(q * q AS HUGEINT)) AS sq2,
+                sum(CAST(p * p AS HUGEINT)) AS sp2,
+                sum(CAST(q * p AS HUGEINT)) AS sqp,
+                sum(CAST(q * d AS HUGEINT)) AS sqd
+              FROM c GROUP BY l_returnflag)
+            SELECT l_returnflag,
+              floor(CAST(n * sqp - CAST(sq AS HUGEINT) * sp AS DOUBLE)
+                / (sqrt(CAST(n * sq2 - CAST(sq AS HUGEINT) * sq AS DOUBLE))
+                  * sqrt(CAST(n * sp2 - CAST(sp AS HUGEINT) * sp AS DOUBLE)))
+                * 10000 + 0.5) / 10000 AS corr_qp,
+              floor(CAST(n * sqd - CAST(sq AS HUGEINT) * sd AS DOUBLE)
+                / CAST(10000 * n * (n - 1) AS DOUBLE)
+                * 10000 + 0.5) / 10000 AS cov_qd,
+              floor(sqrt(CAST(n * sp2 - CAST(sp AS HUGEINT) * sp AS DOUBLE)
+                / CAST(n * (n - 1) AS DOUBLE)) / 100.0
+                * 10000 + 0.5) / 10000 AS sd_price,
+              n
+            FROM a"""))
 
   /** Equi-width histogram of a measure: global [min, max] from a tiny
     * 1-row agg broadcast back, then a scan-stage bucket projection and a
@@ -2041,9 +2182,10 @@ object Queries {
     (s, dir) => {
       val wide = Tables(s, dir).lineitem
         .groupBy(col("l_returnflag"))
-        .agg(r4(sum(col("l_quantity"))).as("sum_qty"),
-          r4(sum(col("l_extendedprice"))).as("sum_price"),
-          r4(avg(col("l_discount"))).as("avg_disc"))
+        .agg(r4(sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+          r4(sum(cents(col("l_extendedprice"))) / 100.0).as("sum_price"),
+          r4(sum(cents(col("l_discount"))) / (count(lit(1)) * 100.0))
+            .as("avg_disc"))
       wide.unpivot(
         Array(col("l_returnflag")),
         Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
@@ -2051,9 +2193,9 @@ object Queries {
     },
     Some("""WITH wide AS (
               SELECT l_returnflag,
-                round(sum(l_quantity), 4) AS sum_qty,
-                round(sum(l_extendedprice), 4) AS sum_price,
-                round(avg(l_discount), 4) AS avg_disc
+                round(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0, 4) AS sum_qty,
+                round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0, 4) AS sum_price,
+                round(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) / (count(*) * 100.0), 4) AS avg_disc
               FROM lineitem GROUP BY l_returnflag)
             SELECT l_returnflag, measure, value
             FROM wide UNPIVOT (value FOR measure IN (sum_qty, sum_price, avg_disc))"""))
@@ -2069,7 +2211,7 @@ object Queries {
         .select(col("c_custkey"), col("c_name"))
       val ordAgg = t.orders.filter(col("o_custkey") % 5 === 0)
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"),
-          r4(sum(col("o_totalprice"))).as("sum_price"))
+          r4(sum(cents(col("o_totalprice"))) / 100.0).as("sum_price"))
       custSub.join(ordAgg, col("c_custkey") === col("o_custkey"), "full_outer")
         .select(
           coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
@@ -2081,7 +2223,7 @@ object Queries {
     },
     Some("""WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0),
             o AS (SELECT o_custkey, count(*) AS n_orders,
-                    round(sum(o_totalprice), 4) AS sum_price
+                    round(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0, 4) AS sum_price
                   FROM orders WHERE o_custkey % 5 = 0 GROUP BY o_custkey)
             SELECT coalesce(c_custkey, o_custkey) AS custkey,
               CASE WHEN c_custkey IS NULL THEN 'orders_only'
@@ -2337,7 +2479,9 @@ object Queries {
       Tables(s, dir).events
         .groupBy(window(col("ts"), "1 hour", "15 minutes"))
         .agg(count(lit(1)).as("n"),
-          fl4(avg(col("value"))).as("avg_value"))
+          // exact cents lane (fl4 audit): BIGINT sum, one final division
+          fl4(sum(cents(col("value"))) / (count(lit(1)) * 100.0))
+            .as("avg_value"))
         .select(
           unix_seconds(col("window.start").cast("timestamp")).as("start_s"),
           unix_seconds(col("window.end").cast("timestamp")).as("end_s"),
@@ -2351,7 +2495,8 @@ object Queries {
             SELECT CAST(st / 1000000 AS BIGINT) AS start_s,
               CAST((st + 3600000000) / 1000000 AS BIGINT) AS end_s,
               count(*) AS n,
-              floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value
+              floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                / (count(*) * 100.0) * 10000 + 0.5) / 10000 AS avg_value
             FROM w GROUP BY st"""))
 
   /** TPC-H Q5 shape: six-table join through the region→nation→supplier
@@ -2375,11 +2520,12 @@ object Queries {
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("date")
           && col("o_orderdate") < lit("1997-01-01").cast("date"))
         .groupBy(col("n_name"))
-        .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .as("revenue"))
+        .agg(r4(sum(cents(col("l_extendedprice"))
+          * (lit(100L) - cents(col("l_discount")))) / 10000.0).as("revenue"))
     },
     Some("""SELECT n_name,
-              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+              round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) / 10000.0, 4) AS revenue
             FROM customer
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -2653,23 +2799,47 @@ object Queries {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(-19, Window.currentRow)
+      // Round-11 fl4 audit: windowed avg/stddev are engine-order hazards
+      // (Spark iterates the frame, DuckDB merges a segment tree — both
+      // sum doubles in different orders), and TWO selection boundaries
+      // (sd > 0, |z| > 2.5) hang on them. Exact lanes: window sums of
+      // cents and cents² are BIGINT (≤20-row frames, ≤1.3e12 — no wrap),
+      // the variance sign check is an exact integer comparison, and mu/sd
+      // are fixed double expressions over exact integers.
+      val c = cents(col("value"))
       Tables(s, dir).events
-        .withColumn("mu", avg(col("value")).over(w))
-        .withColumn("sd", stddev_samp(col("value")).over(w))
+        .withColumn("nw", count(lit(1)).over(w))
+        .withColumn("sw", sum(c).over(w))
+        .withColumn("s2w", sum(c * c).over(w))
+        .withColumn("var2",
+          col("nw") * col("s2w") - col("sw") * col("sw"))
+        .withColumn("mu", col("sw") / (col("nw") * 100.0))
+        .withColumn("sd", sqrt(col("var2").cast("double")
+          / (col("nw") * (col("nw") - 1)).cast("double")) / 100.0)
         .withColumn("z", r4((col("value") - col("mu")) / col("sd")))
-        .filter(col("sd") > 0 && abs(col("z")) > 2.5)
+        .filter(col("var2") > 0 && abs(col("z")) > 2.5)
         .select(col("user_id"), col("event_id"), col("z"))
     },
     Some("""SELECT user_id, event_id, z FROM (
-              SELECT user_id, event_id, sd,
+              SELECT user_id, event_id, var2,
                 round((value - mu) / sd, 4) AS z
               FROM (
                 SELECT user_id, event_id, value,
-                  avg(value) OVER w AS mu, stddev_samp(value) OVER w AS sd
-                FROM events
-                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)))
-            WHERE sd > 0 AND abs(z) > 2.5"""))
+                  nw * s2w - sw * sw AS var2,
+                  sw / (nw * 100.0) AS mu,
+                  sqrt(CAST(nw * s2w - sw * sw AS DOUBLE)
+                    / CAST(nw * (nw - 1) AS DOUBLE)) / 100.0 AS sd
+                FROM (
+                  SELECT user_id, event_id, value,
+                    count(*) OVER w AS nw,
+                    sum(q) OVER w AS sw,
+                    sum(q * q) OVER w AS s2w
+                  FROM (SELECT user_id, event_id, ts, value,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS q
+                        FROM events)
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))))
+            WHERE var2 > 0 AND abs(z) > 2.5"""))
 
   /** PageRank (3 power iterations, d = 0.85) over the customer–supplier
     * purchase graph (undirected; supplier ids negated into their own node
@@ -3050,12 +3220,14 @@ object Queries {
           (col("supp_nat") === 3 && col("cust_nat") === 2))
       li.groupBy(col("supp_nat"), col("cust_nat"),
           year(col("l_shipdate")).cast("long").as("l_year"))
-        .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .agg(r4(sum(cents(col("l_extendedprice"))
+          * (lit(100L) - cents(col("l_discount")))) / 10000.0)
           .as("revenue"), count(lit(1)).as("n_items"))
     },
     Some("""SELECT s.s_nationkey AS supp_nat, c.c_nationkey AS cust_nat,
               CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-              round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+              round(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) / 10000.0, 4)
                 AS revenue,
               count(*) AS n_items
             FROM lineitem l
@@ -3073,18 +3245,24 @@ object Queries {
       val li = t.lineitem.filter(
         col("l_shipdate") >= lit("1995-09-01").cast("date") &&
         col("l_shipdate") < lit("1995-10-01").cast("date"))
+      // both sums exact BIGINT at 1e4 cents·pct scale; the ratio is ONE
+      // double division of exact integers — order-free on both engines
+      val rev = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
       li.join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
         .agg(
-          r4(sum(when(col("p_type").startsWith("PROMO"),
-              col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .otherwise(lit(0.0))) * 100.0
-            / sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          r4(sum(when(col("p_type").startsWith("PROMO"), rev)
+              .otherwise(lit(0L))).cast("double") * 100.0
+            / sum(rev).cast("double"))
             .as("promo_revenue_pct"))
     },
     Some("""SELECT round(
-              100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                     THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-              / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+              100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                          * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                     ELSE 0 END) AS DOUBLE)
+              / CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE), 4)
+                AS promo_revenue_pct
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= DATE '1995-09-01'
               AND l_shipdate < DATE '1995-10-01'"""))
@@ -3098,9 +3276,11 @@ object Queries {
     "q18_large_orders",
     (s, dir) => {
       val t = Tables(s, dir)
+      // exact cents lane on the threshold too: a raw double sum within an
+      // ulp of 150 could flip membership vs the oracle; BIGINT can't
       val big = t.lineitem.groupBy(col("l_orderkey"))
-        .agg(sum(col("l_quantity")).as("tq"))
-        .filter(col("tq") > 150)
+        .agg(sum(cents(col("l_quantity"))).as("tq"))
+        .filter(col("tq") > 15000L)
         .select(col("l_orderkey").as("bk"))
       t.lineitem
         .join(broadcast(big), col("l_orderkey") === col("bk"), "left_semi")
@@ -3108,19 +3288,22 @@ object Queries {
         .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("o_orderkey"),
           col("o_orderdate").cast("date").as("o_orderdate"), col("o_totalprice"))
-        .agg(r4(sum(col("l_quantity"))).as("total_qty"))
+        // per-order qty sums are exact already (integer-valued doubles,
+        // ≤ 350 per order); the cents lane makes the invariant structural
+        .agg(r4(sum(cents(col("l_quantity"))) / 100.0).as("total_qty"))
         .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
           r4(col("o_totalprice")).as("o_totalprice"), col("total_qty"))
     },
     Some("""SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
               round(o_totalprice, 4) AS o_totalprice,
-              round(sum(l_quantity), 4) AS total_qty
+              round(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0, 4) AS total_qty
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             WHERE l_orderkey IN (
               SELECT l_orderkey FROM lineitem
-              GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+              GROUP BY l_orderkey
+              HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 15000)
             GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice"""))
 
   /** TPC-H Q21 core shape: correlated NOT EXISTS on the SAME fact table
@@ -3220,19 +3403,59 @@ object Queries {
   val qRegression = Q(
     "q_regression",
     (s, dir) => {
+      // Round-11 fl4 audit: regr_slope/intercept/r2 from EXACT moment
+      // sums (cents lanes; per-row products LONG, sums DECIMAL(38,0)).
+      // slope and r2 are scale-invariant so the cents scaling cancels;
+      // intercept rescales by /100. The float tail is a fixed expression
+      // tree over exact integers, spelled identically in the oracle.
+      val x = cents(col("l_quantity"))
+      val y = cents(col("l_extendedprice"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
       Tables(s, dir).lineitem
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
-          r4(regr_slope(col("l_extendedprice"), col("l_quantity"))).as("slope"),
-          r4(regr_intercept(col("l_extendedprice"), col("l_quantity"))).as("intercept"),
-          r4(regr_r2(col("l_extendedprice"), col("l_quantity"))).as("r2"))
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(dec(x * x)).as("sx2"), sum(dec(y * y)).as("sy2"),
+          sum(dec(x * y)).as("sxy"))
+        .withColumn("num",
+          (col("n") * col("sxy") - dec(col("sx")) * col("sy")).cast("double"))
+        .withColumn("ax",
+          (col("n") * col("sx2") - dec(col("sx")) * col("sx")).cast("double"))
+        .withColumn("ay",
+          (col("n") * col("sy2") - dec(col("sy")) * col("sy")).cast("double"))
+        .select(
+          col("l_returnflag"), col("n"),
+          r4(col("num") / col("ax")).as("slope"),
+          r4((col("sy").cast("double")
+            - col("num") / col("ax") * col("sx").cast("double"))
+            / (lit(100L) * col("n")).cast("double")).as("intercept"),
+          r4(col("num") * col("num") / (col("ax") * col("ay"))).as("r2"))
     },
-    Some("""SELECT l_returnflag, count(*) AS n,
-              round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-              round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
-              round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
-            FROM lineitem GROUP BY l_returnflag"""))
+    Some("""WITH c AS (
+              SELECT l_returnflag,
+                CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+                CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+              FROM lineitem),
+            a AS (
+              SELECT l_returnflag, count(*) AS n,
+                sum(x) AS sx, sum(y) AS sy,
+                sum(CAST(x * x AS HUGEINT)) AS sx2,
+                sum(CAST(y * y AS HUGEINT)) AS sy2,
+                sum(CAST(x * y AS HUGEINT)) AS sxy
+              FROM c GROUP BY l_returnflag),
+            m AS (
+              SELECT l_returnflag, n, sx, sy,
+                CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
+                CAST(n * sx2 - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS ax,
+                CAST(n * sy2 - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS ay
+              FROM a)
+            SELECT l_returnflag, n,
+              round(num / ax, 4) AS slope,
+              round((CAST(sy AS DOUBLE) - num / ax * CAST(sx AS DOUBLE))
+                / CAST(100 * n AS DOUBLE), 4) AS intercept,
+              round(num * num / (ax * ay), 4) AS r2
+            FROM m"""))
 
   /** Welch two-sample t statistic per event type (variant = user-id
     * parity — the deterministic stand-in for an assignment column).
@@ -3242,12 +3465,23 @@ object Queries {
   val qAbTest = Q(
     "q_ab_test",
     (s, dir) => {
+      // Round-11 fl4 audit: mean and sample variance from EXACT integer
+      // sums (cents lane; Σc BIGINT, Σc² DECIMAL(38,0)) — the per-group
+      // m and v are then single fixed double expressions over exact
+      // integers, identical on both engines under any merge order. The
+      // Welch t/df tail is pure scalar math on those identical doubles.
+      val c = cents(col("value"))
       val stats = Tables(s, dir).events
         .withColumn("variant", pmod(col("user_id"), lit(2)))
         .groupBy(col("event_type"), col("variant"))
-        .agg(count(lit(1)).cast("double").as("n"),
-          avg(col("value")).as("m"),
-          var_samp(col("value")).as("v"))
+        .agg(count(lit(1)).as("cnt"), sum(c).as("sc"),
+          sum((c * c).cast("decimal(38,0)")).as("sc2"))
+        .select(col("event_type"), col("variant"),
+          col("cnt").cast("double").as("n"),
+          (col("sc") / (col("cnt") * 100.0)).as("m"),
+          ((col("cnt") * col("sc2")
+            - col("sc").cast("decimal(38,0)") * col("sc")).cast("double")
+            / (col("cnt") * (col("cnt") - 1)).cast("double") / 10000.0).as("v"))
       val wide = stats.groupBy(col("event_type"))
         .agg(
           max(when(col("variant") === 0, col("n"))).as("n_a"),
@@ -3267,11 +3501,18 @@ object Queries {
           pow(col("v_a") / col("n_a"), 2) / (col("n_a") - 1) +
           pow(col("v_b") / col("n_b"), 2) / (col("n_b") - 1))).as("welch_df"))
     },
-    Some("""WITH s AS (
+    Some("""WITH e AS (
               SELECT event_type, user_id % 2 AS variant,
-                CAST(count(*) AS DOUBLE) AS n, avg(value) AS m,
-                var_samp(value) AS v
-              FROM events GROUP BY event_type, user_id % 2),
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS q
+              FROM events),
+            s AS (
+              SELECT event_type, variant,
+                CAST(count(*) AS DOUBLE) AS n,
+                sum(q) / (count(*) * 100.0) AS m,
+                CAST(count(*) * sum(CAST(q * q AS HUGEINT))
+                    - CAST(sum(q) AS HUGEINT) * sum(q) AS DOUBLE)
+                  / CAST(count(*) * (count(*) - 1) AS DOUBLE) / 10000.0 AS v
+              FROM e GROUP BY event_type, variant),
             w AS (
               SELECT event_type,
                 max(CASE WHEN variant = 0 THEN n END) AS n_a,
