@@ -95,7 +95,17 @@ final case class Search(
   * into the base table when it grows. Mutations are sequenced by an
   * in-process monotonic counter seeded from wall-clock micros (single
   * admin writer, the reference's deployment shape too). */
-final class MessageStore(spark: SparkSession, path: String) {
+final class MessageStore(
+    spark: SparkSession, path: String,
+    /** Auto-compact policy (round-11): once the mutation log holds this
+      * many FILES (one per mutation append — the natural unit of log
+      * growth and of reconcile-side file-listing cost), the next mutation
+      * triggers a synchronous [[compact]]. Bounds the log under continuous
+      * `changeMessageState`/`delete` churn without an operator-run cron:
+      * the log can never exceed `autoCompactMutationFiles` files between
+      * reads. 0 disables (manual `compact()` / the CLI recipe only).
+      * Single-admin-writer assumption as for all mutations. */
+    val autoCompactMutationFiles: Int = MessageStore.DefaultAutoCompactMutationFiles) {
 
   private val mutPath = s"$path/_mutations"
   private val seqGen =
@@ -172,7 +182,24 @@ final class MessageStore(spark: SparkSession, path: String) {
       .toDF("uuid", "new_state", "tombstone", "seq")
       .coalesce(1)
       .write.mode("append").parquet(mutPath)
+    maybeAutoCompact()
   }
+
+  /** Mutation-log size in FILES (the policy unit: one append = one file;
+    * listing is one namenode/listStatus call, no data read). */
+  def mutationLogFiles: Int = {
+    val (fs, p) = hadoopFs
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  private def maybeAutoCompact(): Unit =
+    if (autoCompactMutationFiles > 0 &&
+        mutationLogFiles >= autoCompactMutationFiles && baseExists)
+      compact()
 
   private def hadoopFs = {
     val p = new org.apache.hadoop.fs.Path(mutPath)
@@ -293,6 +320,12 @@ final class MessageStore(spark: SparkSession, path: String) {
 }
 
 object MessageStore {
+  /** Default auto-compact threshold: 64 mutation files ≈ 64 admin actions
+    * between folds — the reconcile join side stays a trivially-broadcast
+    * few-KB relation, and a compact (one base rewrite) amortizes over 64
+    * point updates. Tune per store via the constructor. */
+  val DefaultAutoCompactMutationFiles = 64
+
   /** Search over any Msg-shaped DataFrame (store-backed or in-flight). */
   def search(df: DataFrame, q: Search): DataFrame = {
     // Keyset anchors must advance in the DISPLAY order: under the

@@ -225,6 +225,40 @@ class StoreSpec extends SparkSpec {
     assert(store.get("b").map(_.getAs[String]("state")) == Some("processed"))
   }
 
+  test("MessageStore (parquet): auto-compact bounds the mutation log under churn") {
+    val dir = Files.createTempDirectory("graft_store_auto").toString
+    // tiny threshold so the policy fires many times in-test
+    val store = new MessageStore(spark, s"$dir/msgs", autoCompactMutationFiles = 4)
+    store.save(msgs.withColumn("state", lit("pending")))
+    val states = Seq("error", "pending", "processed")
+    for (i <- 0 until 20) // continuous changeMessageState churn
+      store.changeMessageState(Seq("a", "b", "c")(i % 3), states(i % 3))
+    // the log NEVER exceeds the threshold: each append is followed by the
+    // policy check, so post-call the count is < threshold (it was folded)
+    // or < threshold files strictly below it
+    assert(store.mutationLogFiles < 4,
+      s"log grew to ${store.mutationLogFiles} files despite auto-compact")
+    // correctness under repeated folds: latest state per uuid survives
+    assert(store.total() == 4)
+    assert(store.get("a").map(_.getAs[String]("state")) == Some("error"))
+    assert(store.get("b").map(_.getAs[String]("state")) == Some("pending"))
+    assert(store.get("c").map(_.getAs[String]("state")) == Some("processed"))
+    // tombstones survive folds too
+    store.delete("d")
+    for (i <- 0 until 6)
+      store.changeMessageState("a", states(i % 3))
+    assert(store.total() == 3 && store.get("d").isEmpty)
+    assert(store.mutationLogFiles < 4)
+    // disabled policy (0): the log grows freely until a manual compact
+    val manual = new MessageStore(spark, s"$dir/manual", autoCompactMutationFiles = 0)
+    manual.save(msgs.withColumn("state", lit("pending")))
+    for (_ <- 0 until 6) manual.changeMessageState("a", "error")
+    assert(manual.mutationLogFiles == 6)
+    manual.compact()
+    assert(manual.mutationLogFiles == 0)
+    assert(manual.get("a").map(_.getAs[String]("state")) == Some("error"))
+  }
+
   test("MessageStore (parquet): a mutation on an empty store does not poison reads") {
     val dir = Files.createTempDirectory("graft_store_ghost").toString
     val store = new MessageStore(spark, s"$dir/msgs")
