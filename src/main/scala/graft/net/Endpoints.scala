@@ -54,6 +54,14 @@ final class HttpEndpoint(spark: SparkSession, host: String = "127.0.0.1", port: 
             Option(uri.getQuery).getOrElse(""),
             if (addHeaders) headerMap(ex) else Map.empty, tsMs))
           val rows = result.main
+            // driver-side collect is CORRECT here, not a scale smell: the
+            // relation is bounded by this one request's message (a channel
+            // maps 1→0/1 rows unless a Yielder fans out — and then the
+            // response is still one request's fan-out, not corpus-sized).
+            // Bulk ingest does NOT route through this endpoint; it lands
+            // via FileWatcher/readStream. If a pipeline ever yields
+            // unboundedly, cap the damage at the driver with limit().
+            //
             // payload may have become a struct mid-pipeline; the reference
             // str()s non-string payloads into the response body the same way
             .select(col("payload").cast("string"),
@@ -176,6 +184,8 @@ final class MllpEndpoint(spark: SparkSession, channel: Channel, host: String = "
     val df = Seq(hl7).toDF("payload")
       .withColumn("meta", map().cast("map<string,string>"))
       .withColumn("ctx", map().cast(Msg.ctxType))
+    // bounded collect: one MLLP frame in → ≤1 ACK payload out (see the
+    // HTTP handler's size-guard note; the same per-request bound applies)
     val rows = channel.runMain(df).select("payload").collect()
     if (rows.isEmpty) "" else String.valueOf(rows.head.getString(0))
   }
