@@ -53,7 +53,28 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Self-defense against ambient contention (the r11 lesson: a
+    // multi-minute noisy window mid-battery inflated 21 alphabetically
+    // contiguous rows 2–23x and the artifact couldn't prove it):
+    //  - tStart: epoch ms at each entry's start, so any anomaly can be
+    //    placed on the wall clock after the fact;
+    //  - sentinel: a fixed cheap query (q1_agg) re-timed every 25 entries
+    //    on full-battery runs. A flat sentinel trace certifies the host
+    //    was quiet end-to-end; a spike localizes contamination to a
+    //    window and exonerates (or convicts) the queries inside it.
+    var tStart = Vector.empty[(String, Long)]
+    var sentinel = Vector.empty[(Int, Long, Double)] // (entry index, epoch ms, sec)
+    val sentinelFn = if (args.isEmpty) SparkEntry.queries.get("q1_agg") else None
+    def runSentinel(idx: Int): Unit = sentinelFn.foreach { sf =>
+      try {
+        if (sentinel.isEmpty) timeOnce(sf) // warm once so trace is steady-state
+        sentinel :+= ((idx, System.currentTimeMillis(), timeOnce(sf)))
+      } catch { case _: Throwable => () } // sentinel is diagnostic, never fatal
+    }
+    val ordered = selected.toSeq.sortBy(_._1)
+    val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx % 25 == 0) runSentinel(idx)
+      tStart :+= name -> System.currentTimeMillis()
       try {
         timeOnce(fn) // untimed warmup: JIT + codegen compile
         val times = (1 to reps).map(_ => timeOnce(fn)).sorted
@@ -64,6 +85,7 @@ object Bench {
           name -> 1e9 // poison the total — a broken query must not look fast
       }
     }
+    runSentinel(ordered.size) // closing bracket: one sentinel after the last entry
     // Streaming-tier datapoint (file watcher end-to-end, ChangeFeed,
     // windowed heavy hitters): once per full-battery run, n=1 AvailableNow
     // passes — see StreamBench. Focused runs (named args) skip it, and
@@ -120,13 +142,26 @@ object Bench {
     // file, and the one-line stdout JSON stays under the tail window by
     // carrying the slowest-N subset (the regression-relevant entries) plus
     // a pointer to the full dump. Failures always ride stdout in full.
+    val tsMap = tStart
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val sentArr = sentinel
+      .map { case (i, ms, s) => s"[$i,$ms,${fmt(s)}]" }.mkString("[", ",", "]")
+    // compact sentinel verdict for the stdout line: if max/min across the
+    // trace stays tight the battery was clean; a big spread means a noisy
+    // window (read the full trace in the file to locate it)
+    val sentSummary =
+      if (sentinel.isEmpty) "null"
+      else {
+        val ss = sentinel.map(_._3)
+        s"""{"n":${ss.size},"min":${fmt(ss.min)},"max":${fmt(ss.max)},"spread":${fmt(ss.max / math.max(ss.min, 1e-9))}}"""
+      }
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(results)},"failed":$fs,"reps":$reps,"streaming":$smap,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(results)},"failed":$fs,"reps":$reps,"t_start_ms":$tsMap,"sentinel":$sentArr,"streaming":$smap,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] full dump write failed: ${e.getMessage}") }
     val slowest = results.sortBy(-_._2).take(30)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(slowest)},"failed":$fs,"reps":$reps,"n_queries":${results.size},"queries_file":"$outPath","streaming":$smap,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(slowest)},"failed":$fs,"reps":$reps,"n_queries":${results.size},"queries_file":"$outPath","sentinel":$sentSummary,"streaming":$smap,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -439,6 +439,10 @@ object CodecQueries {
         .select(col("doc_id").cast("long")).as[Long]
       val jpgs = docs.mapPartitions { ids =>
         val enc = graft.multimodal.Jpeg.encoderFor(0.95f)
+        // one native ImageWriter per partition; released deterministically
+        // with the task (not left to GC finalization of imageio natives)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => enc.close()))
         ids.map { id =>
           val w = (id % 6 + 8).toInt; val h = (id % 5 + 8).toInt
           val bytes =
@@ -446,7 +450,7 @@ object CodecQueries {
             else enc.encodeSolid(w, h, 3, Array((id % 256).toInt,
               (id * 7 % 256).toInt, (id * 13 % 256).toInt))
           (id, bytes)
-        } // Encoder leak note: one writer per partition, freed with the task
+        }
       }.toDF("doc_id", "jpg")
       val stats = Multimodal.jpegPixelStats(jpgs, "doc_id", "jpg")(s)
         .toDF().withColumnRenamed("id", "doc_id")

@@ -40,6 +40,18 @@ object Queries {
   private def cents(c: Column): Column =
     floor(c * 100 + lit(0.5)).cast("long")
 
+  /** 100 TB-proof exact sum for the HIGH-magnitude cents lanes. A
+    * LongType sum wraps silently in the FINAL merge buffer once
+    * rows × per-row magnitude crosses 2^63: price cents run ~1e7/row
+    * (wrap at ~1e12 rows) and revenue products price_c·(100−disc_pct)
+    * ~1e9/row (wrap at ~1e10 rows) — both inside the ~6e11-row reach of
+    * a 100 TB lineitem. Summing as decimal(38,0) gives 38 digits of
+    * headroom (Spark keeps exactness; no overflow below ~1e29 rows);
+    * DuckDB's sum(BIGINT) already promotes to HUGEINT so the oracle text
+    * is unchanged. Quantity/discount lanes (≤1e4/row, wrap ≥1e15 rows)
+    * stay on the faster LongType sum. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(38,0)"))
+
   // ===========================================================
   // §2.5 analytics core
   // ===========================================================
@@ -57,8 +69,8 @@ object Queries {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           r4(sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
-          r4(sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
-          r4(sum(cents(col("l_extendedprice"))
+          r4(dsum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
+          r4(dsum(cents(col("l_extendedprice"))
             * (lit(100L) - cents(col("l_discount")))) / 10000.0)
             .as("sum_disc_price"),
           r4(sum(cents(col("l_quantity")))
@@ -106,7 +118,7 @@ object Queries {
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         // exact cents lane: order-free BIGINT revenue, and the top-k
         // boundary can't hang on a float summation order either
-        .agg(r4(sum(cents(col("l_extendedprice"))
+        .agg(r4(dsum(cents(col("l_extendedprice"))
           * (lit(100L) - cents(col("l_discount")))) / 10000.0).as("revenue"))
         .select(
           col("l_orderkey"),
@@ -371,7 +383,7 @@ object Queries {
       Tables(s, dir).lineitem
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          r4(sum(cents(col("l_extendedprice"))) / 100.0).as("revenue"))
+          r4(dsum(cents(col("l_extendedprice"))) / 100.0).as("revenue"))
     },
     Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
               round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0, 4) AS revenue
@@ -739,13 +751,22 @@ object Queries {
           percentile_approx(col("value"), lit(0.5), lit(1000)).as("__p50"),
           percentile_approx(col("value"), lit(0.99), lit(1000)).as("__p99"),
           expr("percentile(value, array(0.48, 0.52, 0.98))").as("__px"),
-          max(col("value")).as("__mx"))
+          max(col("value")).as("__mx"),
+          count(lit(1)).as("__n"))
         .select(
           col("event_type"), col("n_exact"),
           (abs(col("__hll") - col("n_exact")) <=
             greatest(col("n_exact") * 0.15, lit(10.0))).as("hll_ok"),
-          col("__p50").between(col("__px")(0), col("__px")(1)).as("p50_ok"),
-          col("__p99").between(col("__px")(2), col("__mx")).as("p99_ok"))
+          // tiny-group guard: percentile_approx returns an actual data
+          // value while the exact [p48,p52] band is interpolated — for
+          // n≈2 the band can exclude every real value (e.g. {1,100}:
+          // approx p50=1, band ≈[48.5,49.5]) and the verdict would be
+          // legitimately false with a healthy sketch. Below 20 rows the
+          // rank-error contract is vacuous anyway, so emit true.
+          (col("__n") < 20 ||
+            col("__p50").between(col("__px")(0), col("__px")(1))).as("p50_ok"),
+          (col("__n") < 20 ||
+            col("__p99").between(col("__px")(2), col("__mx"))).as("p99_ok"))
     },
     Some("""SELECT event_type, count(DISTINCT user_id) AS n_exact,
               true AS hll_ok, true AS p50_ok, true AS p99_ok
@@ -2183,7 +2204,7 @@ object Queries {
       val wide = Tables(s, dir).lineitem
         .groupBy(col("l_returnflag"))
         .agg(r4(sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
-          r4(sum(cents(col("l_extendedprice"))) / 100.0).as("sum_price"),
+          r4(dsum(cents(col("l_extendedprice"))) / 100.0).as("sum_price"),
           r4(sum(cents(col("l_discount"))) / (count(lit(1)) * 100.0))
             .as("avg_disc"))
       wide.unpivot(
@@ -2211,7 +2232,7 @@ object Queries {
         .select(col("c_custkey"), col("c_name"))
       val ordAgg = t.orders.filter(col("o_custkey") % 5 === 0)
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"),
-          r4(sum(cents(col("o_totalprice"))) / 100.0).as("sum_price"))
+          r4(dsum(cents(col("o_totalprice"))) / 100.0).as("sum_price"))
       custSub.join(ordAgg, col("c_custkey") === col("o_custkey"), "full_outer")
         .select(
           coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
@@ -2520,7 +2541,7 @@ object Queries {
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("date")
           && col("o_orderdate") < lit("1997-01-01").cast("date"))
         .groupBy(col("n_name"))
-        .agg(r4(sum(cents(col("l_extendedprice"))
+        .agg(r4(dsum(cents(col("l_extendedprice"))
           * (lit(100L) - cents(col("l_discount")))) / 10000.0).as("revenue"))
     },
     Some("""SELECT n_name,
@@ -3220,7 +3241,7 @@ object Queries {
           (col("supp_nat") === 3 && col("cust_nat") === 2))
       li.groupBy(col("supp_nat"), col("cust_nat"),
           year(col("l_shipdate")).cast("long").as("l_year"))
-        .agg(r4(sum(cents(col("l_extendedprice"))
+        .agg(r4(dsum(cents(col("l_extendedprice"))
           * (lit(100L) - cents(col("l_discount")))) / 10000.0)
           .as("revenue"), count(lit(1)).as("n_items"))
     },
@@ -3250,9 +3271,9 @@ object Queries {
       val rev = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
       li.join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
         .agg(
-          r4(sum(when(col("p_type").startsWith("PROMO"), rev)
+          r4(dsum(when(col("p_type").startsWith("PROMO"), rev)
               .otherwise(lit(0L))).cast("double") * 100.0
-            / sum(rev).cast("double"))
+            / dsum(rev).cast("double"))
             .as("promo_revenue_pct"))
     },
     Some("""SELECT round(

@@ -12,8 +12,8 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * Method: the sf events table (100k rows at sf0.1) is staged once as 16
   * flat parquet files; each surface then runs a `Trigger.AvailableNow`
-  * pass over the staged directory with `maxFilesPerTrigger = 2`, i.e.
-  * ~8 real micro-batches through the full checkpointed machinery (file
+  * pass over the staged directory at each configured `maxFilesPerTrigger`
+  * rate point (2 → ~8 micro-batches; 8 → ~2) through the full checkpointed machinery (file
   * source listing/tracking, state store for the stateful pair, sink
   * commit). AvailableNow honors source rate limits, so this measures
   * steady micro-batch flow, not one monolithic batch. Reported per
@@ -70,10 +70,23 @@ object StreamBench {
     Metrics(rows, wall, if (wall > 0) rows / wall else 0.0, median, nonEmpty.size)
   }
 
-  def run(spark: SparkSession, sfDir: String): Seq[(String, Metrics)] = {
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_stream_bench")
-    rmrf(root); root.mkdirs()
+  /** Both configured rate points: `maxFilesPerTrigger = 2` (the
+    * latency-biased point, plain keys, continuous with r10/r11 numbers)
+    * and `= 8` (the throughput-biased point, `_mft8` suffix). Two points
+    * bracket the latency-vs-throughput curve so a regression in either
+    * regime is visible — rows/s alone rises with batch size and a single
+    * config can hide a per-batch latency regression behind batching.
+    */
+  def run(spark: SparkSession, sfDir: String): Seq[(String, Metrics)] =
+    runConfig(spark, sfDir, maxFilesPerTrigger = 2, suffix = "") ++
+      runConfig(spark, sfDir, maxFilesPerTrigger = 8, suffix = "_mft8")
+
+  private def runConfig(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Int, suffix: String): Seq[(String, Metrics)] = {
+    // Per-run unique root: a fixed path let two concurrent bench runs on
+    // one host rmrf each other's staged data and checkpoints mid-query.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stream_bench").toFile
 
     // ---- stage: 16 flat parquet files each for events and upserts ----
     val events = Tables(spark, sfDir).events
@@ -90,7 +103,7 @@ object StreamBench {
     val upsertsSchema = spark.read.parquet(upsertsDir).schema
 
     // ---- surface 1: file-watcher channel end-to-end → parquet sink ----
-    val watcher = "file_watcher" -> measure { () =>
+    val watcher = s"file_watcher$suffix" -> measure { () =>
       val channel = graft.api.Channel("bench")
         .add(graft.api.Node("enrich") { df =>
           df.filter(col("value") > 0)
@@ -103,20 +116,20 @@ object StreamBench {
         outDir = freshDir(root, "watch_out"),
         checkpointDir = freshDir(root, "watch_ckpt"),
         intervalMs = 0, // AvailableNow: catch-up-and-stop
-        maxFilesPerTrigger = 2).start()
+        maxFilesPerTrigger = maxFilesPerTrigger).start()
     }
 
     // ---- surface 2: ChangeFeed CDC over the upsert stream ----
-    val feed = "change_feed" -> measure { () =>
+    val feed = s"change_feed$suffix" -> measure { () =>
       import spark.implicits._
       val ups = spark.readStream
         .schema(upsertsSchema)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
         .parquet(upsertsDir)
         .as[streaming.ChangeFeed.Upsert]
       streaming.ChangeFeed.changes(ups).toDF()
         .writeStream
-        .format("memory").queryName("sb_change_feed")
+        .format("memory").queryName(s"sb_change_feed$suffix")
         .outputMode("append")
         .option("checkpointLocation", freshDir(root, "feed_ckpt"))
         .trigger(Trigger.AvailableNow())
@@ -124,17 +137,17 @@ object StreamBench {
     }
 
     // ---- surface 3: windowed Misra–Gries heavy hitters ----
-    val hh = "heavy_hitters" -> measure { () =>
+    val hh = s"heavy_hitters$suffix" -> measure { () =>
       val ev = spark.readStream
         .schema(eventsSchema)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
         .parquet(eventsDir)
       streaming.HeavyHittersStream
         .windowedHeavyHitters(ev, "ts", "event_type",
           windowSec = 3600, k = 8, delay = "0 seconds")
         .toDF()
         .writeStream
-        .format("memory").queryName("sb_heavy_hitters")
+        .format("memory").queryName(s"sb_heavy_hitters$suffix")
         .outputMode("append")
         .option("checkpointLocation", freshDir(root, "hh_ckpt"))
         .trigger(Trigger.AvailableNow())

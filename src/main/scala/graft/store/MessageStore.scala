@@ -199,7 +199,17 @@ final class MessageStore(
   private def maybeAutoCompact(): Unit =
     if (autoCompactMutationFiles > 0 &&
         mutationLogFiles >= autoCompactMutationFiles && baseExists)
-      compact()
+      // The triggering mutation is already durably appended; a compaction
+      // failure (e.g. a rename race) must not surface as a failed state
+      // change the caller would wrongly retry. Log and move on — the next
+      // append re-crosses the threshold and retries the fold.
+      try compact()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[message-store] auto-compact failed (mutation is durable; " +
+              s"will retry on next append): ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
 
   private def hadoopFs = {
     val p = new org.apache.hadoop.fs.Path(mutPath)
