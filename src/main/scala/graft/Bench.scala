@@ -62,6 +62,19 @@ object Bench {
     //    on full-battery runs. A flat sentinel trace certifies the host
     //    was quiet end-to-end; a spike localizes contamination to a
     //    window and exonerates (or convicts) the queries inside it.
+    // JVM preamble: untimed passes of a cheap agg and a join query before
+    // ANY timed entry. A cold JVM (C2 still compiling Spark + parquet
+    // internals) inflates the first few cheap entries well past their
+    // steady state — measured r12: q_distinct 0.337 s as the first query
+    // in a fresh JVM vs 0.122 s after nine warm entries, against a 0.108 s
+    // battery-anchored baseline. Battery runs amortized this across the
+    // early alphabet; focused runs (the re-anchor instrument) need the
+    // preamble or they systematically misread cheap queries 1.5–3x.
+    Seq("q1_agg", "q3_topk").foreach { w =>
+      SparkEntry.queries.get(w).foreach { fn =>
+        try { timeOnce(fn); timeOnce(fn) } catch { case _: Throwable => () }
+      }
+    }
     var tStart = Vector.empty[(String, Long)]
     var sentinel = Vector.empty[(Int, Long, Double)] // (entry index, epoch ms, sec)
     val sentinelFn = if (args.isEmpty) SparkEntry.queries.get("q1_agg") else None

@@ -55,18 +55,15 @@ object TextFunctions {
     * returns the argmax language, 'unk' when nothing matches. N-gram
     * heuristic in the spirit of fastText-style scoring, expressible in one
     * CASE chain. */
-  def langId(text: Column, markers: Map[String, Seq[String]]): Column = {
-    val padded = concat(lit(" "), text, lit(" "))
-    val scores = markers.toSeq.map { case (lang, words) =>
-      val s = words.map(w => countOccurrences(padded, s" $w ")).reduce(_ + _)
-      (lang, s)
-    }
-    // argmax via max over struct(score, lang-reversed alphabetic tiebreak)
-    val best = greatest(scores.map { case (lang, s) =>
-      struct(s.as("score"), lit(lang).as("lang"))
-    }: _*)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("unk"))
-  }
+  def langId(text: Column, markers: Map[String, Seq[String]]): Column =
+    // Native one-pass expression ([[graft.plans.MarkerBest]]): the
+    // column-composed form (16 markers × the countOccurrences replace
+    // trick) referenced `text` 32 times, and composing it over
+    // normalizeText re-inlined the whole normalize chain 32× — past the
+    // Janino 64 KB method limit, dropping the curation scan out of
+    // whole-stage codegen. Same values (greatest(struct(score, lang))
+    // argmax over replace-trick counts, 'unk' when nothing matches).
+    graft.plans.TextNative.markerBest(text, markers.toSeq)
 
   /** Default marker sets for the corpus languages. */
   val defaultMarkers: Map[String, Seq[String]] = Map(
@@ -79,11 +76,11 @@ object TextFunctions {
   def punctCount(text: Column): Column =
     regexp_count(text, lit("[.,;:!?'\"()\\[\\]{}-]")).cast("long")
 
-  /** Stopword hits (space-delimited exact matches). */
-  def stopwordCount(text: Column, stopwords: Seq[String]): Column = {
-    val padded = concat(lit(" "), text, lit(" "))
-    stopwords.map(w => countOccurrences(padded, s" $w ")).reduce(_ + _)
-  }
+  /** Stopword hits (space-delimited exact matches). Native one-pass
+    * ([[graft.plans.MarkerHits]]) for the same expression-reuse reason as
+    * [[langId]]: the replace-trick form referenced `text` 2× per word. */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    graft.plans.TextNative.markerHits(text, stopwords)
 
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it")

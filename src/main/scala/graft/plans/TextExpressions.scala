@@ -543,6 +543,129 @@ case class NfcNormalize(child: Expression)
     copy(child = c)
 }
 
+/** Row kernels for the marker-counting expressions, public because the
+  * generated code calls them as statics (one call per row — these
+  * expressions implement real `doGenCode`, keeping the curation scan's
+  * Project inside whole-stage codegen, unlike the CodegenFallback tier
+  * above whose presence in a Project disables codegen for the operator).
+  * Counting is non-overlapping occurrences of `" w "` in `" text "`,
+  * left to right — bit-identical to the SQL replace trick
+  * `(len(p) − len(replace(p, ' w ', ''))) / len(' w ')` the oracles spell
+  * (adjacent repeats share a delimiter space and count once per pair,
+  * exactly like replace). */
+object MarkerOps {
+  def count(padded: String, needle: String): Long = {
+    var n = 0L
+    var from = padded.indexOf(needle)
+    while (from >= 0) {
+      n += 1
+      from = padded.indexOf(needle, from + needle.length)
+    }
+    n
+  }
+
+  /** argmax language with greatest(struct(score, lang)) semantics:
+    * higher score wins, equal score → lexicographically greater lang. */
+  def best(text: UTF8String, langs: Array[String],
+      needles: Array[Array[String]]): UTF8String = {
+    val padded = " " + text.toString + " "
+    var bestScore = 0L
+    var bestLang: String = null
+    var i = 0
+    while (i < langs.length) {
+      var s = 0L
+      val ns = needles(i)
+      var j = 0
+      while (j < ns.length) { s += count(padded, ns(j)); j += 1 }
+      if (bestLang == null || s > bestScore ||
+          (s == bestScore && langs(i).compareTo(bestLang) > 0)) {
+        bestScore = s; bestLang = langs(i)
+      }
+      i += 1
+    }
+    UTF8String.fromString(if (bestScore > 0) bestLang else "unk")
+  }
+
+  def hits(text: UTF8String, needles: Array[String]): Long = {
+    val padded = " " + text.toString + " "
+    var s = 0L
+    var j = 0
+    while (j < needles.length) { s += count(padded, needles(j)); j += 1 }
+    s
+  }
+}
+
+/** Marker-based language ID in ONE pass per row: per-language stopword
+  * counts + argmax with the (score, lang)-lexicographic tiebreak of
+  * `greatest(struct(score, lang))`, 'unk' when no marker hits.
+  *
+  * Replaces the column-composed form (16 markers × the countOccurrences
+  * replace trick = 32 textual references to the input), whose expression
+  * tree re-inlined any upstream derivation — compose it over
+  * `normalizeText` and the normalize chain was duplicated 32×, blowing
+  * the Janino 64 KB method limit and dropping the hottest curation scan
+  * out of whole-stage codegen. Here the input is evaluated once and the
+  * fallback call is a single tight JVM loop. Values are unchanged
+  * (q_lang_id's DuckDB oracle spells the replace-trick arithmetic). */
+case class MarkerBest(child: Expression, markers: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "marker_best"
+
+  @transient private lazy val langs: Array[String] = markers.map(_._1).toArray
+  @transient private lazy val needles: Array[Array[String]] =
+    markers.map(_._2.map(w => s" $w ").toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    MarkerOps.best(input.asInstanceOf[UTF8String], langs, needles)
+
+  // Real codegen (one static call per row) — CodegenFallback would be
+  // fine for the FALLBACK-tier expressions above, but a Project containing
+  // any CodegenFallback is excluded from whole-stage codegen entirely,
+  // and this expression sits in the curation pipeline's hottest scan.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val langsRef = ctx.addReferenceObj("langs", langs, "java.lang.String[]")
+    val needlesRef =
+      ctx.addReferenceObj("needles", needles, "java.lang.String[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.MarkerOps.best($c, $langsRef, $needlesRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Total non-overlapping `" w "` hits across a word list, one pass —
+  * the native form of stopwordCount for the same reason as [[MarkerBest]]
+  * (8 stopwords × replace trick = 16 references to the input text). */
+case class MarkerHits(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "marker_hits"
+
+  @transient private lazy val needles: Array[String] =
+    words.map(w => s" $w ").toArray
+
+  override def nullSafeEval(input: Any): Any =
+    MarkerOps.hits(input.asInstanceOf[UTF8String], needles)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val needlesRef =
+      ctx.addReferenceObj("needles", needles, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.MarkerOps.hits($c, $needlesRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextNative {
   import ColumnBridge.{column => c, expression => e}
 
@@ -564,4 +687,8 @@ object TextNative {
     c(PortableMinHashSig(e(shingleArr), k))
   def portableSimhash60(text: Column): Column =
     c(PortableSimHash60(e(text)))
+  def markerBest(text: Column, markers: Seq[(String, Seq[String])]): Column =
+    c(MarkerBest(e(text), markers))
+  def markerHits(text: Column, words: Seq[String]): Column =
+    c(MarkerHits(e(text), words))
 }
