@@ -94,7 +94,16 @@ final case class Search(
   * the store, so the reconcile join is map-side. `compact()` folds the log
   * into the base table when it grows. Mutations are sequenced by an
   * in-process monotonic counter seeded from wall-clock micros (single
-  * admin writer, the reference's deployment shape too). */
+  * admin writer, the reference's deployment shape too).
+  *
+  * The single-admin-writer assumption is ENFORCED, not just documented
+  * (round-12): every mutation append and every compact runs under a
+  * sibling `<path>.lock` file lease acquired by atomic create-exclusive.
+  * Competing writers SERIALIZE (bounded wait), then FAIL LOUDLY
+  * (`ConcurrentModificationException`) — never silently interleave with
+  * a compact's read→swap window, where a lost-update (mutation appended
+  * after the fold's read, removed by the swap) was otherwise possible.
+  * A lease older than `staleLockMs` is presumed crashed and broken. */
 final class MessageStore(
     spark: SparkSession, path: String,
     /** Auto-compact policy (round-11): once the mutation log holds this
@@ -105,7 +114,16 @@ final class MessageStore(
       * the log can never exceed `autoCompactMutationFiles` files between
       * reads. 0 disables (manual `compact()` / the CLI recipe only).
       * Single-admin-writer assumption as for all mutations. */
-    val autoCompactMutationFiles: Int = MessageStore.DefaultAutoCompactMutationFiles) {
+    val autoCompactMutationFiles: Int = MessageStore.DefaultAutoCompactMutationFiles,
+    /** How long a writer waits for the store lease before failing loudly.
+      * Brief overlaps (two admin actions racing) serialize inside this
+      * window; longer contention is a deployment error and surfaces as
+      * `ConcurrentModificationException`. */
+    val lockWaitMs: Long = MessageStore.DefaultLockWaitMs,
+    /** Lease age after which the holder is presumed crashed and the lock
+      * is broken (a crash between acquire and release must not wedge the
+      * store forever). */
+    val staleLockMs: Long = MessageStore.DefaultStaleLockMs) {
 
   private val mutPath = s"$path/_mutations"
   private val seqGen =
@@ -176,13 +194,68 @@ final class MessageStore(
     all().filter(col("uuid") === uuid).limit(1).collect().headOption
 
   private def appendMutation(
-      uuid: String, newState: Option[String], tombstone: Boolean): Unit = {
-    import spark.implicits._
-    Seq((uuid, newState.orNull, tombstone, seqGen.incrementAndGet()))
-      .toDF("uuid", "new_state", "tombstone", "seq")
-      .coalesce(1)
-      .write.mode("append").parquet(mutPath)
-    maybeAutoCompact()
+      uuid: String, newState: Option[String], tombstone: Boolean): Unit =
+    withStoreLock("mutate") {
+      import spark.implicits._
+      Seq((uuid, newState.orNull, tombstone, seqGen.incrementAndGet()))
+        .toDF("uuid", "new_state", "tombstone", "seq")
+        .coalesce(1)
+        .write.mode("append").parquet(mutPath)
+      maybeAutoCompact()
+    }
+
+  /** Serialize store WRITERS (mutation appends and compacts) across
+    * threads AND processes via a sibling `<path>.lock` lease: acquisition
+    * is `FileSystem.create(…, overwrite = false)` — atomic on HDFS and
+    * object-store semantics-equivalent layers; the narrow check-then-act
+    * window of RawLocalFileSystem is accepted for local tests. Sibling,
+    * not child: compact() deletes and renames the store directory itself,
+    * so a lock inside it would vanish mid-operation. Re-entrant per
+    * thread (the auto-compact path runs inside the mutation's lease).
+    * Waits up to [[lockWaitMs]] (serializing brief overlaps), breaks
+    * leases older than [[staleLockMs]] (crashed holder), then throws
+    * `ConcurrentModificationException` — a competing writer is a
+    * deployment error that must be loud, never a silent lost update. */
+  private def withStoreLock[T](op: String)(body: => T): T = {
+    if (lockHeld.get()) return body // re-entrant: already under this store's lease
+    val lockP = new org.apache.hadoop.fs.Path(path + ".lock")
+    val fs = lockP.getFileSystem(spark.sessionState.newHadoopConf())
+    val deadline = System.currentTimeMillis() + lockWaitMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(lockP, false) // create-exclusive = the acquire
+        out.write(s"$op ${System.currentTimeMillis()} ${
+          java.lang.ProcessHandle.current().pid()}".getBytes("UTF-8"))
+        out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          val held = try Some(fs.getFileStatus(lockP))
+            catch { case _: java.io.FileNotFoundException => None }
+          held match {
+            case Some(st) if System.currentTimeMillis() - st.getModificationTime > staleLockMs =>
+              // holder presumed crashed: break the lease and re-race
+              fs.delete(lockP, false): Unit
+            case _ if System.currentTimeMillis() > deadline =>
+              throw new java.util.ConcurrentModificationException(
+                s"message store at $path: another writer holds $lockP " +
+                  s"(waited ${lockWaitMs} ms); concurrent admin writers " +
+                  "are not supported — serialize them or remove the stale lock")
+            case _ => Thread.sleep(25)
+          }
+      }
+    }
+    lockHeld.set(true)
+    try body
+    finally {
+      lockHeld.set(false)
+      fs.delete(lockP, false): Unit
+    }
+  }
+
+  private val lockHeld = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
   }
 
   /** Mutation-log size in FILES (the policy unit: one append = one file;
@@ -203,7 +276,7 @@ final class MessageStore(
       // failure (e.g. a rename race) must not surface as a failed state
       // change the caller would wrongly retry. Log and move on — the next
       // append re-crosses the threshold and retries the fold.
-      try compact()
+      try compactLocked() // already under the mutation's lease
       catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(
@@ -253,7 +326,9 @@ final class MessageStore(
     * but a staged copy exists, that copy is the ONLY copy and is promoted
     * — never deleted. A store whose every row is tombstoned compacts to
     * the removed directory (the empty store); `total()` reads that as 0. */
-  def compact(): Unit = {
+  def compact(): Unit = withStoreLock("compact")(compactLocked())
+
+  private def compactLocked(): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val storeDir = new org.apache.hadoop.fs.Path(path)
     val fs = storeDir.getFileSystem(conf)
@@ -330,6 +405,13 @@ final class MessageStore(
 }
 
 object MessageStore {
+  /** Default writer-lease wait: 30 s serializes brief admin overlaps
+    * (a compact takes seconds at admin-log scale); anything longer is
+    * contention worth failing loudly over. */
+  val DefaultLockWaitMs = 30000L
+  /** Default stale-lease age: 10 min >> any healthy compact/mutation,
+    * so breaking an older lease only ever evicts a crashed holder. */
+  val DefaultStaleLockMs = 600000L
   /** Default auto-compact threshold: 64 mutation files ≈ 64 admin actions
     * between folds — the reconcile join side stays a trivially-broadcast
     * few-KB relation, and a compact (one base rewrite) amortizes over 64

@@ -259,6 +259,52 @@ class StoreSpec extends SparkSpec {
     assert(manual.get("a").map(_.getAs[String]("state")) == Some("error"))
   }
 
+  test("MessageStore (parquet): concurrent mutators serialize under the store lease") {
+    val dir = Files.createTempDirectory("graft_store_lock").toString
+    val a = new MessageStore(spark, s"$dir/msgs", autoCompactMutationFiles = 3)
+    a.save(msgs.withColumn("state", lit("pending")))
+    // second instance on the SAME path = a second admin process; the tiny
+    // auto-compact threshold forces compacts (the read→swap window where
+    // an unserialized concurrent append would be silently lost)
+    val b = new MessageStore(spark, s"$dir/msgs", autoCompactMutationFiles = 3)
+    val states = Seq("error", "pending", "processed")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def churn(st: MessageStore, uuid: String) = new Thread(() =>
+      try for (i <- 0 until 10) st.changeMessageState(uuid, states(i % 3))
+      catch { case t: Throwable => errs.add(t): Unit })
+    val (t1, t2) = (churn(a, "a"), churn(b, "b"))
+    t1.start(); t2.start(); t1.join(60000); t2.join(60000)
+    assert(errs.isEmpty, s"concurrent mutators failed: ${errs.peek()}")
+    // no lost updates across the interleaved compacts: both writers' final
+    // states visible, nothing tombstoned, the lease file released
+    assert(a.total() == 4)
+    assert(a.get("a").map(_.getAs[String]("state")) == Some("error"))
+    assert(a.get("b").map(_.getAs[String]("state")) == Some("error"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/msgs.lock")))
+  }
+
+  test("MessageStore (parquet): a held foreign lease fails loudly; a stale one is broken") {
+    val dir = Files.createTempDirectory("graft_store_lease").toString
+    val store = new MessageStore(spark, s"$dir/msgs",
+      lockWaitMs = 300, staleLockMs = 60000)
+    store.save(msgs.withColumn("state", lit("pending")))
+    // simulate a live foreign holder: fresh lock file, well under staleLockMs
+    val lock = java.nio.file.Paths.get(s"$dir/msgs.lock")
+    Files.writeString(lock, "foreign 0 0")
+    intercept[java.util.ConcurrentModificationException](
+      store.changeMessageState("a", "error"))
+    // the blocked mutation must NOT have been applied
+    assert(store.get("a").map(_.getAs[String]("state")) == Some("pending"))
+    // same lock, but aged past staleLockMs: presumed crashed, broken, and
+    // the mutation proceeds
+    val stale = new MessageStore(spark, s"$dir/msgs",
+      lockWaitMs = 5000, staleLockMs = 50)
+    Thread.sleep(100) // let the existing lease age past 50 ms
+    stale.changeMessageState("a", "error")
+    assert(stale.get("a").map(_.getAs[String]("state")) == Some("error"))
+    assert(!Files.exists(lock)) // released after the break-and-acquire
+  }
+
   test("MessageStore (parquet): a mutation on an empty store does not poison reads") {
     val dir = Files.createTempDirectory("graft_store_ghost").toString
     val store = new MessageStore(spark, s"$dir/msgs")
