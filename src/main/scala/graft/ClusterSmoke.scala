@@ -43,12 +43,13 @@ object ClusterSmoke {
     "q_gnn_sage", "q_bootstrap_ci", "q_dedup_minhash",
     "q3_topk", "q18_large_orders")
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[4,8,8192]")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
-    // executors are separate JVMs: they need the repo classes on their
-    // own classpath (the driver's sbt classpath does not propagate)
+  /** Run the target set once per master; one untimed warmup + `reps`
+    * timed runs per query, min reported. */
+  private def runSet(master: String, sfDir: String, names: Seq[String],
+      reps: Int): Seq[(String, Double)] = {
+    // executors are separate JVMs under local-cluster: they need the repo
+    // classes on their own classpath (the driver's sbt classpath does not
+    // propagate); harmless in plain local mode
     val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
     val spark = GraftSession.configure(SparkSession.builder()
       .master(master)
@@ -58,10 +59,7 @@ object ClusterSmoke {
       .getOrCreate()
     GraftSession.install(spark)
     spark.sparkContext.setLogLevel("WARN")
-
-    val selected =
-      if (args.isEmpty) targets else args.toSeq
-    val results = selected.map { name =>
+    val out = names.map { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query: $name"))
       def once(): Double = {
@@ -73,7 +71,7 @@ object ClusterSmoke {
         spark.catalog.clearCache()
         dt
       }
-      val r = try {
+      try {
         once() // warmup
         val t = (1 to reps).map(_ => once()).min
         println(f"[cluster-smoke] $name%-24s ${t}%7.2f s  ($master)")
@@ -84,10 +82,47 @@ object ClusterSmoke {
             String.valueOf(e.getMessage).take(200))
           name -> -1.0
       }
-      r
     }
-    val ok = results.filter(_._2 >= 0)
-    println(f"[cluster-smoke] total ${ok.map(_._2).sum}%.1f s over ${ok.size} ok / ${results.size} run; master=$master")
     spark.stop()
+    out
+  }
+
+  /** Per-round gate (round-12): one invocation runs the CONTROL
+    * (`local[32]`) and the multi-JVM cluster back to back, diffs them,
+    * and writes a JSON artifact with a per-query verdict. Gate rule:
+    * a query fails when cluster > 2× control + 0.75 s (the absolute
+    * slack keeps sub-second entries from tripping the ratio on noise)
+    * or when it errors under either master; the run fails if any query
+    * fails. The artifact (default `CLUSTER_SMOKE.json`, override with
+    * `SPARK_GRAFT_CLUSTER_OUT`) is committed per round as CLUSTER_r{N}. */
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val clusterMaster =
+      sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[4,8,8192]")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    val selected = if (args.isEmpty) targets else args.toSeq
+    val control = runSet("local[32]", sfDir, selected, reps).toMap
+    val cluster = runSet(clusterMaster, sfDir, selected, reps).toMap
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val rows = selected.map { name =>
+      val c0 = control(name); val c1 = cluster(name)
+      val ratio = if (c0 > 0 && c1 >= 0) c1 / c0 else -1.0
+      val pass = c0 >= 0 && c1 >= 0 && c1 <= 2.0 * c0 + 0.75
+      println(f"[cluster-smoke] $name%-24s control ${c0}%7.2f  cluster ${c1}%7.2f  " +
+        f"ratio ${ratio}%5.2f  ${if (pass) "ok" else "FAIL"}")
+      (name, c0, c1, ratio, pass)
+    }
+    val allPass = rows.forall(_._5)
+    val json = rows.map { case (n, c0, c1, r, p) =>
+      "\"" + n + "\":{\"control_s\":" + fmt(c0) + ",\"cluster_s\":" + fmt(c1) +
+        ",\"ratio\":" + fmt(r) + ",\"pass\":" + p + "}"
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"gate":"${if (allPass) "pass" else "fail"}","master":"$clusterMaster","n":${rows.size},"n_fail":${rows.count(!_._5)},"queries":$json,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_OUT", "CLUSTER_SMOKE.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    println(s"[cluster-smoke] gate=${if (allPass) "pass" else "fail"} -> $outPath")
+    if (!allPass) sys.exit(1)
   }
 }
