@@ -1569,13 +1569,19 @@ SELECT * FROM ($union)"""
   /** Near-duplicate pairs from shared winnowing fingerprints: equi-join on
     * the fingerprint value (never all-pairs), ≥3 shared = a guaranteed
     * shared normalized substring run. The winnowing guarantee makes this
-    * the substring-level complement of MinHash's bag-of-shingles view. */
+    * the substring-level complement of MinHash's bag-of-shingles view.
+    * Fingerprints in >64 documents are dropped as boilerplate (the
+    * stop-gram cap — see [[graft.ops.Winnow.nearDuplicates]]): template
+    * text is not near-dup signal, and the cap is what keeps pair
+    * enumeration linear in corpus size (sf1 audit: one 3.8k-doc template
+    * bucket otherwise emits 7M pairs in a single task). */
   val qWinnowPairs = Q(
     "q_winnow_pairs",
     (s, dir) => {
       val fps = graft.ops.Winnow.fingerprints(
         Tables(s, dir).documents, "doc_id", "text", k = 8, w = 16)
-      graft.ops.Winnow.nearDuplicates(fps, "doc_id", minShared = 3L)
+      graft.ops.Winnow.nearDuplicates(fps, "doc_id", minShared = 3L,
+        maxDocFreq = 64L)
     },
     Some("""WITH d AS (
               SELECT doc_id,
@@ -1591,7 +1597,9 @@ SELECT * FROM ($union)"""
                      min(hh) OVER (PARTITION BY doc_id ORDER BY p
                        ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
               FROM h),
-            fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE p <= n - 15)
+            fps0 AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE p <= n - 15),
+            kept AS (SELECT fp FROM fps0 GROUP BY fp HAVING count(*) <= 64),
+            fps AS (SELECT doc_id, f.fp FROM fps0 f JOIN kept USING (fp))
             SELECT x.doc_id AS a, y.doc_id AS b,
                    CAST(count(*) AS BIGINT) AS n_shared
             FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id

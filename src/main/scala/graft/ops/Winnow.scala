@@ -98,8 +98,28 @@ object Winnow {
     * callers like graft.Explain). At corpus scale the same move is
     * writing the fingerprint table once before the join stage. */
   def nearDuplicates(
-      fps0: DataFrame, idCol: String, minShared: Long): DataFrame = {
-    val fps = fps0.localCheckpoint(false)
+      fps0: DataFrame, idCol: String, minShared: Long,
+      maxDocFreq: Long = 0): DataFrame = {
+    val all = fps0.localCheckpoint(false)
+    // Boilerplate cap (round-12, from the sf1 slope audit): a fingerprint
+    // shared by hundreds of documents is TEMPLATE text, not near-dup
+    // signal, and it makes pair enumeration quadratic in the hottest
+    // bucket — the sf1 measurement read a 3.8k-doc bucket emitting 7M
+    // pairs inside one join task (38x wall at 10x data). Dropping
+    // fingerprints with doc-frequency > maxDocFreq is the standard
+    // stop-gram convention of corpus dedup pipelines; genuine near-dup
+    // pairs still co-share their rarer fingerprints. The df relation is
+    // fp-keyed like the self-join itself, so the filter rides the same
+    // exchange; 0 disables (exact pair enumeration, quadratic in df).
+    val fps =
+      if (maxDocFreq <= 0) all
+      else {
+        val kept = all.groupBy(col("fp"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDocFreq)
+          .select(col("fp"))
+        all.join(kept, "fp")
+      }
     val a = fps.select(col(idCol).as("a"), col("fp"))
     val b = fps.select(col(idCol).as("b"), col("fp"))
     a.join(b, "fp")
