@@ -94,7 +94,16 @@ object ClusterSmoke {
     * slack keeps sub-second entries from tripping the ratio on noise)
     * or when it errors under either master; the run fails if any query
     * fails. The artifact (default `CLUSTER_SMOKE.json`, override with
-    * `SPARK_GRAFT_CLUSTER_OUT`) is committed per round as CLUSTER_r{N}. */
+    * `SPARK_GRAFT_CLUSTER_OUT`) is committed per round as CLUSTER_r{N}.
+    *
+    * REQUIRES `SPARK_SCALA_VERSION=2.13` (and `SPARK_HOME`, e.g.
+    * /opt/spark) in the environment: the local-cluster worker builds
+    * each executor's launch command via the launcher's
+    * `getScalaVersion`, which — without the env override — looks for
+    * SOURCE-build directories (`launcher/target/scala-*`) that a binary
+    * distribution doesn't have; every executor then dies at spawn with
+    * "Cannot find any build directories" and the master removes the
+    * app. */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val clusterMaster =
