@@ -81,7 +81,10 @@ object Bench {
     def runSentinel(idx: Int): Unit = sentinelFn.foreach { sf =>
       try {
         if (sentinel.isEmpty) timeOnce(sf) // warm once so trace is steady-state
-        sentinel :+= ((idx, System.currentTimeMillis(), timeOnce(sf)))
+        // min of 2: a single rep carries GC spikes that read as false
+        // contamination; the min is the clean-machine figure
+        sentinel :+= ((idx, System.currentTimeMillis(),
+          math.min(timeOnce(sf), timeOnce(sf))))
       } catch { case _: Throwable => () } // sentinel is diagnostic, never fatal
     }
     val ordered = selected.toSeq.sortBy(_._1)
@@ -161,11 +164,15 @@ object Bench {
       .map { case (i, ms, s) => s"[$i,$ms,${fmt(s)}]" }.mkString("[", ",", "]")
     // compact sentinel verdict for the stdout line: if max/min across the
     // trace stays tight the battery was clean; a big spread means a noisy
-    // window (read the full trace in the file to locate it)
+    // window (read the full trace in the file to locate it). The index-0
+    // reading is excluded from the summary — it still carries JVM warm-in
+    // (measured r12: 0.389 at entry 0 vs a 0.25 flat steady state) and
+    // would read as a false 1.5x spread on a clean battery; the full
+    // trace in the file keeps it for inspection.
     val sentSummary =
       if (sentinel.isEmpty) "null"
       else {
-        val ss = sentinel.map(_._3)
+        val ss = (if (sentinel.size > 2) sentinel.drop(1) else sentinel).map(_._3)
         s"""{"n":${ss.size},"min":${fmt(ss.min)},"max":${fmt(ss.max)},"spread":${fmt(ss.max / math.max(ss.min, 1e-9))}}"""
       }
     val fullLine =

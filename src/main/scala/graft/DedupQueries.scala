@@ -1355,17 +1355,23 @@ object DedupQueries {
     },
     Some(nnDescentOracle(rounds = 2)))
 
-  /** Unrolled NN-Descent oracle for [[qNnDescent]] — round r's CTEs are
-    * generated from one template (candidate local join over the
-    * undirected edge list, rescore, pinned top-5). */
-  private def nnDescentOracle(rounds: Int): String = {
-    def cos(av: String, bv: String): String =
-      s"""list_sum(list_transform(range(1, 65),
-            i -> $av[i]::DOUBLE * $bv[i]::DOUBLE)) /
-          (sqrt(list_sum(list_transform(range(1, 65),
-            i -> $av[i]::DOUBLE * $av[i]::DOUBLE))) *
-           sqrt(list_sum(list_transform(range(1, 65),
-            i -> $bv[i]::DOUBLE * $bv[i]::DOUBLE))))"""
+  /** DuckDB cosine over two 64-d list columns (shared by the NN-Descent
+    * oracles). */
+  private def cosSql(av: String, bv: String): String =
+    s"""list_sum(list_transform(range(1, 65),
+          i -> $av[i]::DOUBLE * $bv[i]::DOUBLE)) /
+        (sqrt(list_sum(list_transform(range(1, 65),
+          i -> $av[i]::DOUBLE * $av[i]::DOUBLE))) *
+         sqrt(list_sum(list_transform(range(1, 65),
+          i -> $bv[i]::DOUBLE * $bv[i]::DOUBLE))))"""
+
+  /** The NN-Descent CTE chain through the final graph `g{rounds}` —
+    * round r's CTEs are generated from one template (candidate local
+    * join over the undirected edge list, rescore, pinned top-5).
+    * Shared by [[qNnDescent]] (which appends the exact-recall tail)
+    * and [[qGnnSageNnd]] (which appends the SAGE aggregation). */
+  private def nnDescentGraphCtes(rounds: Int): String = {
+    def cos(av: String, bv: String): String = cosSql(av, bv)
     val roundCtes = (1 to rounds).map { r =>
       s"""und${r - 1} AS MATERIALIZED (
             SELECT DISTINCT src, dst FROM (
@@ -1387,13 +1393,7 @@ object DedupQueries {
                 (PARTITION BY src ORDER BY cc DESC, dst) AS rk
               FROM p$r) WHERE rk <= 5)"""
     }.mkString(",\n")
-    val recalls = (0 to rounds).map { r =>
-      s"""SELECT $r AS round,
-            (SELECT count(*) FROM g$r) AS n_edges,
-            (SELECT count(*) FROM g$r JOIN exact USING (src, dst))
-              AS n_hits"""
-    }.mkString(" UNION ALL ")
-    s"""WITH sub AS MATERIALIZED (
+    s"""sub AS MATERIALIZED (
           SELECT vec_id AS id, embedding AS v FROM embeddings
           WHERE vec_id % 5 = 0),
         cents AS (SELECT id AS cid, v AS cv FROM sub ORDER BY id LIMIT 8),
@@ -1432,7 +1432,18 @@ object DedupQueries {
             SELECT src, dst, row_number() OVER
               (PARTITION BY src ORDER BY cc DESC, dst) AS rk
             FROM p0) WHERE rk <= 5),
-        $roundCtes,
+        $roundCtes"""
+  }
+
+  private def nnDescentOracle(rounds: Int): String = {
+    def cos(av: String, bv: String): String = cosSql(av, bv)
+    val recalls = (0 to rounds).map { r =>
+      s"""SELECT $r AS round,
+            (SELECT count(*) FROM g$r) AS n_edges,
+            (SELECT count(*) FROM g$r JOIN exact USING (src, dst))
+              AS n_hits"""
+    }.mkString(" UNION ALL ")
+    s"""WITH ${nnDescentGraphCtes(rounds)},
         ep AS (
           SELECT a.id AS src, b.id AS dst, ${cos("a.v", "b.v")} AS cc
           FROM sub a JOIN sub b ON a.id <> b.id),
@@ -2193,11 +2204,124 @@ object DedupQueries {
                      * 10000 + 0.5) / 10000 AS sim
             FROM pairs WHERE lev <= 20"""))
 
+  /** GraphSAGE mean layer over NN-DESCENT edges — the linear-scale form
+    * of [[qGnnSage]] (whose mutual-kNN edge set is built by brute-force
+    * O(n²) scoring; the sf1 audit read it at 15× wall for 10× data while
+    * NN-Descent reads ~6×). The final-round NN-Descent graph is
+    * symmetrized (both orientations, distinct) and fed to the identical
+    * [[graft.sim.Gnn.sageMeanLayer]] fixed-point aggregation; the oracle
+    * replays the full NN-Descent unroll (shared CTE chain with
+    * [[qNnDescent]]) and the SAGE tail of q_gnn_sage's oracle over those
+    * edges. At 100 TB this is the composition a user actually runs:
+    * approximate kNN graph + exact per-edge aggregation, nothing
+    * all-pairs. */
+  val qGnnSageNnd = Q(
+    "q_gnn_sage_nnd",
+    (s, dir) => {
+      val sub = Tables(s, dir).embeddings.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val g = Ann.nnDescent(sub, "vec_id", "embedding",
+        k = 5, rounds = 2, nlist = 8).last
+      val edges = g.select(col("src"), col("dst"))
+        .unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      graft.sim.Gnn.sageMeanLayer(sub, edges, "vec_id", "embedding")
+        .select(col("vec_id"), posexplode(col("h")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          (floor(col("v") * 10000 + 0.5) / 10000).as("v"))
+    },
+    Some(s"""WITH ${nnDescentGraphCtes(2)},
+            und AS MATERIALIZED (
+              SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM g2
+                UNION ALL SELECT dst, src FROM g2)),
+            selfq AS MATERIALIZED (
+              SELECT id, unnest(range(0, 64)) AS dim,
+                unnest(list_transform(range(1, 65),
+                  i -> CAST(floor(v[i]::DOUBLE * 1e6 + 0.5) AS BIGINT))) AS q
+              FROM sub),
+            cnts AS MATERIALIZED (
+              SELECT src AS id, CAST(count(*) AS BIGINT) AS cnt
+              FROM und GROUP BY src),
+            allih AS MATERIALIZED (
+              SELECT s.id, s.dim, s.q * coalesce(c.cnt, 1) AS ih
+              FROM selfq s LEFT JOIN cnts c USING (id)
+              UNION ALL
+              SELECT m.src AS id, s.dim + 64 AS dim,
+                CAST(sum(s.q) AS BIGINT) AS ih
+              FROM und m JOIN selfq s ON s.id = m.dst
+              GROUP BY m.src, s.dim
+              UNION ALL
+              SELECT s.id, s.dim + 64, 0 FROM selfq s
+              WHERE s.id NOT IN (SELECT id FROM cnts)),
+            norms AS (
+              SELECT id, CAST(sum(ih * ih) AS DOUBLE) AS n2
+              FROM allih GROUP BY id)
+            SELECT a.id AS vec_id, CAST(a.dim AS BIGINT) AS dim,
+              floor(a.ih::DOUBLE / sqrt(greatest(n.n2, 1e-12)) * 10000 + 0.5)
+                / 10000 AS v
+            FROM allih a JOIN norms n USING (id)"""))
+
+  /** IVF-bucketed hard-negative mining ([[graft.sim.Ann
+    * .hardNegativesIvf]]) — the scale form of [[qHardNegatives]]
+    * (brute-force anchors×corpus read 35× wall at 10× data in the sf1
+    * audit; this form reads 16.6× at the oracle-pinned nlist=16/nprobe=4
+    * — each anchor scores only its 4 nearest of 16 cells. Production
+    * sizes nlist ∝ corpus for O(1) per-anchor work; the query pins
+    * nlist so the oracle can enumerate the same 16 centroids).
+    * Same nlist-16 first-vector centroids and assignment as q_ann_ivf;
+    * the oracle re-derives assignment, per-anchor probe set (L2 asc,
+    * cid tiebreak), cross-label scoring, and the (cos DESC, id)
+    * ranking. */
+  val qHardNegativesIvf = Q(
+    "q_hard_negatives_ivf",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val index = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 16)
+      Ann.hardNegativesIvf(
+        emb.filter(col("vec_id") % 10 === 0), emb, index,
+        "vec_id", "embedding", "label", nprobe = 4, k = 3)
+    },
+    Some(s"""WITH cents AS (
+              SELECT vec_id AS cid, embedding AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 16),
+            assigned AS (
+              SELECT id, (min(struct_pack(dist := dist, cid := cid))).cid AS cid
+              FROM (SELECT e.vec_id AS id, c.cid,
+                      list_sum(list_transform(range(1, 65),
+                        i -> (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE)
+                           * (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE))) AS dist
+                    FROM embeddings e, cents c)
+              GROUP BY id),
+            anc AS (
+              SELECT vec_id AS aid, embedding AS av, label AS al
+              FROM embeddings WHERE vec_id % 10 = 0),
+            aprobe AS (
+              SELECT aid, cid FROM (
+                SELECT a.aid, c.cid, row_number() OVER (PARTITION BY a.aid
+                  ORDER BY list_sum(list_transform(range(1, 65),
+                    i -> (c.cv[i]::DOUBLE - a.av[i]::DOUBLE)
+                       * (c.cv[i]::DOUBLE - a.av[i]::DOUBLE))), c.cid) AS pr
+                FROM anc a, cents c) WHERE pr <= 4),
+            scored AS (
+              SELECT a.aid, e.vec_id AS id, ${cosSql("e.embedding", "a.av")} AS cos
+              FROM anc a JOIN aprobe p USING (aid)
+                JOIN assigned s2 ON s2.cid = p.cid
+                JOIN embeddings e ON e.vec_id = s2.id
+              WHERE e.label != a.al),
+            ranked AS (
+              SELECT aid, id, cos, row_number() OVER
+                (PARTITION BY aid ORDER BY cos DESC, id) AS rk
+              FROM scored)
+            SELECT aid AS anchor_id, id AS neg_id,
+              round(cos, 4) AS cosine, CAST(rk AS BIGINT) AS rk
+            FROM ranked WHERE rk <= 3"""))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
     qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qGnnSage, qHardNegatives, qMmr, qSemDedup, qDupNgrams, qIncrementalDedup,
     qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance,
     qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep, qDbscan, qFuzzyMatch, qSortedNeighborhood,
-    qContainment, qBoilerplate, qSimjoinPrefix, qFellegiSunter, qBlockingEval, qSoundexBlock, qCdcChunks, qGoldenRecord, qItemSim, qSilhouette, qAnnRecall, qNnDescent)
+    qContainment, qBoilerplate, qSimjoinPrefix, qFellegiSunter, qBlockingEval, qSoundexBlock, qCdcChunks, qGoldenRecord, qItemSim, qSilhouette, qAnnRecall, qNnDescent, qGnnSageNnd, qHardNegativesIvf)
 }

@@ -394,6 +394,50 @@ object Ann {
         (col("pos") + 1).cast("long").as("rk"))
   }
 
+  /** IVF-bucketed hard-negative mining — the scale form of
+    * [[hardNegatives]] (the sf1 audit measured the brute-force
+    * anchors×corpus form at 35× wall for 10× data: both sides grow with
+    * the corpus, so the cross product is quadratic). Here each anchor
+    * scores only the vectors in its `nprobe` nearest IVF cells: work is
+    * |anchors| · nprobe/nlist · |corpus| — an nlist/nprobe-fold
+    * reduction over brute force at any corpus size, with both sides
+    * shuffled on the cell id (the partition-local join shape). At FIXED
+    * nlist the cross product is still quadratic, just nlist/nprobe-fold
+    * cheaper (sf1, nlist=16/nprobe=4: 16.6× wall at 10× data vs the
+    * brute-force 35×); production sizes nlist ∝ corpus/target-cell-size,
+    * making per-anchor work O(nprobe · cell) = O(1) and the total
+    * linear. Mining quality is the usual IVF trade: negatives outside
+    * the probed cells are missed; recall is measured the q_ann_recall
+    * way. `corpus` supplies the labels for the index's assigned vectors
+    * (the index itself stores only id/vector/cell). */
+  def hardNegativesIvf(
+      anchors: DataFrame,
+      corpus: DataFrame,
+      index: IvfIndex,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    import graft.plans.TopKByScore.topkByScore
+    val labeled = index.assigned
+      .join(corpus.select(col(idCol).as("id"), col(labelCol).as("cl")), "id")
+    val acells = anchors.select(col(idCol).as("anchor_id"),
+        col(vecCol).as("av"), col(labelCol).as("al"))
+      .withColumn("cid",
+        explode(nearestCentroids(col("av"), index.centroids, nprobe)))
+    acells.join(labeled, Seq("cid"))
+      .filter(col("cl") =!= col("al"))
+      .withColumn("cos", vecCosine(col("v"), col("av")))
+      .groupBy(col("anchor_id"))
+      .agg(topkByScore(col("cos"), col("id"), k).as("top"))
+      .select(col("anchor_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("anchor_id"),
+        col("t").getField("id").as("neg_id"),
+        round(col("t").getField("score"), 4).as("cosine"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
   def mutualKnn(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val knn = knnJoinExact(df, df, idCol, vecCol, k).localCheckpoint(true)
     knn.as("r1").join(knn.as("r2"),
