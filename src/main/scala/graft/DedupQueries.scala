@@ -2317,11 +2317,73 @@ object DedupQueries {
               round(cos, 4) AS cosine, CAST(rk AS BIGINT) AS rk
             FROM ranked WHERE rk <= 3"""))
 
+  /** IVF-bucketed k-NN classification ([[graft.sim.Ann.knnClassifyIvf]])
+    * — the scale form of [[qKnnClassify]] (brute-force read 79× wall at
+    * 10× data in the sf1 audit). The index is built over the LABELED
+    * seed set (first-16-by-id centroids so the oracle can enumerate
+    * them); each unlabeled vector scores only its 4 nearest of 16 cells,
+    * then the identical (-votes, -best_cos, label) majority pick. */
+  val qKnnClassifyIvf = Q(
+    "q_knn_classify_ivf",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val labeled = emb.filter(col("vec_id") % 5 === 0)
+      val index = Ann.ivfBuild(labeled, "vec_id", "embedding", nlist = 16)
+      Ann.knnClassifyIvf(
+        emb.filter(col("vec_id") % 5 =!= 0), labeled, index,
+        "vec_id", "embedding", "label", nprobe = 4, k = 5)
+    },
+    Some(s"""WITH lab AS (
+              SELECT vec_id AS lid, embedding AS lv,
+                CAST(label AS VARCHAR) AS label
+              FROM embeddings WHERE vec_id % 5 = 0),
+            cents AS (SELECT lid AS cid, lv AS cv FROM lab
+              ORDER BY lid LIMIT 16),
+            assigned AS (
+              SELECT lid, (min(struct_pack(dist := d, cid := cid))).cid AS cid
+              FROM (SELECT l.lid, c.cid,
+                      list_sum(list_transform(range(1, 65),
+                        i -> (l.lv[i]::DOUBLE - c.cv[i]::DOUBLE)
+                           * (l.lv[i]::DOUBLE - c.cv[i]::DOUBLE))) AS d
+                    FROM lab l, cents c)
+              GROUP BY lid),
+            unl AS (
+              SELECT vec_id AS id, embedding AS v
+              FROM embeddings WHERE vec_id % 5 != 0),
+            uprobe AS (
+              SELECT id, cid FROM (
+                SELECT u.id, c.cid, row_number() OVER (PARTITION BY u.id
+                  ORDER BY list_sum(list_transform(range(1, 65),
+                    i -> (u.v[i]::DOUBLE - c.cv[i]::DOUBLE)
+                       * (u.v[i]::DOUBLE - c.cv[i]::DOUBLE))), c.cid) AS pr
+                FROM unl u, cents c) WHERE pr <= 4),
+            scored AS (
+              SELECT u.id, l.lid, l.label, ${cosSql("u.v", "l.lv")} AS cos
+              FROM unl u JOIN uprobe p ON p.id = u.id
+                JOIN assigned a ON a.cid = p.cid
+                JOIN lab l ON l.lid = a.lid),
+            ranked AS (
+              SELECT id, lid, label, cos, row_number() OVER
+                (PARTITION BY id ORDER BY cos DESC, lid) AS rk
+              FROM scored),
+            votes AS (
+              SELECT id, label, count(*) AS votes,
+                max(round(cos, 4)) AS best_cos
+              FROM ranked WHERE rk <= 5 GROUP BY id, label),
+            pick AS (
+              SELECT id, min(struct_pack(nv := -votes, nc := -best_cos,
+                label := label)) AS w
+              FROM votes GROUP BY id)
+            SELECT id, (w).label AS label,
+              CAST(-((w).nv) AS BIGINT) AS votes,
+              round(-((w).nc), 4) AS best_cos
+            FROM pick"""))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
     qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qGnnSage, qHardNegatives, qMmr, qSemDedup, qDupNgrams, qIncrementalDedup,
     qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance,
     qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep, qDbscan, qFuzzyMatch, qSortedNeighborhood,
-    qContainment, qBoilerplate, qSimjoinPrefix, qFellegiSunter, qBlockingEval, qSoundexBlock, qCdcChunks, qGoldenRecord, qItemSim, qSilhouette, qAnnRecall, qNnDescent, qGnnSageNnd, qHardNegativesIvf)
+    qContainment, qBoilerplate, qSimjoinPrefix, qFellegiSunter, qBlockingEval, qSoundexBlock, qCdcChunks, qGoldenRecord, qItemSim, qSilhouette, qAnnRecall, qNnDescent, qGnnSageNnd, qHardNegativesIvf, qKnnClassifyIvf)
 }

@@ -492,6 +492,41 @@ object Ann {
         round(-col("w.nc"), 4).as("best_cos"))
   }
 
+  /** IVF-bucketed k-NN classification — the scale form of [[knnClassify]]
+    * for when the labeled seed set is too big to broadcast or the
+    * unlabeled corpus×seed cross product is the bottleneck (the sf1
+    * audit read the brute-force form at 79× wall for 10× data: both
+    * sides grew). Composition: [[knnJoinIvf]] against an index built
+    * over the LABELED set, then the identical majority-vote tail
+    * ((-votes, -best_cos, label) lexicographic pick). Same fixed-nlist
+    * caveat as [[hardNegativesIvf]]: production sizes nlist ∝ seed-set
+    * for O(1) per-probe work. */
+  def knnClassifyIvf(
+      unlabeled: DataFrame,
+      labeled: DataFrame,
+      index: IvfIndex,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val lbl = labeled.select(col(idCol).as("lid"),
+      col(labelCol).cast("string").as("label"))
+    val top = knnJoinIvf(unlabeled, index, idCol, vecCol, nprobe, k)
+      .select(col("probe_id").as("id"), col("id").as("lid"),
+        col("cosine").as("cos"))
+      .join(lbl, "lid")
+    top.groupBy(col("id"), col("label"))
+      .agg(count(lit(1)).as("votes"), max(col("cos")).as("best_cos"))
+      .groupBy(col("id"))
+      .agg(min(struct((-col("votes")).as("nv"), (-col("best_cos")).as("nc"),
+        col("label"))).as("w"))
+      .select(col("id"),
+        col("w.label").as("label"),
+        (-col("w.nv")).cast("long").as("votes"),
+        round(-col("w.nc"), 4).as("best_cos"))
+  }
+
   /** IVF-blocked approximate k-NN join for BIG probe sets (big-big case):
     * each probe explodes to its `nprobe` nearest cells via ONE
     * constant-plan-size NearestCentroids expression (no driver round-trip,
