@@ -41,7 +41,10 @@ object ClusterSmoke {
     // locally-invisible hazards
     "q_dup_ngrams", "q_bloom_join", "q_ann_pq", "q_ann_ivfpq",
     "q_gnn_sage", "q_bootstrap_ci", "q_dedup_minhash",
-    "q3_topk", "q18_large_orders")
+    "q3_topk", "q18_large_orders",
+    // round-12 scale-path compositions (NN-Descent round shuffles +
+    // IVF cell joins — both carry vector payloads over the wire)
+    "q_gnn_sage_nnd", "q_hard_negatives_ivf", "q_knn_classify_ivf")
 
   /** Run the target set once per master; one untimed warmup + `reps`
     * timed runs per query, min reported. */
@@ -110,17 +113,38 @@ object ClusterSmoke {
       sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[4,8,8192]")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
     val selected = if (args.isEmpty) targets else args.toSeq
-    val control = runSet("local[32]", sfDir, selected, reps).toMap
-    val cluster = runSet(clusterMaster, sfDir, selected, reps).toMap
+    def judge(control: Map[String, Double], cluster: Map[String, Double],
+        names: Seq[String]): Seq[(String, Double, Double, Double, Boolean)] =
+      names.map { name =>
+        val c0 = control(name); val c1 = cluster(name)
+        val ratio = if (c0 > 0 && c1 >= 0) c1 / c0 else -1.0
+        val pass = c0 >= 0 && c1 >= 0 && c1 <= 2.0 * c0 + 0.75
+        (name, c0, c1, ratio, pass)
+      }
+    var rows = judge(
+      runSet("local[32]", sfDir, selected, reps).toMap,
+      runSet(clusterMaster, sfDir, selected, reps).toMap, selected)
+    // Two-stage verdict: n=1 screening puts mid-weight queries within
+    // one GC spike of the 2x boundary (r12: q_simjoin_prefix read 2.44x
+    // on one screening rep, 1.19x at n=3), so boundary failures are
+    // automatically re-measured at n=3 (min) and the confirmed figure
+    // replaces the screen. A genuine divergence survives the re-measure;
+    // noise does not cost a manual re-run.
+    val suspects = rows.filter(!_._5).map(_._1)
+    if (suspects.nonEmpty) {
+      println(s"[cluster-smoke] re-measuring ${suspects.size} screening " +
+        s"failure(s) at n=3: ${suspects.mkString(", ")}")
+      val confirmed = judge(
+        runSet("local[32]", sfDir, suspects, 3).toMap,
+        runSet(clusterMaster, sfDir, suspects, 3).toMap, suspects)
+        .map(r => r._1 -> r).toMap
+      rows = rows.map(r => confirmed.getOrElse(r._1, r))
+    }
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val rows = selected.map { name =>
-      val c0 = control(name); val c1 = cluster(name)
-      val ratio = if (c0 > 0 && c1 >= 0) c1 / c0 else -1.0
-      val pass = c0 >= 0 && c1 >= 0 && c1 <= 2.0 * c0 + 0.75
+    rows.foreach { case (name, c0, c1, ratio, pass) =>
       println(f"[cluster-smoke] $name%-24s control ${c0}%7.2f  cluster ${c1}%7.2f  " +
         f"ratio ${ratio}%5.2f  ${if (pass) "ok" else "FAIL"}")
-      (name, c0, c1, ratio, pass)
     }
     val allPass = rows.forall(_._5)
     val json = rows.map { case (n, c0, c1, r, p) =>
