@@ -89,7 +89,19 @@ object Bench {
     }
     val ordered = selected.toSeq.sortBy(_._1)
     val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
-      if (idx % 25 == 0) runSentinel(idx)
+      if (idx % 25 == 0) {
+        // Periodic full GC ahead of the sentinel: Spark's ContextCleaner
+        // only reclaims dropped RDD/broadcast blocks when driver GC
+        // enqueues their weak refs, and at big-SF battery scale the
+        // accumulated junk inflates tail entries well past their focused
+        // steady state (r12 sf1 battery: q_perplexity 61 s in-battery vs
+        // 6.8 s focused). One full GC per 25 entries (~1 s each on a 48 g
+        // heap) keeps each segment's measurements independent; it runs
+        // OUTSIDE any timer, before the sentinel, so the sentinel probes
+        // ambient host state rather than accumulated JVM state.
+        System.gc()
+        runSentinel(idx)
+      }
       tStart :+= name -> System.currentTimeMillis()
       try {
         timeOnce(fn) // untimed warmup: JIT + codegen compile
