@@ -10,6 +10,11 @@ import org.scalacheck.rng.Seed
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
+  private implicit class TripleOps(rows: Array[(Long, Long, Long)]) {
+    def toMap2: Map[(Long, Long), Long] =
+      rows.map { case (a, b, n) => (a, b) -> n }.toMap
+  }
+
   private val words = Seq("spark", "row", "agg", "shuffle", "plan", "col", "a", "the", "of")
   private val genText: Gen[String] =
     Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, Gen.oneOf(words)).map(_.mkString(" ")))
@@ -40,6 +45,77 @@ class PropertySpec extends SparkSpec {
     val got = all.toDF("t").select(col("t"), tokenCount(col("t"))).as[(String, Long)]
       .collect().toMap
     all.foreach(t => assert(got(t) == refTokens(t).size.toLong, s"for '$t'"))
+  }
+
+  test("MarkerOps.count equals the SQL replace trick on adversarial strings") {
+    // the oracles spell (len(p) - len(replace(p, n, ''))) / len(n) —
+    // non-overlapping left-to-right; adjacent repeats share a delimiter
+    // space and count once per pair. Random strings over a tiny alphabet
+    // maximize overlap/adjacency cases the corpus never hits.
+    def refCount(padded: String, needle: String): Long =
+      (padded.length - padded.replace(needle, "").length) / needle.length
+    val gen = Gen.listOfN(200, Gen.chooseNum(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "ab", "a b")).map(_.mkString(" "))))
+    val texts = gen.apply(Gen.Parameters.default, Seed(11L)).get
+    val needles = Seq(" a ", " b ", " ab ", " a b ")
+    texts.foreach { t =>
+      val padded = " " + t + " "
+      needles.foreach { n =>
+        assert(graft.plans.MarkerOps.count(padded, n) == refCount(padded, n),
+          s"for text '$t' needle '$n'")
+      }
+    }
+  }
+
+  test("langId (native MarkerBest) matches the composable greatest-struct formulation") {
+    // pin the native one-pass argmax to the original column-composed
+    // semantics it replaced (round 12): per-language replace-trick counts,
+    // greatest(struct(score, lang)) pick, 'unk' when nothing matches —
+    // including the equal-score lexicographic tiebreak.
+    def refLang(t: String): String = {
+      val padded = s" $t "
+      def cnt(w: String): Long = {
+        val n = s" $w "
+        (padded.length - padded.replace(n, "").length) / n.length
+      }
+      val scores = defaultMarkers.toSeq.map { case (l, ws) => (ws.map(cnt).sum, l) }
+      val (best, lang) = scores.max
+      if (best > 0) lang else "unk"
+    }
+    val markers = Seq("the", "a", "of", "and", "le", "la", "et", "de",
+      "der", "die", "und", "das", "el", "los", "y", "que")
+    val gen = Gen.listOfN(120, Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(markers ++ Seq("x", "zz"))).map(_.mkString(" "))))
+    val texts = gen.apply(Gen.Parameters.default, Seed(13L)).get
+    val got = texts.toDF("t")
+      .select(col("t"), langId(col("t"), defaultMarkers).as("l"))
+      .as[(String, String)].collect().toMap
+    texts.foreach(t => assert(got(t) == refLang(t), s"for '$t'"))
+  }
+
+  test("winnow maxDocFreq cap: capped pairs are the uncapped pairs minus hot-fp support") {
+    import graft.ops.Winnow
+    val docs = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, (t + " ") * 3) } // repetition → shared fps
+      .toDF("id", "text")
+    val fps = Winnow.fingerprints(docs, "id", "text", k = 4, w = 4)
+    val uncapped = Winnow.nearDuplicates(fps, "id", minShared = 1L)
+      .select(col("a"), col("b"), col("n_shared")).as[(Long, Long, Long)]
+      .collect().toMap2
+    val capped = Winnow.nearDuplicates(fps, "id", minShared = 1L, maxDocFreq = 3L)
+      .select(col("a"), col("b"), col("n_shared")).as[(Long, Long, Long)]
+      .collect().toMap2
+    // reference: recompute per-fp doc frequency and the capped support
+    val fpRows = fps.select(col("id"), col("fp")).as[(Long, String)].collect()
+    val df_ = fpRows.groupBy(_._2).view.mapValues(_.length).toMap
+    val keptRows = fpRows.filter { case (_, f) => df_(f) <= 3 }
+    val refPairs = keptRows.groupBy(_._2).values.flatMap { rows =>
+      val ids = rows.map(_._1).distinct.sorted
+      for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(capped == refPairs)
+    // capped support never exceeds uncapped for any pair
+    capped.foreach { case (p, n) => assert(n <= uncapped.getOrElse(p, 0L), s"pair $p") }
   }
 
   test("fingerprint equals md5 of sorted distinct lowercase tokens") {
