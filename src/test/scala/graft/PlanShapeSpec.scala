@@ -1,0 +1,74 @@
+package graft
+
+/** Structural plan-shape guards — the `.explain` audits PLANS.md records,
+  * automated. These assert the properties that make the flagship plans
+  * 100 TB-shaped (filters reaching the parquet scan, column pruning,
+  * map-side partial aggregation, hint-driven broadcasts, top-k as
+  * TakeOrderedAndProject, semi/anti join strategies) so a refactor that
+  * silently regresses one fails a spec instead of waiting for a bench
+  * round. Only hint-driven / structural facts are asserted — nothing
+  * that AQE or statistics could legitimately re-plan at another scale.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q_filter_project: filters AND projection reach the parquet scan") {
+    val p = planOf("q_filter_project")
+    assert(p.contains("PushedFilters:"), p.take(400))
+    assert(p.contains("GreaterThan(l_discount"), "discount filter not pushed")
+    assert(p.contains("LessThan(l_quantity"), "quantity filter not pushed")
+    // column pruning: the scan must read only the 5 referenced columns,
+    // not the 16-column lineitem schema
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_comment"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
+  test("q1_agg: shipdate filter pushed; aggregation is partial (map-side) before the exchange") {
+    val p = planOf("q1_agg")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), "shipdate filter not pushed")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+    assert(p.contains("Exchange hashpartitioning(l_returnflag"),
+      "group-by exchange missing or keyed wrong")
+  }
+
+  test("q3_topk: dimension broadcast honored; top-k is TakeOrderedAndProject, not a full sort") {
+    val p = planOf("q3_topk")
+    assert(p.contains("BroadcastHashJoin"), "customer broadcast hint not honored")
+    assert(p.contains("TakeOrderedAndProject"),
+      "ORDER BY + LIMIT did not plan as top-k")
+  }
+
+  test("q_semi_anti: semi and anti joins plan as real join strategies") {
+    val p = planOf("q_semi_anti")
+    assert(p.contains("LeftSemi"), "semi join missing")
+    assert(p.contains("LeftAnti"), "anti join missing")
+  }
+
+  test("q_lang_id: native marker expression keeps the scan's Project in whole-stage codegen") {
+    val p = planOf("q_lang_id")
+    assert(p.contains("marker_best"), "native MarkerBest expression not in plan")
+    // the Project must sit under a WholeStageCodegen span — a
+    // CodegenFallback expression in it would strip the asterisk
+    assert(p.linesIterator.exists(l => l.contains("Project") && l.trim.startsWith("*")),
+      s"lang-id Project fell out of whole-stage codegen:\n${p.take(600)}")
+  }
+
+  test("q_store_search: store predicate reaches the parquet scan of the store table") {
+    val p = planOf("q_store_search")
+    assert(p.contains("PushedFilters:"), p.take(400))
+  }
+
+  test("no CartesianProduct anywhere in the flagship analytics plans") {
+    // constant 1-row broadcast relations plan as BroadcastNestedLoopJoin,
+    // which is fine; an actual CartesianProduct is never acceptable
+    Seq("q1_agg", "q3_topk", "q5_revenue", "q7_volume", "q_window",
+        "q_distinct", "q_semi_anti").foreach { q =>
+      assert(!planOf(q).contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+}
