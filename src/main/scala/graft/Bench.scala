@@ -184,7 +184,10 @@ object Bench {
     val sentSummary =
       if (sentinel.isEmpty) "null"
       else {
-        val ss = (if (sentinel.size > 2) sentinel.drop(1) else sentinel).map(_._3)
+        // drop the warm-in reading whenever a second one exists — with
+        // exactly two sentinels (26-50 query batteries) keeping index 0
+        // reported a false ~1.5x spread on a clean battery
+        val ss = (if (sentinel.size >= 2) sentinel.drop(1) else sentinel).map(_._3)
         s"""{"n":${ss.size},"min":${fmt(ss.min)},"max":${fmt(ss.max)},"spread":${fmt(ss.max / math.max(ss.min, 1e-9))}}"""
       }
     val fullLine =

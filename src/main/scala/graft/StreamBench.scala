@@ -85,8 +85,18 @@ object StreamBench {
       maxFilesPerTrigger: Int, suffix: String): Seq[(String, Metrics)] = {
     // Per-run unique root: a fixed path let two concurrent bench runs on
     // one host rmrf each other's staged data and checkpoints mid-query.
+    // Deleted in a finally — without it every invocation (two per bench
+    // run, one per rate point) leaks staged parquet + checkpoints in tmp,
+    // and a failed query would leak even with a trailing cleanup line.
     val root = java.nio.file.Files
       .createTempDirectory("graft_stream_bench").toFile
+    try runStaged(spark, sfDir, maxFilesPerTrigger, suffix, root)
+    finally rmrf(root)
+  }
+
+  private def runStaged(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Int, suffix: String,
+      root: java.io.File): Seq[(String, Metrics)] = {
 
     // ---- stage: 16 flat parquet files each for events and upserts ----
     val events = Tables(spark, sfDir).events
@@ -154,9 +164,9 @@ object StreamBench {
         .start()
     }
 
-    rmrf(root)
     Seq(watcher, feed, hh)
   }
+
 
   /** Standalone entry for focused streaming measurement (the batch
     * battery rides `graft.Bench`, which calls [[run]] itself). */

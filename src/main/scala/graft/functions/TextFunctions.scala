@@ -63,7 +63,13 @@ object TextFunctions {
     // Janino 64 KB method limit, dropping the curation scan out of
     // whole-stage codegen. Same values (greatest(struct(score, lang))
     // argmax over replace-trick counts, 'unk' when nothing matches).
-    graft.plans.TextNative.markerBest(text, markers.toSeq)
+    // coalesce: MarkerBest is null-in/null-out (nullSafeEval) but the
+    // column-composed form it replaced returned 'unk' for NULL text (the
+    // null score structs fell through to the otherwise branch) — keep
+    // that contract for nullable corpus columns. stopwordCount needs no
+    // wrapper: its old +-chain form was null-propagating, same as
+    // MarkerHits.
+    coalesce(graft.plans.TextNative.markerBest(text, markers.toSeq), lit("unk"))
 
   /** Default marker sets for the corpus languages. */
   val defaultMarkers: Map[String, Seq[String]] = Map(

@@ -235,8 +235,20 @@ final class MessageStore(
             catch { case _: java.io.FileNotFoundException => None }
           held match {
             case Some(st) if System.currentTimeMillis() - st.getModificationTime > staleLockMs =>
-              // holder presumed crashed: break the lease and re-race
-              fs.delete(lockP, false): Unit
+              // Holder presumed crashed: break the lease and re-race. The
+              // break is rename-then-delete, not a bare delete — two
+              // waiters that both observe the stale lock would each run
+              // the delete, and the slower delete could remove the lock
+              // the faster waiter just re-created, putting BOTH under the
+              // lease. Rename is atomic per source: exactly one waiter's
+              // rename succeeds (the other's source is gone), so exactly
+              // one stale lease is retired per observation.
+              val grave = new org.apache.hadoop.fs.Path(
+                s"$path.lock.stale.${st.getModificationTime}.${
+                  java.lang.ProcessHandle.current().pid()}.${
+                  System.nanoTime()}")
+              if (try fs.rename(lockP, grave) catch { case _: java.io.IOException => false })
+                fs.delete(grave, false): Unit
             case _ if System.currentTimeMillis() > deadline =>
               throw new java.util.ConcurrentModificationException(
                 s"message store at $path: another writer holds $lockP " +

@@ -91,6 +91,12 @@ class PropertySpec extends SparkSpec {
       .select(col("t"), langId(col("t"), defaultMarkers).as("l"))
       .as[(String, String)].collect().toMap
     texts.foreach(t => assert(got(t) == refLang(t), s"for '$t'"))
+    // NULL text → 'unk', not NULL: the column-composed form's null score
+    // structs fell through to the otherwise branch; the native MarkerBest
+    // is null-in/null-out, so langId coalesces to keep the old contract.
+    val nullLang = Seq[Option[String]](None).toDF("t")
+      .select(langId(col("t"), defaultMarkers)).head().getString(0)
+    assert(nullLang == "unk")
   }
 
   test("winnow maxDocFreq cap: capped pairs are the uncapped pairs minus hot-fp support") {
