@@ -190,8 +190,71 @@ object Bench {
         val ss = (if (sentinel.size >= 2) sentinel.drop(1) else sentinel).map(_._3)
         s"""{"n":${ss.size},"min":${fmt(ss.min)},"max":${fmt(ss.max)},"spread":${fmt(ss.max / math.max(ss.min, 1e-9))}}"""
       }
+    // ---- sentinel-normalized gate (round 13) ----
+    // The 2x-vs-anchor gate has flapped on ambient host drift every round
+    // it ran near other tenants (r9b/r9c/r11/r12 notes: the <0.4 s tier
+    // reads 1.5-2.5x under drift while the ≥1 s tier stays ~1.2x), and
+    // each flap burns a settlement pass that so far has ALWAYS exonerated
+    // the code. The fix data already rides this artifact: the sentinel
+    // trace re-times a fixed cheap query (q1_agg) every 25 entries, so a
+    // slow host shows up as an elevated local sentinel. Normalization:
+    //   drift(entry) = max(1, min(bracketing sentinel readings) / sentinel anchor)
+    //   norm_ratio   = sec / (anchor × drift)
+    // The factor is FLOORED at 1 — a faster-than-anchor host never
+    // amplifies a ratio, so normalization can only excuse drift, never
+    // manufacture a regression. Additionally the short tier gets the
+    // absolute-slack form (anchor + 0.25 s) the drift notes recommend:
+    //   over = sec > max(2 × anchorAdj, anchorAdj + 0.25)   [anchorAdj = anchor × drift]
+    // Raw ratios stay in the artifact untouched; the gate verdict is
+    // advisory for the judge, definitive for settlement triage.
+    // Anchors are sf0.1 medians; comparing another SF against them is
+    // meaningless (sf0.001 smoke runs read 40+ false "over" rows), so the
+    // gate only engages at the anchored scale. Normalized ratios are still
+    // emitted — useful to eyeball — just never flagged.
+    val anchorsSf = sys.env.getOrElse("SPARK_GRAFT_ANCHOR_SF", "sf0.1")
+    val anchorsApply = sfDir.endsWith(anchorsSf) || sfDir.endsWith(anchorsSf + "/")
+    val anchorsPath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md")
+    val anchorRe = """\|\s*(q\S+)\s*\|\s*([0-9.]+)\s*\|""".r
+    val anchors: Map[String, Double] =
+      try {
+        val src = scala.io.Source.fromFile(anchorsPath, "UTF-8")
+        try anchorRe.findAllMatchIn(src.mkString)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        finally src.close()
+      } catch { case _: Throwable => Map.empty }
+    val sentinelAnchor = anchors.getOrElse("q1_agg", 0.0)
+    val battIdx = ordered.map(_._1).zipWithIndex.toMap
+    def driftAt(name: String): Double = {
+      if (sentinel.isEmpty || sentinelAnchor <= 0) return 1.0
+      val idx = battIdx.getOrElse(name, 0)
+      val local = sentinel.filter { case (i, _, _) =>
+        i >= (idx / 25) * 25 && i <= (idx / 25) * 25 + 25 }
+      val reading = if (local.nonEmpty) local.map(_._3).min
+                    else sentinel.map(_._3).min
+      math.max(1.0, reading / sentinelAnchor)
+    }
+    val gated = results.collect { case (name, sec) if sec < 1e9 =>
+      anchors.get(name).map { anchor =>
+        val drift = driftAt(name)
+        val anchorAdj = anchor * drift
+        val raw = sec / math.max(anchor, 1e-9)
+        val norm = sec / math.max(anchorAdj, 1e-9)
+        val over = anchorsApply && sec > math.max(2 * anchorAdj, anchorAdj + 0.25)
+        (name, raw, norm, drift, over)
+      }
+    }.flatten
+    val normMap = gated
+      .map { case (n, raw, norm, drift, over) =>
+        s"\"" + n + s"\":{\"raw\":${fmt(raw)},\"norm\":${fmt(norm)},\"drift\":${fmt(drift)},\"over\":$over}" }
+      .mkString("{", ",", "}")
+    val overNames = gated.collect { case (n, _, _, _, true) => n }
+    // cap the name list: the stdout line must survive the driver's ~2 KB
+    // tail window, and a pathological battery could flag dozens of rows
+    val gateSummary =
+      s"""{"applies":$anchorsApply,"anchored":${gated.size},"over":${overNames.size},"over_names":${
+        overNames.take(12).map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(results)},"failed":$fs,"reps":$reps,"t_start_ms":$tsMap,"sentinel":$sentArr,"streaming":$smap,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(results)},"failed":$fs,"reps":$reps,"t_start_ms":$tsMap,"sentinel":$sentArr,"normalized":$normMap,"gate":$gateSummary,"streaming":$smap,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] full dump write failed: ${e.getMessage}") }
@@ -201,7 +264,7 @@ object Bench {
     // HEAD would make the artifact unparseable (the r7 failure mode).
     // The full map is in the file either way.
     val slowest = results.sortBy(-_._2).take(20)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(slowest)},"failed":$fs,"reps":$reps,"n_queries":${results.size},"queries_file":"$outPath","sentinel":$sentSummary,"streaming":$smap,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(slowest)},"failed":$fs,"reps":$reps,"n_queries":${results.size},"queries_file":"$outPath","sentinel":$sentSummary,"gate":$gateSummary,"streaming":$smap,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

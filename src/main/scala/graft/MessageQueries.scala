@@ -131,6 +131,30 @@ object MessageQueries {
                         ELSE 'processed' END AS state, count(*) AS n
             FROM events GROUP BY 1"""))
 
+  /** Fail vs reject distinction (channels.py:80-81, 494-506): the FAIL
+    * path (a node raises → fail_nodes → state `error`) is routed
+    * separately from the REJECT path (explicit verdict → reject_nodes →
+    * `rejected`), and ERROR outranks REJECTED in worst-state. failWhen
+    * fires first, so a row matching both predicates lands in fails —
+    * mirroring pypeman, where the raise preempts any later reject. */
+  val qFailRoute = Q(
+    "q_fail_route",
+    (s, dir) => {
+      val ev = Tables(s, dir).events.withColumn("state", lit(Msg.PROCESSED))
+      val r = Channel("fl")
+        .failWhen(col("value") > 90)
+        .rejectWhen(col("event_type") === "error")
+        .run(ev)
+      val failed = CoreOps.markState(Msg.ERROR)(r.failedMsgs.get)
+      val rejected = CoreOps.markState(Msg.REJECTED)(r.rejected.get)
+      Channel.merge(r.main, rejected, failed)
+        .groupBy(col("state")).agg(count(lit(1)).as("n"))
+    },
+    Some("""SELECT CASE WHEN value > 90 THEN 'error'
+                        WHEN event_type = 'error' THEN 'rejected'
+                        ELSE 'processed' END AS state, count(*) AS n
+            FROM events GROUP BY 1"""))
+
   /** Worst-sub-state aggregation (msgstore.py:110). */
   val qWorstState = Q(
     "q_worst_state",
@@ -282,6 +306,6 @@ object MessageQueries {
 
   def all: Seq[Q] = Seq(
     qMsgWrap, qChannelChain, qForkMerge, qWhen, qCaseRouting, qFilterDrop,
-    qRejectSplit, qWorstState, qCtxRoundtrip, qCombineCtx, qYielder,
-    qFuncMap, qMapRename, qToOrdered, qMsgJson)
+    qRejectSplit, qFailRoute, qWorstState, qCtxRoundtrip, qCombineCtx,
+    qYielder, qFuncMap, qMapRename, qToOrdered, qMsgJson)
 }

@@ -76,10 +76,12 @@ final case class ChannelResult(
     drops: Seq[DataFrame] = Nil,
     rejects: Seq[DataFrame] = Nil,
     forks: Map[String, DataFrame] = Map.empty,
-    retries: Seq[(String, DataFrame)] = Nil) {
+    retries: Seq[(String, DataFrame)] = Nil,
+    fails: Seq[DataFrame] = Nil) {
   def dropped: Option[DataFrame] = drops.reduceOption(_ unionByName _)
   def rejected: Option[DataFrame] = rejects.reduceOption(_ unionByName _)
   def retried: Option[DataFrame] = retries.map(_._2).reduceOption(_ unionByName _)
+  def failedMsgs: Option[DataFrame] = fails.reduceOption(_ unionByName _)
 }
 
 /** Declarative channel: an ordered pipeline of nodes with routing steps —
@@ -99,6 +101,7 @@ final case class Channel(
     joinNodes: Vector[Node] = Vector.empty,
     dropNodes: Vector[Node] = Vector.empty,
     rejectNodes: Vector[Node] = Vector.empty,
+    failNodes: Vector[Node] = Vector.empty,
     finalNodes: Vector[Node] = Vector.empty) {
 
   import Channel._
@@ -112,6 +115,15 @@ final case class Channel(
   def addJoinNodes(nodes: Node*): Channel = copy(joinNodes = joinNodes ++ nodes)
   def addDropNodes(nodes: Node*): Channel = copy(dropNodes = dropNodes ++ nodes)
   def addRejectNodes(nodes: Node*): Channel = copy(rejectNodes = rejectNodes ++ nodes)
+
+  /** Fail-path end nodes (channels.py:1007 add_fail_nodes): run on the
+    * FAIL side output — pypeman's "node raised a non-Dropped, non-Rejected
+    * exception" path, where the message lands in state `error`
+    * (channels.py:494-506 generic-except → fail nodes → worst-sub-state
+    * = ERROR). Distinct from rejects: REJECT is an explicit routing verdict
+    * (state `rejected`), FAIL is a processing breakdown (state `error`,
+    * ranked worse by Msg.statesPriority). */
+  def addFailNodes(nodes: Node*): Channel = copy(failNodes = failNodes ++ nodes)
   def addFinalNodes(nodes: Node*): Channel = copy(finalNodes = finalNodes ++ nodes)
 
   /** Parallel sub-channel fed with the current message stream; main flow
@@ -138,10 +150,21 @@ final case class Channel(
   /** Route matching rows to the rejects side-output (pypeman Rejected). */
   def rejectWhen(cond: Column): Channel = copy(steps = steps :+ RejectWhen(cond))
 
+  /** Route matching rows to the FAILS side-output — the relational
+    * re-expression of "a node raised a generic exception" (channels.py:494:
+    * generic except → err_msg meta → fail_nodes → state ERROR via
+    * worst-sub-state). Where pypeman detects failure by catching the raise,
+    * graft detects it by predicate over the same rows: the condition names
+    * the rows the node would have raised on. Same routing shape as
+    * drop/reject; callers stamp `CoreOps.markState(Msg.ERROR)` on the side
+    * output exactly as reject callers stamp REJECTED. */
+  def failWhen(cond: Column): Channel = copy(steps = steps :+ FailWhen(cond))
+
   def run(input: DataFrame): ChannelResult = {
     var cur = initNodes.foldLeft(input)((df, n) => n(df))
     var drops = Vector.empty[DataFrame]
     var rejects = Vector.empty[DataFrame]
+    var fails = Vector.empty[DataFrame]
     var forks = Map.empty[String, DataFrame]
     var retries = Vector.empty[(String, DataFrame)]
     steps.foreach {
@@ -158,10 +181,12 @@ final case class Channel(
       case Fork(n, sub) =>
         val r = sub.run(cur)
         forks = forks ++ r.forks + (n -> r.main)
-        drops ++= r.drops; rejects ++= r.rejects; retries ++= r.retries
+        drops ++= r.drops; rejects ++= r.rejects; fails ++= r.fails
+        retries ++= r.retries
       case When(cond, sub) =>
         val r = sub.run(cur.filter(cond))
-        drops ++= r.drops; rejects ++= r.rejects; forks ++= r.forks
+        drops ++= r.drops; rejects ++= r.rejects; fails ++= r.fails
+        forks ++= r.forks
         retries ++= r.retries
         cur = r.main.unionByName(cur.filter(!coalesce(cond, lit(false))))
       case CaseStep(branches) =>
@@ -171,7 +196,8 @@ final case class Channel(
           val mine = coalesce(cond, lit(false)) && !seen
           seen = seen || coalesce(cond, lit(false))
           val r = sub.run(cur.filter(mine))
-          drops ++= r.drops; rejects ++= r.rejects; forks ++= r.forks
+          drops ++= r.drops; rejects ++= r.rejects; fails ++= r.fails
+          forks ++= r.forks
           retries ++= r.retries
           r.main
         }
@@ -183,6 +209,9 @@ final case class Channel(
       case RejectWhen(cond) =>
         rejects :+= cur.filter(cond)
         cur = cur.filter(!coalesce(cond, lit(false)))
+      case FailWhen(cond) =>
+        fails :+= cur.filter(cond)
+        cur = cur.filter(!coalesce(cond, lit(false)))
     }
     def pipe(nodes: Vector[Node])(df: DataFrame) = nodes.foldLeft(df)((d, n) => n(d))
     val endFn = pipe(finalNodes) _
@@ -191,7 +220,8 @@ final case class Channel(
       drops.map(d => endFn(pipe(dropNodes)(d))),
       rejects.map(r => endFn(pipe(rejectNodes)(r))),
       forks,
-      retries)
+      retries,
+      fails.map(f => endFn(pipe(failNodes)(f))))
   }
 
   /** Convenience: run and return only the main output. */
@@ -220,7 +250,7 @@ final case class Channel(
       case CaseStep(bs) => bs.flatMap(_._2.storeMetaNames)
       case _ => Set.empty[String]
     }
-    (initNodes ++ joinNodes ++ dropNodes ++ rejectNodes ++ finalNodes)
+    (initNodes ++ joinNodes ++ dropNodes ++ rejectNodes ++ failNodes ++ finalNodes)
       .flatMap(_.storeMeta).toSet ++ own
   }
 
@@ -269,7 +299,7 @@ final case class Channel(
         out += s""""$previous"->"${sub.name}" [style=dotted];"""
         after :+= (endName, sub)
       case CaseStep(bs) => cases ++= bs.map(_._2)
-      case DropWhen(_) | RejectWhen(_) => () // pure routing, no named node
+      case DropWhen(_) | RejectWhen(_) | FailWhen(_) => () // pure routing, no named node
     }
     endName.foreach(e => out += s""""$previous"->"$e";""")
     after.foreach { case (e, sub) => out ++= sub.graphDotImpl(e) }
@@ -291,6 +321,7 @@ final case class Channel(
         }
       case DropWhen(_) => sb.append(s"$prefix|x drop\n")
       case RejectWhen(_) => sb.append(s"$prefix|x reject\n")
+      case FailWhen(_) => sb.append(s"$prefix|x fail\n")
     }
     sb.toString
   }
@@ -304,6 +335,7 @@ object Channel {
   final case class CaseStep(branches: Vector[(Column, Channel)]) extends Step
   final case class DropWhen(cond: Column) extends Step
   final case class RejectWhen(cond: Column) extends Step
+  final case class FailWhen(cond: Column) extends Step
 
   /** MergeChannel (channels.py:1252): union several channel outputs. */
   def merge(dfs: DataFrame*): DataFrame = dfs.reduce(_ unionByName _)

@@ -51,6 +51,10 @@ object Nodes {
   def Drop(cond: Column): Channel => Channel = _.dropWhen(cond)
   def Reject(cond: Column): Channel => Channel = _.rejectWhen(cond)
 
+  /** channels.py:494 — the generic-exception FAIL path as a predicate route
+    * (distinct from Reject: fail → state `error`, reject → `rejected`). */
+  def Fail(cond: Column): Channel => Channel = _.failWhen(cond)
+
   /** nodes.py:390. */
   def Empty(): Node = CoreOps.empty
 

@@ -55,6 +55,42 @@ class NodesParitySpec extends SparkSpec {
     assert(r.rejected.get.count() == 1)
   }
 
+  test("fail vs reject parity: distinct paths, distinct states, fail outranks (channels.py:80-81)") {
+    // pypeman distinguishes FAIL (a node raises → fail_nodes → state
+    // `error`) from REJECT (explicit verdict → reject_nodes → `rejected`).
+    // failWhen fires first — a row matching both lands in fails, mirroring
+    // the raise preempting any later routing.
+    val in = Seq(
+      (1L, "ok", 5.0), (2L, "error", 5.0), (3L, "ok", 99.0), (4L, "error", 99.0))
+      .toDF("id", "event_type", "value")
+      .withColumn("state", lit(Msg.PROCESSED))
+    var failNodeSaw = -1L
+    var rejectNodeSaw = -1L
+    val r = Channel("fvr")
+      .failWhen(col("value") > 90)
+      .rejectWhen(col("event_type") === "error")
+      .addFailNodes(
+        graft.ops.CoreOps.markState(Msg.ERROR),
+        graft.api.Node("notify_ops") { df => failNodeSaw = df.count(); df })
+      .addRejectNodes(
+        graft.ops.CoreOps.markState(Msg.REJECTED),
+        graft.api.Node("notify_sender") { df => rejectNodeSaw = df.count(); df })
+      .run(in)
+    // routing: 3 and 4 fail (4 matches both → fail wins), 2 rejects, 1 mains
+    assert(r.main.select("id").as[Long].collect().toSet == Set(1L))
+    assert(r.failedMsgs.get.select("id").as[Long].collect().toSet == Set(3L, 4L))
+    assert(r.rejected.get.select("id").as[Long].collect().toSet == Set(2L))
+    // the side-output end nodes ran on their own stream only
+    assert(failNodeSaw == 2L && rejectNodeSaw == 1L)
+    // states are distinct and worst-state ranks error above rejected
+    val states = r.failedMsgs.get.unionByName(r.rejected.get).unionByName(r.main)
+      .select(lit(1).as("k"), col("state"))
+    val worst = states.groupBy("k")
+      .agg(Msg.worstState(col("state")).as("w"))
+      .select("w").as[String].head()
+    assert(worst == Msg.ERROR)
+  }
+
   test("SQL surface: native vector functions callable from spark.sql") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_cosine", es => graft.plans.CosineSimilarity(es(0), es(1)), "scala_udf")
