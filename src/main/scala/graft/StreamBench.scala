@@ -32,6 +32,14 @@ import org.apache.spark.sql.streaming.Trigger
   *  - `heavy_hitters`: [[streaming.HeavyHittersStream]] — per-window
   *    Misra–Gries summaries under an event-time watermark (the
   *    bounded-sketch shape).
+  *  - `ss_join` (round 13): watermarked stream-stream interval join —
+  *    clicks ⋈ views on user within a 1-hour event-time window, both
+  *    sides watermarked. The costliest stateful shape a real ingest
+  *    pipeline runs: BOTH sides buffer in the state store and every
+  *    batch probes the opposite side's state. The watermark is generous
+  *    (2 days) so no row is evicted mid-run — the join does its full
+  *    work every pass regardless of file arrival order, keeping the
+  *    measured cost stable run-to-run.
   *
   * Numbers land in BASELINE.md's streaming section and ride the bench
   * JSON under a "streaming" key (`SPARK_GRAFT_STREAM_BENCH=0` skips).
@@ -164,7 +172,29 @@ object StreamBench {
         .start()
     }
 
-    Seq(watcher, feed, hh)
+    // ---- surface 4: watermarked stream-stream interval join ----
+    val ssj = s"ss_join$suffix" -> measure { () =>
+      def side(t: String, p: String) =
+        spark.readStream
+          .schema(eventsSchema)
+          .option("maxFilesPerTrigger", maxFilesPerTrigger)
+          .parquet(eventsDir)
+          .filter(col("event_type") === t)
+          .select(col("user_id").as(s"${p}_uid"), col("ts").as(s"${p}_ts"),
+            col("event_id").as(s"${p}_id"))
+          .withWatermark(s"${p}_ts", "2 days")
+      side("click", "c")
+        .join(side("view", "v"), expr(
+          "c_uid = v_uid AND v_ts >= c_ts AND v_ts <= c_ts + INTERVAL 1 HOUR"))
+        .writeStream
+        .format("memory").queryName(s"sb_ss_join$suffix")
+        .outputMode("append")
+        .option("checkpointLocation", freshDir(root, "ssj_ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+
+    Seq(watcher, feed, hh, ssj)
   }
 
 

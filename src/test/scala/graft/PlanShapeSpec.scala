@@ -63,12 +63,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PushedFilters:"), p.take(400))
   }
 
-  test("no CartesianProduct anywhere in the flagship analytics plans") {
-    // constant 1-row broadcast relations plan as BroadcastNestedLoopJoin,
-    // which is fine; an actual CartesianProduct is never acceptable
-    Seq("q1_agg", "q3_topk", "q5_revenue", "q7_volume", "q_window",
-        "q_distinct", "q_semi_anti").foreach { q =>
-      assert(!planOf(q).contains("CartesianProduct"), s"$q plans a cartesian product")
+  test("dim joins broadcast across the TPC-H shapes (q5/q7/q13/q14/q18)") {
+    // every one of these joins at least one side that is small at ANY
+    // scale (region/nation/part dimension or a pre-aggregated subquery);
+    // the plan must carry a BroadcastHashJoin, not shuffle the dim
+    Seq("q5_revenue", "q7_volume", "q13_custdist", "q14_promo",
+        "q18_large_orders").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q has no broadcast join:\n${p.take(800)}")
     }
+  }
+
+  test("no CartesianProduct anywhere in the registry (all queries, plans only)") {
+    // Registry-wide sweep: build (don't execute) every registered query's
+    // physical plan at sf0.001 and assert no CartesianProduct node.
+    // Constant 1-row broadcast relations plan as BroadcastNestedLoopJoin,
+    // which is fine; an actual CartesianProduct — both sides shuffled for
+    // an unkeyed pairing — is never acceptable at any scale. Iterative
+    // operators run their driver-side rounds during construction, so this
+    // sweep also smoke-builds every plan the bench times.
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val plan = planOf(q)
+      if (plan.contains("CartesianProduct")) Some(q) else None
+    }
+    assert(bad.isEmpty, s"cartesian products in: ${bad.mkString(", ")}")
   }
 }
