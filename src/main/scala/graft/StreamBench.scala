@@ -85,12 +85,14 @@ object StreamBench {
     * regime is visible — rows/s alone rises with batch size and a single
     * config can hide a per-batch latency regression behind batching.
     */
-  def run(spark: SparkSession, sfDir: String): Seq[(String, Metrics)] =
-    runConfig(spark, sfDir, maxFilesPerTrigger = 2, suffix = "") ++
-      runConfig(spark, sfDir, maxFilesPerTrigger = 8, suffix = "_mft8")
+  def run(spark: SparkSession, sfDir: String,
+      only: Set[String] = Set.empty): Seq[(String, Metrics)] =
+    runConfig(spark, sfDir, maxFilesPerTrigger = 2, suffix = "", only) ++
+      runConfig(spark, sfDir, maxFilesPerTrigger = 8, suffix = "_mft8", only)
 
   private def runConfig(spark: SparkSession, sfDir: String,
-      maxFilesPerTrigger: Int, suffix: String): Seq[(String, Metrics)] = {
+      maxFilesPerTrigger: Int, suffix: String,
+      only: Set[String]): Seq[(String, Metrics)] = {
     // Per-run unique root: a fixed path let two concurrent bench runs on
     // one host rmrf each other's staged data and checkpoints mid-query.
     // Deleted in a finally — without it every invocation (two per bench
@@ -98,13 +100,20 @@ object StreamBench {
     // and a failed query would leak even with a trailing cleanup line.
     val root = java.nio.file.Files
       .createTempDirectory("graft_stream_bench").toFile
-    try runStaged(spark, sfDir, maxFilesPerTrigger, suffix, root)
+    try runStaged(spark, sfDir, maxFilesPerTrigger, suffix, root, only)
     finally rmrf(root)
   }
 
   private def runStaged(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Int, suffix: String,
-      root: java.io.File): Seq[(String, Metrics)] = {
+      root: java.io.File, only: Set[String]): Seq[(String, Metrics)] = {
+
+    // focused re-measurement aid (the re-anchor instrument): an empty
+    // `only` runs every surface; otherwise just the named base surfaces
+    def surface(base: String)(
+        f: () => org.apache.spark.sql.streaming.StreamingQuery): Seq[(String, Metrics)] =
+      if (only.nonEmpty && !only.contains(base)) Nil
+      else Seq(s"$base$suffix" -> measure(f))
 
     // ---- stage: 16 flat parquet files each for events and upserts ----
     val events = Tables(spark, sfDir).events
@@ -121,7 +130,7 @@ object StreamBench {
     val upsertsSchema = spark.read.parquet(upsertsDir).schema
 
     // ---- surface 1: file-watcher channel end-to-end → parquet sink ----
-    val watcher = s"file_watcher$suffix" -> measure { () =>
+    val watcher = surface("file_watcher") { () =>
       val channel = graft.api.Channel("bench")
         .add(graft.api.Node("enrich") { df =>
           df.filter(col("value") > 0)
@@ -138,7 +147,7 @@ object StreamBench {
     }
 
     // ---- surface 2: ChangeFeed CDC over the upsert stream ----
-    val feed = s"change_feed$suffix" -> measure { () =>
+    val feed = surface("change_feed") { () =>
       import spark.implicits._
       val ups = spark.readStream
         .schema(upsertsSchema)
@@ -155,7 +164,7 @@ object StreamBench {
     }
 
     // ---- surface 3: windowed Misra–Gries heavy hitters ----
-    val hh = s"heavy_hitters$suffix" -> measure { () =>
+    val hh = surface("heavy_hitters") { () =>
       val ev = spark.readStream
         .schema(eventsSchema)
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -173,7 +182,7 @@ object StreamBench {
     }
 
     // ---- surface 4: watermarked stream-stream interval join ----
-    val ssj = s"ss_join$suffix" -> measure { () =>
+    val ssj = surface("ss_join") { () =>
       def side(t: String, p: String) =
         spark.readStream
           .schema(eventsSchema)
@@ -194,7 +203,7 @@ object StreamBench {
         .start()
     }
 
-    Seq(watcher, feed, hh, ssj)
+    watcher ++ feed ++ hh ++ ssj
   }
 
 
@@ -209,7 +218,7 @@ object StreamBench {
       .getOrCreate()
     GraftSession.install(spark)
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, sfDir).foreach { case (name, m) =>
+    run(spark, sfDir, only = args.toSet).foreach { case (name, m) =>
       println(f"[stream-bench] $name%-14s rows=${m.rows}%7d " +
         f"wall=${m.wallS}%7.2fs rows/s=${m.rowsPerS}%9.0f " +
         f"batch_ms_median=${m.batchMsMedian}%7.1f n_batches=${m.nBatches}%3d")
