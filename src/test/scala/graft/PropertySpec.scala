@@ -99,6 +99,27 @@ class PropertySpec extends SparkSpec {
     assert(nullLang == "unk")
   }
 
+  test("SRP sizing invariant: wider bands shrink candidate buckets, never grow them") {
+    // The round-13 scale lesson (PLANS.md): at FIXED bitsPerBand the
+    // candidate-pair count is quadratic in corpus size; the production
+    // path scales bits with log2(corpus). Pin the mechanism the sizing
+    // relies on: each extra hyperplane splits every bucket in two in
+    // expectation, so candidate pairs shrink as bands widen — asserted
+    // monotone on this fixed deterministic corpus.
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        math.sin(i * 0.7 + d * 1.3).toFloat))
+    }.toDF("id", "v")
+    def pairs(bits: Int): Long =
+      graft.sim.Srp.signatures(vecs, "id", "v", dims = 8, nBands = 2,
+          bitsPerBand = bits)
+        .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * (col("n") - 1) / 2)).head().getDouble(0).toLong
+    val ps = Seq(2, 4, 6, 8).map(pairs)
+    assert(ps == ps.sorted.reverse, s"pairs not monotone in bits: $ps")
+    assert(ps.head > ps.last, s"widening 2->8 bits should strictly shrink: $ps")
+  }
+
   test("winnow maxDocFreq cap: capped pairs are the uncapped pairs minus hot-fp support") {
     import graft.ops.Winnow
     val docs = corpus.zipWithIndex

@@ -130,6 +130,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.sql("SELECT min(user_total) FROM enrich_out").as[Long].head() > 0)
   }
 
+  test("failWhen routing is streaming-safe: fail/reject/main splits run on a stream") {
+    // The FAIL path (round 13) is pure predicate routing, so the same
+    // Channel value must run unchanged on a streaming frame — the
+    // identical-channel-batch-or-stream contract the watcher relies on.
+    val base = Files.createTempDirectory("graft_failstream").toString
+    Tables(spark, sf).events.limit(1000).write.mode("overwrite").parquet(s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+    val src = spark.readStream.schema(schema).parquet(s"$base/in")
+    val r = Channel("sf")
+      .failWhen(col("value") > 90)
+      .rejectWhen(col("event_type") === "error")
+      .run(src)
+    assert(r.main.isStreaming && r.failedMsgs.get.isStreaming)
+    Seq(("m", r.main), ("f", r.failedMsgs.get), ("j", r.rejected.get))
+      .foreach { case (n, df) =>
+        df.writeStream.format("memory").queryName(s"failstream_$n")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination(60000)
+      }
+    val m = spark.sql("SELECT count(*) FROM failstream_m").as[Long].head()
+    val f = spark.sql("SELECT count(*) FROM failstream_f").as[Long].head()
+    val j = spark.sql("SELECT count(*) FROM failstream_j").as[Long].head()
+    assert(m + f + j == 1000 && f > 0 && j > 0, s"m=$m f=$f j=$j")
+    // batch oracle: identical channel, identical split
+    val b = Channel("sf").failWhen(col("value") > 90)
+      .rejectWhen(col("event_type") === "error")
+      .run(spark.read.parquet(s"$base/in"))
+    assert(f == b.failedMsgs.get.count() && j == b.rejected.get.count())
+  }
+
   test("stream-stream interval join with watermarks matches the batch join") {
     val base = Files.createTempDirectory("graft_ssjoin").toString
     Tables(spark, sf).events.limit(2000).write.mode("overwrite").parquet(s"$base/in")
