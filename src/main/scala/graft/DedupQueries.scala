@@ -1799,6 +1799,52 @@ object DedupQueries {
             SELECT id_a, id_b, floor(cos * 10000 + 0.5) / 10000 AS cosine
             FROM cosv WHERE floor(cos * 10000 + 0.5) / 10000 >= 0.2"""))
 
+  /** SRP-LSH at the PRODUCTION band width (round 13) — the oracle-checked
+    * scale-path sibling of [[qSrpLsh]], the q_gnn_sage_nnd / IVF pattern
+    * applied to LSH sizing. The ScaleDiag census proved q_srp_lsh's
+    * fixed bitsPerBand=8 quadratic in the corpus (candidate pairs 110x
+    * at 10x data: 512 buckets saturate); production sizing widens the
+    * band with log2(corpus) — measured at sf1: bits=12 reads 16.4x
+    * pairs / 1.8x wall. Same md5-derived hyperplanes, so the oracle is
+    * the identical relational pipeline at g // 12 — a user switching
+    * widths changes one parameter, not the operator. */
+  val qSrpLshScaled = Q(
+    "q_srp_lsh_scaled",
+    (s, dir) => {
+      graft.sim.Srp.nearDups(Tables(s, dir).embeddings,
+        "vec_id", "embedding", dims = 64, nBands = 2, bitsPerBand = 12,
+        minCosine = 0.2)
+    },
+    Some("""WITH jd AS (
+              SELECT vec_id, g,
+                list_sum(list_transform(range(1, 65), i ->
+                  embedding[i]::DOUBLE *
+                  ((strpos('0123456789abcdef', substr(md5(g::VARCHAR || ':' || (i-1)::VARCHAR), 1, 1)) - 1) * 16
+                   + strpos('0123456789abcdef', substr(md5(g::VARCHAR || ':' || (i-1)::VARCHAR), 2, 1)) - 1
+                   - 127.5))) AS dot
+              FROM embeddings, unnest(range(0, 24)) AS t(g)),
+            sigs AS (
+              SELECT vec_id, CAST(g // 12 AS BIGINT) AS band,
+                CAST(sum(CASE WHEN dot >= 0 THEN CAST(power(2, g % 12) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS sig
+              FROM jd GROUP BY vec_id, g // 12),
+            cands AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM sigs a JOIN sigs b
+                ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+            cosv AS (
+              SELECT id_a, id_b,
+                list_sum(list_transform(range(1, 65),
+                  i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) /
+                (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> ea.embedding[i]::DOUBLE * ea.embedding[i]::DOUBLE))) *
+                 sqrt(list_sum(list_transform(range(1, 65),
+                  i -> eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)))) AS cos
+              FROM cands JOIN embeddings ea ON ea.vec_id = id_a
+                         JOIN embeddings eb ON eb.vec_id = id_b)
+            SELECT id_a, id_b, floor(cos * 10000 + 0.5) / 10000 AS cosine
+            FROM cosv WHERE floor(cos * 10000 + 0.5) / 10000 >= 0.2"""))
+
   /** Levenshtein near-dup over a 32-char normalized prefix sketch,
     * blocked by (lang, source) + exact length buckets — the oracle runs
     * the plain within-block O(pairs) join; the Spark side must reproduce
@@ -2383,7 +2429,7 @@ object DedupQueries {
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
     qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qGnnSage, qHardNegatives, qMmr, qSemDedup, qDupNgrams, qIncrementalDedup,
-    qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qEditDistance,
+    qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qSrpLshScaled, qEditDistance,
     qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep, qDbscan, qFuzzyMatch, qSortedNeighborhood,
     qContainment, qBoilerplate, qSimjoinPrefix, qFellegiSunter, qBlockingEval, qSoundexBlock, qCdcChunks, qGoldenRecord, qItemSim, qSilhouette, qAnnRecall, qNnDescent, qGnnSageNnd, qHardNegativesIvf, qKnnClassifyIvf)
 }
