@@ -229,9 +229,17 @@ object Bench {
       val idx = battIdx.getOrElse(name, 0)
       val local = sentinel.filter { case (i, _, _) =>
         i >= (idx / 25) * 25 && i <= (idx / 25) * 25 + 25 }
-      val reading = if (local.nonEmpty) local.map(_._3).min
-                    else sentinel.map(_._3).min
-      math.max(1.0, reading / sentinelAnchor)
+      val rs = if (local.nonEmpty) local.map(_._3) else sentinel.map(_._3)
+      // MEAN of the bracketing readings, not min: queries report medians,
+      // and on a bursty-steal host (BASELINE.md round-13 probe: 16% CPU
+      // steal under load, sentinel trace swinging 2x) a min systematically
+      // dodges the bursts the query medians carry — statistic parity keeps
+      // the drift estimate honest. Still floored at 1, and still an
+      // UNDER-correction: the 0.2 s scan-shaped sentinel is less
+      // steal-exposed than a multi-second CPU-bound query, so normalized
+      // ratios remain conservative (never excuse more than the sentinel
+      // itself experienced).
+      math.max(1.0, (rs.sum / rs.size) / sentinelAnchor)
     }
     val gated = results.collect { case (name, sec) if sec < 1e9 =>
       anchors.get(name).map { anchor =>
