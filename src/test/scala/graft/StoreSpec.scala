@@ -261,19 +261,26 @@ class StoreSpec extends SparkSpec {
 
   test("MessageStore (parquet): concurrent mutators serialize under the store lease") {
     val dir = Files.createTempDirectory("graft_store_lock").toString
-    val a = new MessageStore(spark, s"$dir/msgs", autoCompactMutationFiles = 3)
+    // explicit generous lockWaitMs: the test asserts SERIALIZATION, not
+    // latency — under a full parallel suite on a steal-heavy host one
+    // holder's compact can exceed the 30 s production default and the
+    // waiter's loud failure would flake the test (r13: one such flake at
+    // a probed 24% CPU steal; the run passes in isolation)
+    val a = new MessageStore(spark, s"$dir/msgs",
+      autoCompactMutationFiles = 3, lockWaitMs = 180000)
     a.save(msgs.withColumn("state", lit("pending")))
     // second instance on the SAME path = a second admin process; the tiny
     // auto-compact threshold forces compacts (the read→swap window where
     // an unserialized concurrent append would be silently lost)
-    val b = new MessageStore(spark, s"$dir/msgs", autoCompactMutationFiles = 3)
+    val b = new MessageStore(spark, s"$dir/msgs",
+      autoCompactMutationFiles = 3, lockWaitMs = 180000)
     val states = Seq("error", "pending", "processed")
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     def churn(st: MessageStore, uuid: String) = new Thread(() =>
       try for (i <- 0 until 10) st.changeMessageState(uuid, states(i % 3))
       catch { case t: Throwable => errs.add(t): Unit })
     val (t1, t2) = (churn(a, "a"), churn(b, "b"))
-    t1.start(); t2.start(); t1.join(60000); t2.join(60000)
+    t1.start(); t2.start(); t1.join(300000); t2.join(300000)
     assert(errs.isEmpty, s"concurrent mutators failed: ${errs.peek()}")
     // no lost updates across the interleaved compacts: both writers' final
     // states visible, nothing tombstoned, the lease file released
