@@ -2425,7 +2425,59 @@ object DedupQueries {
               round(-((w).nc), 4) AS best_cos
             FROM pick"""))
 
+  /** LSH parameter tuning (MMDS §3.4.2 S-curve): expected recall and
+    * false-candidate load per (rows, bands) config, integrated against the
+    * corpus's measured pair-similarity histogram — the decision table a
+    * 100 TB MinHash run consults before picking its band plan. The census
+    * is the same shingle-blocked exact pair join as q_dedup_jaccard at
+    * threshold 0; the oracle replicates census, binning, S-curve and
+    * integrals relationally. */
+  val qLshTune = Q(
+    "q_lsh_tune",
+    (s, dir) => {
+      val sample = Tables(s, dir).documents.filter(col("doc_id") % 5 === 2)
+      Dedup.lshTune(sample, "doc_id", "text", n = 2,
+        configs = Seq((2, 64), (4, 32), (8, 16), (16, 8)), threshold = 0.5)
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id AS id,
+                string_split_regex(trim(text), '\s+') AS toks
+              FROM documents WHERE doc_id % 5 = 2),
+            sized AS (
+              SELECT id, list_distinct(list_transform(
+                range(1, greatest(len(toks) - 2 + 1, 0) + 1),
+                i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS sh
+              FROM docs),
+            ex AS (
+              SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM sized),
+            pairs AS (
+              SELECT a.id AS ia, b.id AS ib, a.n_sh AS n_a, b.n_sh AS n_b,
+                count(*) AS c
+              FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+              GROUP BY 1, 2, 3, 4),
+            hist AS (
+              SELECT least(CAST(floor(round(c::DOUBLE / (n_a + n_b - c), 4)
+                       * 20) AS INT), 19) AS bin,
+                count(*) AS cnt
+              FROM pairs GROUP BY 1),
+            grid(rows_r, bands_b) AS (VALUES (2, 64), (4, 32), (8, 16), (16, 8)),
+            px AS (
+              SELECT rows_r, bands_b, bin, cnt,
+                1.0 - pow(1.0 - pow((bin + 0.5) / 20.0, rows_r), bands_b) AS p
+              FROM grid, hist)
+            SELECT CAST(rows_r AS BIGINT) AS rows_r,
+              CAST(bands_b AS BIGINT) AS bands_b,
+              CAST(rows_r * bands_b AS BIGINT) AS k,
+              CAST(sum(CASE WHEN bin >= 10 THEN cnt ELSE 0 END) AS BIGINT) AS n_above,
+              floor(sum(CASE WHEN bin >= 10 THEN p * cnt ELSE 0 END)
+                / greatest(sum(CASE WHEN bin >= 10 THEN cnt ELSE 0 END), 1)::DOUBLE
+                * 10000 + 0.5) / 10000 AS exp_recall,
+              floor(sum(CASE WHEN bin < 10 THEN p * cnt ELSE 0 END)
+                * 10000 + 0.5) / 10000 AS exp_fp
+            FROM px GROUP BY 1, 2, 3"""))
+
   def all: Seq[Q] = Seq(
+    qLshTune,
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
     qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qGnnSage, qHardNegatives, qMmr, qSemDedup, qDupNgrams, qIncrementalDedup,

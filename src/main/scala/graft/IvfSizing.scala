@@ -66,6 +66,14 @@ object IvfSizing {
         "vec_id", "embedding", "label", nprobe = nprobe, k = 5).count()
     }
 
+    // shape 3: SemDeDup (q_semdedup at this nlist) — the other operator
+    // whose linearity claim rests on nlist ∝ corpus (within-cluster pair
+    // join is O(n²/nlist); the registry pins nlist=16 for the oracle)
+    val tSd = med3 {
+      graft.dedup.Dedup.semDedup(
+        emb, "vec_id", "embedding", nlist = nlist, threshold = 0.25).count()
+    }
+
     // recall@10 vs exact brute-force on a probe sample (2% of corpus, the
     // q_ann_recall sampling): the quality half of the sizing claim
     val probes = emb.filter(col("vec_id") % 50 === 0)
@@ -83,7 +91,7 @@ object IvfSizing {
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     println(
-      s"""{"metric":"ivf_sizing","sf_dir":"$sfDir","n_corpus":$nCorpus,"nlist":$nlist,"nprobe":$nprobe,"hard_negatives_s":${fmt(tHn)},"knn_classify_s":${fmt(tKc)},"recall_at_10":${fmt(rec)}}""")
+      s"""{"metric":"ivf_sizing","sf_dir":"$sfDir","n_corpus":$nCorpus,"nlist":$nlist,"nprobe":$nprobe,"hard_negatives_s":${fmt(tHn)},"knn_classify_s":${fmt(tKc)},"semdedup_s":${fmt(tSd)},"recall_at_10":${fmt(rec)}}""")
     spark.stop()
   }
 }

@@ -2097,7 +2097,83 @@ SELECT * FROM ($union)"""
                 / n * 10000 + 0.5) / 10000 AS intercept
             FROM moms"""))
 
+  /** Quality-classifier training step (fastText-style logistic regression,
+    * the GPT-3/CCNet corpus gate): one full-batch GD step over scan-stage
+    * document features with label "is English". The whole step is a single
+    * partial-aggregatable global sum (the model rides the agg buffer); the
+    * oracle recomputes per-row sigmoid, gradient sums and mean log-loss
+    * relationally. */
+  val qLogregStep = Q(
+    "q_logreg_step",
+    (s, dir) => {
+      val nw = size(split(trim(col("text")), "\\s+")).cast("double")
+      graft.ops.Curation.logregStep(
+        Tables(s, dir).documents,
+        features = Seq(lit(1.0), log(lit(1.0) + col("n_chars")),
+          nw / 10.0, col("n_chars") / (nw * 10.0)),
+        label = col("lang") === "en",
+        w0 = Seq(-1.0, 0.2, -0.1, 0.05), eta = 0.05)
+    },
+    Some("""WITH f AS (
+              SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                1.0 AS x0,
+                ln(1.0 + n_chars) AS x1,
+                len(string_split_regex(trim(text), '\s+')) / 10.0 AS x2,
+                n_chars / (len(string_split_regex(trim(text), '\s+')) * 10.0) AS x3
+              FROM documents),
+            p AS (
+              SELECT y, x0, x1, x2, x3,
+                1.0 / (1.0 + exp(-(-1.0*x0 + 0.2*x1 + -0.1*x2 + 0.05*x3))) AS pr
+              FROM f),
+            g AS (
+              SELECT count(*)::DOUBLE AS n,
+                sum((pr - y) * x0) AS g0, sum((pr - y) * x1) AS g1,
+                sum((pr - y) * x2) AS g2, sum((pr - y) * x3) AS g3,
+                sum(-(y * ln(pr) + (1.0 - y) * ln(1.0 - pr))) AS l
+              FROM p),
+            w(feature, w_old) AS (VALUES (0, -1.0), (1, 0.2), (2, -0.1), (3, 0.05))
+            SELECT CAST(feature AS BIGINT) AS feature,
+              CAST(w_old AS DOUBLE) AS w_old,
+              floor((CASE feature WHEN 0 THEN g0 WHEN 1 THEN g1
+                     WHEN 2 THEN g2 ELSE g3 END / n) * 10000 + 0.5) / 10000 AS grad,
+              floor((w_old - 0.05 * (CASE feature WHEN 0 THEN g0 WHEN 1 THEN g1
+                     WHEN 2 THEN g2 ELSE g3 END / n)) * 10000 + 0.5) / 10000 AS w_new,
+              floor((l / n) * 10000 + 0.5) / 10000 AS train_loss
+            FROM w, g"""))
+
+  /** DoReMi domain reweighting (arXiv:2305.10429): one exponentiated-
+    * gradient step over per-source mean proxy loss (here the deterministic
+    * ln(1+n_chars) stand-in for a proxy-LM loss), uniform prior, uniform
+    * smoothing — the training-mixture math a 100 TB pipeline reruns every
+    * proxy checkpoint. Domain-sized aggregation only; the corpus never
+    * shuffles. */
+  val qMixtureWeights = Q(
+    "q_mixture_weights",
+    (s, dir) => {
+      graft.ops.Curation.mixtureWeights(
+        Tables(s, dir).documents, "source",
+        loss = log(lit(1.0) + col("n_chars")), eta = 5.0, smooth = 0.1)
+    },
+    Some("""WITH d AS (
+              SELECT source AS domain, ln(1.0 + n_chars) AS l FROM documents),
+            g AS (
+              SELECT domain, count(*) AS n_docs, avg(l) AS dl
+              FROM d GROUP BY domain),
+            r AS (SELECT avg(l) AS ref FROM d),
+            s AS (
+              SELECT domain, n_docs, dl,
+                greatest(0.0, dl - ref) AS excess,
+                exp(5.0 * greatest(0.0, dl - ref)) AS score
+              FROM g, r),
+            z AS (SELECT sum(score) AS z, count(*)::DOUBLE AS dd FROM s)
+            SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+              floor(dl * 10000 + 0.5) / 10000 AS domain_loss,
+              floor(excess * 10000 + 0.5) / 10000 AS excess,
+              floor((0.9 * score / z + 0.1 / dd) * 10000 + 0.5) / 10000 AS alpha
+            FROM s, z"""))
+
   def all: Seq[Q] = Seq(qNaiveBayes, qLangId, qQualityScore, qTokenCount, qFingerprint,
+    qLogregStep, qMixtureWeights,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
     qGopherRules, qChunk, qTemperatureMix, qDsirWeights, qGreedyPieces,

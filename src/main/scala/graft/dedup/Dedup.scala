@@ -619,6 +619,70 @@ object Dedup {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /** LSH parameter tuning via the S-curve (Leskovec/Rajaraman/Ullman,
+    * MMDS §3.4.2): before committing a 100 TB corpus to a MinHash band
+    * plan, estimate each (rows r, bands b) config's recall and
+    * false-candidate load from the corpus's OWN similarity profile. A
+    * pair with Jaccard s collides in at least one band with probability
+    * P(s) = 1 − (1 − s^r)^b; integrating P against the measured pair-
+    * similarity histogram gives the expected recall above the dedup
+    * threshold and the expected below-threshold candidate pairs each
+    * config would feed the verify join — the two numbers that decide r×b.
+    *
+    * The similarity profile comes from the same shingle-blocked exact
+    * pair census [[ngramJaccard]] runs (threshold 0 keeps every
+    * overlapping pair); disjoint pairs (zero shared shingles) have
+    * s = 0 exactly, so P(0) = 0 and they contribute to neither number —
+    * the census join's absence of them is lossless, not an
+    * approximation. Pairs bin at `floor(round(s,4)·bins)` (the round-4
+    * lane keeps binning engine-portable at bin edges).
+    *
+    * Scale shape: in production this runs on a fixed-size corpus sample
+    * (tuning needs ~10⁴ pairs, not the corpus), so the census is
+    * constant work; here the histogram is `bins`-sized and the config
+    * grid crosses it broadcast — nothing downstream of the census
+    * depends on corpus size.
+    *
+    * Output: one row per config — rows_r, bands_b, k (= r·b hash
+    * budget), n_above (true pairs at/above threshold), exp_recall
+    * (mean P over those), exp_fp (expected below-threshold candidates),
+    * 4-decimal-floored. */
+  def lshTune(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      configs: Seq[(Int, Int)],
+      threshold: Double,
+      bins: Int = 20): DataFrame = {
+    require(configs.nonEmpty, "empty config grid")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fl = (c: Column) => floor(c * 10000 + lit(0.5)) / 10000
+    val tBin = math.floor(threshold * bins).toInt
+    val hist = ngramJaccard(df, idCol, textCol, n, threshold = 0.0)
+      .select(least(floor(col("jaccard") * bins), lit(bins - 1))
+        .cast("int").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val grid = configs.toDF("rows_r", "bands_b")
+    grid.crossJoin(broadcast(hist))
+      .withColumn("p", lit(1.0) - pow(lit(1.0)
+        - pow((col("bin") + lit(0.5)) / bins, col("rows_r")), col("bands_b")))
+      .groupBy(col("rows_r").cast("long").as("rows_r"),
+        col("bands_b").cast("long").as("bands_b"))
+      .agg(
+        sum(when(col("bin") >= tBin, col("cnt")).otherwise(0L)).as("n_above"),
+        (sum(when(col("bin") >= tBin, col("p") * col("cnt")).otherwise(0.0)) /
+          greatest(sum(when(col("bin") >= tBin, col("cnt")).otherwise(0L)),
+            lit(1L)).cast("double")).as("rec"),
+        sum(when(col("bin") < tBin, col("p") * col("cnt")).otherwise(0.0))
+          .as("fp"))
+      .select(col("rows_r"), col("bands_b"),
+        (col("rows_r") * col("bands_b")).as("k"),
+        col("n_above"), fl(col("rec")).as("exp_recall"),
+        fl(col("fp")).as("exp_fp"))
+  }
+
   /** Edit-distance (Levenshtein) near-dup pairs over a normalized prefix
     * sketch — the fuzzy-matching pass record-linkage pipelines run where
     * token-set measures (Jaccard/MinHash) miss character-level edits

@@ -258,4 +258,100 @@ object Curation {
         // (the round-9 trap); this form reads only the join output
         (coalesce(col("n_hits"), lit(0L)) === 0).as("keep"))
   }
+
+  /** One full-batch gradient-descent step of a logistic-regression
+    * quality classifier — the training kernel of the fastText-style
+    * quality filter (the GPT-3/CCNet "looks like the reference corpus"
+    * gate; Brown et al. 2020 App. A). Callers supply the feature columns
+    * (scan-stage expressions over the document), a {0,1} label, the
+    * incoming weight vector and a learning rate; the operator returns the
+    * gradient and updated weight per feature plus the pre-step mean
+    * log-loss. Iterating it to convergence IS classifier training;
+    * scoring with the learned weights is a pure scan-stage projection.
+    *
+    * Scale shape: the entire step is ONE partial-aggregatable global sum
+    * — per row compute p = σ(w·x) then (p−y)·x_j for each feature, sum
+    * map-side, merge |features|+2 doubles per partition. No shuffle of
+    * data rows, result is a single row exploded to feature granularity.
+    * This is exactly how distributed full-batch LR runs at 100 TB: the
+    * model (a handful of doubles) rides the aggregation buffer.
+    *
+    * Output: one row per feature — feature (0-based index), w_old, grad
+    * (mean gradient), w_new, and the (identical per row) mean train_loss,
+    * all 4-decimal-floored for engine-portable compare. */
+  def logregStep(
+      df: DataFrame,
+      features: Seq[Column],
+      label: Column,
+      w0: Seq[Double],
+      eta: Double): DataFrame = {
+    require(features.nonEmpty && features.size == w0.size,
+      "features and w0 must align")
+    val y = label.cast("double")
+    val z = features.zip(w0).map { case (x, w) => x * lit(w) }
+      .reduce(_ + _)
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    val gradSums = features.zipWithIndex.map { case (x, j) =>
+      sum((p - y) * x).as(s"g$j")
+    }
+    val lossSum = sum(-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p)))
+      .as("lsum")
+    val agg = df.agg(gradSums.head, (gradSums.tail :+ lossSum
+      :+ count(lit(1)).as("n")): _*)
+    val fl = (c: Column) => floor(c * 10000 + lit(0.5)) / 10000
+    val rows = w0.indices.map { j =>
+      struct(lit(j.toLong).as("feature"), lit(w0(j)).as("w_old"),
+        (col(s"g$j") / col("n")).as("g"))
+    }
+    agg.select(explode(array(rows: _*)).as("r"),
+        (col("lsum") / col("n")).as("ml"))
+      .select(col("r.feature").as("feature"),
+        col("r.w_old").as("w_old"),
+        fl(col("r.g")).as("grad"),
+        fl(col("r.w_old") - lit(eta) * col("r.g")).as("w_new"),
+        fl(col("ml")).as("train_loss"))
+  }
+
+  /** DoReMi-style domain-mixture reweighting, one exponentiated-gradient
+    * step (Xie et al. 2023, arXiv:2305.10429 §3): upweight domains whose
+    * proxy-model loss EXCEEDS the reference level (they carry the most
+    * learnable signal), starting from the uniform mixture —
+    * `α_d ∝ exp(η · max(0, loss_d − loss_ref))`, then smooth with the
+    * uniform distribution (`(1−c)·normalized + c/D`) so no domain's
+    * weight collapses to zero. Callers supply the per-document loss
+    * column (in production the per-doc loss of a small proxy LM; any
+    * deterministic difficulty proxy works) and the reference level is
+    * the corpus-wide mean of the same column.
+    *
+    * Scale shape: two partial-aggregatable passes over a DOMAIN-sized
+    * key space — per-domain (sum, count) plus the global mean, then the
+    * normalizer over the domain table (tiny, broadcast both ways). The
+    * corpus itself crosses no exchange; at 100 TB this is the cheapest
+    * query in the pipeline and reruns every proxy-model checkpoint.
+    *
+    * Output: one row per domain — n_docs, domain_loss, excess, alpha
+    * (4-decimal-floored; alphas sum to ~1 up to rounding). */
+  def mixtureWeights(
+      df: DataFrame,
+      domainCol: String,
+      loss: Column,
+      eta: Double,
+      smooth: Double): DataFrame = {
+    val fl = (c: Column) => floor(c * 10000 + lit(0.5)) / 10000
+    val perDoc = df.select(col(domainCol).as("domain"), loss.as("__l"))
+    val domains = perDoc.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("__l")).as("dl"))
+    val ref = perDoc.agg(avg(col("__l")).as("ref_loss"))
+    val scored = domains.crossJoin(broadcast(ref))
+      .withColumn("excess", greatest(lit(0.0), col("dl") - col("ref_loss")))
+      .withColumn("score", exp(lit(eta) * col("excess")))
+    val norm = scored.agg(sum(col("score")).as("z"),
+      count(lit(1)).as("d"))
+    scored.crossJoin(broadcast(norm))
+      .select(col("domain"), col("n_docs"),
+        fl(col("dl")).as("domain_loss"),
+        fl(col("excess")).as("excess"),
+        fl(lit(1.0 - smooth) * col("score") / col("z")
+          + lit(smooth) / col("d")).as("alpha"))
+  }
 }
