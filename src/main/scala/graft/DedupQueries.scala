@@ -2476,8 +2476,103 @@ object DedupQueries {
                 * 10000 + 0.5) / 10000 AS exp_fp
             FROM px GROUP BY 1, 2, 3"""))
 
+  /** Matryoshka truncation-recall table (arXiv:2205.13147): top-10 overlap
+    * of prefix-width cosine search vs full-width, per candidate width —
+    * the dimension-budget decision table; the d=64 row must read 1.0. */
+  val qMrlRecall = Q(
+    "q_mrl_recall",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Ann.mrlRecall(emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", dims = Seq(16, 32, 64), k = 10)
+    },
+    Some("""WITH probes AS (
+              SELECT vec_id AS probe_id, embedding AS pv
+              FROM embeddings WHERE vec_id % 50 = 0),
+            full_k AS (
+              SELECT probe_id, id FROM (
+                SELECT p.probe_id, e.vec_id AS id, row_number() OVER (
+                  PARTITION BY p.probe_id ORDER BY
+                    list_sum(list_transform(range(1, 65),
+                      i -> e.embedding[i]::DOUBLE * p.pv[i]::DOUBLE)) /
+                    (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+                     sqrt(list_sum(list_transform(range(1, 65),
+                      i -> p.pv[i]::DOUBLE * p.pv[i]::DOUBLE)))) DESC,
+                    e.vec_id) AS rk
+                FROM probes p JOIN embeddings e ON e.vec_id != p.probe_id)
+              WHERE rk <= 10),
+            dims(d) AS (VALUES (16), (32), (64)),
+            trunc_k AS (
+              SELECT d, probe_id, id FROM (
+                SELECT dm.d, p.probe_id, e.vec_id AS id, row_number() OVER (
+                  PARTITION BY dm.d, p.probe_id ORDER BY
+                    list_sum(list_transform(range(1, dm.d + 1),
+                      i -> e.embedding[i]::DOUBLE * p.pv[i]::DOUBLE)) /
+                    (sqrt(list_sum(list_transform(range(1, dm.d + 1),
+                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+                     sqrt(list_sum(list_transform(range(1, dm.d + 1),
+                      i -> p.pv[i]::DOUBLE * p.pv[i]::DOUBLE)))) DESC,
+                    e.vec_id) AS rk
+                FROM dims dm, probes p JOIN embeddings e
+                  ON e.vec_id != p.probe_id)
+              WHERE rk <= 10)
+            SELECT CAST(dm.d AS BIGINT) AS d_trunc,
+              CAST(count(DISTINCT f.probe_id) AS BIGINT) AS n_probes,
+              CAST(count(t.id) AS BIGINT) AS hits,
+              floor(count(t.id)::DOUBLE / count(*) * 10000 + 0.5) / 10000
+                AS recall
+            FROM dims dm CROSS JOIN full_k f
+            LEFT JOIN trunc_k t
+              ON t.d = dm.d AND t.probe_id = f.probe_id AND t.id = f.id
+            GROUP BY dm.d"""))
+
+  /** Binary (sign-bit) quantization recall — the 1-bit point next to int8
+    * q_quantize_dot: Hamming-ranked top-10 overlap vs full-precision
+    * cosine; Hamming ties (constant at 64 bits) break on smaller id both
+    * engines. */
+  val qHammingRecall = Q(
+    "q_hamming_recall",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Ann.hammingRecall(emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 10)
+    },
+    Some("""WITH probes AS (
+              SELECT vec_id AS probe_id, embedding AS pv
+              FROM embeddings WHERE vec_id % 50 = 0),
+            full_k AS (
+              SELECT probe_id, id FROM (
+                SELECT p.probe_id, e.vec_id AS id, row_number() OVER (
+                  PARTITION BY p.probe_id ORDER BY
+                    list_sum(list_transform(range(1, 65),
+                      i -> e.embedding[i]::DOUBLE * p.pv[i]::DOUBLE)) /
+                    (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+                     sqrt(list_sum(list_transform(range(1, 65),
+                      i -> p.pv[i]::DOUBLE * p.pv[i]::DOUBLE)))) DESC,
+                    e.vec_id) AS rk
+                FROM probes p JOIN embeddings e ON e.vec_id != p.probe_id)
+              WHERE rk <= 10),
+            ham_k AS (
+              SELECT probe_id, id FROM (
+                SELECT p.probe_id, e.vec_id AS id, row_number() OVER (
+                  PARTITION BY p.probe_id ORDER BY
+                    list_sum(list_transform(range(1, 65),
+                      i -> CASE WHEN (e.embedding[i] > 0) != (p.pv[i] > 0)
+                           THEN 1 ELSE 0 END)),
+                    e.vec_id) AS rk
+                FROM probes p JOIN embeddings e ON e.vec_id != p.probe_id)
+              WHERE rk <= 10)
+            SELECT CAST(count(DISTINCT f.probe_id) AS BIGINT) AS n_probes,
+              CAST(count(h.id) AS BIGINT) AS hits,
+              floor(count(h.id)::DOUBLE / count(*) * 10000 + 0.5) / 10000
+                AS recall
+            FROM full_k f LEFT JOIN ham_k h
+              ON h.probe_id = f.probe_id AND h.id = f.id"""))
+
   def all: Seq[Q] = Seq(
-    qLshTune,
+    qLshTune, qMrlRecall, qHammingRecall,
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
     qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qGnnSage, qHardNegatives, qMmr, qSemDedup, qDupNgrams, qIncrementalDedup,

@@ -185,6 +185,95 @@ object Ann {
         (col("pos") + 1).cast("long").as("rk"))
   }
 
+  /** Matryoshka truncation-recall evaluation (Kusupati et al. 2022,
+    * arXiv:2205.13147): per candidate prefix width d, the top-k overlap
+    * between cosine search on the first d dims and on the full vector —
+    * the dimension-budget tuning table an embedding pipeline consults
+    * before committing a corpus to truncated storage (d/D of the bytes,
+    * ~D/d of the scan throughput). The full-width entry (d = D) must read
+    * recall 1.0 and anchors the table.
+    *
+    * Scale shape: one [[knnJoinExact]] pass per width over the SAME
+    * broadcast-bounded probe sample every recall gate here uses
+    * (q_ann_recall's 2%) — production swaps the exact pass for the IVF
+    * index at each width, same downstream join. The overlap join is
+    * O(probes·k) rows per width.
+    *
+    * Output: one row per width — d_trunc, n_probes, hits, recall
+    * (4-decimal-floored). */
+  def mrlRecall(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Seq[Int],
+      k: Int): DataFrame = {
+    require(dims.nonEmpty, "empty width grid")
+    val full = knnJoinExact(probes, corpus, idCol, vecCol, k)
+      .select(col("probe_id"), col("id"))
+      .localCheckpoint(true)
+    dims.map { d =>
+      val pc = probes.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      val cc = corpus.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      val tr = knnJoinExact(pc, cc, idCol, vecCol, k)
+        .select(col("probe_id").as("p2"), col("id").as("id2"))
+      full.join(tr,
+          col("probe_id") === col("p2") && col("id") === col("id2"), "left")
+        .agg(countDistinct(col("probe_id")).as("n_probes"),
+          count(col("id2")).as("hits"), count(lit(1)).as("slots"))
+        .select(lit(d.toLong).as("d_trunc"), col("n_probes"), col("hits"),
+          (floor(col("hits").cast("double") / col("slots") * 10000 + lit(0.5))
+            / 10000).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Binary (1-bit sign) quantization recall — the 32× memory point next
+    * to int8 [[graft.sim.Quantize]]: binarize each dim to sign(v) > 0,
+    * rank by Hamming distance, and measure top-k overlap vs full-precision
+    * cosine. Deterministic ties (integer distances collide constantly at
+    * 64 bits): smaller id wins on both engines.
+    *
+    * The bit vectors are computed ONCE per side as packed 0/1 byte arrays
+    * in the scan stage; per-pair Hamming is a fused zip/filter/size over
+    * them. At production scale the same bits pack into D/64 longs and
+    * Hamming becomes popcount(xor) — a storage-format change that cannot
+    * alter the measured recall, which is the number this evaluator ships.
+    *
+    * Output: one row — n_probes, hits, recall (4-decimal-floored). */
+  def hammingRecall(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    import graft.plans.TopKByScore.topkByScore
+    val full = knnJoinExact(probes, corpus, idCol, vecCol, k)
+      .select(col("probe_id"), col("id"))
+      .localCheckpoint(true)
+    def bits(c: Column): Column =
+      transform(c, v => when(v > 0f, lit(1).cast("byte"))
+        .otherwise(lit(0).cast("byte")))
+    val p = broadcast(probes.select(col(idCol).as("probe_id"),
+      bits(col(vecCol)).as("pb")))
+    val cb = corpus.select(col(idCol).as("id"), bits(col(vecCol)).as("cb"))
+    val ham = size(filter(zip_with(col("cb"), col("pb"), (x, y) => x =!= y),
+      b => b))
+    val approx = cb.crossJoin(p)
+      .filter(col("id") =!= col("probe_id"))
+      .withColumn("score", -ham.cast("double"))
+      .groupBy(col("probe_id"))
+      .agg(topkByScore(col("score"), col("id"), k).as("top"))
+      .select(col("probe_id").as("p2"),
+        explode(col("top").getField("id")).as("id2"))
+    full.join(approx,
+        col("probe_id") === col("p2") && col("id") === col("id2"), "left")
+      .agg(countDistinct(col("probe_id")).as("n_probes"),
+        count(col("id2")).as("hits"), count(lit(1)).as("slots"))
+      .select(col("n_probes"), col("hits"),
+        (floor(col("hits").cast("double") / col("slots") * 10000 + lit(0.5))
+          / 10000).as("recall"))
+  }
+
   /** NN-Descent k-NN-graph construction (Dong, Charikar & Li, WWW 2011)
     * — the graph-refinement ANN family next to the bucketed ones
     * (IVF/SRP): start from a cheap approximate graph and repeatedly run

@@ -288,4 +288,47 @@ class KnnQuantizeSpec extends SparkSpec {
       .select($"mmr").as[Double].head()
     assert(math.abs(r1 - 0.7 * 0.95) < 1e-12)
   }
+
+  test("mrlRecall: full width reads exactly 1.0; all rows well-formed") {
+    val emb = Tables(spark, sf).embeddings
+    val out = Ann.mrlRecall(emb, emb.filter($"vec_id" % 50 === 0),
+        "vec_id", "embedding", dims = Seq(16, 32, 64), k = 5)
+      .orderBy("d_trunc").collect()
+    assert(out.length == 3)
+    val full = out.last
+    assert(full.getAs[Long]("d_trunc") == 64L)
+    assert(full.getAs[Double]("recall") == 1.0)
+    out.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("hits") <= r.getAs[Long]("n_probes") * 5)
+    }
+  }
+
+  test("hammingRecall: sign-identical corpus copies rank first (recall 1 on a planted axis set)") {
+    // corpus where hamming order == cosine order by construction:
+    // axis-aligned one-hot-ish vectors; each probe's cosine-top-1 is its
+    // sign-twin, which also has hamming 0
+    val c = Seq(
+      (1L, Seq(1.0f, -1.0f, 1.0f, -1.0f)),
+      (2L, Seq(0.9f, -0.9f, 0.9f, -0.9f)),   // sign-twin of 1
+      (3L, Seq(-1.0f, 1.0f, -1.0f, 1.0f)),
+      (4L, Seq(-0.9f, 0.9f, -0.9f, 0.9f)))   // sign-twin of 3
+      .toDF("id", "v")
+    val out = Ann.hammingRecall(c, c.filter($"id" % 2 === 1), "id", "v", k = 1)
+      .collect().head
+    assert(out.getAs[Long]("n_probes") == 2L)
+    assert(out.getAs[Double]("recall") == 1.0)
+  }
+
+  test("hammingRecall on real embeddings: recall in (0,1], better than chance") {
+    val emb = Tables(spark, sf).embeddings
+    val n = emb.count()
+    val out = Ann.hammingRecall(emb, emb.filter($"vec_id" % 50 === 0),
+      "vec_id", "embedding", k = 10).collect().head
+    val rec = out.getAs[Double]("recall")
+    assert(rec > 0.0 && rec <= 1.0)
+    // chance level for k=10 of n candidates
+    assert(rec > 10.0 / n * 3)
+  }
 }
