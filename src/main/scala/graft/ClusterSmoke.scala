@@ -44,7 +44,12 @@ object ClusterSmoke {
     "q3_topk", "q18_large_orders",
     // round-12 scale-path compositions (NN-Descent round shuffles +
     // IVF cell joins — both carry vector payloads over the wire)
-    "q_gnn_sage_nnd", "q_hard_negatives_ivf", "q_knn_classify_ivf")
+    "q_gnn_sage_nnd", "q_hard_negatives_ivf", "q_knn_classify_ivf",
+    // round-13 additions: TopKByScore TypedImperativeAggregate crossing
+    // real executor boundaries (mrl runs it per truncation width), the
+    // shingle-census + broadcast-grid tuner, and the broadcast
+    // benchmark-slice struct-max screen
+    "q_mrl_recall", "q_lsh_tune", "q_sem_decontaminate")
 
   /** Run the target set once per master; one untimed warmup + `reps`
     * timed runs per query, min reported. */

@@ -2571,8 +2571,43 @@ object DedupQueries {
             FROM full_k f LEFT JOIN ham_k h
               ON h.probe_id = f.probe_id AND h.id = f.id"""))
 
+  /** Embedding-space decontamination: max cosine of every corpus vector
+    * against the (broadcast) benchmark slice, argmax benchmark id with
+    * smaller-id ties, flag at the 4-decimal-floored threshold — the
+    * paraphrase-robust screen next to n-gram q_decontaminate. */
+  val qSemDecontaminate = Q(
+    "q_sem_decontaminate",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Dedup.semanticDecontaminate(
+        emb.filter(col("vec_id") % 25 =!= 0),
+        emb.filter(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", threshold = 0.3)
+    },
+    Some("""WITH bench AS (
+              SELECT vec_id AS bid, embedding AS bv
+              FROM embeddings WHERE vec_id % 25 = 0),
+            corpus AS (
+              SELECT vec_id AS id, embedding AS v
+              FROM embeddings WHERE vec_id % 25 != 0),
+            best AS (
+              SELECT id, max(struct_pack(
+                  c := list_sum(list_transform(range(1, 65),
+                        i -> v[i]::DOUBLE * bv[i]::DOUBLE)) /
+                    (sqrt(list_sum(list_transform(range(1, 65),
+                        i -> v[i]::DOUBLE * v[i]::DOUBLE))) *
+                     sqrt(list_sum(list_transform(range(1, 65),
+                        i -> bv[i]::DOUBLE * bv[i]::DOUBLE)))),
+                  nid := -bid)) AS w
+              FROM corpus, bench GROUP BY id)
+            SELECT id AS vec_id,
+              CAST(-((w).nid) AS BIGINT) AS bench_id,
+              floor((w).c * 10000 + 0.5) / 10000 AS max_cos,
+              floor((w).c * 10000 + 0.5) / 10000 >= 0.3 AS contaminated
+            FROM best"""))
+
   def all: Seq[Q] = Seq(
-    qLshTune, qMrlRecall, qHammingRecall,
+    qLshTune, qMrlRecall, qHammingRecall, qSemDecontaminate,
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
     qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qGnnSage, qHardNegatives, qMmr, qSemDedup, qDupNgrams, qIncrementalDedup,

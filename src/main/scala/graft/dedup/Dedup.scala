@@ -353,6 +353,46 @@ object Dedup {
     * before any aggregation — the corpus is never shuffled, only the
     * (tiny) hit set. Returns every training id with its distinct
     * contaminated-gram count and a flag. */
+  /** Semantic (embedding-space) decontamination — the paraphrase-robust
+    * sibling of the n-gram [[decontaminate]]: flag every training vector
+    * whose max cosine against ANY benchmark/eval vector clears the
+    * threshold. N-gram overlap misses reworded test items; embedding
+    * similarity is the standard second screen (e.g. the GPT-4/Llama
+    * contamination audits).
+    *
+    * Scale shape: benchmark sets are SMALL by construction (test suites,
+    * ~10⁴-10⁵ vectors) — broadcast them whole; the corpus is scanned ONCE
+    * with per-row norms precomputed on each side before the nested-loop
+    * pass, and the per-id max is a partial-aggregatable struct max
+    * (map-side combine collapses the |bench| fanout before the exchange).
+    * The corpus never self-joins. A benchmark too big to broadcast
+    * drops in the IVF index (knnJoinIvf) with the same downstream max.
+    *
+    * Output: one row per corpus vector — vec id, argmax benchmark id
+    * (ties → smaller id), max_cos (4-decimal-floored), contaminated. */
+  def semanticDecontaminate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    import graft.plans.VectorFunctions._
+    val fl = (x: Column) => floor(x * 10000 + lit(0.5)) / 10000
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nv", sqrt(vecDot(col("v"), col("v"))))
+    val b = broadcast(bench.select(col(idCol).as("bid"), col(vecCol).as("bv"))
+      .withColumn("nb", sqrt(vecDot(col("bv"), col("bv")))))
+    c.crossJoin(b)
+      .withColumn("cos",
+        vecDot(col("v"), col("bv")) / (col("nv") * col("nb")))
+      .groupBy(col("id"))
+      .agg(max(struct(col("cos").as("c"), (-col("bid")).as("nid"))).as("w"))
+      .select(col("id").as("vec_id"),
+        (-col("w.nid")).as("bench_id"),
+        fl(col("w.c")).as("max_cos"),
+        (fl(col("w.c")) >= threshold).as("contaminated"))
+  }
+
   def decontaminate(
       train: DataFrame,
       trainId: String,

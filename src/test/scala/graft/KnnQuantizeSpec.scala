@@ -321,6 +321,33 @@ class KnnQuantizeSpec extends SparkSpec {
     assert(out.getAs[Double]("recall") == 1.0)
   }
 
+  test("semanticDecontaminate: planted copy flags at 1.0; orthogonal vector stays clean") {
+    import graft.dedup.Dedup
+    val bench = Seq((100L, Seq(1.0f, 0.0f, 0.0f)), (101L, Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("id", "v")
+    val corpus = Seq(
+      (1L, Seq(2.0f, 0.0f, 0.0f)),   // same direction as bench 100 → cos 1.0
+      (2L, Seq(0.0f, 0.0f, 5.0f)))   // orthogonal to both → cos 0.0
+      .toDF("id", "v")
+    val out = Dedup.semanticDecontaminate(corpus, bench, "id", "v", 0.9)
+      .orderBy("vec_id").collect()
+    assert(out(0).getAs[Double]("max_cos") == 1.0)
+    assert(out(0).getAs[Boolean]("contaminated"))
+    assert(out(0).getAs[Long]("bench_id") == 100L)
+    assert(out(1).getAs[Double]("max_cos") == 0.0)
+    assert(!out(1).getAs[Boolean]("contaminated"))
+  }
+
+  test("semanticDecontaminate: cosine ties break to the smaller benchmark id") {
+    import graft.dedup.Dedup
+    val bench = Seq((200L, Seq(1.0f, 0.0f)), (50L, Seq(2.0f, 0.0f)))
+      .toDF("id", "v") // same direction, both cos 1.0 vs the probe
+    val corpus = Seq((1L, Seq(3.0f, 0.0f))).toDF("id", "v")
+    val out = Dedup.semanticDecontaminate(corpus, bench, "id", "v", 0.5)
+      .collect().head
+    assert(out.getAs[Long]("bench_id") == 50L)
+  }
+
   test("hammingRecall on real embeddings: recall in (0,1], better than chance") {
     val emb = Tables(spark, sf).embeddings
     val n = emb.count()

@@ -89,4 +89,32 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(bad.isEmpty, s"cartesian products in: ${bad.mkString(", ")}")
   }
+
+  test("q_logreg_step: the whole step is ONE partial-aggregatable global sum") {
+    val p = planOf("q_logreg_step")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "no map-side partial aggregation — the model must ride the agg buffer")
+    // a global (no-key) agg exchanges to a single partition; there must be
+    // no hash-keyed exchange (no data-row shuffle) anywhere in the step
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"logreg step shuffles data rows:\n${p.take(600)}")
+  }
+
+  test("q_sem_decontaminate: benchmark side broadcast; per-id max partially aggregated") {
+    val p = planOf("q_sem_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"benchmark slice not broadcast:\n${p.take(600)}")
+    assert(p.contains("partial_max"),
+      "per-id struct max not map-side combined before the exchange")
+  }
+
+  test("q_mixture_weights: only domain-sized exchanges; the corpus never shuffles rows") {
+    val p = planOf("q_mixture_weights")
+    // per-domain (sum, count) must combine map-side
+    assert(p.contains("partial_avg") || p.contains("partial_sum"),
+      "domain aggregation not partial")
+    // both normalizer joins ride broadcasts of 1-row/domain-sized relations
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"normalizer constants not broadcast:\n${p.take(600)}")
+  }
 }
