@@ -40,6 +40,11 @@ import org.apache.spark.sql.streaming.Trigger
   *    (2 days) so no row is evicted mid-run — the join does its full
   *    work every pass regardless of file arrival order, keeping the
   *    measured cost stable run-to-run.
+  *  - `sessionize` (round 13): gap sessionization over
+  *    [[streaming.Sessionize.sessions]] — `flatMapGroupsWithState` with
+  *    EventTimeTimeout, sessions held in state across micro-batches.
+  *    The custom-state analog of `change_feed` but with timeout-driven
+  *    emission, i.e. the state store does eviction work per batch.
   *
   * Numbers land in BASELINE.md's streaming section and ride the bench
   * JSON under a "streaming" key (`SPARK_GRAFT_STREAM_BENCH=0` skips).
@@ -203,7 +208,29 @@ object StreamBench {
         .start()
     }
 
-    watcher ++ feed ++ hh ++ ssj
+    // ---- surface 5: gap sessionization (flatMapGroupsWithState under an
+    // event-time watermark — the custom-state shape where sessions span
+    // micro-batches and flush on EventTimeTimeout; ~100k events / ~10k
+    // users makes the state store the bottleneck, not the scan) ----
+    val sess = surface("sessionize") { () =>
+      val ev = spark.readStream
+        .schema(eventsSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(eventsDir)
+        .select(col("user_id").as("userId"),
+          unix_millis(col("ts")).as("tsMs"),
+          col("event_type").as("eventType"))
+      val typed = streaming.Sessionize.withEventTimeWatermark(ev)
+      streaming.Sessionize.sessions(typed, gapMs = 30L * 60 * 1000).toDF()
+        .writeStream
+        .format("memory").queryName(s"sb_sessionize$suffix")
+        .outputMode("append")
+        .option("checkpointLocation", freshDir(root, "sess_ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+
+    watcher ++ feed ++ hh ++ ssj ++ sess
   }
 
 

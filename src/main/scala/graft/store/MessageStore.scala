@@ -220,17 +220,38 @@ final class MessageStore(
     if (lockHeld.get()) return body // re-entrant: already under this store's lease
     val lockP = new org.apache.hadoop.fs.Path(path + ".lock")
     val fs = lockP.getFileSystem(spark.sessionState.newHadoopConf())
-    val deadline = System.currentTimeMillis() + lockWaitMs
-    var acquired = false
-    while (!acquired) {
-      try {
-        val out = fs.create(lockP, false) // create-exclusive = the acquire
+    // Hadoop create(…, overwrite=false) is atomic on HDFS (namenode
+    // arbitration) but CHECK-THEN-CREATE on the local filesystem
+    // (RawLocalFileSystem tests existence, then opens) — two racers can
+    // both pass the check and both "acquire". On the file scheme the
+    // acquire must be java.io.File.createNewFile, which is O_CREAT|O_EXCL
+    // at the syscall level; the lease content is written after the
+    // atomic win (mtime — the staleness clock — updates with it).
+    val localLock = "file".equalsIgnoreCase(lockP.toUri.getScheme) ||
+      fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]
+    def tryAcquire(): Boolean =
+      if (localLock) {
+        val f = new java.io.File(fs.makeQualified(lockP).toUri.getPath)
+        Option(f.getParentFile).foreach(_.mkdirs())
+        f.createNewFile() && {
+          java.nio.file.Files.writeString(f.toPath,
+            s"$op ${System.currentTimeMillis()} ${
+              java.lang.ProcessHandle.current().pid()}")
+          true
+        }
+      } else {
+        val out = fs.create(lockP, false) // atomic create-exclusive (HDFS)
         out.write(s"$op ${System.currentTimeMillis()} ${
           java.lang.ProcessHandle.current().pid()}".getBytes("UTF-8"))
         out.close()
-        acquired = true
-      } catch {
-        case _: java.io.IOException =>
+        true
+      }
+    val deadline = System.currentTimeMillis() + lockWaitMs
+    var acquired = false
+    while (!acquired) {
+      val won = try tryAcquire() catch { case _: java.io.IOException => false }
+      if (won) acquired = true
+      else {
           val held = try Some(fs.getFileStatus(lockP))
             catch { case _: java.io.FileNotFoundException => None }
           held match {
