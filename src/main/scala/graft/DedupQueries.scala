@@ -2606,8 +2606,21 @@ object DedupQueries {
               floor((w).c * 10000 + 0.5) / 10000 >= 0.3 AS contaminated
             FROM best"""))
 
+  /** The PACKED production form of q_hamming_recall: sign bits in
+    * ⌈D/64⌉ longs, Hamming = popcount(xor). Same oracle as the unpacked
+    * form — the independent DuckDB per-dim recount is exactly the claim
+    * that the storage format cannot change the measured recall. */
+  val qHammingPacked = Q(
+    "q_hamming_packed",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Ann.hammingRecall(emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 10, packedDims = Some(64))
+    },
+    qHammingRecall.oracle)
+
   def all: Seq[Q] = Seq(
-    qLshTune, qMrlRecall, qHammingRecall, qSemDecontaminate,
+    qLshTune, qMrlRecall, qHammingRecall, qSemDecontaminate, qHammingPacked,
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
     qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qGnnSage, qHardNegatives, qMmr, qSemDedup, qDupNgrams, qIncrementalDedup,

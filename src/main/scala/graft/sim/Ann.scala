@@ -235,9 +235,11 @@ object Ann {
     *
     * The bit vectors are computed ONCE per side as packed 0/1 byte arrays
     * in the scan stage; per-pair Hamming is a fused zip/filter/size over
-    * them. At production scale the same bits pack into D/64 longs and
-    * Hamming becomes popcount(xor) — a storage-format change that cannot
-    * alter the measured recall, which is the number this evaluator ships.
+    * them. With `packedDims` set, the codes instead pack into
+    * ⌈dims/64⌉ longs ([[Quantize.packSignBits]]) and Hamming becomes
+    * popcount(xor) ([[Quantize.hammingPacked]]) — the production format
+    * (a storage change that cannot alter recall; a spec pins word-level
+    * equality and the registry runs BOTH forms against one oracle).
     *
     * Output: one row — n_probes, hits, recall (4-decimal-floored). */
   def hammingRecall(
@@ -245,19 +247,25 @@ object Ann {
       probes: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      packedDims: Option[Int] = None): DataFrame = {
     import graft.plans.TopKByScore.topkByScore
     val full = knnJoinExact(probes, corpus, idCol, vecCol, k)
       .select(col("probe_id"), col("id"))
       .localCheckpoint(true)
-    def bits(c: Column): Column =
-      transform(c, v => when(v > 0f, lit(1).cast("byte"))
+    def bits(c: Column): Column = packedDims match {
+      case Some(d) => Quantize.packSignBits(c, d)
+      case None => transform(c, v => when(v > 0f, lit(1).cast("byte"))
         .otherwise(lit(0).cast("byte")))
+    }
     val p = broadcast(probes.select(col(idCol).as("probe_id"),
       bits(col(vecCol)).as("pb")))
     val cb = corpus.select(col(idCol).as("id"), bits(col(vecCol)).as("cb"))
-    val ham = size(filter(zip_with(col("cb"), col("pb"), (x, y) => x =!= y),
-      b => b))
+    val ham = packedDims match {
+      case Some(_) => Quantize.hammingPacked(col("cb"), col("pb"))
+      case None => size(filter(
+        zip_with(col("cb"), col("pb"), (x, y) => x =!= y), b => b))
+    }
     val approx = cb.crossJoin(p)
       .filter(col("id") =!= col("probe_id"))
       .withColumn("score", -ham.cast("double"))

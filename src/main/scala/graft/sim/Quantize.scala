@@ -51,4 +51,35 @@ object Quantize {
   def int8Cosine(qa: Column, qb: Column): Column =
     int8Dot(qa, qb).cast("double") /
       (sqrt(int8Dot(qa, qa).cast("double")) * sqrt(int8Dot(qb, qb).cast("double")))
+
+  /** Sign-bit codes packed into ⌈dims/64⌉ longs — the production format
+    * behind [[graft.sim.Ann.hammingRecall]]'s 1-bit evaluation (32×
+    * memory/IO vs float32; a 64-dim embedding becomes ONE long). Bit
+    * i%64 of word i/64 is set iff vec[i] > 0, OR-folded via the SQL
+    * shiftleft (bit ops never overflow — an `acc·2+bit` fold would trip
+    * ANSI long-overflow on the sign bit). Scan-stage HOF composition
+    * (sequence/aggregate), no shuffle, no UDF. */
+  def packSignBits(vec: Column, dims: Int): Column = {
+    require(dims > 0, "dims must be positive")
+    val nWords = (dims + 63) / 64
+    transform(sequence(lit(0), lit(nWords - 1)), w =>
+      aggregate(
+        sequence(w * 64, least(w * 64 + lit(63), lit(dims - 1))),
+        lit(0L),
+        (acc, i) => acc.bitwiseOR(
+          when(element_at(vec, i + 1) > 0f,
+            call_function("shiftleft", lit(1L), (i % 64).cast("int")))
+            .otherwise(lit(0L)))))
+  }
+
+  /** Hamming distance between two packed sign-bit code arrays:
+    * Σ popcount(a XOR b) — the per-pair cost drops from D boolean ops to
+    * D/64 xor+popcount words, which is what makes brute-force 1-bit
+    * rescoring feasible over billions of codes. Exact by construction:
+    * a spec pins equality with the unpacked sign-mismatch count, so the
+    * storage format cannot change any measured recall. */
+  def hammingPacked(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
 }

@@ -321,6 +321,42 @@ class KnnQuantizeSpec extends SparkSpec {
     assert(out.getAs[Double]("recall") == 1.0)
   }
 
+  test("packSignBits/hammingPacked: packed XOR-popcount equals the unpacked sign-mismatch count") {
+    val emb = Tables(spark, sf).embeddings.limit(200)
+    val a = emb.select($"vec_id".as("ia"), $"embedding".as("va"),
+      Quantize.packSignBits($"embedding", 64).as("pa"))
+    val b = emb.select($"vec_id".as("ib"), $"embedding".as("vb"),
+      Quantize.packSignBits($"embedding", 64).as("pb"))
+    val pairs = a.crossJoin(b).filter($"ia" < $"ib" && ($"ia" + $"ib") % 7 === 0)
+    val unpacked = size(filter(
+      zip_with($"va", $"vb", (x, y) => (x > 0f) =!= (y > 0f)), p => p)).cast("long")
+    val mismatches = pairs
+      .select(unpacked.as("h0"), Quantize.hammingPacked($"pa", $"pb").as("h1"))
+      .filter($"h0" =!= $"h1").count()
+    assert(mismatches == 0L)
+    // and a 64-dim vector packs into exactly ONE long (the 32x claim)
+    assert(a.select(size($"pa")).distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("packSignBits: 100-dim vectors pack into two words; tail bits stay consistent") {
+    // 100 dims -> word 0 holds dims 1-64, word 1 holds dims 65-100
+    val v1 = (1 to 100).map(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val v2 = (1 to 100).map(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val v3 = v2.updated(99, 1.0f) // flip the last dim
+    val df = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("id", "v")
+      .withColumn("p", Quantize.packSignBits($"v", 100))
+    val rows = df.orderBy("id").collect()
+    assert(rows.forall(_.getAs[Seq[Long]]("p").size == 2))
+    val d12 = df.filter($"id" === 1).select($"p").crossJoin(
+      df.filter($"id" === 2).select($"p".as("p2")))
+      .select(Quantize.hammingPacked($"p", $"p2")).head().getLong(0)
+    val d23 = df.filter($"id" === 2).select($"p").crossJoin(
+      df.filter($"id" === 3).select($"p".as("p2")))
+      .select(Quantize.hammingPacked($"p", $"p2")).head().getLong(0)
+    assert(d12 == 0L)
+    assert(d23 == 1L)
+  }
+
   test("semanticDecontaminate: planted copy flags at 1.0; orthogonal vector stays clean") {
     import graft.dedup.Dedup
     val bench = Seq((100L, Seq(1.0f, 0.0f, 0.0f)), (101L, Seq(0.0f, 1.0f, 0.0f)))
