@@ -220,7 +220,8 @@ object Ann {
       full.join(tr,
           col("probe_id") === col("p2") && col("id") === col("id2"), "left")
         .agg(countDistinct(col("probe_id")).as("n_probes"),
-          count(col("id2")).as("hits"), count(lit(1)).as("slots"))
+          count(col("id2")).as("hits"),
+          greatest(count(lit(1)), lit(1L)).as("slots")) // empty probes → 0, not 0/0
         .select(lit(d.toLong).as("d_trunc"), col("n_probes"), col("hits"),
           (floor(col("hits").cast("double") / col("slots") * 10000 + lit(0.5))
             / 10000).as("recall"))
@@ -276,7 +277,8 @@ object Ann {
     full.join(approx,
         col("probe_id") === col("p2") && col("id") === col("id2"), "left")
       .agg(countDistinct(col("probe_id")).as("n_probes"),
-        count(col("id2")).as("hits"), count(lit(1)).as("slots"))
+        count(col("id2")).as("hits"),
+        greatest(count(lit(1)), lit(1L)).as("slots")) // empty probes → 0, not 0/0
       .select(col("n_probes"), col("hits"),
         (floor(col("hits").cast("double") / col("slots") * 10000 + lit(0.5))
           / 10000).as("recall"))
