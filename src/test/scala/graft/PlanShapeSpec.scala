@@ -108,6 +108,24 @@ class PlanShapeSpec extends SparkSpec {
       "per-id struct max not map-side combined before the exchange")
   }
 
+  test("q_mrl_recall / q_hamming_packed: probe side broadcast into the scoring loop") {
+    Seq("q_mrl_recall", "q_hamming_packed").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$q probe set not broadcast:\n${p.take(600)}")
+    }
+  }
+
+  test("q_lsh_tune: config grid broadcast against the histogram; census joins hashed") {
+    val p = planOf("q_lsh_tune")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"config grid not broadcast:\n${p.take(600)}")
+    // the shingle census must be a real hash join on the 8-byte key
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      "shingle census is not an equi-join")
+  }
+
   test("q_mixture_weights: only domain-sized exchanges; the corpus never shuffles rows") {
     val p = planOf("q_mixture_weights")
     // per-domain (sum, count) must combine map-side

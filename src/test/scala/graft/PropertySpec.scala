@@ -402,4 +402,52 @@ class PropertySpec extends SparkSpec {
       assert(diff.get(k) == want, s"key $k")
     }
   }
+
+  test("logregStep matches a driver-side reference on a generated batch") {
+    // generated feature rows vs the straightforward Scala gradient
+    val gen = Gen.listOfN(80, for {
+      y <- Gen.oneOf(0.0, 1.0)
+      x1 <- Gen.chooseNum(-3.0, 3.0)
+      x2 <- Gen.chooseNum(-2.0, 2.0)
+    } yield (y, x1, x2))
+    val rows = gen.apply(Gen.Parameters.default, Seed(7L)).get
+    val w0 = Seq(0.3, -0.2, 0.1)
+    val eta = 0.1
+    // reference: mean gradient of the log-loss at w0
+    def sigma(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    val grads = rows.map { case (y, x1, x2) =>
+      val p = sigma(w0(0) * 1.0 + w0(1) * x1 + w0(2) * x2)
+      Seq((p - y) * 1.0, (p - y) * x1, (p - y) * x2)
+    }.transpose.map(_.sum / rows.size)
+    def fl4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val out = graft.ops.Curation.logregStep(
+        rows.toDF("y", "x1", "x2"),
+        features = Seq(lit(1.0), col("x1"), col("x2")),
+        label = col("y") === 1.0, w0 = w0, eta = eta)
+      .orderBy("feature").collect()
+    out.zipWithIndex.foreach { case (r, j) =>
+      assert(r.getAs[Double]("grad") == fl4(grads(j)), s"grad $j")
+      assert(r.getAs[Double]("w_new") == fl4(w0(j) - eta * grads(j)), s"w $j")
+    }
+  }
+
+  test("mixtureWeights: alphas are a probability vector, invariant to row order") {
+    val gen = Gen.listOfN(90, for {
+      d <- Gen.oneOf("a", "b", "c", "d")
+      l <- Gen.chooseNum(0.5, 5.0)
+    } yield (d, l))
+    val rows = gen.apply(Gen.Parameters.default, Seed(11L)).get
+    def run(xs: Seq[(String, Double)]) =
+      graft.ops.Curation.mixtureWeights(
+          xs.toDF("domain", "l"), "domain", col("l"), eta = 2.0, smooth = 0.1)
+        .collect().map(r => r.getAs[String]("domain") ->
+          (r.getAs[Double]("alpha"), r.getAs[Double]("excess"))).toMap
+    val m1 = run(rows)
+    val m2 = run(scala.util.Random.javaRandomToRandom(
+      new java.util.Random(3)).shuffle(rows))
+    assert(m1 == m2) // shuffle-invariant (partial aggs, 4-dec quantized)
+    val alphas = m1.values.map(_._1)
+    assert(math.abs(alphas.sum - 1.0) < 1e-2)
+    assert(alphas.forall(a => a > 0.0 && a < 1.0))
+  }
 }
