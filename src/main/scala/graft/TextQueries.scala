@@ -677,6 +677,43 @@ object TextQueries {
               CAST(unnest(generate_series(1, copies)) AS BIGINT) AS epoch_copy
             FROM e"""))
 
+  /** Mixture application (the DoReMi loop's second half): resample the
+    * corpus to a target per-domain α vector — data-derived rates, the
+    * epoch-mix md5-remainder convention for fractional copies, exact
+    * replication for r ≥ 1. The oracle recomputes counts, rates,
+    * thresholds and the copy explosion relationally. */
+  val qMixtureApply = Q(
+    "q_mixture_apply",
+    (s, dir) => {
+      val alpha = when(col("source") === "src0", 0.2)
+        .when(col("source") === "src1", 0.05)
+        .otherwise(lit(0.75 / 18))
+      graft.ops.Sampling.applyMixture(
+          Tables(s, dir).documents.select(col("doc_id"), col("source")),
+          "doc_id", "source", alpha)
+        .select(col("doc_id"), col("source"),
+          col("mix_copy").cast("long").as("mix_copy"))
+    },
+    Some("""WITH d AS (SELECT doc_id, source FROM documents),
+            nd AS (SELECT source, count(*) AS n_d FROM d GROUP BY source),
+            t AS (SELECT count(*) AS n FROM d),
+            r AS (
+              SELECT doc_id, d.source,
+                (CASE d.source WHEN 'src0' THEN 0.2 WHEN 'src1' THEN 0.05
+                  ELSE 0.75 / 18 END)
+                  * n::DOUBLE / n_d::DOUBLE AS rr
+              FROM d JOIN nd ON d.source = nd.source, t),
+            c AS (
+              SELECT doc_id, source,
+                CAST(floor(rr) AS INT) + CASE WHEN
+                  (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16
+                    + strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1
+                  < floor((rr - floor(rr)) * 256 + 0.5) THEN 1 ELSE 0 END AS copies
+              FROM r)
+            SELECT doc_id, source,
+              CAST(unnest(generate_series(1, copies)) AS BIGINT) AS mix_copy
+            FROM c WHERE copies >= 1"""))
+
   /** C4 line-rule battery (Raffel et al. 2020 §2.2) over fabricated
     * 3-word lines (the short tail line is KEPT here, so the min-words rule
     * has something to drop, unlike q_line_dedup's exact-3 filter). Line
@@ -2173,7 +2210,7 @@ SELECT * FROM ($union)"""
             FROM s, z"""))
 
   def all: Seq[Q] = Seq(qNaiveBayes, qLangId, qQualityScore, qTokenCount, qFingerprint,
-    qLogregStep, qMixtureWeights,
+    qLogregStep, qMixtureWeights, qMixtureApply,
     qCorpusStats, qPiiScrub, qHashSample, qRepetition, qPack,
     qStratifiedSample, qShardShuffle, qBm25, qDomainGate, qBpePairs,
     qGopherRules, qChunk, qTemperatureMix, qDsirWeights, qGreedyPieces,

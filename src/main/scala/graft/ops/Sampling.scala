@@ -147,6 +147,49 @@ object Sampling {
         .otherwise(array().cast("array<int>"))))
   }
 
+  /** Apply a target domain mixture to a corpus — the missing half of the
+    * DoReMi loop ([[graft.ops.Curation.mixtureWeights]] learns the α
+    * vector; this op RESAMPLES the corpus to it). Per domain d the target
+    * copy count per row is `r_d = α_d · N · scale / n_d` (N total rows,
+    * n_d the domain's rows): overweighted domains replicate
+    * (floor(r) copies + a stable-hash extra with probability frac(r),
+    * the [[epochUpsample]] remainder convention — thr = ⌊frac·256+½⌋
+    * over the 256 md5 buckets), underweighted domains downsample by the
+    * same rule (floor 0 + hash keep). Deterministic per key: the same
+    * corpus resamples identically across runs, engines and retries.
+    *
+    * Unlike [[epochUpsample]] (caller-supplied literal rates) the rates
+    * here derive from the DATA — two domain-sized partial aggs broadcast
+    * back — so the thresholds are computed in-plan with the identical
+    * double arithmetic an oracle can replicate.
+    *
+    * Scale shape: one groupBy(domain) partial agg + a 1-row total, both
+    * broadcast onto the scan; explode multiplies only the surviving
+    * rows. The corpus itself never shuffles.
+    *
+    * Output: input row × `mix_copy` (1-based replica index). */
+  def applyMixture(
+      df: DataFrame,
+      keyCol: String,
+      domainCol: String,
+      alpha: Column,
+      scale: Double = 1.0): DataFrame = {
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__nd"))
+    val total = df.agg(count(lit(1)).as("__n"))
+    val r = alpha * col("__n").cast("double") * lit(scale) /
+      col("__nd").cast("double")
+    val base = floor(r).cast("int")
+    val thr = floor((r - floor(r)) * 256 + lit(0.5)).cast("int")
+    val copies = base + when(hashBucket(col(keyCol)) < thr, 1).otherwise(0)
+    df.join(broadcast(counts), Seq(domainCol))
+      .crossJoin(broadcast(total))
+      .withColumn("mix_copy",
+        explode(when(copies >= 1, sequence(lit(1), copies))
+          .otherwise(array().cast("array<int>"))))
+      .drop("__nd", "__n")
+  }
+
   /** Stable uniform in (0, 1) from the first 6 md5 hex chars of the key —
     * a 24-bit value v mapped to (v + 0.5) / 2²⁴ (never exactly 0 or 1, so
     * ln() below is always finite). Same portable hex-char arithmetic as

@@ -258,4 +258,33 @@ class SamplingSpec extends SparkSpec {
     assert(e2._2 == 64L && e2._3 > 2500 && e2._3 < 7500,
       s"estimate ${e2._3} for true 5000")
   }
+
+  test("applyMixture: uniform alpha over balanced domains is the identity resample") {
+    // 4 equal domains, alpha=0.25 → r = 0.25·40/10 = 1.0 exactly: every
+    // row exactly once, copy index 1
+    val df = (1 to 40).map(i => (i.toLong, s"d${i % 4}")).toDF("id", "dom")
+    val out = Sampling.applyMixture(df, "id", "dom", lit(0.25))
+    assert(out.count() == 40)
+    assert(out.agg(max(col("mix_copy"))).head().getInt(0) == 1)
+  }
+
+  test("applyMixture: overweighted domain replicates, underweighted shrinks, total ≈ N") {
+    val df = (1 to 400).map(i => (i.toLong, s"d${i % 4}")).toDF("id", "dom")
+    // d0 gets 50% of the mixture (r=2.0 → exact 2 copies), the rest share
+    val alpha = when(col("dom") === "d0", 0.5).otherwise(lit(0.5 / 3))
+    val out = Sampling.applyMixture(df, "id", "dom", alpha)
+    val byDom = out.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom("d0") == 200L) // r exactly 2.0: deterministic replication
+    // others: r = (0.5/3)·400/100 = 0.666… → hash-kept ~2/3 of 100 each
+    Seq("d1", "d2", "d3").foreach { d =>
+      assert(byDom(d) > 40 && byDom(d) < 90, s"$d -> ${byDom(d)}")
+    }
+    // mixture preserves N in expectation (alphas sum to 1)
+    val total = byDom.values.sum
+    assert(total > 340 && total < 460, s"total $total")
+    // deterministic: identical resample on a second run
+    val out2 = Sampling.applyMixture(df, "id", "dom", alpha)
+    assert(out.exceptAll(out2).isEmpty && out2.exceptAll(out).isEmpty)
+  }
 }
