@@ -2162,12 +2162,16 @@ SELECT * FROM ($union)"""
               SELECT y, x0, x1, x2, x3,
                 1.0 / (1.0 + exp(-(-1.0*x0 + 0.2*x1 + -0.1*x2 + 0.05*x3))) AS pr
               FROM f),
+            pc AS (
+              SELECT y, x0, x1, x2, x3, pr,
+                greatest(least(pr, 1.0 - 1e-12), 1e-12) AS prc
+              FROM p),
             g AS (
               SELECT count(*)::DOUBLE AS n,
                 sum((pr - y) * x0) AS g0, sum((pr - y) * x1) AS g1,
                 sum((pr - y) * x2) AS g2, sum((pr - y) * x3) AS g3,
-                sum(-(y * ln(pr) + (1.0 - y) * ln(1.0 - pr))) AS l
-              FROM p),
+                sum(-(y * ln(prc) + (1.0 - y) * ln(1.0 - prc))) AS l
+              FROM pc),
             w(feature, w_old) AS (VALUES (0, -1.0), (1, 0.2), (2, -0.1), (3, 0.05))
             SELECT CAST(feature AS BIGINT) AS feature,
               CAST(w_old AS DOUBLE) AS w_old,

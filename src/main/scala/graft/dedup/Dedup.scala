@@ -238,11 +238,17 @@ object Dedup {
     val chunked = fps.select(col("id"), col("fp"),
       explode(simhashChunks(col("fp"), chunks, fpBits)).as("c"))
     val a = chunked.as("a"); val b = chunked.as("b")
+    // hamming filter BEFORE the pair distinct: hamming64 is a scan-stage
+    // expression on already-joined rows, so filtering first costs nothing
+    // extra per candidate, while distinct-first shuffles the FULL
+    // candidate set (every pair sharing any chunk — the dominant volume;
+    // survivors are typically a tiny fraction). Result is identical:
+    // hamming is a pure function of the pair, so duplicates agree on it.
     a.join(b, col("a.c") === col("b.c") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming64(col("a.fp"), col("b.fp")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Prefix-filtering token-set similarity self-join (Chaudhuri et al.
@@ -621,6 +627,9 @@ object Dedup {
     * projection, driver-resident centroids); the pair join is blocked by
     * cid, so candidate pairs are O(n²/nlist) not O(n²) — with nlist ~ √n
     * (the IVF invariant) that is O(n^1.5) spread uniformly over clusters.
+    * Pass `nlist = 0` to apply that invariant automatically (the build
+    * sizes the codebook to ⌈√n⌉ — the measured PLANS.md sizing law; the
+    * registry query pins nlist=16 for oracle enumerability).
     * The loser set is a narrow distinct on ids, and survivors come from a
     * broadcast-able anti join at realistic dup rates. */
   def semDedup(

@@ -973,11 +973,24 @@ object Graph {
     * redundant shuffle for the common already-distinct case.
     *
     * Scale shape: the adjacency is ranked ONCE with a per-src keyed
-    * window (row_number + degree share one shuffle) and checkpointed —
-    * each hop is then a single equi-join of the walk frontier (bounded:
-    * |starts| rows) against it, keyed on the current node. Nothing
-    * node-count-sized touches the driver, and the frontier never grows,
-    * so 10⁹ walks over 10⁹ nodes is `steps` uniform hash joins. */
+    * window (rank + degree share one shuffle) and checkpointed; the
+    * node-keyed degree relation is its rank-1 slice (a checkpoint scan,
+    * no extra shuffle). Each hop is then TWO output-bounded equi-joins:
+    * frontier ⋈ degree (to compute the wanted rank `1 + pick mod deg`
+    * as a column — one row out per walk) and an equi-join against the
+    * adjacency on BOTH (src, rk) — again one row out per walk. Joining
+    * the frontier straight to the adjacency on src alone and filtering
+    * on rk afterwards would materialize every neighbor of every
+    * frontier node first (O(Σ deg(frontier)) rows per hop) — on a
+    * hub-skewed graph a single 10⁶-degree hub visit drags its whole
+    * adjacency through the join, which is exactly the skew that kills
+    * walk jobs at 100×. With the rank in the join key the hub
+    * contributes one row like everyone else. (Measured trade at sf0.1,
+    * a hub-free toy graph: the extra per-hop join costs ~0.3 s of pure
+    * stage overhead, 3.1 s → 4.5 s focused — the premium that buys the
+    * unbounded-skew immunity.) Nothing node-count-sized touches the
+    * driver, the frontier never grows, so 10⁹ walks over 10⁹ nodes is
+    * `steps` pairs of uniform hash joins. */
   def randomWalks(edges: DataFrame, starts: DataFrame, steps: Int): DataFrame = {
     require(steps >= 1, "need at least one step")
     val w = org.apache.spark.sql.expressions.Window
@@ -985,8 +998,15 @@ object Graph {
     val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
     val adj = edges.toDF("src", "dst")
       .withColumn("rk", row_number().over(w))
-      .withColumn("deg", count(lit(1)).over(wd))
+      .withColumn("deg", count(lit(1)).over(wd)) // shares rk's shuffle
       .localCheckpoint() // reused by every hop below
+    // node-keyed degree relation carved out of the SAME checkpoint (the
+    // rank-1 row exists for every node with out-edges and carries deg) —
+    // recomputing degrees from `edges` would re-run the caller's whole
+    // upstream plan (typically an un-checkpointed distinct closure) once
+    // more per walk job
+    val degrees = adj.filter(col("rk") === 1)
+      .select(col("src").as("dnode"), col("deg"))
     var frontier = starts.toDF("walk_id", "node")
       .select(col("walk_id"), lit(0L).as("step"), col("node"))
     var walks = frontier
@@ -995,8 +1015,13 @@ object Graph {
       // ops/Kmv & ops/Bloom, so the DuckDB oracle replays walks verbatim
       val pick = conv(substring(md5(concat_ws(":",
         col("walk_id"), lit(s), col("node"))), 1, 15), 16, 10).cast("long")
-      frontier = frontier.join(adj, frontier("node") === adj("src"))
-        .filter(col("rk") === pmod(pick, col("deg")) + 1)
+      val wanted = frontier
+        .join(degrees, frontier("node") === col("dnode")) // inner: dead ends stop
+        .select(col("walk_id"), col("node"),
+          (pmod(pick, col("deg")) + 1).as("rk_wanted"))
+      frontier = wanted
+        .join(adj, wanted("node") === adj("src") &&
+          wanted("rk_wanted") === adj("rk"))
         .select(col("walk_id"), lit(s.toLong).as("step"),
           col("dst").as("node"))
       walks = walks.unionByName(frontier)

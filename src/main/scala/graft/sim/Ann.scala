@@ -124,14 +124,27 @@ object Ann {
 
   /** IVF index build: train centroids (k-means, or deterministic first-k
     * when `trainIters` = 0) and assign every vector in one shuffle-free
-    * projection pass, materialized once. */
+    * projection pass, materialized once.
+    *
+    * `nlist = 0` sizes the codebook automatically as ⌈√n⌉ — the measured
+    * sizing law (PLANS.md round-13 IvfSizing sweep: at 10× data, fixed
+    * nlist=16 reads 15–17× wall while nlist ∝ corpus reads 4.5–7.5× with
+    * recall@10 ≥ 0.93; cell population n/nlist = √n balances per-probe
+    * scan cost against codebook size, the classic IVF heuristic). The
+    * auto path costs one `count()` job at build time. Registry/oracle
+    * queries keep pinned explicit nlist (16) so DuckDB can enumerate the
+    * identical centroids. */
   def ivfBuild(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
       trainIters: Int = 0): IvfIndex = {
+    require(nlist >= 0, "nlist must be positive, or 0 for auto ⌈√n⌉ sizing")
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val k =
+      if (nlist > 0) nlist
+      else math.max(1, math.ceil(math.sqrt(vecs.count().toDouble)).toInt)
     val centroids =
-      if (trainIters > 0) kmeansCentroids(df, idCol, vecCol, nlist, trainIters)
+      if (trainIters > 0) kmeansCentroids(df, idCol, vecCol, k, trainIters)
       else collectCentroids(
-        vecs.orderBy(col("id")).limit(nlist)
+        vecs.orderBy(col("id")).limit(k)
           .select(col("id").as("cid"),
             transform(col("v"), _.cast("double")).as("cv")))
     IvfIndex(assignTo(vecs, centroids).localCheckpoint(true), centroids)
@@ -221,10 +234,14 @@ object Ann {
           col("probe_id") === col("p2") && col("id") === col("id2"), "left")
         .agg(countDistinct(col("probe_id")).as("n_probes"),
           count(col("id2")).as("hits"),
-          greatest(count(lit(1)), lit(1L)).as("slots")) // empty probes → 0, not 0/0
+          greatest(count(lit(1)), lit(1L)).as("slots")) // guard 0/0 pre-filter
         .select(lit(d.toLong).as("d_trunc"), col("n_probes"), col("hits"),
           (floor(col("hits").cast("double") / col("slots") * 10000 + lit(0.5))
             / 10000).as("recall"))
+        // degenerate-slice parity: with zero probes a grouped oracle emits
+        // NO row for this width — an ungrouped Spark agg always emits one,
+        // so a recall-0 phantom row would diverge. Drop it.
+        .filter(col("n_probes") > 0)
     }.reduce(_ unionByName _)
   }
 
@@ -278,10 +295,13 @@ object Ann {
         col("probe_id") === col("p2") && col("id") === col("id2"), "left")
       .agg(countDistinct(col("probe_id")).as("n_probes"),
         count(col("id2")).as("hits"),
-        greatest(count(lit(1)), lit(1L)).as("slots")) // empty probes → 0, not 0/0
+        greatest(count(lit(1)), lit(1L)).as("slots")) // guard 0/0 pre-filter
       .select(col("n_probes"), col("hits"),
         (floor(col("hits").cast("double") / col("slots") * 10000 + lit(0.5))
           / 10000).as("recall"))
+      // degenerate-slice parity: zero probes → zero rows (a grouped oracle
+      // emits nothing; the phantom recall-0 row would diverge)
+      .filter(col("n_probes") > 0)
   }
 
   /** NN-Descent k-NN-graph construction (Dong, Charikar & Li, WWW 2011)

@@ -207,8 +207,10 @@ final class MessageStore(
   /** Serialize store WRITERS (mutation appends and compacts) across
     * threads AND processes via a sibling `<path>.lock` lease: acquisition
     * is `FileSystem.create(…, overwrite = false)` — atomic on HDFS and
-    * object-store semantics-equivalent layers; the narrow check-then-act
-    * window of RawLocalFileSystem is accepted for local tests. Sibling,
+    * object-store semantics-equivalent layers — except on the local
+    * `file` scheme, where that call is check-then-create and the acquire
+    * instead uses `java.io.File.createNewFile` (O_CREAT|O_EXCL at the
+    * syscall level, see the branch comment below). Sibling,
     * not child: compact() deletes and renames the store directory itself,
     * so a lock inside it would vanish mid-operation. Re-entrant per
     * thread (the auto-compact path runs inside the mutation's lease).
@@ -234,16 +236,34 @@ final class MessageStore(
         val f = new java.io.File(fs.makeQualified(lockP).toUri.getPath)
         Option(f.getParentFile).foreach(_.mkdirs())
         f.createNewFile() && {
-          java.nio.file.Files.writeString(f.toPath,
+          // lease content is best-effort metadata written AFTER the atomic
+          // win. If the write throws (disk full, fs error) the lock file
+          // already exists — leaving it would wedge every waiter until
+          // staleLockMs — so release the just-won lease before failing.
+          try java.nio.file.Files.writeString(f.toPath,
             s"$op ${System.currentTimeMillis()} ${
               java.lang.ProcessHandle.current().pid()}")
+          catch {
+            case e: Throwable =>
+              f.delete()
+              throw e
+          }
           true
         }
       } else {
         val out = fs.create(lockP, false) // atomic create-exclusive (HDFS)
-        out.write(s"$op ${System.currentTimeMillis()} ${
-          java.lang.ProcessHandle.current().pid()}".getBytes("UTF-8"))
-        out.close()
+        // same orphan hazard as the local branch: the create won the
+        // lease, so a failed content write must release it before failing
+        try {
+          out.write(s"$op ${System.currentTimeMillis()} ${
+            java.lang.ProcessHandle.current().pid()}".getBytes("UTF-8"))
+          out.close()
+        } catch {
+          case e: Throwable =>
+            try out.close() catch { case _: Throwable => () }
+            try fs.delete(lockP, false) catch { case _: Throwable => () }
+            throw e
+        }
         true
       }
     val deadline = System.currentTimeMillis() + lockWaitMs

@@ -394,4 +394,25 @@ class KnnQuantizeSpec extends SparkSpec {
     // chance level for k=10 of n candidates
     assert(rec > 10.0 / n * 3)
   }
+
+  test("mrlRecall/hammingRecall: zero probes emit zero rows (degenerate-slice parity)") {
+    // an ungrouped Spark agg always emits one row; a grouped oracle emits
+    // none — the recall surfaces must side with the oracle on empty probes
+    val emb = Tables(spark, sf).embeddings
+    val none = emb.filter($"vec_id" < 0)
+    assert(Ann.mrlRecall(emb, none, "vec_id", "embedding",
+      dims = Seq(16, 64), k = 3).count() == 0L)
+    assert(Ann.hammingRecall(emb, none, "vec_id", "embedding", k = 3)
+      .count() == 0L)
+  }
+
+  test("ivfBuild: nlist=0 auto-sizes the codebook to ⌈√n⌉ (the measured sizing law)") {
+    val emb = Tables(spark, sf).embeddings
+    val n = emb.count()
+    val want = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val index = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 0)
+    assert(index.centroids.size == want)
+    // the auto-sized index still assigns every vector exactly once
+    assert(index.assigned.count() == n)
+  }
 }

@@ -28,6 +28,23 @@ class MixtureTuneSpec extends SparkSpec {
     assert(math.abs(out.head.getAs[Double]("train_loss") - math.log(2)) < 1e-3)
   }
 
+  test("logregStep: saturated sigmoid (|z| ≳ 745) keeps train_loss finite") {
+    // x = ∓1e6 with w = 1 drives p to exactly 0.0 / 1.0 in double
+    // precision; without the loss clamp log(p) / log(1−p) would poison
+    // train_loss to ±Inf for the whole batch
+    val df = Seq((1.0, -1e6), (0.0, 1e6)).toDF("y", "x1")
+    val out = Curation.logregStep(df,
+        features = Seq(col("x1")), label = col("y") === 1.0,
+        w0 = Seq(1.0), eta = 0.1)
+      .collect()
+    val loss = out.head.getAs[Double]("train_loss")
+    assert(java.lang.Double.isFinite(loss) && loss > 0, s"loss $loss")
+    out.foreach { r =>
+      assert(java.lang.Double.isFinite(r.getAs[Double]("grad")))
+      assert(java.lang.Double.isFinite(r.getAs[Double]("w_new")))
+    }
+  }
+
   test("logregStep: a step from w0 reduces the training loss") {
     val nw = size(split(trim(col("text")), "\\s+")).cast("double")
     val feats = Seq(lit(1.0), log(lit(1.0) + col("n_chars")),

@@ -13,11 +13,14 @@ Usage: python3 tools/audit_registry.py [SCALE_rNN.json]
 Exit 1 on any inconsistency.
 """
 import json
+import os
 import re
 import sys
 import glob
 
-repo = "/root/repo"
+# repo root = parent of this script's directory (tools/..), not a
+# hardcoded path — the audit must run from any checkout location
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 scale_path = sys.argv[1] if len(sys.argv) > 1 else sorted(
     glob.glob(f"{repo}/SCALE_r*.json"))[-1]
 
