@@ -114,6 +114,66 @@ object Bench {
       }
     }
     runSentinel(ordered.size) // closing bracket: one sentinel after the last entry
+
+    // ---- anchors (loaded here because the self-heal below needs them;
+    // the gate further down reuses the same map) ----
+    val anchorsSf = sys.env.getOrElse("SPARK_GRAFT_ANCHOR_SF", "sf0.1")
+    val anchorsApply = sfDir.endsWith(anchorsSf) || sfDir.endsWith(anchorsSf + "/")
+    val anchorsPath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md")
+    val anchorRe = """\|\s*(q\S+)\s*\|\s*([0-9.]+)\s*\|""".r
+    val anchors: Map[String, Double] =
+      try {
+        val src = scala.io.Source.fromFile(anchorsPath, "UTF-8")
+        try anchorRe.findAllMatchIn(src.mkString)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        finally src.close()
+      } catch { case _: Throwable => Map.empty }
+    val battIdx = ordered.map(_._1).zipWithIndex.toMap
+
+    // ---- burst-invalidation self-heal (round 15) ----
+    // A battery entry's median is INVALID when either (a) it read more
+    // than 4× its anchor — at that magnitude every past settlement pass
+    // found host contamination, never code (r9b/r11/r12/r13 notes) — or
+    // (b) the sentinel readings bracketing its battery segment disagree
+    // by >2× (a contamination burst demonstrably crossed its window) AND
+    // the entry is over the raw gate line, so the burst actually matters.
+    // Invalid entries re-run ONCE after the battery (same warmup+reps
+    // method, now on a battery-quiet JVM); the re-run median REPLACES the
+    // battery median everywhere downstream (total, gate, artifacts) and
+    // the swap is recorded under "healed" — the battery reading stays
+    // inspectable there. Bounded at 20 entries so a globally-trashed host
+    // can't double the battery; full-battery sf0.1 runs only (focused
+    // runs ARE the settlement instrument already).
+    def bracketDisagree(name: String): Boolean = {
+      val idx = battIdx.getOrElse(name, 0)
+      val local = sentinel.collect { case (i, _, sec)
+        if i >= (idx / 25) * 25 && i <= (idx / 25) * 25 + 25 => sec }
+      local.size >= 2 && local.max / math.max(local.min, 1e-9) > 2.0
+    }
+    val healed: Map[String, (Double, Double)] =
+      if (!anchorsApply || args.nonEmpty) Map.empty
+      else {
+        System.gc() // measure the re-runs on a settled JVM
+        results.flatMap { case (n, sec) =>
+          anchors.get(n).collect {
+            case a if sec < 1e9 && (sec > 4 * a ||
+                (bracketDisagree(n) && sec > math.max(2 * a, a + 0.25))) =>
+              (n, sec, sec / a)
+          }
+        }.sortBy(-_._3).take(20).flatMap { case (n, battery, _) =>
+          SparkEntry.queries.get(n).flatMap { fn =>
+            try {
+              timeOnce(fn) // warmup, same method as the battery
+              val ts = (1 to reps).map(_ => timeOnce(fn)).sorted
+              Some(n -> (battery, ts(ts.size / 2)))
+            } catch { case _: Throwable => None } // keep the battery number
+          }
+        }.toMap
+      }
+    val finalResults = results.map { case (n, sec) =>
+      n -> healed.get(n).map(_._2).getOrElse(sec)
+    }
+
     // Streaming-tier datapoint (file watcher end-to-end, ChangeFeed,
     // windowed heavy hitters): once per full-battery run, n=1 AvailableNow
     // passes — see StreamBench. Focused runs (named args) skip it, and
@@ -156,13 +216,22 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fs = failed.map { case (k, v) => s"\"" + k + "\":\"" + esc(v.take(120)) + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = finalResults.map(_._2).sum
     val smap = streamResults.map { case (k, m) =>
       s"\"" + k + "\":{" +
         s"\"rows\":${m.rows},\"wall_s\":${fmt(m.wallS)}," +
         s"\"rows_per_s\":${fmt(m.rowsPerS)}," +
         s"\"batch_ms_median\":${fmt(m.batchMsMedian)}," +
         s"\"n_batches\":${m.nBatches}}"
+    }.mkString("{", ",", "}")
+    // stdout carries rows/s only per surface — the full five-field block
+    // (now 15 surfaces with the RocksDB provider pass) would alone blow
+    // the driver's ~2 KB stdout tail window; full metrics ride the file
+    val smapCompact = streamResults.map { case (k, m) =>
+      s"\"" + k + "\":" + math.round(m.rowsPerS)
+    }.mkString("{", ",", "}")
+    val healMap = healed.map { case (n, (battery, rerun)) =>
+      s"\"" + n + s"\":{\"battery\":${fmt(battery)},\"rerun\":${fmt(rerun)}}"
     }.mkString("{", ",", "}")
     // The driver keeps only a ~2000-char tail of stdout, and a 184-query
     // map is ~5 KB — printing it all makes the artifact unparseable
@@ -211,19 +280,8 @@ object Bench {
     // meaningless (sf0.001 smoke runs read 40+ false "over" rows), so the
     // gate only engages at the anchored scale. Normalized ratios are still
     // emitted — useful to eyeball — just never flagged.
-    val anchorsSf = sys.env.getOrElse("SPARK_GRAFT_ANCHOR_SF", "sf0.1")
-    val anchorsApply = sfDir.endsWith(anchorsSf) || sfDir.endsWith(anchorsSf + "/")
-    val anchorsPath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md")
-    val anchorRe = """\|\s*(q\S+)\s*\|\s*([0-9.]+)\s*\|""".r
-    val anchors: Map[String, Double] =
-      try {
-        val src = scala.io.Source.fromFile(anchorsPath, "UTF-8")
-        try anchorRe.findAllMatchIn(src.mkString)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        finally src.close()
-      } catch { case _: Throwable => Map.empty }
+    // (anchors/anchorsApply/battIdx are loaded above, pre-self-heal.)
     val sentinelAnchor = anchors.getOrElse("q1_agg", 0.0)
-    val battIdx = ordered.map(_._1).zipWithIndex.toMap
     def driftAt(name: String): Double = {
       if (sentinel.isEmpty || sentinelAnchor <= 0) return 1.0
       val idx = battIdx.getOrElse(name, 0)
@@ -241,9 +299,11 @@ object Bench {
       // itself experienced).
       math.max(1.0, (rs.sum / rs.size) / sentinelAnchor)
     }
-    val gated = results.collect { case (name, sec) if sec < 1e9 =>
+    val gated = finalResults.collect { case (name, sec) if sec < 1e9 =>
       anchors.get(name).map { anchor =>
-        val drift = driftAt(name)
+        // healed entries gate on their quiet re-run with NO drift excuse
+        // (the re-run didn't share the battery's contaminated window)
+        val drift = if (healed.contains(name)) 1.0 else driftAt(name)
         val anchorAdj = anchor * drift
         val raw = sec / math.max(anchor, 1e-9)
         val norm = sec / math.max(anchorAdj, 1e-9)
@@ -262,17 +322,16 @@ object Bench {
       s"""{"applies":$anchorsApply,"anchored":${gated.size},"over":${overNames.size},"over_names":${
         overNames.take(12).map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(results)},"failed":$fs,"reps":$reps,"t_start_ms":$tsMap,"sentinel":$sentArr,"normalized":$normMap,"gate":$gateSummary,"streaming":$smap,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(finalResults)},"failed":$fs,"reps":$reps,"healed":$healMap,"t_start_ms":$tsMap,"sentinel":$sentArr,"normalized":$normMap,"gate":$gateSummary,"streaming":$smap,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] full dump write failed: ${e.getMessage}") }
-    // 20, not 30: the stdout line must survive the driver's ~2 KB tail
-    // window, and round 12 added the second streaming rate point (+3
-    // surfaces ≈ +400 chars) and the sentinel summary; clipping the line
-    // HEAD would make the artifact unparseable (the r7 failure mode).
-    // The full map is in the file either way.
-    val slowest = results.sortBy(-_._2).take(20)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(slowest)},"failed":$fs,"reps":$reps,"n_queries":${results.size},"queries_file":"$outPath","sentinel":$sentSummary,"gate":$gateSummary,"streaming":$smap,"sf":"$sfDir"}""")
+    // The stdout line must survive the driver's ~2 KB TAIL capture as
+    // self-contained JSON (BENCH_r07/r13/r14 all lost their head to it):
+    // slowest-20 queries only, streaming as compact rows/s, healed as a
+    // count. Everything full-fat is in the file.
+    val slowest = finalResults.sortBy(-_._2).take(20)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(slowest)},"failed":$fs,"reps":$reps,"n_queries":${finalResults.size},"healed":${healed.size},"queries_file":"$outPath","sentinel":$sentSummary,"gate":$gateSummary,"streaming":$smapCompact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,6 +26,44 @@ object GraftSession {
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.ui.enabled", "false")
 
+  /** RocksDB state store provider — the production state backend for the
+    * stateful streaming tier (ChangeFeed, Sessionize, HeavyHittersStream,
+    * stream-stream joins, dedup-at-ingest). The default
+    * HDFSBackedStateStoreProvider keeps EVERY key's state on executor
+    * heap (two copies during maintenance); at 100 TB key cardinality
+    * that is a designed-in OOM. RocksDB holds state off-heap in a native
+    * LSM tree with disk spill and changelog/snapshot checkpointing to
+    * the same checkpoint location, so state size is bounded by local
+    * disk, not heap. Spark ships the provider + rocksdbjni in its
+    * standard distribution (structured-streaming docs, "RocksDB state
+    * store implementation") — no extra dependency.
+    *
+    * The conf is read per streaming QUERY at start, so it can be set on
+    * a live session before `.start()`; existing HDFS-backed checkpoints
+    * are not migrated (provider choice is pinned by the checkpoint —
+    * switch providers only with a fresh checkpoint dir). */
+  val RocksDBStateProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Switch the session's stateful streaming queries (started AFTER this
+    * call, with fresh checkpoints) to the RocksDB state store. Returns
+    * the previous provider conf (None = Spark default) for restore. */
+  def useRocksDBStateStore(s: SparkSession): Option[String] = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, RocksDBStateProvider)
+    prev
+  }
+
+  /** Restore a provider conf captured by [[useRocksDBStateStore]]. */
+  def restoreStateStore(s: SparkSession, prev: Option[String]): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Post-build session setup: installs graft's optimizer rules (inert
     * until their confs are set — see `plans.RangeJoinRule`). Idempotent;
     * needed because `withExtensions` cannot apply to an already-built

@@ -83,17 +83,45 @@ object StreamBench {
     Metrics(rows, wall, if (wall > 0) rows / wall else 0.0, median, nonEmpty.size)
   }
 
+  /** The stateful surfaces — the ones whose cost lives in the state
+    * store rather than the scan, and therefore the ones the provider
+    * comparison below re-measures. `file_watcher` is stateless (file
+    * source tracking only) and is excluded. */
+  val StatefulSurfaces: Set[String] =
+    Set("change_feed", "heavy_hitters", "ss_join", "sessionize")
+
   /** Both configured rate points: `maxFilesPerTrigger = 2` (the
     * latency-biased point, plain keys, continuous with r10/r11 numbers)
     * and `= 8` (the throughput-biased point, `_mft8` suffix). Two points
     * bracket the latency-vs-throughput curve so a regression in either
     * regime is visible — rows/s alone rises with batch size and a single
     * config can hide a per-batch latency regression behind batching.
-    */
+    *
+    * Third pass (round 15): the four STATEFUL surfaces re-run at mft=8
+    * under the RocksDB state store provider (`_rocksdb` suffix) — the
+    * 100 TB production backend ([[GraftSession.RocksDBStateProvider]]:
+    * default executor-heap state is an OOM at production key
+    * cardinality). Benching BOTH providers on identical work pins the
+    * per-batch floor delta the off-heap backend charges at toy state
+    * sizes, and proves the whole stateful tier RUNS on the scale
+    * backend, not just compiles against it. */
   def run(spark: SparkSession, sfDir: String,
-      only: Set[String] = Set.empty): Seq[(String, Metrics)] =
-    runConfig(spark, sfDir, maxFilesPerTrigger = 2, suffix = "", only) ++
-      runConfig(spark, sfDir, maxFilesPerTrigger = 8, suffix = "_mft8", only)
+      only: Set[String] = Set.empty): Seq[(String, Metrics)] = {
+    val base =
+      runConfig(spark, sfDir, maxFilesPerTrigger = 2, suffix = "", only) ++
+        runConfig(spark, sfDir, maxFilesPerTrigger = 8, suffix = "_mft8", only)
+    val statefulOnly =
+      if (only.isEmpty) StatefulSurfaces else only & StatefulSurfaces
+    val rocks =
+      if (statefulOnly.isEmpty) Seq.empty
+      else {
+        val prev = GraftSession.useRocksDBStateStore(spark)
+        try runConfig(spark, sfDir, maxFilesPerTrigger = 8,
+          suffix = "_rocksdb", statefulOnly)
+        finally GraftSession.restoreStateStore(spark, prev)
+      }
+    base ++ rocks
+  }
 
   private def runConfig(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Int, suffix: String,
