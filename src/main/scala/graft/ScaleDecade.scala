@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Two-decade scale sweep (round 15) — the instrument the single-decade
+  * [[ScaleBench]] cannot be: one 10× ratio per query cannot distinguish
+  * linear from n·log n (or from fixed overhead amortizing), but TWO
+  * consecutive decades can. Each headliner below runs at sf1 (10× the
+  * anchored sf0.1) and sf10 (100×, `tools/gen_sf1.py <dst> 100`), and the
+  * artifact carries both per-decade slopes:
+  *
+  *   slope1 = t(sf1) / anchor(sf0.1),   slope2 = t(sf10) / t(sf1)
+  *
+  * For a linear operator at fixed local[32] parallelism both slopes read
+  * ~10× (usually slope2 > slope1, because sf1 still amortizes fixed
+  * overhead that sf10 doesn't); n·log n reads ~10×/~12×; a quadratic
+  * term reads slope2 ≫ slope1. An entry is flagged when
+  * slope2 > max(slope1, 10) × 1.5 — the headroom that separates "second
+  * decade lost its fixed-overhead subsidy" from structure. Flagged
+  * entries self-settle (GC + warm + min of 2, the ScaleBench convention)
+  * before the verdict; persistent flags get a PLANS.md cause row.
+  *
+  * The battery is the ~20 designed-linear HEADLINERS (scan/agg/join,
+  * the dedup family, text curation, two graph fixpoints, sketches) plus
+  * the two IVF shapes at PRODUCTION sizing — `nlist = 0` auto ⌈√n⌉
+  * ([[graft.sim.Ann.ivfBuild]]), the committed sizing law, so the
+  * linearity claim for the ANN tier is measured at BOTH decades rather
+  * than asserted. Registry queries run exactly as registered (pinned
+  * nlist=16 etc.); the auto-sized shapes are extra rows named
+  * `ivf_knn_join_auto` / `semdedup_auto`.
+  *
+  * Usage: SPARK_GRAFT_SF1_DIR=target/sf1 SPARK_GRAFT_SF10_DIR=target/sf10
+  *   runMain graft.ScaleDecade   → SCALE_DECADE.json
+  *   (override out: SPARK_GRAFT_DECADE_OUT). Exit 1 on settled flags.
+  */
+object ScaleDecade {
+
+  /** slope2 flag line: 1.5× headroom over max(slope1, pure-linear 10). */
+  val headroom = 1.5
+
+  /** Designed-linear headliners across the engine's families. */
+  val headliners: Seq[String] = Seq(
+    "q1_agg", "q3_topk", "q5_revenue",                       // scan/agg/join
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",   // dedup
+    "q_line_dedup", "q_winnow_pairs", "q_boilerplate",
+    "q_cdc_chunks",
+    "q_perplexity", "q_token_count", "q_gopher_rules",       // text curation
+    "q_bm25",
+    "q_connected_components", "q_pagerank",                  // graph fixpoints
+    "q_sessionize", "q_hll", "q_stratified_sample")          // window/sketch/sample
+
+  /** The IVF production-sizing shapes (nlist = 0 → auto ⌈√n⌉). */
+  private def autoShapes(spark: SparkSession): Seq[(String, String => Long)] = Seq(
+    "ivf_knn_join_auto" -> { dir: String =>
+      val emb = Tables(spark, dir).embeddings
+      val index = graft.sim.Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 0)
+      graft.sim.Ann.knnJoinIvf(
+        emb.filter(col("vec_id") % 50 === 0), index,
+        "vec_id", "embedding", nprobe = 4, k = 10).count()
+    },
+    "semdedup_auto" -> { dir: String =>
+      graft.dedup.Dedup.semDedup(
+        Tables(spark, dir).embeddings, "vec_id", "embedding",
+        nlist = 0, threshold = 0.25).count()
+    })
+
+  def main(args: Array[String]): Unit = {
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1")
+    val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "target/sf10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_DECADE_OUT", "SCALE_DECADE.json")
+    val anchorsPath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md")
+
+    val anchorRe = """\|\s*(q\S+)\s*\|\s*([0-9.]+)\s*\|""".r
+    val anchors: Map[String, Double] = {
+      val src = scala.io.Source.fromFile(anchorsPath, "UTF-8")
+      try anchorRe.findAllMatchIn(src.mkString)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      finally src.close()
+    }
+
+    val spark = GraftSession.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    GraftSession.install(spark)
+    spark.sparkContext.setLogLevel("WARN")
+
+    def hygiene(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
+    val work: Seq[(String, String => Long)] =
+      headliners.map { n =>
+        n -> { dir: String => SparkEntry.queries(n)(spark, dir).count() }
+      } ++ autoShapes(spark)
+    def timeOnce(fn: String => Long, dir: String): Double = {
+      val t0 = System.nanoTime()
+      fn(dir)
+      val dt = (System.nanoTime() - t0) / 1e9
+      hygiene()
+      dt
+    }
+
+    // JVM warm preamble at the SMALL decade (same rationale as graft.Bench)
+    Seq("q1_agg", "q3_topk").foreach { w =>
+      SparkEntry.queries.get(w).foreach { fn =>
+        try { fn(spark, sf1Dir).count(); fn(spark, sf1Dir).count(); hygiene() }
+        catch { case _: Throwable => () }
+      }
+    }
+
+    final case class Row(name: String, sf01: Double, sf1: Double,
+        sf10: Double, slope1: Double, slope2: Double,
+        settled: Boolean, over: Boolean)
+    var failed = Vector.empty[(String, String)]
+    val rows = work.flatMap { case (name, fn) =>
+      try {
+        System.gc()
+        val t1 = timeOnce(fn, sf1Dir)
+        val t10a = timeOnce(fn, sf10Dir)
+        val a = anchors.getOrElse(name, 0.0)
+        val slope1 = if (a > 0) t1 / a else 0.0
+        def flag(t10: Double) =
+          t10 / t1 > math.max(math.max(slope1, 10.0), 1.0) * headroom
+        // self-settle a flagged second decade: GC + warm + min of 2 (the
+        // ScaleBench convention — battery position and ambient drift
+        // inflate single shots; the gate hunts structure, not hosts)
+        val (t10, settled) =
+          if (!flag(t10a)) (t10a, false)
+          else {
+            System.gc()
+            val ts = (1 to 2).map(_ => timeOnce(fn, sf10Dir))
+            (math.min(t10a, ts.min), true)
+          }
+        Some(Row(name, a, t1, t10, slope1, t10 / t1, settled, flag(t10)))
+      } catch {
+        case e: Throwable =>
+          failed :+= name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"
+          None
+      }
+    }
+
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qmap = rows.map { r =>
+      s"\"${r.name}\":{\"sf01\":${fmt(r.sf01)},\"sf1\":${fmt(r.sf1)},\"sf10\":${fmt(r.sf10)}," +
+        s"\"slope1\":${fmt(r.slope1)},\"slope2\":${fmt(r.slope2)}" +
+        (if (r.settled) ",\"settled\":true" else "") +
+        (if (r.over) ",\"over\":true" else "") + "}"
+    }.mkString("{", ",", "}")
+    val overNames = rows.filter(_.over).map(_.name)
+    val fmap = failed.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\"", "'").replace("\n", " ") + "\"" }
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"scale_decade","n_queries":${rows.size},"headroom":$headroom,"sf1_total_s":${fmt(rows.map(_.sf1).sum)},"sf10_total_s":${fmt(rows.map(_.sf10).sum)},"gate_fail":${overNames.size},"gate_fail_names":${
+        overNames.map("\"" + _ + "\"").mkString("[", ",", "]")},"failed":$fmap,"sf1_dir":"$sf1Dir","sf10_dir":"$sf10Dir","queries":$qmap}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[decade] dump write failed: ${e.getMessage}") }
+    println(line.take(1800))
+    spark.stop()
+    if (overNames.nonEmpty || failed.nonEmpty) sys.exit(1)
+  }
+}

@@ -1,21 +1,31 @@
 #!/usr/bin/env python3
-"""Generate a local ~sf1 dataset (10x sf0.1) for scale-slope measurement.
+"""Generate a local ~sfN dataset (COPIES x sf0.1) for scale-slope
+measurement: sf1 (10 copies, the default) or sf10 (100 copies -- the
+second scale decade, so slopes can be read across sf0.1 -> sf1 -> sf10
+and linear is distinguishable from n log n).
 
-Replicates each sf0.1 table 10x with copy-disjoint key spaces so
+Replicates each sf0.1 table COPIES x with copy-disjoint key spaces so
 referential integrity holds (copy i shifts every key by i * key-range of
-its referenced table). Graph-shaped queries then see 10 disjoint copies
-of the sf0.1 graph (same diameter -> per-round-bounded loops should hold
-flat round counts), and scan/join queries see 10x the rows.
+its referenced table). Graph-shaped queries then see COPIES disjoint
+copies of the sf0.1 graph (same diameter -> per-round-bounded loops
+should hold flat round counts), and scan/join queries see COPIES x rows.
 
-Document text is alphabet-rotated per copy (rot-i over a-z) so dedup /
-winnowing / suffix queries get DISTINCT content per copy -- plain copies
-would multiply near-dup PAIRS quadratically (100x, not 10x) and poison
-the slope; rotation preserves per-doc length/repetition structure while
-keeping gram spaces disjoint. Embedding vectors get a deterministic
-per-copy component nudge for the same reason (identical copies would
-give every vector 10 zero-distance neighbours).
+Document text gets a per-copy AFFINE alphabet map (letter j -> m*j + s
+mod 26 with m coprime to 26; copy i uses m = Ms[i // 26], s = i % 26) so
+dedup / winnowing / suffix queries get DISTINCT content per copy --
+plain copies would multiply near-dup PAIRS quadratically (COPIES^2, not
+COPIES) and poison the slope. An affine map is an alphabet permutation,
+so per-doc length/repetition structure is preserved exactly while the
+312 available maps keep gram spaces pairwise disjoint well past 100
+copies. For i < 26 the map degenerates to rot-i -- byte-identical to the
+original sf1 generator's output, so regenerated sf1 data stays
+comparable with committed sf1 readings. Embedding vectors get a
+deterministic per-copy component nudge for the same reason (identical
+copies would give every vector COPIES zero-distance neighbours).
 
-Output: /root/repo/target/sf1/*.parquet (gitignored scratch).
+Usage: gen_sf1.py [DST] [COPIES]
+Output: /root/repo/target/sf1/*.parquet (gitignored scratch) by default;
+sf10: gen_sf1.py /root/repo/target/sf10 100
 """
 import duckdb
 import os
@@ -23,7 +33,11 @@ import sys
 
 SRC = "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/target/sf1"
-COPIES = 10
+COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+# multipliers coprime to 26, m=1 first so copies 0-25 stay rot-i
+MS = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+assert COPIES <= 26 * len(MS), "affine map space exhausted"
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
@@ -84,10 +98,17 @@ gen("events", f"""
          user_id + i * {UIDR} AS user_id, event_type, value, props
   FROM {src('events')}, {copies}""")
 
-# rot-i alphabet per copy keeps copies' gram spaces disjoint
-ROT = ("CASE WHEN i = 0 THEN text ELSE translate(text, "
-       "'abcdefghijklmnopqrstuvwxyz', "
-       "substr(repeat('abcdefghijklmnopqrstuvwxyz', 2), i + 1, 26)) END")
+# affine alphabet map per copy keeps copies' gram spaces disjoint
+# (copy i: letter j -> MS[i // 26] * j + (i % 26) mod 26; i < 26 = rot-i)
+def affine_alphabet(i):
+    m, s = MS[i // 26], i % 26
+    return "".join(chr(ord("a") + (m * j + s) % 26) for j in range(26))
+
+rot_whens = " ".join(
+    f"WHEN {i} THEN translate(text, 'abcdefghijklmnopqrstuvwxyz', "
+    f"'{affine_alphabet(i)}')"
+    for i in range(1, COPIES))
+ROT = f"CASE i WHEN 0 THEN text {rot_whens} END" if COPIES > 1 else "text"
 gen("documents", f"""
   SELECT doc_id + i * {R['documents']} AS doc_id, {ROT} AS text, lang,
          source, n_chars
