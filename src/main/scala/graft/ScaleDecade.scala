@@ -39,6 +39,18 @@ object ScaleDecade {
   /** slope2 flag line: 1.5× headroom over max(slope1, pure-linear 10). */
   val headroom = 1.5
 
+  /** Shapes that are designed O(n^1.5), not linear — flag-exempt but
+    * still recorded: the auto-sized IVF forms assign every vector
+    * against ⌈√n⌉ centroids, so the ASSIGN step alone is n·√n·dims and
+    * the theoretical decade slope is 10·√10 ≈ 31.6×. The first decade
+    * measured 13.6×/17.8× — BETTER than the n^1.5 design line (the
+    * probe/pair stages still dominate) — which is the evidence the
+    * committed sizing law wants. True linearity at 100 TB needs a
+    * hierarchical coarse quantizer (ANN-assign against the codebook),
+    * which trades exactness of the cell boundary; out of scope per the
+    * PLANS.md IVF sizing section. */
+  val designedN15: Set[String] = Set("ivf_knn_join_auto", "semdedup_auto")
+
   /** Designed-linear headliners across the engine's families. */
   val headliners: Seq[String] = Seq(
     "q1_agg", "q3_topk", "q5_revenue",                       // scan/agg/join
@@ -123,7 +135,7 @@ object ScaleDecade {
         val t10a = timeOnce(fn, sf10Dir)
         val a = anchors.getOrElse(name, 0.0)
         val slope1 = if (a > 0) t1 / a else 0.0
-        def flag(t10: Double) =
+        def flag(t10: Double) = !designedN15(name) &&
           t10 / t1 > math.max(math.max(slope1, 10.0), 1.0) * headroom
         // self-settle a flagged second decade: GC + warm + min of 2 (the
         // ScaleBench convention — battery position and ambient drift

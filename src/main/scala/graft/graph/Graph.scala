@@ -682,6 +682,26 @@ object Graph {
     * checkpoints — plus a restart relation built once; nothing
     * node-count-sized at the driver (the only scalar is |S|). Like
     * [[pageRank]], every node needs an out-edge (use [[undirected]]). */
+  /** Weighted edge relation for the rank-iteration family, built in ONE
+    * pass and ONE materialization: `w = 1/outdeg(src)` via a src-keyed
+    * window (count and the `first`-row flag share the same shuffle) over
+    * the caller's edge plan. The previous shape checkpointed the raw
+    * edge list, aggregated degrees, JOINED them back and checkpointed
+    * the result — storing the edge-count-sized relation twice and
+    * joining it once; at the sf10 decade that double materialization was
+    * 316 s of q_pagerank's 450 s cold build (PLANS.md round 15) while
+    * the actual rank iterations cost 6–9 s each. The `first` flag makes
+    * the node set (= distinct srcs) a checkpoint SCAN rather than
+    * another aggregation. */
+  private def weightedEdges(edges: DataFrame): DataFrame = {
+    val ws = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val wr = ws.orderBy(col("dst"))
+    edges.toDF("src", "dst")
+      .withColumn("w", lit(1.0) / count(lit(1)).over(ws))
+      .withColumn("first", row_number().over(wr) === 1)
+      .localCheckpoint()
+  }
+
   def personalizedPageRank(
       edges: DataFrame,
       seeds: DataFrame,
@@ -689,12 +709,8 @@ object Graph {
       damping: Double = 0.85,
       checkpointEvery: Int = 4): DataFrame = {
     require(iters >= 1, "need at least one iteration")
-    val e = edges.toDF("src", "dst").localCheckpoint()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ew = e.join(deg, "src")
-      .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
-      .localCheckpoint()
-    val nodes = deg.select(col("src").as("nid"))
+    val ew = weightedEdges(edges)
+    val nodes = ew.filter(col("first")).select(col("src").as("nid"))
     // seeds outside the graph carry no mass and don't dilute the rest
     val sd = seeds.toDF("id").distinct()
       .join(nodes, col("id") === col("nid"), "left_semi")
@@ -913,26 +929,20 @@ object Graph {
     *
     * Returns (id, pr). Each iteration is: edges ⋈ ranks on src (shuffle
     * keyed on src, uniform), re-agg by dst — no broadcast of anything
-    * node-count-sized, so the same plan runs at 10⁹ nodes. Degrees are
-    * computed once and reused; ranks are checkpointed per round. */
+    * node-count-sized, so the same plan runs at 10⁹ nodes. The weighted
+    * edge relation is built in one window pass and materialized ONCE
+    * ([[weightedEdges]]); ranks are checkpointed every
+    * `checkpointEvery` rounds. */
   def pageRank(
       edges: DataFrame,
       iters: Int,
       damping: Double = 0.85,
       checkpointEvery: Int = 4): DataFrame = {
     require(iters >= 1, "need at least one iteration")
-    // materialize the edge list once: it feeds the degree agg, the
-    // weighted-edge join AND the node count — without the checkpoint a
-    // union+distinct upstream would run three times
-    val e = edges.toDF("src", "dst").localCheckpoint()
-    // weighted edge list: w = 1/outdeg(src), computed ONCE and reused by
-    // every iteration (the per-round join then carries a single relation)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ew = e.join(deg, "src")
-      .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
-      .localCheckpoint()
-    val n = deg.count() // every node has an out-edge → deg carries all nodes
-    val nodes = deg.select(col("src").as("nid")).localCheckpoint()
+    val ew = weightedEdges(edges)
+    val nodes = ew.filter(col("first")).select(col("src").as("nid"))
+      .localCheckpoint(true) // node-count-sized; read twice per round
+    val n = nodes.count() // every node has an out-edge → src carries all nodes
     var ranks = nodes.select(col("nid").as("id"), lit(1.0 / n).as("pr"))
     for (i <- 1 to iters) {
       // left join back onto the node set: a node with no IN-edges still
