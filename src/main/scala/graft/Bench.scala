@@ -146,8 +146,12 @@ object Bench {
     // runs ARE the settlement instrument already).
     def bracketDisagree(name: String): Boolean = {
       val idx = battIdx.getOrElse(name, 0)
+      // the index-0 sentinel carries JVM warm-in (sentSummary's drop(1)
+      // convention); including it reads a spurious ~1.5× spread over the
+      // first segment on a clean battery and triggers needless heal
+      // re-runs — entries 0-24 keep the 4×-anchor heal trigger
       val local = sentinel.collect { case (i, _, sec)
-        if i >= (idx / 25) * 25 && i <= (idx / 25) * 25 + 25 => sec }
+        if i > 0 && i >= (idx / 25) * 25 && i <= (idx / 25) * 25 + 25 => sec }
       local.size >= 2 && local.max / math.max(local.min, 1e-9) > 2.0
     }
     val healed: Map[String, (Double, Double)] =
@@ -165,7 +169,12 @@ object Bench {
             try {
               timeOnce(fn) // warmup, same method as the battery
               val ts = (1 to reps).map(_ => timeOnce(fn)).sorted
-              Some(n -> (battery, ts(ts.size / 2)))
+              // min(battery, rerun): both medians measure the same code,
+              // so the smaller is the less-contaminated window (the
+              // sentinel/settlement convention) — a re-run landing in its
+              // OWN contaminated window must not replace a faster battery
+              // number and false-flag the gate with drift erased to 1.0
+              Some(n -> (battery, math.min(battery, ts(ts.size / 2))))
             } catch { case _: Throwable => None } // keep the battery number
           }
         }.toMap

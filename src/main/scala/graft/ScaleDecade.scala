@@ -151,6 +151,51 @@ object ScaleDecade {
         require(unknown.isEmpty, s"unknown decade entries: ${unknown.mkString(", ")}")
         work.filter(kv => args.contains(kv._1))
       }
+
+    // Refresh mode (named args): carry every other entry from the
+    // existing artifact unchanged, replace the named rows, recompute the
+    // summary — the focused-settlement instrument for a battery row that
+    // a contaminated host window inflated (same policy as Bench's
+    // focused runs; refreshed rows are marked in the artifact). Parsed
+    // BEFORE any measurement and FATAL on a missing/corrupt artifact: a
+    // swallowed parse failure here would silently shrink the artifact to
+    // only the named rows — dropping every other entry and recomputing
+    // gate_fail (and the exit code) over the shrunken set.
+    val carried: Seq[Row] =
+      if (args.isEmpty) Seq.empty
+      else try {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = mapper.readTree(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(outPath)))
+        val qs = root.get("queries")
+        require(qs != null && qs.isObject,
+          s"no 'queries' object in $outPath")
+        val fresh = selected.map(_._1).toSet
+        val it = qs.fieldNames()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        while (it.hasNext) {
+          val n = it.next()
+          if (!fresh(n)) {
+            val q = qs.get(n)
+            buf += Row(n, q.get("sf01").asDouble, q.get("sf1").asDouble,
+              q.get("sf10").asDouble, q.get("slope1").asDouble,
+              q.get("slope2").asDouble,
+              q.has("settled") && q.get("settled").asBoolean,
+              gateOver(n, q.get("sf01").asDouble, q.get("sf10").asDouble),
+              refreshed = q.has("refreshed") && q.get("refreshed").asBoolean)
+          }
+        }
+        buf.toSeq
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[decade] refresh mode cannot load existing " +
+            s"artifact $outPath (${e.getClass.getSimpleName}: ${e.getMessage}); " +
+            "refusing to overwrite it with only the named rows — run " +
+            "without args for a full battery, or fix/remove the artifact")
+          spark.stop()
+          sys.exit(2)
+      }
+
     val rows = selected.flatMap { case (name, fn) =>
       try {
         System.gc()
@@ -177,35 +222,6 @@ object ScaleDecade {
       }
     }
 
-    // Refresh mode (named args): carry every other entry from the
-    // existing artifact unchanged, replace the named rows, recompute the
-    // summary — the focused-settlement instrument for a battery row that
-    // a contaminated host window inflated (same policy as Bench's
-    // focused runs; refreshed rows are marked in the artifact).
-    val carried: Seq[Row] =
-      if (args.isEmpty) Seq.empty
-      else try {
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val root = mapper.readTree(
-          java.nio.file.Files.readString(java.nio.file.Paths.get(outPath)))
-        val qs = root.get("queries")
-        val fresh = rows.map(_.name).toSet
-        val it = qs.fieldNames()
-        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-        while (it.hasNext) {
-          val n = it.next()
-          if (!fresh(n)) {
-            val q = qs.get(n)
-            buf += Row(n, q.get("sf01").asDouble, q.get("sf1").asDouble,
-              q.get("sf10").asDouble, q.get("slope1").asDouble,
-              q.get("slope2").asDouble,
-              q.has("settled") && q.get("settled").asBoolean,
-              gateOver(n, q.get("sf01").asDouble, q.get("sf10").asDouble),
-              refreshed = q.has("refreshed") && q.get("refreshed").asBoolean)
-          }
-        }
-        buf.toSeq
-      } catch { case _: Throwable => Seq.empty }
     val allRows = carried ++ rows
 
     def fmt(v: Double) =

@@ -59,9 +59,17 @@ object Jpeg {
     * partition inside `mapPartitions`, call per row, close in the
     * partition epilogue — the decode-side sibling of [[Encoder]]. */
   final class Decoder private[Jpeg] () {
-    private val reader = ImageIO.getImageReadersByFormatName("jpeg").next()
+    // null when no JPEG ImageReader SPI is registered (headless JREs
+    // stripped of imageio plugins): decode() then yields None per image —
+    // the one-shot decode() contract — instead of a NoSuchElementException
+    // failing the whole task at decoder construction
+    private val reader = {
+      val it = ImageIO.getImageReadersByFormatName("jpeg")
+      if (it.hasNext) it.next() else null
+    }
 
     def decode(bytes: Array[Byte]): Option[Png.Image] = {
+      if (reader == null) return None
       if (bytes == null || bytes.length < 4 ||
         (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
       // explicit memory-backed stream: ImageIO.createImageInputStream
@@ -98,7 +106,7 @@ object Jpeg {
       }
     }
 
-    def close(): Unit = reader.dispose()
+    def close(): Unit = if (reader != null) reader.dispose()
   }
 
   def decoder(): Decoder = new Decoder()

@@ -157,9 +157,9 @@ object Multimodal {
         // one reader per partition, not per image: the ImageIO service
         // lookup + reader work buffers dominate small-image decode cost
         val dec = Jpeg.decoder()
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
-        rows.map { case (id, bytes) =>
+        val tc = Option(org.apache.spark.TaskContext.get())
+        tc.foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
+        val mapped = rows.map { case (id, bytes) =>
           dec.decode(bytes) match {
             case Some(img) =>
               var sum = 0L; var ch0 = 0L
@@ -177,6 +177,11 @@ object Multimodal {
             case None => JpegStats(id, -1L, -1L, -1L, -1L, -1L, -1L, -1L)
           }
         }
+        // no TaskContext (driver-local iteration, e.g. toLocalIterator in
+        // a test): close the per-partition reader when the iterator
+        // exhausts — `++` is by-name, so the epilogue runs exactly once
+        if (tc.isDefined) mapped
+        else mapped ++ { dec.close(); Iterator.empty[JpegStats] }
       }
   }
 

@@ -50,7 +50,6 @@ SKIP_FILES = re.compile(r"^LEAKCHECK.*\.json$")
 
 hits = {k: [] for k in CATEGORIES}
 hits["internal-import"] = []
-hits["internal-pkg2"] = []
 n_files = 0
 for root, dirs, files in os.walk(repo):
     dirs[:] = [d for d in dirs if d not in SKIP_DIRS]
