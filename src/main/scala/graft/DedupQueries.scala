@@ -393,6 +393,67 @@ object DedupQueries {
             FROM cand
             WHERE bit_count(xor(fa, fb)) <= 16"""))
 
+  /** SimHash at PRODUCTION fingerprint width (round 16) — the
+    * oracle-checked scale-path sibling of [[qDedupSimhash]], the
+    * q_srp_lsh_scaled / IVF-nlist pattern applied to fingerprint sizing.
+    * SCALE_DECADE_r15 measured the 60-bit/15-bit-chunk registry form
+    * quadratic-in-corpus at the second decade (slope2 13.5×: chunk
+    * bucket space pinned at 2^15 while occupants grow ∝ n); production
+    * sizing widens the fingerprint to 120 bits (two md5 lanes, one
+    * digest per token) so the blocker runs 6×20-bit chunks — 32× the
+    * bucket space, same pigeonhole guarantee. maxHamming 32/120 keeps
+    * the registry form's 16/60 fraction. A user switching widths changes
+    * one call ([[graft.dedup.Dedup.simhashPairsWide]]), not the
+    * operator; the oracle replays both lanes digit for digit. */
+  val qDedupSimhashScaled = Q(
+    "q_dedup_simhash_scaled",
+    (s, dir) => {
+      val subset = Tables(s, dir).documents.filter(col("doc_id") % 2 === 0)
+      Dedup.simhashPairsWide(subset, "doc_id", "text", maxHamming = 32,
+        chunks = 6)
+    },
+    Some("""WITH docs AS MATERIALIZED (
+              SELECT doc_id AS id,
+                list_distinct(list_filter(
+                  string_split_regex(trim(text), '\s+'),
+                  t -> len(t) > 0)) AS toks
+              FROM documents WHERE doc_id % 2 = 0),
+            th AS MATERIALIZED (
+              SELECT id,
+                ('0x' || substring(md5(t), 1, 15))::BIGINT AS h0,
+                ('0x' || substring(md5(t), 17, 15))::BIGINT AS h1
+              FROM (SELECT id, unnest(toks) AS t FROM docs)),
+            votes AS MATERIALIZED (
+              SELECT id, b.b,
+                sum(CASE WHEN (CASE WHEN b.b < 60 THEN h0 >> CAST(b.b AS INTEGER)
+                               ELSE h1 >> CAST(b.b - 60 AS INTEGER) END) & 1 = 1
+                    THEN 1 ELSE -1 END) AS v
+              FROM th, (SELECT unnest(range(0, 120)) AS b) b
+              GROUP BY 1, 2),
+            fp AS MATERIALIZED (
+              SELECT id,
+                sum(CASE WHEN v > 0 AND b < 60
+                    THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS fp0,
+                sum(CASE WHEN v > 0 AND b >= 60
+                    THEN (1::BIGINT << CAST(b - 60 AS INTEGER)) ELSE 0 END) AS fp1
+              FROM votes GROUP BY id),
+            chunked AS MATERIALIZED (
+              SELECT id, fp0, fp1, c.c,
+                (CASE WHEN c.c < 3 THEN fp0 >> CAST(c.c * 20 AS INTEGER)
+                      ELSE fp1 >> CAST((c.c - 3) * 20 AS INTEGER) END)
+                  & 1048575 AS cv
+              FROM fp, (SELECT unnest(range(0, 6)) AS c) c),
+            cand AS MATERIALIZED (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                a.fp0 AS fa0, a.fp1 AS fa1, b.fp0 AS fb0, b.fp1 AS fb1
+              FROM chunked a JOIN chunked b
+                ON a.c = b.c AND a.cv = b.cv AND a.id < b.id)
+            SELECT id_a, id_b,
+              CAST(bit_count(xor(fa0, fb0)) + bit_count(xor(fa1, fb1))
+                AS INTEGER) AS hamming
+            FROM cand
+            WHERE bit_count(xor(fa0, fb0)) + bit_count(xor(fa1, fb1)) <= 32"""))
+
   /** Embedding-cosine near-dup pairs, blocked by label (rows-only). */
   val qDedupEmbed = Q(
     "q_dedup_embed",
@@ -2621,7 +2682,8 @@ object DedupQueries {
 
   def all: Seq[Q] = Seq(
     qLshTune, qMrlRecall, qHammingRecall, qSemDecontaminate, qHammingPacked,
-    qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
+    qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash,
+    qDedupSimhashScaled, qDedupEmbed,
     qDedupPipeline, qAnnCosine, qAnnIvf, qDecontaminate, qLineDedup,
     qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qGnnSage, qHardNegatives, qMmr, qSemDedup, qDupNgrams, qIncrementalDedup,
     qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qSrpLshScaled, qEditDistance,

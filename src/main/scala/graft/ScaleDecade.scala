@@ -56,15 +56,28 @@ object ScaleDecade {
     * PLANS.md IVF sizing section. */
   val designedN15: Set[String] = Set("ivf_knn_join_auto", "semdedup_auto")
 
-  /** Designed-linear headliners across the engine's families. */
+  /** Designed-linear headliners across the engine's families. Round 16
+    * adds (a) the graph tier — the most expensive battery rows had no
+    * sf10 evidence (one 10× point cannot type a curve, this file's own
+    * thesis; the pageRank precedent says the decade finds real defects);
+    * (b) the production-sizing dedup siblings, measured at the decade
+    * they were built for. Registered q_semdedup is deliberately ABSENT:
+    * its oracle pins nlist = 16, making the within-cluster pair join
+    * O(n²/16) BY DESIGN (~125 G pairs at sf10's 2 M vectors) — its
+    * decade row is the auto-sized `semdedup_auto` below; see the
+    * PLANS.md decision row. */
   val headliners: Seq[String] = Seq(
     "q1_agg", "q3_topk", "q5_revenue",                       // scan/agg/join
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",   // dedup
-    "q_line_dedup", "q_winnow_pairs", "q_boilerplate",
-    "q_cdc_chunks",
+    "q_dedup_simhash_scaled",
+    "q_line_dedup", "q_winnow_pairs", "q_winnow_pairs_scaled",
+    "q_boilerplate",
+    "q_cdc_chunks", "q_srp_lsh_scaled", "q_dup_ngrams",
     "q_perplexity", "q_token_count", "q_gopher_rules",       // text curation
     "q_bm25",
     "q_connected_components", "q_pagerank",                  // graph fixpoints
+    "q_scc", "q_ktruss", "q_bowtie", "q_louvain", "q_harmonic", // graph tier
+    "q_gnn_sage_nnd",                                        // ANN composition
     "q_sessionize", "q_hll", "q_stratified_sample")          // window/sketch/sample
 
   /** The IVF production-sizing shapes (nlist = 0 → auto ⌈√n⌉). */

@@ -1642,6 +1642,51 @@ SELECT * FROM ($union)"""
             FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 3"""))
 
+  /** Winnowing near-dup pairs at the PRODUCTION stop-gram cap (round 16)
+    * — the auto-sized sibling of [[qWinnowPairs]], the IVF `nlist = 0`
+    * pattern applied to the boilerplate cap: `maxDocFreq = 0` derives
+    * cap = max(16, ⌈4 × mean fingerprint doc-frequency⌉) from the corpus
+    * itself ([[graft.ops.Winnow.autoDocFreqCap]] — mean df is
+    * corpus-size-stable, so the cap converges while template buckets
+    * that grow ∝ corpus always fall above it). The derivation is exact
+    * integer arithmetic, so the oracle recomputes the identical cap from
+    * the identical relation. */
+  val qWinnowPairsScaled = Q(
+    "q_winnow_pairs_scaled",
+    (s, dir) => {
+      val fps = graft.ops.Winnow.fingerprints(
+        Tables(s, dir).documents, "doc_id", "text", k = 8, w = 16)
+      graft.ops.Winnow.nearDuplicates(fps, "doc_id", minShared = 3L,
+        maxDocFreq = 0L)
+    },
+    Some("""WITH d AS (
+              SELECT doc_id,
+                regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+              FROM documents),
+            g AS (
+              SELECT doc_id, unnest(generate_series(1, length(s) - 7)) AS p,
+                     s, length(s) - 7 AS n
+              FROM d WHERE length(s) >= 23),
+            h AS (SELECT doc_id, p, n, md5(substr(s, p, 8)) AS hh FROM g),
+            wmin AS (
+              SELECT doc_id, p, n,
+                     min(hh) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+              FROM h),
+            fps0 AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE p <= n - 15),
+            cap AS (
+              SELECT greatest(16, (4 * count(*) + count(DISTINCT fp) - 1)
+                       // count(DISTINCT fp)) AS c
+              FROM fps0),
+            kept AS (
+              SELECT fp FROM fps0 GROUP BY fp
+              HAVING count(*) <= (SELECT c FROM cap)),
+            fps AS (SELECT doc_id, f.fp FROM fps0 f JOIN kept USING (fp))
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 3"""))
+
   /** Hash-ring negative sampling (see [[graft.ops.Sampling.ringNegatives]]):
     * k=2 deterministic negatives per document from the bucketed md5 ring —
     * contrastive-training pair assembly whose draw is a pure function of
@@ -2220,6 +2265,7 @@ SELECT * FROM ($union)"""
     qGopherRules, qChunk, qTemperatureMix, qDsirWeights, qGreedyPieces,
     qPerplexity, qCcnetBuckets, qC4Filter, qEpochMix, qTfidf, qPmi, qKneserNey, qNfcNormalize, qStripMarkup, qRankNormalize, qBlocklist, qBpeTrain,
     qWeightedSample, qEntropy, qRrfFusion, qSuffixArray, qLongestRepeat,
-    qGlobalSuffix, qCrossRepeat, qWinnow, qWinnowPairs, qRingNegatives,
+    qGlobalSuffix, qCrossRepeat, qWinnow, qWinnowPairs, qWinnowPairsScaled,
+    qRingNegatives,
     qLeakageSplit, qChi2Terms, qFeatureHash, qRake, qScriptDetect, qLuhnScan, qReadability, qJsDrift, qNgramNovelty, qBurstiness, qZipfFit)
 }

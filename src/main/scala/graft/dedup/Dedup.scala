@@ -251,6 +251,74 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash near-dup candidates at PRODUCTION fingerprint width — the
+    * scale-path sibling of [[simhashPairs]] (the q_srp_lsh_scaled /
+    * IVF-nlist pattern applied to fingerprint sizing): a 120-BIT portable
+    * fingerprint (two 60-bit md5 lanes, ONE digest per token —
+    * [[graft.plans.PortableSimHash120]]) blocked on `chunks` equal
+    * bit-chunks laid across both lanes, hamming over all 120 bits.
+    *
+    * Why width is THE scale lever: the candidate census is Σ over chunk
+    * buckets of C(n,2) — quadratic in corpus at fixed chunk width, since
+    * bucket space is pinned at 2^width while occupants grow ∝ n.
+    * [[simhashPairs]]' 60-bit portable lane caps chunks at 15 bits
+    * (measured: SCALE_DECADE_r15 slope2 13.5× at the second decade,
+    * ~1.3 G candidate pairs projected at the third). At 120 bits the
+    * default 6 chunks are 20 bits wide: 2^20 bucket space = 32× the
+    * 15-bit form, so random-pair collisions per chunk drop 32× and the
+    * quadratic knee moves 32× further out in corpus size — while the
+    * pigeonhole guarantee (hamming < chunks ⇒ some chunk equal) holds
+    * verbatim. maxHamming defaults to 32/120 bits = the registry form's
+    * 16/60 fraction.
+    *
+    * Same shuffle shape as [[simhashPairs]]: `chunks` rows per doc into
+    * one equi-join, hamming filtered BEFORE the pair distinct. `chunks`
+    * must be even (each 60-bit lane carries chunks/2 whole chunks) and
+    * divide 120. Every stage — digest, vote, chunk slice, hamming — is
+    * md5-portable, so the operator carries a full DuckDB oracle
+    * (q_dedup_simhash_scaled). */
+  def simhashPairsWide(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 32,
+      chunks: Int = 6): DataFrame = {
+    require(chunks >= 2 && chunks % 2 == 0 && 120 % chunks == 0,
+      s"chunks must be even and divide 120 (each 60-bit lane carries " +
+        s"chunks/2 whole chunks), got $chunks")
+    val perLane = chunks / 2
+    val width = 120 / chunks
+    val mask = (1L << width) - 1
+    val spreadDf = graft.ops.Spread.toSessionParallelism(df, idCol)
+    val fps = spreadDf.select(col(idCol).as("id"),
+        graft.plans.TextNative.portableSimhash120(col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull)
+      .select(col("id"), element_at(col("fp"), 1).as("fp0"),
+        element_at(col("fp"), 2).as("fp1"))
+    // chunk c < perLane slices lane 0, c >= perLane lane 1 — same
+    // (chunk, chunk_val) struct key as the 60-bit blocker
+    val chunkArr = array(
+      ((0 until perLane).map { i =>
+        struct(lit(i).as("chunk"),
+          shiftright(col("fp0"), i * width).bitwiseAND(lit(mask)).as("chunk_val"))
+      } ++ (0 until perLane).map { i =>
+        struct(lit(perLane + i).as("chunk"),
+          shiftright(col("fp1"), i * width).bitwiseAND(lit(mask)).as("chunk_val"))
+      }): _*)
+    val chunked = fps.select(col("id"), col("fp0"), col("fp1"),
+      explode(chunkArr).as("c"))
+    val a = chunked.as("a"); val b = chunked.as("b")
+    // hamming-filter-before-distinct, the simhashPairs convention: the
+    // filter is scan-stage on joined rows; distinct-first would shuffle
+    // the full candidate set
+    a.join(b, col("a.c") === col("b.c") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (hamming64(col("a.fp0"), col("b.fp0")) +
+          hamming64(col("a.fp1"), col("b.fp1"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Prefix-filtering token-set similarity self-join (Chaudhuri et al.
     * ICDE 2006; Bayardo et al. WWW 2007 "All-Pairs"): EXACT Jaccard ≥ t
     * pairs without the full inverted-index fanout. Tokens are globally

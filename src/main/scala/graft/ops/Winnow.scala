@@ -110,13 +110,16 @@ object Winnow {
     // stop-gram convention of corpus dedup pipelines; genuine near-dup
     // pairs still co-share their rarer fingerprints. The df relation is
     // fp-keyed like the self-join itself, so the filter rides the same
-    // exchange; 0 disables (exact pair enumeration, quadratic in df).
+    // exchange. 0 = AUTO ([[autoDocFreqCap]], the IVF nlist = 0
+    // precedent); negative disables (exact pair enumeration, quadratic
+    // in the hottest bucket — test/audit use only).
+    val cap = if (maxDocFreq == 0L) autoDocFreqCap(all) else maxDocFreq
     val fps =
-      if (maxDocFreq <= 0) all
+      if (cap <= 0) all
       else {
         val kept = all.groupBy(col("fp"))
           .agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDocFreq)
+          .filter(col("__df") <= cap)
           .select(col("fp"))
         all.join(kept, "fp")
       }
@@ -127,5 +130,36 @@ object Winnow {
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** AUTO stop-gram cap — `maxDocFreq = 0`'s derivation (the IVF
+    * `nlist = 0` precedent, sim/Ann.scala): cap = max(16, ⌈4 × mean
+    * fingerprint doc-frequency⌉), in EXACT integer arithmetic so any
+    * oracle engine reproduces the same cap from the same relation
+    * (`(4·total + distinct − 1) div distinct` — no float division at the
+    * ceil boundary).
+    *
+    * Why the MEAN is the right normalizer at 100 TB: a fingerprint's
+    * doc-frequency measures its cluster — genuine near-dup clusters sit
+    * near the corpus mean df (mean = total fp rows / distinct fps, which
+    * is corpus-size-STABLE once content diversity grows with the corpus;
+    * measured 11.25 at sf0.1 vs 11.30 at sf1 on the decade corpus), while
+    * TEMPLATE text grows its bucket ∝ corpus (measured: max df 316 →
+    * 3,834 over the same decade, ~700 M pairs from the hottest bucket
+    * alone at the next). Cutting at a fixed MULTIPLE of the mean therefore
+    * converges to a corpus-independent cap: the pair census stays
+    * Σ C(df,2) ≤ (cap/2)·Σdf ∝ total fingerprint rows (linear), and the
+    * per-task skew unit is C(cap,2) pairs regardless of how hot the worst
+    * template bucket gets. The 16 floor protects tiny corpora where mean
+    * df ≈ 1–3 and a 4× cut would drop genuine small clusters. One
+    * driver-side 2-long scalar per call (count + count-distinct on the
+    * already-checkpointed fps), the same cost class as nlist = 0's
+    * corpus count. */
+  def autoDocFreqCap(fps: DataFrame): Long = {
+    val r = fps.agg(count(lit(1)).as("t"),
+      countDistinct(col("fp")).as("d")).head()
+    val total = r.getLong(0)
+    val distinct = math.max(r.getLong(1), 1L)
+    math.max(16L, (4L * total + distinct - 1L) / distinct)
   }
 }

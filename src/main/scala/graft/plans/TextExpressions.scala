@@ -430,6 +430,18 @@ private[plans] object PortableMd5 {
   def h2(d: Array[Byte]): Long =
     ((d(7) & 0xfL) << 28) | ((d(8) & 0xffL) << 20) |
       ((d(9) & 0xffL) << 12) | ((d(10) & 0xffL) << 4) | ((d(11) >> 4) & 0xfL)
+
+  /** Back-half 60-bit lane: hex chars 17..31 of the digest as a long —
+    * the SECOND independent lane [[PortableSimHash120]] widens the
+    * fingerprint with (`('0x' || substring(md5(t), 17, 15))::BIGINT` in
+    * the oracle). Bytes 8..14 plus the high nibble of byte 15, the exact
+    * mirror of [[h1]] over the digest's back half. */
+  def h3(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 8
+    while (i < 15) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(15) >> 4) & 0xfL)
+  }
 }
 
 /** Portable MinHash signature: per shingle ONE md5 split into (h1, h2),
@@ -507,6 +519,64 @@ case class PortableSimHash60(child: Expression)
         bit += 1
       }
       fp
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Portable SimHash at PRODUCTION width: a 120-bit fingerprint as TWO
+  * 60-bit md5 lanes — lane 0 votes on the digest's front 60 bits
+  * ([[PortableMd5.h1]], the [[PortableSimHash60]] lane unchanged), lane 1
+  * on its back 60 ([[PortableMd5.h3]], hex chars 17..31) — one digest per
+  * distinct token feeding both lanes, so widening costs no extra md5
+  * passes. Returns `array(fp0, fp1)`; NULL for token-less input (the
+  * 60-bit contract). Why a second lane instead of more chunks at 60 bits:
+  * the candidate census is Σ over chunk buckets of C(n,2), quadratic in
+  * corpus at FIXED chunk width (measured: SCALE_DECADE_r15 slope2 13.5×
+  * for the 60-bit/15-bit-chunk registry form) — 120 bits lets the blocker
+  * run 20-bit chunks (2^20 bucket space, 32× the 15-bit form) while
+  * KEEPING the pigeonhole guarantee at 6 chunks. */
+case class PortableSimHash120(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "portable_simhash120"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](120)
+    var i = 0
+    var any = false
+    while (i < toks.length) {
+      if (toks(i).nonEmpty && seen.add(toks(i))) {
+        any = true
+        val d = PortableMd5.digest(UTF8String.fromString(toks(i)))
+        val hA = PortableMd5.h1(d)
+        val hB = PortableMd5.h3(d)
+        var bit = 0
+        while (bit < 60) {
+          if (((hA >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          if (((hB >>> bit) & 1L) == 1L) votes(60 + bit) += 1
+          else votes(60 + bit) -= 1
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) null
+    else {
+      var fp0 = 0L
+      var fp1 = 0L
+      var bit = 0
+      while (bit < 60) {
+        if (votes(bit) > 0) fp0 |= (1L << bit)
+        if (votes(60 + bit) > 0) fp1 |= (1L << bit)
+        bit += 1
+      }
+      new GenericArrayData(Array[Any](fp0, fp1))
     }
   }
 
@@ -687,6 +757,8 @@ object TextNative {
     c(PortableMinHashSig(e(shingleArr), k))
   def portableSimhash60(text: Column): Column =
     c(PortableSimHash60(e(text)))
+  def portableSimhash120(text: Column): Column =
+    c(PortableSimHash120(e(text)))
   def markerBest(text: Column, markers: Seq[(String, Seq[String])]): Column =
     c(MarkerBest(e(text), markers))
   def markerHits(text: Column, words: Seq[String]): Column =

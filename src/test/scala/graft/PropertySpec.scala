@@ -126,7 +126,9 @@ class PropertySpec extends SparkSpec {
       .map { case (t, i) => (i.toLong, (t + " ") * 3) } // repetition → shared fps
       .toDF("id", "text")
     val fps = Winnow.fingerprints(docs, "id", "text", k = 4, w = 4)
-    val uncapped = Winnow.nearDuplicates(fps, "id", minShared = 1L)
+    // -1 = exact uncapped enumeration (0 is the AUTO stop-gram cap)
+    val uncapped = Winnow.nearDuplicates(fps, "id", minShared = 1L,
+        maxDocFreq = -1L)
       .select(col("a"), col("b"), col("n_shared")).as[(Long, Long, Long)]
       .collect().toMap2
     val capped = Winnow.nearDuplicates(fps, "id", minShared = 1L, maxDocFreq = 3L)

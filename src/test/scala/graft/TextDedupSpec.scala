@@ -205,6 +205,50 @@ class TextDedupSpec extends SparkSpec {
       sh((1L, 2L)) < sh.getOrElse((2L, 3L), 61))
   }
 
+  test("120-bit wide simhash: lane 0 is the 60-bit vote, lane 1 the back-half lane, pairs match the registry near-dup") {
+    val base = "the quick brown fox jumps over the lazy dog again and again every single day"
+    val df = Seq(
+      (2L, base),
+      (4L, base + " tonight"), // near-dup
+      (6L, "entirely different content with no overlap whatsoever in any shingle at all ok"))
+      .toDF("doc_id", "text")
+    // lane 0 of the wide fingerprint IS the 60-bit portable fingerprint
+    // (same digests, same vote); lane 1 equals the composable
+    // conv(substring(md5, 17, 15)) vote — the hex-chars convention the
+    // oracle uses
+    val wide = df.select(col("doc_id"),
+        graft.plans.TextNative.portableSimhash120(col("text")).as("fp"))
+      .select(col("doc_id"), element_at(col("fp"), 1).as("fp0"),
+        element_at(col("fp"), 2).as("fp1"))
+    val lane0 = df.select(col("doc_id"),
+      graft.plans.TextNative.portableSimhash60(col("text")).as("fp0"))
+    assert(wide.select("doc_id", "fp0").except(lane0).count() == 0L)
+    val lane1 = df.select(col("doc_id"),
+        transform(array_distinct(filter(split(trim(col("text")), "\\s+"),
+            t => length(t) > 0)),
+          t => conv(substring(md5(t), 17, 15), 16, 10).cast("long")).as("th"))
+      .select(col("doc_id"), simhashFromHashes(col("th")).as("fp1"))
+    assert(wide.select("doc_id", "fp1").except(lane1).count() == 0L)
+    // both lanes fit in 60 bits
+    assert(wide.filter(col("fp0") < 0 || col("fp1") < 0 ||
+      shiftright(col("fp0"), 60) =!= 0 || shiftright(col("fp1"), 60) =!= 0)
+      .count() == 0L)
+    // the near-dup pair is hamming-closer over 120 bits than either doc
+    // is to the unrelated one
+    val sh = Dedup.simhashPairsWide(df, "doc_id", "text",
+        maxHamming = 120, chunks = 6)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(sh((2L, 4L)) < sh.getOrElse((2L, 6L), 121) &&
+      sh((2L, 4L)) < sh.getOrElse((4L, 6L), 121))
+    // token-less docs emit nothing (NULL fingerprint, both lanes)
+    val empty = Seq((1L, ""), (2L, "  ")).toDF("doc_id", "text")
+    assert(Dedup.simhashPairsWide(empty, "doc_id", "text").count() == 0L)
+    // invalid chunk layouts are rejected loudly
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairsWide(df, "doc_id", "text", chunks = 5)
+    }
+  }
+
   test("native portable md5 hashes equal the conv(substring(md5,…)) convention") {
     // the fused expressions slice digest BYTES; the gate convention is hex
     // chars — h1 = chars 1..15, h2 = chars 16..23. Pin them equal on texts

@@ -82,9 +82,32 @@ class WinnowSpec extends SparkSpec {
 
   test("nearDuplicates: fingerprint equi-join surfaces the overlapping pair, a<b") {
     val fps = Winnow.fingerprints(docs, "doc_id", "text", k = 5, w = 4)
-    val pairs = Winnow.nearDuplicates(fps, "doc_id", minShared = 1L)
+    // -1 = exact uncapped enumeration (0 is the AUTO stop-gram cap)
+    val pairs = Winnow.nearDuplicates(fps, "doc_id", minShared = 1L,
+        maxDocFreq = -1L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 4L)))
     assert(pairs.head._3 >= 1L)
+  }
+
+  test("autoDocFreqCap: max(16, ceil(4·mean df)) in exact integer arithmetic; 0 routes through it") {
+    // 7 rows over 3 distinct fps → mean df = 7/3; 4·mean = 28/3 → ⌈·⌉ = 10
+    // → floor lifts to 16
+    val fps = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "x"),
+      (1L, "y"), (2L, "y"), (1L, "z")).toDF("id", "fp")
+    assert(Winnow.autoDocFreqCap(fps) == 16L)
+    // above the floor: 300 rows / 6 distinct → mean 50, cap = 200
+    val hot = (1 to 300).map(i => (i.toLong, s"f${i % 6}")).toDF("id", "fp")
+    assert(Winnow.autoDocFreqCap(hot) == 200L)
+    // ceil boundary is integer-exact: 7 rows / 4 distinct → (28+3)/4 = 7
+    // integer-div → 7 → floor lifts to 16; and 130/2 → 4·65 = 260
+    val even = (1 to 130).map(i => (i.toLong, s"g${i % 2}")).toDF("id", "fp")
+    assert(Winnow.autoDocFreqCap(even) == 260L)
+    // maxDocFreq = 0 routes through the auto cap: on this corpus every fp
+    // has df ≤ 16, so auto-capped pairs = exact pairs
+    val docFps = Winnow.fingerprints(docs, "doc_id", "text", k = 5, w = 4)
+    val auto = Winnow.nearDuplicates(docFps, "doc_id", minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(auto == Seq((1L, 4L)))
   }
 }
