@@ -74,24 +74,58 @@ object IvfSizing {
         emb, "vec_id", "embedding", nlist = nlist, threshold = 0.25).count()
     }
 
+    // assign-stage ceiling (round 16): flat argmin is n·nlist·dims; the
+    // two-stage hierarchical assign (ivfBuildHier) is n·2√nlist·dims.
+    // Timing BOTH builds at this nlist gives the measured crossover the
+    // PLANS.md IVF section's "past-n^1.5 lever" row wants — plus the
+    // agreement fraction, the exactness half of that trade.
+    val tAssignFlat = med3 {
+      Ann.ivfBuild(emb, "vec_id", "embedding", nlist).assigned.count()
+    }
+    val tAssignHier = med3 {
+      Ann.ivfBuildHier(emb, "vec_id", "embedding", nlist).assigned.count()
+    }
+    val tAssignHierW1 = med3 {
+      Ann.ivfBuildHier(emb, "vec_id", "embedding", nlist, wprobe = 1)
+        .assigned.count()
+    }
+    val flatIdx = Ann.ivfBuild(emb, "vec_id", "embedding", nlist)
+    val agree = Ann.ivfBuildHier(emb, "vec_id", "embedding", nlist).assigned
+      .select(col("id"), col("cid").as("hcid"))
+      .join(flatIdx.assigned.select(col("id"), col("cid")), "id")
+      .agg((sum(when(col("hcid") === col("cid"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1))).as("agree"))
+      .head().getDouble(0)
+
     // recall@10 vs exact brute-force on a probe sample (2% of corpus, the
     // q_ann_recall sampling): the quality half of the sizing claim
     val probes = emb.filter(col("vec_id") % 50 === 0)
     val index = Ann.ivfBuild(emb, "vec_id", "embedding", nlist)
     val exact = Ann.knnJoinExact(probes, emb, "vec_id", "embedding", k = 10)
       .select(col("probe_id"), col("id"))
-    val approx = Ann.knnJoinIvf(probes, index, "vec_id", "embedding",
-        nprobe = nprobe, k = 10)
-      .select(col("probe_id").as("p2"), col("id").as("id2"))
-    val rec = exact.join(approx,
-        col("probe_id") === col("p2") && col("id") === col("id2"), "left")
-      .agg((count(col("id2")).cast("double") / count(lit(1))).as("recall"))
-      .head().getDouble(0)
+    def recallOf(idx: Ann.IvfIndex): Double = {
+      val approx = Ann.knnJoinIvf(probes, idx, "vec_id", "embedding",
+          nprobe = nprobe, k = 10)
+        .select(col("probe_id").as("p2"), col("id").as("id2"))
+      exact.join(approx,
+          col("probe_id") === col("p2") && col("id") === col("id2"), "left")
+        .agg((count(col("id2")).cast("double") / count(lit(1))).as("recall"))
+        .head().getDouble(0)
+    }
+    val rec = recallOf(index)
+    // end-to-end quality through the HIER-assigned index: raw cid
+    // agreement understates it (a boundary vector's wrong-but-adjacent
+    // cell is usually still probed at nprobe > 1); w=1 vs the w=2
+    // default prices the multi-probe remedy
+    val recHier = recallOf(
+      Ann.ivfBuildHier(emb, "vec_id", "embedding", nlist))
+    val recHierW1 = recallOf(
+      Ann.ivfBuildHier(emb, "vec_id", "embedding", nlist, wprobe = 1))
 
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     println(
-      s"""{"metric":"ivf_sizing","sf_dir":"$sfDir","n_corpus":$nCorpus,"nlist":$nlist,"nprobe":$nprobe,"hard_negatives_s":${fmt(tHn)},"knn_classify_s":${fmt(tKc)},"semdedup_s":${fmt(tSd)},"recall_at_10":${fmt(rec)}}""")
+      s"""{"metric":"ivf_sizing","sf_dir":"$sfDir","n_corpus":$nCorpus,"nlist":$nlist,"nprobe":$nprobe,"hard_negatives_s":${fmt(tHn)},"knn_classify_s":${fmt(tKc)},"semdedup_s":${fmt(tSd)},"assign_flat_s":${fmt(tAssignFlat)},"assign_hier_s":${fmt(tAssignHier)},"assign_hier_w1_s":${fmt(tAssignHierW1)},"assign_agree":${fmt(agree)},"recall_at_10":${fmt(rec)},"recall_at_10_hier":${fmt(recHier)},"recall_at_10_hier_w1":${fmt(recHierW1)}}""")
     spark.stop()
   }
 }

@@ -154,6 +154,12 @@ object Main {
     * the pid. Returns the running handle (specs drive it; `run` blocks on
     * it like the reference's event loop). */
   def startApp(settings: Settings, spark: SparkSession): RunningApp = {
+    // production state backend, settings-selected (STATE_STORE=rocksdb /
+    // GRAFT_STATE_STORE=rocksdb): must be set BEFORE any channel starts —
+    // the provider conf is read per streaming query at .start(), and the
+    // checkpoint pins the choice afterwards (GraftSession scaladoc)
+    if (settings.stateStore == "rocksdb")
+      graft.GraftSession.useRocksDBStateStore(spark)
     val project = GraftProject.load(settings.projectModule)
     val stores = project.configure(spark, settings)
     // plugin lifecycle mirrors commands.py main(): import/init, ready after

@@ -25,6 +25,15 @@ final case class Settings(
     /** FQCNs of [[Plugin]] classes — the reference's PLUGINS list
       * (default_settings.py:31), comma-separated in properties/env. */
     plugins: Seq[String] = Seq.empty,
+    /** Streaming state-store backend: "default" (Spark's HDFS-backed
+      * heap provider) or "rocksdb" (the production backend —
+      * [[graft.GraftSession.useRocksDBStateStore]]; disk-bounded LSM
+      * state instead of every key on executor heap). A deployed
+      * `graft.Main start` app flips it via `GRAFT_STATE_STORE=rocksdb`
+      * or `STATE_STORE=rocksdb` in the settings file — the reference's
+      * deployed watcher channels (channels.py:1306) pick their
+      * persistence the same settings-level way. */
+    stateStore: String = "default",
     /** unrecognized keys pass through untouched, like extra UPPERCASE
       * attributes on a reference settings module. */
     extra: Map[String, String] = Map.empty) {
@@ -41,6 +50,7 @@ final case class Settings(
       "HTTP_ENDPOINT_PORT" -> httpEndpointPort.toString,
       "RETRY_STORE_PATH" -> retryStorePath.getOrElse("None"),
       "STORE_PATH" -> storePath.getOrElse("None"),
+      "STATE_STORE" -> stateStore,
       "PLUGINS" -> plugins.mkString("[", ", ", "]")) ++ extra
     kv.toSeq.sortBy(_._1).map { case (k, v) => s"$k = $v" }
   }
@@ -51,7 +61,7 @@ object Settings {
   private val known = Set(
     "DEBUG", "TESTING", "PROJECT_MODULE", "REMOTE_ADMIN_HOST",
     "REMOTE_ADMIN_PORT", "HTTP_ENDPOINT_HOST", "HTTP_ENDPOINT_PORT",
-    "RETRY_STORE_PATH", "STORE_PATH", "PLUGINS")
+    "RETRY_STORE_PATH", "STORE_PATH", "STATE_STORE", "PLUGINS")
 
   /** Layered load. `env` is injectable for tests; the real CLI passes
     * sys.env. Missing file → ConfigError, like the reference's
@@ -83,6 +93,12 @@ object Settings {
       httpEndpointPort = get("HTTP_ENDPOINT_PORT").map(_.toInt).getOrElse(d.httpEndpointPort),
       retryStorePath = get("RETRY_STORE_PATH"),
       storePath = get("STORE_PATH"),
+      stateStore = get("STATE_STORE").map(_.trim.toLowerCase) match {
+        case Some(v @ ("default" | "rocksdb")) => v
+        case Some(other) => throw new IllegalArgumentException(
+          s"STATE_STORE must be 'default' or 'rocksdb', got '$other'")
+        case None => d.stateStore
+      },
       plugins = get("PLUGINS").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
       extra = props.stringPropertyNames().asScala.toSeq

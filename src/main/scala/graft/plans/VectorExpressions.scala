@@ -445,6 +445,80 @@ object VectorFunctions {
     c(NearestCentroid(e(vec), cents, cids))
   }
 
+  /** TWO-STAGE nearest-centroid assignment against a GROUPED constant
+    * centroid table — the past-n^1.5 IVF lever (hierarchical coarse
+    * quantization, the IVF-HNSW/IMI family's standard move): stage 1
+    * picks the nearest of the `groups.size` supercentroids (one
+    * [[NearestCentroid]] over the super table), stage 2 `element_at`s
+    * that group's member matrix out of one nested literal and argmins
+    * only its members (a second [[NearestCentroid]] whose centroid input
+    * is per-row — the expression never required a literal). Per-row cost
+    * drops from nlist·dims to (nsuper + maxGroupSize)·dims ≈ 2·√nlist·
+    * dims; with nlist = √n the assign stage falls from n^1.5 to n^1.25.
+    * Composed from existing expressions, so plan size stays constant in
+    * nlist and both stages ride whole-stage codegen (the duplicated
+    * stage-1 subtree is eliminated by ProjectExec subexpression
+    * elimination).
+    *
+    * EXACTNESS TRADE (why the registry keeps flat assign): a vector near
+    * a supercell boundary resolves within the wrong group — the returned
+    * cid is the nearest member of ITS supercell, not always the global
+    * argmin. `wprobe` is the standard remedy (multi-probe coarse stage,
+    * the IMI convention): stage 1 keeps the `wprobe` nearest supercells
+    * ([[NearestCentroids]]) and stage 2 argmins across their UNION,
+    * comparing candidates by exact L2² against a cid→centroid map
+    * literal with the flat tie-break ((dist, cid) struct least = first
+    * strict min in cid order). Measured at sf1/nlist=448/nprobe=4:
+    * wprobe=1 reads recall@10 0.69 vs flat 0.95; wprobe=2 recovers most
+    * of the boundary loss for one extra group scan per row (IvfSizing
+    * artifact, PLANS.md IVF section). */
+  def nearestCentroidHier(
+      vec: Column,
+      groups: Seq[(Seq[Double], Seq[(Long, Seq[Double])])],
+      wprobe: Int = 1): Column = {
+    require(groups.nonEmpty && groups.forall(_._2.nonEmpty),
+      "nearestCentroidHier needs non-empty groups")
+    require(wprobe >= 1, s"wprobe must be >= 1, got $wprobe")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.functions.{element_at, least, struct}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, MapType}
+    val superCents =
+      Literal.create(groups.map(_._1), ArrayType(ArrayType(DoubleType)))
+    val superIdx =
+      Literal.create(groups.indices.map(_.toLong), ArrayType(LongType))
+    val memberMats = c(Literal.create(groups.map(_._2.map(_._2)),
+      ArrayType(ArrayType(ArrayType(DoubleType)))))
+    val memberCids = c(Literal.create(groups.map(_._2.map(_._1)),
+      ArrayType(ArrayType(LongType))))
+    def cidInGroup(gIdx: Column): Column =
+      c(NearestCentroid(e(vec),
+        e(element_at(memberMats, gIdx)),
+        e(element_at(memberCids, gIdx))))
+    val w = math.min(wprobe, groups.size)
+    if (w == 1) {
+      // stage 1 returns the 0-based group index; +1 for element_at's
+      // 1-based contract
+      cidInGroup((c(NearestCentroid(e(vec), superCents, superIdx)) + 1)
+        .cast("int"))
+    } else {
+      // rank-ordered stage-1 probes, then an exact-L2² argmin across the
+      // w per-group winners (cid → centroid map literal; sequential
+      // left-to-right L2 loops both sides, so distances are
+      // bit-identical to the flat scan's)
+      val probes = c(NearestCentroids(e(vec), superCents, superIdx, w))
+      val centMap = c(Literal.create(
+        groups.flatMap(_._2).map { case (cid, cv) => cid -> cv }.toMap,
+        MapType(LongType, ArrayType(DoubleType))))
+      val cands = (0 until w).map { r =>
+        val cid = cidInGroup(
+          (element_at(probes, r + 1) + 1).cast("int"))
+        struct(vecL2Sq(vec, element_at(centMap, cid)).as("d"),
+          cid.as("cid"))
+      }
+      least(cands: _*).getField("cid")
+    }
+  }
+
   /** The nprobe nearest centroids (rank order) against a constant centroid
     * table (cid-sorted). One expression, constant plan size in nlist. */
   def nearestCentroids(

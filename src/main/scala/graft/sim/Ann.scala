@@ -51,7 +51,7 @@ object Ann {
   /** Driver-side L2²: sequential left-to-right sum, the same order the
     * codegen'd L2SquaredDistance loop and DuckDB's list_sum use — keeps
     * centroid selection bit-deterministic across engines. */
-  private[sim] def l2sqLocal(a: Seq[Double], b: Seq[Double]): Double = {
+  private[graft] def l2sqLocal(a: Seq[Double], b: Seq[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
     s
@@ -152,7 +152,99 @@ object Ann {
 
   /** Backwards-compatible form returning just the assignment table. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame =
-    ivfBuild(df, idCol, vecCol, nlist).assigned
+    ivfAssign(df, idCol, vecCol, nlist, hier = false)
+
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
+      hier: Boolean): DataFrame =
+    (if (hier) ivfBuildHier(df, idCol, vecCol, nlist)
+     else ivfBuild(df, idCol, vecCol, nlist)).assigned
+
+  /** Group a trained codebook into `nsuper` supercells — driver-side
+    * Lloyd's over the CENTROIDS themselves (nlist points: trivial on the
+    * driver at any production nlist; 10⁴ centroids × 3 iterations is
+    * microseconds against a multi-minute assign stage). Deterministic:
+    * first-nsuper init in cid order, L2² with first-strict-min
+    * tie-break (the [[assignTo]] convention), empty supercells dropped.
+    * The FINAL membership is recomputed against the returned
+    * supercentroids, so the grouping the assign expression probes is
+    * exactly the grouping that built it. */
+  private[graft] def groupCentroids(
+      centroids: Seq[(Long, Seq[Double])], nsuper: Int, iters: Int = 2)
+      : Seq[(Seq[Double], Seq[(Long, Seq[Double])])] = {
+    val sorted = centroids.sortBy(_._1).toIndexedSeq
+    val ns = math.min(nsuper, sorted.size)
+    var supers: IndexedSeq[Seq[Double]] = sorted.take(ns).map(_._2)
+    def assign(): Array[Int] = sorted.map { case (_, cv) =>
+      var bi = 0; var bd = Double.PositiveInfinity
+      var si = 0
+      while (si < supers.size) {
+        val d = l2sqLocal(cv, supers(si))
+        if (d < bd) { bd = d; bi = si }
+        si += 1
+      }
+      bi
+    }.toArray
+    for (_ <- 1 to iters) {
+      val a = assign()
+      supers = supers.indices.map { si =>
+        val mem = sorted.indices.filter(a(_) == si)
+        if (mem.isEmpty) supers(si)
+        else {
+          val dims = sorted.head._2.length
+          val acc = new Array[Double](dims)
+          mem.foreach { mi =>
+            val cv = sorted(mi)._2
+            var j = 0
+            while (j < dims) { acc(j) += cv(j); j += 1 }
+          }
+          acc.map(_ / mem.size).toIndexedSeq
+        }
+      }
+    }
+    val fin = assign()
+    supers.indices.flatMap { si =>
+      val mem = sorted.indices.filter(fin(_) == si).map(sorted)
+      if (mem.isEmpty) None else Some((supers(si), mem.toSeq))
+    }
+  }
+
+  /** IVF index build with HIERARCHICAL (two-stage) assignment — the
+    * past-n^1.5 lever ([[graft.plans.VectorFunctions.nearestCentroidHier]]
+    * has the cost model and the exactness trade). Same [[IvfIndex]]
+    * contract as [[ivfBuild]] — centroids, probing and the inverted-list
+    * layout are identical; only which BOUNDARY vectors land in which
+    * adjacent cell differs, so downstream probe/pair stages run
+    * unchanged. `nsuper = 0` auto-sizes to ⌈√nlist⌉ (cost-balancing the
+    * two stages, the same law nlist = 0 applies to the corpus). The
+    * registry keeps flat [[ivfBuild]]: its oracle enumerates exact cell
+    * membership; this build is the production path once nlist passes
+    * the measured flat-assign ceiling (PLANS.md IVF sizing section). */
+  def ivfBuildHier(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
+      nsuper: Int = 0, trainIters: Int = 0, wprobe: Int = 2): IvfIndex = {
+    require(nlist >= 0, "nlist must be positive, or 0 for auto ⌈√n⌉ sizing")
+    require(nsuper >= 0, "nsuper must be positive, or 0 for auto ⌈√nlist⌉")
+    require(wprobe >= 1, s"wprobe must be >= 1, got $wprobe")
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val k =
+      if (nlist > 0) nlist
+      else math.max(1, math.ceil(math.sqrt(vecs.count().toDouble)).toInt)
+    val centroids =
+      if (trainIters > 0) kmeansCentroids(df, idCol, vecCol, k, trainIters)
+      else collectCentroids(
+        vecs.orderBy(col("id")).limit(k)
+          .select(col("id").as("cid"),
+            transform(col("v"), _.cast("double")).as("cv")))
+    val ns =
+      if (nsuper > 0) nsuper
+      else math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val groups = groupCentroids(centroids, ns)
+    IvfIndex(
+      vecs.withColumn("cid",
+          graft.plans.VectorFunctions.nearestCentroidHier(col("v"), groups,
+            wprobe))
+        .localCheckpoint(true),
+      centroids)
+  }
 
   /** IVF query: pick the `nprobe` nearest centroids on the driver (no Spark
     * job — the centroid table is driver-resident), then brute-force only the

@@ -218,6 +218,47 @@ class KnnQuantizeSpec extends SparkSpec {
     assert(approx.size == 3 * 4 || approx.size == (approx.groupBy(_._1).values.map(_.size).sum))
   }
 
+  test("ivfBuildHier: two-stage assign is deterministic, cid-valid, and agrees with flat assign off the supercell boundaries") {
+    val df = corpus.toDF("id", "v")
+    val flat = Ann.ivfBuild(df, "id", "v", nlist = 16)
+    val hier = Ann.ivfBuildHier(df, "id", "v", nlist = 16) // nsuper auto = 4
+    // identical codebook (grouping touches assignment, never training)
+    assert(hier.centroids == flat.centroids)
+    val flatA = flat.assigned.select("id", "cid").as[(Long, Long)].collect().toMap
+    val hierA = hier.assigned.select("id", "cid").as[(Long, Long)].collect().toMap
+    assert(hierA.keySet == flatA.keySet)
+    // every assigned cid is a real centroid id
+    val cids = flat.centroids.map(_._1).toSet
+    assert(hierA.values.forall(cids))
+    // deterministic: a rebuild assigns identically
+    val hier2 = Ann.ivfBuildHier(df, "id", "v", nlist = 16)
+      .assigned.select("id", "cid").as[(Long, Long)].collect().toMap
+    assert(hier2 == hierA)
+    // boundary-only divergence: vectors whose global-nearest centroid
+    // sits in the stage-1 supercell MUST match flat exactly — recompute
+    // the reference driver-side from the same grouping
+    val groups = Ann.groupCentroids(flat.centroids, 4)
+    val superOf = groups.zipWithIndex.flatMap { case ((_, mem), gi) =>
+      mem.map(_._1 -> gi) }.toMap
+    val vecs = corpus.toMap
+    var agree = 0
+    corpus.foreach { case (id, v) =>
+      val vd = v.map(_.toDouble)
+      val gBest = flat.centroids.minBy { case (cid, cv) =>
+        (Ann.l2sqLocal(vd, cv), cid) }._1
+      val sBest = groups.zipWithIndex.minBy { case ((sc, _), gi) =>
+        (Ann.l2sqLocal(vd, sc), gi) }._2
+      if (superOf(gBest) == sBest) {
+        assert(hierA(id) == flatA(id),
+          s"id=$id: global-nearest cid $gBest lives in the probed supercell but hier picked ${hierA(id)}")
+        agree += 1
+      }
+    }
+    // the non-boundary case must dominate on this corpus, or the spec
+    // proves nothing
+    assert(agree >= corpus.size / 2, s"only $agree/${corpus.size} off-boundary")
+  }
+
   test("mutualKnn keeps reciprocal pairs only, a<b, hub edge dropped") {
     // k=1: {1,2} are each other's nearest (mutual), {3,4} likewise;
     // 5 points toward cluster {1,2} so NN(5)=1, but NN(1)=2 — the

@@ -64,6 +64,33 @@ class MainSpec extends SparkSpec {
     assert(lines == lines.sorted)
   }
 
+  test("STATE_STORE setting: parsed and validated, shown by printsettings, wired to the session by startApp") {
+    // env override parses; invalid values fail loudly
+    assert(Settings.load(None,
+      env = Map("GRAFT_STATE_STORE" -> "rocksdb")).stateStore == "rocksdb")
+    assert(Settings.load(None, env = Map.empty).stateStore == "default")
+    intercept[IllegalArgumentException] {
+      Settings.load(None, env = Map("GRAFT_STATE_STORE" -> "leveldb"))
+    }
+    // printsettings surfaces the key
+    val lines = Main.run(Seq("printsettings"), freshSettings(), () => spark)
+      .getOrElse(fail("printsettings failed"))
+    assert(lines.contains("STATE_STORE = default"))
+    // startApp with rocksdb sets the provider conf BEFORE channels start
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    val app = Main.startApp(freshSettings().copy(stateStore = "rocksdb"), spark)
+    try assert(spark.conf.get(key) == GraftSession.RocksDBStateProvider)
+    finally {
+      app.stop()
+      GraftSession.restoreStateStore(spark, prev)
+    }
+    // and the default leaves the conf untouched
+    val app2 = Main.startApp(freshSettings(), spark)
+    try assert(spark.conf.getOption(key) == prev)
+    finally app2.stop()
+  }
+
   test("graph / graph --dot: channel topology from the loaded project") {
     val text = Main.run(Seq("graph"), freshSettings(), () => spark).toOption.get
     assert(text.head == "sample:")
