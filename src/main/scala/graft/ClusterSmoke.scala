@@ -49,7 +49,23 @@ object ClusterSmoke {
     // real executor boundaries (mrl runs it per truncation width), the
     // shingle-census + broadcast-grid tuner, and the broadcast
     // benchmark-slice struct-max screen
-    "q_mrl_recall", "q_lsh_tune", "q_sem_decontaminate")
+    "q_mrl_recall", "q_lsh_tune", "q_sem_decontaminate",
+    // round-16 additions: the 120-bit two-lane fused fingerprint and the
+    // auto-cap driver scalar + join, plus the hierarchical-assign
+    // composition (below) whose nested group/map literals ride the task
+    // binary — all three paths new this round, none otherwise crossing a
+    // real executor boundary
+    "q_dedup_simhash_scaled", "q_winnow_pairs_scaled", "ivf_hier_assign")
+
+  /** Non-registry shapes that still need the multi-JVM gate: new
+    * expression compositions no registry query exercises.
+    * `ivf_hier_assign` serializes nearestCentroidHier's nested
+    * array<array<array<double>>> group literal and cid→centroid map
+    * literal into real task binaries (wprobe=2 default). */
+  val extraShapes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("ivf_hier_assign" -> ((s, dir) =>
+      graft.sim.Ann.ivfBuildHier(Tables(s, dir).embeddings,
+        "vec_id", "embedding", nlist = 64).assigned))
 
   /** Run the target set once per master; one untimed warmup + `reps`
     * timed runs per query, min reported. */
@@ -68,8 +84,9 @@ object ClusterSmoke {
     GraftSession.install(spark)
     spark.sparkContext.setLogLevel("WARN")
     val out = names.map { name =>
-      val fn = SparkEntry.queries.getOrElse(name,
-        sys.error(s"unknown query: $name"))
+      val fn = extraShapes.getOrElse(name,
+        SparkEntry.queries.getOrElse(name,
+          sys.error(s"unknown query: $name")))
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()

@@ -54,18 +54,21 @@ object ScaleDecade {
     * hierarchical coarse quantizer (ANN-assign against the codebook),
     * which trades exactness of the cell boundary; out of scope per the
     * PLANS.md IVF sizing section. */
-  val designedN15: Set[String] = Set("ivf_knn_join_auto", "semdedup_auto")
+  val designedN15: Set[String] =
+    Set("ivf_knn_join_auto", "semdedup_auto", "gnn_sage_nnd_auto")
 
   /** Designed-linear headliners across the engine's families. Round 16
     * adds (a) the graph tier — the most expensive battery rows had no
     * sf10 evidence (one 10× point cannot type a curve, this file's own
     * thesis; the pageRank precedent says the decade finds real defects);
     * (b) the production-sizing dedup siblings, measured at the decade
-    * they were built for. Registered q_semdedup is deliberately ABSENT:
-    * its oracle pins nlist = 16, making the within-cluster pair join
-    * O(n²/16) BY DESIGN (~125 G pairs at sf10's 2 M vectors) — its
-    * decade row is the auto-sized `semdedup_auto` below; see the
-    * PLANS.md decision row. */
+    * they were built for. Registered q_semdedup and q_gnn_sage_nnd are
+    * deliberately ABSENT: their oracles pin nlist (16 and 8), making
+    * the within-cell pair stage O(n²/nlist) BY DESIGN — q_gnn_sage_nnd
+    * was measured here once (r16: sf10 612 s, slope2 28.4×, exactly
+    * the pin's quadratic) and moved to the auto-sized shape
+    * `gnn_sage_nnd_auto` below, the `semdedup_auto` pattern; see the
+    * PLANS.md decision rows. */
   val headliners: Seq[String] = Seq(
     "q1_agg", "q3_topk", "q5_revenue",                       // scan/agg/join
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",   // dedup
@@ -77,7 +80,6 @@ object ScaleDecade {
     "q_bm25",
     "q_connected_components", "q_pagerank",                  // graph fixpoints
     "q_scc", "q_ktruss", "q_bowtie", "q_louvain", "q_harmonic", // graph tier
-    "q_gnn_sage_nnd",                                        // ANN composition
     "q_sessionize", "q_hll", "q_stratified_sample")          // window/sketch/sample
 
   /** The IVF production-sizing shapes (nlist = 0 → auto ⌈√n⌉). */
@@ -93,6 +95,17 @@ object ScaleDecade {
       graft.dedup.Dedup.semDedup(
         Tables(spark, dir).embeddings, "vec_id", "embedding",
         nlist = 0, threshold = 0.25).count()
+    },
+    "gnn_sage_nnd_auto" -> { dir: String =>
+      val sub = Tables(spark, dir).embeddings
+        .filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val g = graft.sim.Ann.nnDescent(sub, "vec_id", "embedding",
+        k = 5, rounds = 2, nlist = 0).last
+      val edges = g.select(col("src"), col("dst"))
+        .unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      graft.sim.Gnn.sageMeanLayer(sub, edges, "vec_id", "embedding").count()
     })
 
   def main(args: Array[String]): Unit = {

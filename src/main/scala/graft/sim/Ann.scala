@@ -432,7 +432,13 @@ object Ann {
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, rounds: Int, nlist: Int,
       ringNeighbors: Int = 2): Seq[DataFrame] = {
-    require(k >= 1 && rounds >= 0 && nlist >= 1 && ringNeighbors >= 1,
+    // nlist = 0 → auto ⌈√n⌉ (ivfBuild's law): the SEED stage enumerates
+    // within-cell pairs, O(n²/nlist) — at a PINNED nlist it is quadratic
+    // in the corpus (measured: q_gnn_sage_nnd at its oracle-pinned
+    // nlist=8 read sf10/sf1 = 28.4× on the r16 decade), at √n it is the
+    // n^1.5 class every auto-sized IVF shape lives in. Registry queries
+    // keep pinned nlist so the oracle can enumerate the cells.
+    require(k >= 1 && rounds >= 0 && nlist >= 0 && ringNeighbors >= 1,
       "bad nnDescent params")
     import graft.plans.TopKByScore.topkByScore
     val v = df.select(col(idCol).as("id"),

@@ -114,12 +114,26 @@ gen("documents", f"""
          source, n_chars
   FROM {src('documents')}, {copies}""")
 
-# deterministic per-copy nudge: component j += i * 1e-3 * ((j % 7) - 3)
+# Per-copy ORTHOGONAL transform (round 16; replaces the r15 additive
+# nudge): cyclic component shift by (i*17) mod d, plus an odd-component
+# sign flip for i >= d. The r15 nudge left cross-copy cosine ~0.998
+# (measured), so every vector had COPIES planted near-dups and every
+# cosine-threshold operator's OUTPUT grew quadratically in copies --
+# the exact artifact the nudge was meant to prevent (SCALE_DECADE r16:
+# q_srp_lsh_scaled read slope2 187x purely from the planted pairs).
+# An orthogonal transform preserves all WITHIN-copy geometry exactly
+# (every dot product, norm, and neighbour rank identical to sf0.1 --
+# the vector analog of the text affine alphabet map) while cross-copy
+# cosine drops to ~0 for generic vectors; 17 coprime to d=64 makes
+# shifts distinct for i within 0..63 and the sign lane separates
+# i from i+64. Copy 0 is the identity -- byte-identical to sf0.1.
 gen("embeddings", f"""
   SELECT vec_id + i * {R['embeddings']} AS vec_id,
-         CAST(list_transform(list_zip(embedding,
-                range(1, len(embedding) + 1)),
-              z -> z[1] + i * 0.001 * ((z[2] % 7) - 3)) AS FLOAT[])
+         CAST(list_transform(range(1, len(embedding) + 1),
+              j -> embedding[((j - 1 + (i * 17) % len(embedding))
+                               % len(embedding)) + 1]
+                   * (CASE WHEN i >= len(embedding) AND j % 2 = 1
+                      THEN -1 ELSE 1 END)) AS FLOAT[])
            AS embedding,
          label
   FROM {src('embeddings')}, {copies}""")
