@@ -157,7 +157,8 @@ object ScaleDecade {
 
     final case class Row(name: String, sf01: Double, sf1: Double,
         sf10: Double, slope1: Double, slope2: Double,
-        settled: Boolean, over: Boolean, refreshed: Boolean = false)
+        settled: Boolean, over: Boolean, refreshed: Boolean = false,
+        stale: Boolean = false)
     // gate on the TOTAL anchor→sf10 slope, not the per-decade ratio:
     // slope2 alone punishes exactly the entries whose sf1 reading is
     // fixed-overhead-bound (a 4 s sf1 entry can triple its per-row cost
@@ -187,6 +188,11 @@ object ScaleDecade {
     // swallowed parse failure here would silently shrink the artifact to
     // only the named rows — dropping every other entry and recomputing
     // gate_fail (and the exit code) over the shrunken set.
+    // Old artifact rows for the NAMED entries, kept aside so a refresh
+    // whose re-measurement throws does not destroy the previous reading:
+    // the failed name's old row is re-carried marked `stale` (advice
+    // round-16 — the old behavior dropped it from both carried and rows).
+    val staleBackstop = scala.collection.mutable.Map.empty[String, Row]
     val carried: Seq[Row] =
       if (args.isEmpty) Seq.empty
       else try {
@@ -201,15 +207,15 @@ object ScaleDecade {
         val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
         while (it.hasNext) {
           val n = it.next()
-          if (!fresh(n)) {
-            val q = qs.get(n)
-            buf += Row(n, q.get("sf01").asDouble, q.get("sf1").asDouble,
-              q.get("sf10").asDouble, q.get("slope1").asDouble,
-              q.get("slope2").asDouble,
-              q.has("settled") && q.get("settled").asBoolean,
-              gateOver(n, q.get("sf01").asDouble, q.get("sf10").asDouble),
-              refreshed = q.has("refreshed") && q.get("refreshed").asBoolean)
-          }
+          val q = qs.get(n)
+          val row = Row(n, q.get("sf01").asDouble, q.get("sf1").asDouble,
+            q.get("sf10").asDouble, q.get("slope1").asDouble,
+            q.get("slope2").asDouble,
+            q.has("settled") && q.get("settled").asBoolean,
+            gateOver(n, q.get("sf01").asDouble, q.get("sf10").asDouble),
+            refreshed = q.has("refreshed") && q.get("refreshed").asBoolean)
+          if (!fresh(n)) buf += row
+          else staleBackstop(n) = row.copy(stale = true)
         }
         buf.toSeq
       } catch {
@@ -248,7 +254,10 @@ object ScaleDecade {
       }
     }
 
-    val allRows = carried ++ rows
+    // A named row whose re-measurement failed keeps its previous
+    // artifact entry (marked stale) — exit 1 still fires via `failed`.
+    val rescued = failed.flatMap { case (n, _) => staleBackstop.get(n) }
+    val allRows = carried ++ rows ++ rescued
 
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
@@ -257,6 +266,7 @@ object ScaleDecade {
         s"\"slope1\":${fmt(r.slope1)},\"slope2\":${fmt(r.slope2)}" +
         (if (r.settled) ",\"settled\":true" else "") +
         (if (r.refreshed) ",\"refreshed\":true" else "") +
+        (if (r.stale) ",\"refresh_failed\":true" else "") +
         (if (r.over) ",\"over\":true" else "") + "}"
     }.mkString("{", ",", "}")
     val overNames = allRows.filter(_.over).map(_.name)

@@ -178,10 +178,25 @@ object Multimodal {
           }
         }
         // no TaskContext (driver-local iteration, e.g. toLocalIterator in
-        // a test): close the per-partition reader when the iterator
-        // exhausts — `++` is by-name, so the epilogue runs exactly once
+        // a test): close the per-partition reader on exhaustion OR on an
+        // exception mid-iteration (a trailing `++` epilogue only fires on
+        // full exhaustion, leaking the reader under take/head or a throw)
         if (tc.isDefined) mapped
-        else mapped ++ { dec.close(); Iterator.empty[JpegStats] }
+        else new Iterator[JpegStats] {
+          private var closed = false
+          private def closeOnce(): Unit =
+            if (!closed) { closed = true; dec.close() }
+          def hasNext: Boolean = {
+            val h =
+              try mapped.hasNext
+              catch { case e: Throwable => closeOnce(); throw e }
+            if (!h) closeOnce()
+            h
+          }
+          def next(): JpegStats =
+            try mapped.next()
+            catch { case e: Throwable => closeOnce(); throw e }
+        }
       }
   }
 

@@ -96,10 +96,26 @@ object Winnow {
     * first action, both branches then read the pinned RDD — an eager one
     * would run the dominant job at plan-BUILD time (breaking plan-only
     * callers like graft.Explain). At corpus scale the same move is
-    * writing the fingerprint table once before the join stage. */
+    * writing the fingerprint table once before the join stage.
+    *
+    * '''Breaking change (round 16):''' the `maxDocFreq` default `0`
+    * ([[AutoCap]]) now means ''auto-derived stop-gram cap'', not
+    * ''uncapped'' — default output shrinks by template-bucket pairs.
+    * Pass [[Uncapped]] (`-1`) for the pre-round-16 exact behavior. */
+  /** Sentinel for `nearDuplicates.maxDocFreq`: derive the stop-gram cap
+    * from the corpus ([[autoDocFreqCap]]). This is the DEFAULT since
+    * round 16 — before that, 0 meant uncapped. Callers that relied on
+    * the old uncapped default must now pass [[Uncapped]] explicitly. */
+  val AutoCap: Long = 0L
+
+  /** Sentinel for `nearDuplicates.maxDocFreq`: no stop-gram cap — exact
+    * pair enumeration, quadratic in the hottest fingerprint bucket.
+    * Test/audit use only; never the production form at corpus scale. */
+  val Uncapped: Long = -1L
+
   def nearDuplicates(
       fps0: DataFrame, idCol: String, minShared: Long,
-      maxDocFreq: Long = 0): DataFrame = {
+      maxDocFreq: Long = AutoCap): DataFrame = {
     val all = fps0.localCheckpoint(false)
     // Boilerplate cap (round-12, from the sf1 slope audit): a fingerprint
     // shared by hundreds of documents is TEMPLATE text, not near-dup

@@ -38,6 +38,11 @@ COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 # multipliers coprime to 26, m=1 first so copies 0-25 stay rot-i
 MS = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
 assert COPIES <= 26 * len(MS), "affine map space exhausted"
+# The embedding decorrelation (shift (i*17) % 64 + sign lane for i >= 64)
+# separates copies 0..127 only: copy i and copy i+128 would be
+# byte-identical, re-planting the cosine-1.0 cross-copy dups the
+# orthogonal transform exists to remove. Fail loudly before that scale.
+assert COPIES <= 128, "embedding decorrelation aliases at copy 128+ (add a lane)"
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
