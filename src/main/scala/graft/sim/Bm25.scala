@@ -51,9 +51,15 @@ object Bm25 {
       .filter(col("term").isin(query: _*)) // scan-stage pruning: only query-term postings shuffle
       .groupBy(col("id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val stats = docs.select(tokens(col(textCol)).as("toks"))
-      .agg(count(lit(1)).as("n_docs"),
-        avg(size(col("toks")).cast("long")).as("avgdl"))
+    // dl for the corpus constants = number of \S+ runs — identical to
+    // size(tokens(text)) for every string, but regexp_count counts in
+    // place where the tokens() form allocates the split array plus a
+    // second filtered copy per document just to take its length. This
+    // scan touches EVERY document (no term pruning applies), so the
+    // allocation-free count is the cheaper full pass at corpus scale.
+    val stats = docs.select(
+        regexp_count(col(textCol), lit("\\S+")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val dfreq = base.groupBy(col("term")).agg(count(lit(1)).as("df"))
     base
       .join(broadcast(dfreq), "term")
