@@ -1431,7 +1431,13 @@ object DedupQueries {
     * join over the undirected edge list, rescore, pinned top-5).
     * Shared by [[qNnDescent]] (which appends the exact-recall tail)
     * and [[qGnnSageNnd]] (which appends the SAGE aggregation). */
-  private def nnDescentGraphCtes(rounds: Int): String = {
+  /** Shared NN-Descent unroll CTE chain. `centsLimit` is the SQL
+    * expression for the seed codebook size — `"8"` for the pinned
+    * algorithm-demonstration query, or the auto ⌈√n⌉ scalar subquery for
+    * the production-sizing form (the `Ann.ivfBuild` `nlist = 0` law,
+    * recomputed by the oracle from the identical relation). */
+  private def nnDescentGraphCtes(
+      rounds: Int, centsLimit: String = "8"): String = {
     def cos(av: String, bv: String): String = cosSql(av, bv)
     val roundCtes = (1 to rounds).map { r =>
       s"""und${r - 1} AS MATERIALIZED (
@@ -1457,7 +1463,8 @@ object DedupQueries {
     s"""sub AS MATERIALIZED (
           SELECT vec_id AS id, embedding AS v FROM embeddings
           WHERE vec_id % 5 = 0),
-        cents AS (SELECT id AS cid, v AS cv FROM sub ORDER BY id LIMIT 8),
+        cents AS (SELECT id AS cid, v AS cv FROM sub ORDER BY id
+          LIMIT $centsLimit),
         asg AS MATERIALIZED (
           SELECT s.id, (min(struct_pack(
             dist := list_sum(list_transform(range(1, 65),
@@ -2321,14 +2328,26 @@ object DedupQueries {
     * [[qNnDescent]]) and the SAGE tail of q_gnn_sage's oracle over those
     * edges. At 100 TB this is the composition a user actually runs:
     * approximate kNN graph + exact per-edge aggregation, nothing
-    * all-pairs. */
+    * all-pairs.
+    *
+    * PRODUCTION SIZING (round 17, the q_semdedup precedent): the seed
+    * codebook is AUTO-sized — `nlist = 0` → ⌈√n⌉ ([[graft.sim.Ann
+    * .ivfBuild]]'s law), so the within-cell seed stage is n^1.5 instead
+    * of the pinned codebook's O(n²/nlist) (the r16 decade measured the
+    * old nlist=8 pin at 28.4× sf10/sf1 vs 3.73× auto-sized). The oracle
+    * recomputes the identical ⌈√n⌉ from the identical relation — exact
+    * because IEEE sqrt is correctly rounded on integer counts — and
+    * enumerates the same first-⌈√n⌉-by-id centroids, so auto sizing
+    * costs no oracle fidelity. [[qNnDescent]] keeps the pinned nlist=8:
+    * it measures per-round recall of the ALGORITHM, where a fixed seed
+    * codebook is the controlled variable. */
   val qGnnSageNnd = Q(
     "q_gnn_sage_nnd",
     (s, dir) => {
       val sub = Tables(s, dir).embeddings.filter(col("vec_id") % 5 === 0)
         .select(col("vec_id"), col("embedding"))
       val g = Ann.nnDescent(sub, "vec_id", "embedding",
-        k = 5, rounds = 2, nlist = 8).last
+        k = 5, rounds = 2, nlist = 0).last
       val edges = g.select(col("src"), col("dst"))
         .unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
@@ -2337,7 +2356,8 @@ object DedupQueries {
         .select(col("vec_id"), col("dim").cast("long").as("dim"),
           (floor(col("v") * 10000 + 0.5) / 10000).as("v"))
     },
-    Some(s"""WITH ${nnDescentGraphCtes(2)},
+    Some(s"""WITH ${nnDescentGraphCtes(2,
+        "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM sub)")},
             und AS MATERIALIZED (
               SELECT DISTINCT src, dst FROM (
                 SELECT src, dst FROM g2

@@ -4360,6 +4360,104 @@ object Queries {
          |FROM d3 WHERE h >= 1 GROUP BY v""".stripMargin
     })
 
+  /** UNBOUNDED-hop harmonic centrality of the same co-purchase graph via
+    * HyperBall ([[graft.graph.Graph.harmonicCentralityHyperBall]]) —
+    * the production sibling of [[qHarmonic]]: where the exact pair-state
+    * BFS carries O(sources · nodes) state (linear in source count by
+    * design — its decade slope ≈ the data ratio), HyperBall carries one
+    * 256-register portable-md5 HLL ball sketch per node, one
+    * (node, bucket)-keyed shuffle per round regardless of source count,
+    * and runs to the register FIXPOINT (true unbounded-hop centrality)
+    * under a 10-round cap. The estimate is digit-portable (md5 registers,
+    * exact-integer Σ2^(−M_j), index-ordered final fold), so the oracle
+    * unrolls the identical 10 register rounds and reproduces the
+    * ESTIMATE itself — post-fixpoint rounds change no register, so the
+    * capped unroll equals Spark's early-exit exactly. ln appears only in
+    * the linear-counting branch (the repo's usual output-position
+    * transcendental, fl4-quantized like q_hll). Emits (id, fl4 reached
+    * estimate, fl4 harmonic estimate). */
+  val qHarmonicHb = Q(
+    "q_harmonic_hb",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val buyers = t.lineitem.filter(col("l_partkey") % 500 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("p"), col("o_custkey").as("c")).distinct()
+      val edges = buyers.as("b1")
+        .join(buyers.as("b2"), col("b1.p") === col("b2.p") && col("b1.c") < col("b2.c"))
+        .select(col("b1.c").as("src"), col("b2.c").as("dst")).distinct()
+      graft.graph.Graph
+        .harmonicCentralityHyperBall(
+          graft.graph.Graph.undirected(edges), maxHops = 10)
+        .select(col("id"), fl4(col("reached")).as("reached"),
+          fl4(col("harmonic")).as("harmonic"))
+    },
+    Some {
+      val cap = 10
+      // register round: max-merge each node's registers with its
+      // in-neighbors'; estimate round: the q_hll fold verbatim
+      val rounds = (1 to cap).map { t =>
+        s"""r$t AS MATERIALIZED (
+           |  SELECT v, bucket, max(m_j) AS m_j FROM (
+           |    SELECT v, bucket, m_j FROM r${t - 1}
+           |    UNION ALL
+           |    SELECT und.b AS v, r.bucket, r.m_j
+           |    FROM r${t - 1} r JOIN und ON r.v = und.a) u
+           |  GROUP BY v, bucket)""".stripMargin
+      }.mkString(",\n")
+      val ests = (0 to cap).map { t =>
+        s"""est$t AS MATERIALIZED (
+           |  SELECT v, $t AS t,
+           |    CASE WHEN raw <= 640.0 AND zeros > 0
+           |      THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / zeros)
+           |      ELSE raw END AS est
+           |  FROM (
+           |    SELECT v,
+           |      CAST(0.7213 AS DOUBLE)
+           |        / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 256)
+           |        * 65536 * 562949953421312
+           |        / (CAST(sum(1::BIGINT << CAST(49 - m_j AS INTEGER))
+           |                AS BIGINT)
+           |           + (256 - count(*)) * 562949953421312) AS raw,
+           |      256 - count(*) AS zeros
+           |    FROM r$t GROUP BY v))""".stripMargin
+      }.mkString(",\n")
+      val curve = (0 to cap).map(t => s"SELECT v, t, est FROM est$t")
+        .mkString(" UNION ALL ")
+      s"""WITH buyers AS MATERIALIZED (
+         |  SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE l.l_partkey % 500 = 0),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT b1.c AS a, b2.c AS b
+         |  FROM buyers b1 JOIN buyers b2 ON b1.p = b2.p AND b1.c < b2.c),
+         |und AS MATERIALIZED (
+         |  SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+         |r0 AS MATERIALIZED (
+         |  SELECT v,
+         |    ('0x' || substring(md5(CAST(v AS VARCHAR)), 1, 2))::BIGINT
+         |      AS bucket,
+         |    49 - length(ltrim(bin(
+         |      ('0x' || substring(md5(CAST(v AS VARCHAR)), 3, 12))::BIGINT),
+         |      '0')) AS m_j
+         |  FROM (SELECT DISTINCT a AS v FROM und)),
+         |$rounds,
+         |$ests,
+         |curve AS MATERIALIZED ($curve),
+         |agg AS (
+         |  SELECT v, list(est ORDER BY t) AS es, list(t ORDER BY t) AS ts
+         |  FROM curve GROUP BY v)
+         |SELECT v AS id,
+         |  floor((es[len(es)] - CAST(1.0 AS DOUBLE)) * 10000 + 0.5) / 10000
+         |    AS reached,
+         |  floor(list_reduce(
+         |      list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(range(2, len(es) + 1),
+         |          i -> (es[i] - es[i-1]) / CAST(ts[i] AS DOUBLE))),
+         |      (a, b) -> a + b) * 10000 + 0.5) / 10000 AS harmonic
+         |FROM agg""".stripMargin
+    })
+
   /** Incremental connected components over the co-purchase graph: the
     * edge set is split by part-key parity into a "yesterday" half and a
     * "today" delta; Spark labels the base graph once
@@ -4958,7 +5056,8 @@ object Queries {
     qRegression, qAbTest, qAsofNative, qHeavyHitters, qScd2, qEwma, qCusum, qHolt, qHoltWinters, qSeasonalDecompose,
     qTriangles, qClusteringCoef, qConnectedComponents, qLubyMis, qBfsHops, qSssp,
     qLabelProp, qItemsets, qAttribution, qAssortativity, qKcore,
-    qPprTrust, qLinkPredict, qKtruss, qHarmonic, qIncrementalCc, qScc,
+    qPprTrust, qLinkPredict, qKtruss, qHarmonic, qHarmonicHb,
+    qIncrementalCc, qScc,
     qHits, qModularity, qDensest, qBowtie) ++
     MessageQueries.all ++ CodecQueries.all ++ StoreQueries.all ++
     TextQueries.all ++ DedupQueries.all ++ NetQueries.all

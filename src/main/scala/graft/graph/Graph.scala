@@ -854,6 +854,78 @@ object Graph {
         (col("hsum").cast("double") / lcm).as("harmonic"))
   }
 
+  /** HyperBall harmonic centrality (Boldi & Vigna, 2013) — the
+    * UNBOUNDED-HOP production form of [[harmonicCentrality]]. The exact
+    * pair-state BFS carries one row per (source, reached) pair —
+    * O(hops · E · sources) work, linear in source count by design (its
+    * measured decade slope ≈ the data ratio). HyperBall replaces the
+    * pair state with one 256-register portable HLL sketch per node
+    * ([[graft.ops.Hll]]'s md5 registers): the sketch of node v after
+    * round t estimates |B(v,t)| = #{s : d(s→v) ≤ t}, and rounds
+    * max-merge each node's sketch with its in-neighbors' —
+    * one (node, bucket)-keyed shuffle of O(N·256) state per round
+    * REGARDLESS of source count, so the whole-graph centrality at 100 TB
+    * costs per round what one 256-source exact sweep costs. Distance-t
+    * shell sizes fall out of consecutive ball estimates, and harmonic
+    * centrality is the weighted telescoping sum Σ_t (|B(v,t)| −
+    * |B(v,t−1)|)/t.
+    *
+    * Determinism/oracle parity: registers are md5-derived and max-merged
+    * (order-free); the per-round estimate fold is [[graft.ops.Hll]]'s
+    * exact-integer Σ2^(−M_j); the final per-node sum runs as an
+    * index-ordered `aggregate` fold over the t-sorted estimate curve, so
+    * every addition happens in the same order on any engine. Rounds stop
+    * at register fixpoint (the unbounded-hop semantics) or at `maxHops`,
+    * whichever comes first; a converged run equals the capped unroll
+    * because post-fixpoint rounds change no register (so an oracle may
+    * always unroll the full cap).
+    *
+    * Returns (id, reached, harmonic): reached = final ball estimate − 1
+    * (the ball includes the node itself at distance 0), harmonic the
+    * estimated Σ 1/d — both doubles (estimates; quantize at the query
+    * layer). */
+  def harmonicCentralityHyperBall(
+      edges: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be ≥ 1, got $maxHops")
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val (bucketC, rhoC) = graft.ops.Hll.bucketAndRho(col("v"))
+    // ball_0(v) = {v} for every node with an out-edge (the exact BFS's
+    // diagonal start); one register row per node at t = 0
+    var regs = e.select(col("src").as("v")).distinct()
+      .select(col("v"), bucketC.as("bucket"), rhoC.as("m_j"))
+      .localCheckpoint(true)
+    def estimates(r: DataFrame, t: Int): DataFrame =
+      graft.ops.Hll.estimateFromRegisters(r, Seq(col("v")))
+        .select(col("v"), lit(t.toLong).as("t"), col("estimate").as("est"))
+    var curve = estimates(regs, 0)
+    var t = 1
+    var converged = false
+    while (!converged && t <= maxHops) {
+      // B(v,t) = B(v,t−1) ∪ ⋃_{(u→v)∈E} B(u,t−1): in-neighbor sketches
+      // merge into v by register max
+      val contrib = regs.join(e, regs("v") === e("src"))
+        .select(e("dst").as("v"), col("bucket"), col("m_j"))
+      val next = regs.unionByName(contrib)
+        .groupBy(col("v"), col("bucket")).agg(max(col("m_j")).as("m_j"))
+        .localCheckpoint(true)
+      // register fixpoint ⇔ no (v, bucket) gained a higher m_j and no new
+      // register appeared (max-merge is monotone, so left_anti suffices)
+      converged = next.join(regs, Seq("v", "bucket", "m_j"), "left_anti")
+        .isEmpty
+      curve = curve.unionByName(estimates(next, t))
+      regs = next
+      t += 1
+    }
+    curve
+      .groupBy(col("v"))
+      .agg(sort_array(collect_list(struct(col("t"), col("est")))).as("c"))
+      .select(col("v").as("id"),
+        (expr("element_at(c, size(c)).est") - lit(1.0)).as("reached"),
+        expr("""aggregate(sequence(1, size(c) - 1), cast(0.0 as double),
+                 (acc, i) -> acc + (c[i].est - c[i-1].est)
+                             / cast(c[i].t as double))""").as("harmonic"))
+  }
+
   /** k-truss decomposition (Cohen 2008): iteratively drop every edge
     * whose SUPPORT — the number of triangles it closes within the
     * current subgraph — is below k−2, until a fixpoint; what survives is
@@ -868,57 +940,91 @@ object Graph {
     * order-independent), so the result is deterministic however rounds
     * interleave.
     *
-    * Scale shape per round: one degree-ordered triangle listing over the
-    * live edge set ([[triangles]]' skew-proof oriented wedge join —
-    * per-node out-degree bounded by O(√E) regardless of hubs), one
-    * explode + edge-keyed partial agg for support, one filter; the live
-    * edge relation is eagerly checkpointed per round so the convergence
-    * check costs no recompute. Edges in zero triangles vanish from the
-    * support agg and are dropped by the inner-join shape automatically
-    * (k ≥ 3 ⇒ threshold ≥ 1). Rounds needed = peel depth (measured: 3
-    * on the co-purchase graph — clique-union graphs collapse fast). The
-    * classic sequential refinement (decrement neighbors' supports one
-    * edge at a time) is inherently serial; the synchronous batch peel
-    * here is the standard distributed form and reaches the same unique
-    * fixpoint.
+    * Scale shape (round 17, DECREMENTAL): the full degree-ordered
+    * triangle listing ([[triangles]]' skew-proof oriented wedge join —
+    * per-node out-degree bounded by O(√E) regardless of hubs) runs
+    * exactly ONCE, to seed per-edge supports. Every peel round after
+    * that re-lists only the triangles DESTROYED by that round's removed
+    * edges: common-neighbor completion seeded on the removed set
+    * (cost O(Σ_{(a,b)∈R} deg(a)+deg(b)) join probes against the live
+    * adjacency — delta-sized, vs the full wedge join's O(Σ deg²) every
+    * round in the r16 form, which the sf10 decade read at 108.7× total),
+    * deduplicated per triangle so a triangle losing 2–3 edges in one
+    * round still decrements each surviving edge exactly once. Support is
+    * then maintained by subtraction — the standard decremental form; the
+    * synchronous batch peel reaches the same unique fixpoint as the
+    * sequential refinement, and the maintained counts at the fixpoint
+    * ARE the within-truss supports (inductively: support is always
+    * w.r.t. the current live graph). Rounds needed = peel depth
+    * (measured: 3 on the co-purchase graph). The removed set shrinks
+    * geometrically after the first round, so it is broadcast into the
+    * completion joins when its count (already on hand from the
+    * convergence check) is small.
     *
     * @throws IllegalStateException if maxIter rounds pass without
     *         reaching the fixpoint — a partial peel is NOT a k-truss.
     */
   def kTruss(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
     require(k >= 3, s"k must be ≥ 3, got $k (k=2 truss is every edge)")
-    var e = canonical(edges).localCheckpoint(true)
-    var eCount = e.count()
-    var sup: DataFrame = null
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      // support via the shared oriented triangle pipeline: each listed
-      // triangle (n1 < n2 < n3) credits its three canonical edges
-      sup = trianglesCanonical(e)
+    val thr = (k - 2).toLong
+    val e0 = canonical(edges).localCheckpoint(true)
+    // seed supports: one full listing; each triangle (n1 < n2 < n3)
+    // credits its three canonical edges; triangle-free edges get 0
+    val sup0 = trianglesCanonical(e0)
+      .select(explode(array(
+        struct(col("n1").as("a"), col("n2").as("b")),
+        struct(col("n1").as("a"), col("n3").as("b")),
+        struct(col("n2").as("a"), col("n3").as("b")))).as("t"))
+      .groupBy(col("t.a").as("a"), col("t.b").as("b"))
+      .agg(count(lit(1)).as("support"))
+    var live = e0.join(sup0, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .localCheckpoint(true)
+    var removed = live.filter(col("support") < thr)
+      .select(col("a"), col("b")).localCheckpoint(true)
+    var removedCount = removed.count()
+    var iter = 1
+    while (removedCount > 0 && iter < maxIter) {
+      // adjacency of the graph BEFORE this removal: destroyed triangles
+      // are triangles of THAT graph containing ≥1 removed edge (a
+      // triangle with several removed edges must still count once)
+      val und = live.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(live.select(col("b").as("u"), col("a").as("v")))
+      val r = if (removedCount <= 500000) broadcast(removed) else removed
+      val destroyed = r
+        .join(und, col("u") === col("a"))
+        .select(col("a"), col("b"), col("v").as("c"))
+        .filter(col("c") =!= col("b"))
+        .join(und.select(col("u").as("u2"), col("v").as("v2")),
+          col("u2") === col("b") && col("v2") === col("c"))
+        .select(array_sort(array(col("a"), col("b"), col("c"))).as("t"))
+        .select(element_at(col("t"), 1).as("n1"),
+          element_at(col("t"), 2).as("n2"),
+          element_at(col("t"), 3).as("n3"))
+        .distinct()
+      val dec = destroyed
         .select(explode(array(
           struct(col("n1").as("a"), col("n2").as("b")),
           struct(col("n1").as("a"), col("n3").as("b")),
           struct(col("n2").as("a"), col("n3").as("b")))).as("t"))
         .groupBy(col("t.a").as("a"), col("t.b").as("b"))
-        .agg(count(lit(1)).as("support"))
+        .agg(count(lit(1)).as("d"))
+      live = live.join(removed, Seq("a", "b"), "left_anti")
+        .join(dec, Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          (col("support") - coalesce(col("d"), lit(0L))).as("support"))
         .localCheckpoint(true)
-      // no checkpoint on the filter: sup is already materialized, so the
-      // next round's reads (and this count) are a cheap scan over it —
-      // lineage stays constant-depth without a second eager job per round
-      val next = sup.filter(col("support") >= k - 2)
-        .select(col("a"), col("b"))
-      val nextCount = next.count()
-      converged = nextCount == eCount
-      e = next
-      eCount = nextCount
+      removed = live.filter(col("support") < thr)
+        .select(col("a"), col("b")).localCheckpoint(true)
+      removedCount = removed.count()
       iter += 1
     }
-    if (!converged) throw new IllegalStateException(
+    if (removedCount > 0) throw new IllegalStateException(
       s"k-truss peel did not reach fixpoint in $maxIter rounds")
-    // at the fixpoint the filter kept ALL of e, so sup (computed on e)
-    // carries exactly the surviving edges with within-truss support
-    sup.filter(col("support") >= k - 2)
+    // at the fixpoint every live edge clears the threshold and the
+    // maintained counts are supports within the surviving subgraph
+    live
   }
 
   /** PageRank with damping `d` over a directed edge list in which every

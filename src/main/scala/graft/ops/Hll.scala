@@ -40,8 +40,11 @@ object Hll {
   private val Scale = 562949953421312L
 
   /** (bucket, rho) for one key: bucket = first 2 md5 hex chars, rho =
-    * 1 + leading zeros of the next 48 hash bits (49 when all zero). */
-  private def bucketAndRho(key: Column): (Column, Column) = {
+    * 1 + leading zeros of the next 48 hash bits (49 when all zero).
+    * Package-visible so register-BASED algorithms (HyperBall,
+    * [[graft.graph.Graph.harmonicCentralityHyperBall]]) derive the
+    * identical portable registers. */
+  private[graft] def bucketAndRho(key: Column): (Column, Column) = {
     val h = md5(key.cast("string"))
     val bucket = conv(substring(h, 1, 2), 16, 10).cast("long")
     val w = conv(substring(h, 3, 12), 16, 10).cast("long")
@@ -69,6 +72,16 @@ object Hll {
       .groupBy((groups :+ bucket.as("bucket")): _*)
       .agg(max(rho).as("m_j"))
     val gcols = regs.columns.dropRight(2).map(col)
+    estimateFromRegisters(regs, gcols.toSeq)
+  }
+
+  /** Fold an `(…groups, bucket, m_j)` register table to per-group
+    * estimates `(…groups, estimate)` — the shared tail of
+    * [[hllDistinct]], package-visible so algorithms that MAINTAIN
+    * registers across rounds (HyperBall) reuse the identical
+    * exact-integer fold and branch predicate. */
+  private[graft] def estimateFromRegisters(
+      regs: DataFrame, gcols: Seq[Column]): DataFrame =
     regs
       .groupBy(gcols: _*)
       .agg(
@@ -82,5 +95,4 @@ object Hll {
           lit(M.toDouble) * log(lit(M.toDouble) / zeros))
           .otherwise(raw).as("estimate")
       }): _*)
-  }
 }

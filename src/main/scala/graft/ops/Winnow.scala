@@ -61,28 +61,20 @@ object Winnow {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
     require(maxChars >= k + w - 1,
       s"maxChars=$maxChars below one window (k+w-1=${k + w - 1})")
-    // all k-gram hashes of the first maxChars chars of __s, 1-indexed by
-    // start position (the cap bounds the SEQUENCE — no second regex pass)
-    val hashes = transform(
-      sequence(lit(1), least(length(col("__s")), lit(maxChars)) - (k - 1)),
-      p => md5(gramAt(col("__s"), p, k)))
-    // the array(…)/flatten pair is a let-binding: `hashes` is evaluated
-    // exactly once per row (as the single outer element) however many of
-    // the n sliding windows read it
-    val minima = flatten(transform(array(hashes), hs =>
-      transform(sequence(lit(1), size(hs) - (w - 1)),
-        p => array_min(slice(hs, p, lit(w))))))
+    // fused native selection (round 17): gram md5 → sliding window min →
+    // distinct in ONE JVM pass with a flat digest buffer and a monotonic
+    // deque ([[graft.plans.WinnowFingerprints]] — identical fp set to the
+    // composed transform/slice/array_min/array_distinct form, which
+    // allocated O(n) hex strings + window slices per document and read
+    // GC-bound at 3× linear in the r17 sf10 stage probe)
     Spread.toSessionParallelism(docs, idCol)
       .select(col(idCol), normalize(col(textCol)).as("__s"))
       .filter(length(col("__s")) >= k + w - 1)
-      .select(col(idCol), explode(array_distinct(minima)).as("fp"),
+      .select(col(idCol),
+        explode(graft.plans.TextNative.winnowFps(
+          col("__s"), k, w, maxChars)).as("fp"),
         (length(col("__s")) > maxChars).as("truncated"))
   }
-
-  /** `substring(s, pos, len)` with a COLUMN position (the built-in DSL
-    * overload takes literal ints only). */
-  private def gramAt(s: Column, pos: Column, len: Int): Column =
-    s.substr(pos, lit(len))
 
   /** Winnowing-based near-duplicate pairs: documents sharing at least
     * `minShared` fingerprints, via self-join on the fingerprint value —

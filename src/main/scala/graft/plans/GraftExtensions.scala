@@ -41,7 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "mg_sketch" -> (es => MgSketch(es(0), es(1).eval().asInstanceOf[Int])),
     "lcp_at" -> (es => LcpAt(es(0), es(1), es(2))),
     "jaro_winkler" -> (es => JaroWinkler(es(0), es(1))),
-    "lcp_pair" -> (es => LcpPair(es(0), es(1))))
+    "lcp_pair" -> (es => LcpPair(es(0), es(1))),
+    "winnow_fps" -> (es => WinnowFingerprints(es(0),
+      es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int],
+      es(3).eval().asInstanceOf[Int])))
 
   override def apply(e: SparkSessionExtensions): Unit = {
     fns.foreach { case (name, builder) =>

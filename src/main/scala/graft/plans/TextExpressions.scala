@@ -736,6 +736,92 @@ case class MarkerHits(child: Expression, words: Seq[String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused winnowing fingerprint selection (Schleimer et al. 2003) —
+  * normalized text in, array of DISTINCT window-minimum md5 HEX
+  * fingerprints out, one JVM pass per document.
+  *
+  * Semantically identical to the composed SQL form it replaces in
+  * [[graft.ops.Winnow.fingerprints]] (md5 hex of every k-gram of the
+  * first `maxChars` chars, `array_min` per w-window, `array_distinct`,
+  * first-occurrence order — lexicographic hex order IS unsigned byte
+  * order of the digest, so comparing raw 16-byte digests selects the
+  * identical minima), but the composed form paid, per position, one hex
+  * UTF8String allocation (md5), one w-element `slice` array allocation
+  * and an O(w) `array_min` scan — O(n·w) work and O(n) garbage per
+  * document. Here: digests land in ONE flat byte buffer (n·16 B), the
+  * sliding minimum is a monotonic deque (O(n) total comparisons), and
+  * only the ~2n/(w+1) WINNERS are hex-formatted. The r17 sf10 probe
+  * measured the fingerprint stage GC-bound at 3× its linear expectation
+  * under the composed form; allocation ∝ winners (not grams) is the fix
+  * that scales. Input must be the [[graft.ops.Winnow.normalize]]d string
+  * ([a-z0-9]*, pure ASCII — char positions = byte positions, which is
+  * what lets the gram slice skip UTF-8 decoding). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int, maxChars: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    val len = math.min(bytes.length, maxChars)
+    val n = len - k + 1
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val flat = new Array[Byte](n * 16)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(bytes, i, k)
+      md.digest(flat, i * 16, 16)
+      i += 1
+    }
+    @inline def le(a: Int, b: Int): Boolean = { // flat[a] <= flat[b] unsigned
+      var j = 0
+      while (j < 16) {
+        val x = flat(a * 16 + j) & 0xff
+        val y = flat(b * 16 + j) & 0xff
+        if (x != y) return x < y
+        j += 1
+      }
+      true
+    }
+    val dq = new Array[Int](n)
+    var h = 0
+    var t = 0
+    var lastIdx = -1
+    val seen = new java.util.LinkedHashSet[String]()
+    var p = 0
+    while (p < n) {
+      while (t > h && le(p, dq(t - 1))) t -= 1 // pop ≥ tail (ties keep later)
+      dq(t) = p; t += 1
+      if (dq(h) <= p - w) h += 1
+      if (p >= w - 1 && dq(h) != lastIdx) {
+        lastIdx = dq(h)
+        val sb = new java.lang.StringBuilder(32)
+        var j = 0
+        while (j < 16) {
+          val v = flat(lastIdx * 16 + j) & 0xff
+          sb.append(hexDigits(v >>> 4)).append(hexDigits(v & 0xf))
+          j += 1
+        }
+        seen.add(sb.toString)
+      }
+      p += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextNative {
   import ColumnBridge.{column => c, expression => e}
 
@@ -763,4 +849,6 @@ object TextNative {
     c(MarkerBest(e(text), markers))
   def markerHits(text: Column, words: Seq[String]): Column =
     c(MarkerHits(e(text), words))
+  def winnowFps(normalized: Column, k: Int, w: Int, maxChars: Int): Column =
+    c(WinnowFingerprints(e(normalized), k, w, maxChars))
 }

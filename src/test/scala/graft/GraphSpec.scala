@@ -383,6 +383,37 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("harmonicCentralityHyperBall: fixpoint, tracks exact, deterministic") {
+    import spark.implicits._
+    // undirected path 1-2-3-4-5 with cap 10 ≥ diameter 4: balls hold ≤5
+    // keys (linear-counting regime). Estimates are deterministic
+    // functions of the md5 registers, so the asserts are structural:
+    // coverage, reached near the exact count (slack absorbs a possible
+    // register collision among the 5 keys), exact-form ordering
+    // (center > ends), bit determinism, and capped ≡ converged.
+    val half = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val und = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val got = graft.graph.Graph.harmonicCentralityHyperBall(und, maxHops = 10)
+      .as[(Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    got.values.foreach { case (r, _) => assert(math.abs(r - 4.0) < 1.5) }
+    assert(got(3L)._2 > got(1L)._2 && got(3L)._2 > got(5L)._2)
+    val again = graft.graph.Graph.harmonicCentralityHyperBall(und, maxHops = 10)
+      .as[(Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(again == got)
+    // post-fixpoint rounds change no register and contribute exactly-0
+    // curve diffs, so the diameter-capped run equals the converged one
+    val capped = graft.graph.Graph.harmonicCentralityHyperBall(und, maxHops = 4)
+      .as[(Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(capped == got)
+    intercept[IllegalArgumentException] {
+      graft.graph.Graph.harmonicCentralityHyperBall(und, maxHops = 0)
+    }
+  }
+
   test("labelPropagate: spread, clamp, tie to smallest, keep when unvoted") {
     import spark.implicits._
     // undirected path 1-2-3-4-5, seeds 1→100 and 5→200
