@@ -62,13 +62,18 @@ object ScaleDecade {
     * sf10 evidence (one 10× point cannot type a curve, this file's own
     * thesis; the pageRank precedent says the decade finds real defects);
     * (b) the production-sizing dedup siblings, measured at the decade
-    * they were built for. Registered q_semdedup and q_gnn_sage_nnd are
-    * deliberately ABSENT: their oracles pin nlist (16 and 8), making
-    * the within-cell pair stage O(n²/nlist) BY DESIGN — q_gnn_sage_nnd
-    * was measured here once (r16: sf10 612 s, slope2 28.4×, exactly
-    * the pin's quadratic) and moved to the auto-sized shape
-    * `gnn_sage_nnd_auto` below, the `semdedup_auto` pattern; see the
-    * PLANS.md decision rows. */
+    * they were built for. Registered q_semdedup is deliberately ABSENT:
+    * its oracle pins nlist = 16, making the within-cell pair stage
+    * O(n²/nlist) BY DESIGN; `semdedup_auto` below is its auto-sized
+    * decade shape. q_gnn_sage_nnd was in the same boat until round 17 —
+    * its registration now auto-sizes (nlist = 0 → ⌈√n⌉ with a
+    * ⌈√n⌉-recomputing oracle), so `gnn_sage_nnd_auto` measures EXACTLY
+    * the registered query's edge-graph stage (the name is kept for
+    * artifact continuity; the r16 pin read sf10 612 s / slope2 28.4×,
+    * the pin's quadratic — see the PLANS.md decision rows). Round 17
+    * also adds q_harmonic_hb, the HyperBall unbounded-hop form whose
+    * whole point is the decade curve (per-round state independent of
+    * source count). */
   val headliners: Seq[String] = Seq(
     "q1_agg", "q3_topk", "q5_revenue",                       // scan/agg/join
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",   // dedup
@@ -80,6 +85,7 @@ object ScaleDecade {
     "q_bm25",
     "q_connected_components", "q_pagerank",                  // graph fixpoints
     "q_scc", "q_ktruss", "q_bowtie", "q_louvain", "q_harmonic", // graph tier
+    "q_harmonic_hb",
     "q_sessionize", "q_hll", "q_stratified_sample")          // window/sketch/sample
 
   /** The IVF production-sizing shapes (nlist = 0 → auto ⌈√n⌉). */

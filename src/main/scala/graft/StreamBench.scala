@@ -152,9 +152,17 @@ object StreamBench {
     val events = Tables(spark, sfDir).events
     val eventsDir = freshDir(root, "events")
     events.repartition(16).write.mode("overwrite").parquet(eventsDir)
+    // State-cardinality knob (round 17): the upsert key space defaults to
+    // the historical 5k (continuity with every prior streaming row);
+    // SPARK_GRAFT_STREAM_KEYS raises it so the provider comparison can be
+    // re-run at 10× state (the sf1 evidence row: heap-provider state cost
+    // grows with live keys, RocksDB's stays flat). Sessionize needs no
+    // knob — its key IS user_id, and the sf1 corpus's copy-disjoint key
+    // spaces give it 10× users by construction.
+    val keyMod = sys.env.getOrElse("SPARK_GRAFT_STREAM_KEYS", "5000").toLong
     val upsertsDir = freshDir(root, "upserts")
     events.select(
-        pmod(col("user_id"), lit(5000L)).as("key"),
+        pmod(col("user_id"), lit(keyMod)).as("key"),
         col("event_id").as("ver"),
         col("value"),
         (pmod(col("event_id"), lit(50L)) === 0).as("deleted"))

@@ -860,10 +860,12 @@ object Graph {
     * O(hops · E · sources) work, linear in source count by design (its
     * measured decade slope ≈ the data ratio). HyperBall replaces the
     * pair state with one 256-register portable HLL sketch per node
-    * ([[graft.ops.Hll]]'s md5 registers): the sketch of node v after
+    * ([[graft.ops.Hll]]'s md5 registers, packed as one array<int>[256]
+    * per node): the sketch of node v after
     * round t estimates |B(v,t)| = #{s : d(s→v) ≤ t}, and rounds
-    * max-merge each node's sketch with its in-neighbors' —
-    * one (node, bucket)-keyed shuffle of O(N·256) state per round
+    * max-merge each node's sketch with its in-neighbors' via
+    * [[graft.plans.RegisterMax]] — one edge-cardinality join plus one
+    * (node)-keyed partial-aggregated shuffle of ~1 KB per node per round
     * REGARDLESS of source count, so the whole-graph centrality at 100 TB
     * costs per round what one 256-source exact sweep costs. Distance-t
     * shell sizes fall out of consecutive ball estimates, and harmonic
@@ -888,30 +890,35 @@ object Graph {
       edges: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"maxHops must be ≥ 1, got $maxHops")
     val e = edges.toDF("src", "dst").localCheckpoint(true)
-    val (bucketC, rhoC) = graft.ops.Hll.bucketAndRho(col("v"))
     // ball_0(v) = {v} for every node with an out-edge (the exact BFS's
-    // diagonal start); one register row per node at t = 0
+    // diagonal start). Registers ride PACKED — one array<int>[256] per
+    // node, not (v, bucket, m_j) rows: the in-neighbor join then emits
+    // one row per EDGE (not per edge × register), and the merge is
+    // [[graft.plans.RegisterMax]] — partial-aggregatable, so in-neighbor
+    // sketches combine map-side before the (v)-keyed shuffle. The
+    // row-shaped first cut measured 23 s at sf0.1 against 2-3 s packed,
+    // same estimates to the last digit.
     var regs = e.select(col("src").as("v")).distinct()
-      .select(col("v"), bucketC.as("bucket"), rhoC.as("m_j"))
+      .select(col("v"), graft.ops.Hll.packedRegister(col("v")).as("r"))
       .localCheckpoint(true)
-    def estimates(r: DataFrame, t: Int): DataFrame =
-      graft.ops.Hll.estimateFromRegisters(r, Seq(col("v")))
-        .select(col("v"), lit(t.toLong).as("t"), col("estimate").as("est"))
+    def estimates(rdf: DataFrame, t: Int): DataFrame =
+      rdf.select(col("v"), lit(t.toLong).as("t"),
+        graft.ops.Hll.estimateFromPacked(col("r")).as("est"))
     var curve = estimates(regs, 0)
     var t = 1
     var converged = false
     while (!converged && t <= maxHops) {
       // B(v,t) = B(v,t−1) ∪ ⋃_{(u→v)∈E} B(u,t−1): in-neighbor sketches
-      // merge into v by register max
+      // merge into v by elementwise register max
       val contrib = regs.join(e, regs("v") === e("src"))
-        .select(e("dst").as("v"), col("bucket"), col("m_j"))
+        .select(e("dst").as("v"), col("r"))
       val next = regs.unionByName(contrib)
-        .groupBy(col("v"), col("bucket")).agg(max(col("m_j")).as("m_j"))
+        .groupBy(col("v"))
+        .agg(graft.plans.RegisterMax.registerMax(col("r")).as("r"))
         .localCheckpoint(true)
-      // register fixpoint ⇔ no (v, bucket) gained a higher m_j and no new
-      // register appeared (max-merge is monotone, so left_anti suffices)
-      converged = next.join(regs, Seq("v", "bucket", "m_j"), "left_anti")
-        .isEmpty
+      // register fixpoint ⇔ every node's packed array is unchanged
+      // (max-merge is monotone, so left_anti on (v, r) suffices)
+      converged = next.join(regs, Seq("v", "r"), "left_anti").isEmpty
       curve = curve.unionByName(estimates(next, t))
       regs = next
       t += 1
@@ -940,26 +947,29 @@ object Graph {
     * order-independent), so the result is deterministic however rounds
     * interleave.
     *
-    * Scale shape (round 17, DECREMENTAL): the full degree-ordered
+    * Scale shape (round 17, HYBRID DECREMENTAL): the full degree-ordered
     * triangle listing ([[triangles]]' skew-proof oriented wedge join —
-    * per-node out-degree bounded by O(√E) regardless of hubs) runs
-    * exactly ONCE, to seed per-edge supports. Every peel round after
-    * that re-lists only the triangles DESTROYED by that round's removed
-    * edges: common-neighbor completion seeded on the removed set
-    * (cost O(Σ_{(a,b)∈R} deg(a)+deg(b)) join probes against the live
-    * adjacency — delta-sized, vs the full wedge join's O(Σ deg²) every
-    * round in the r16 form, which the sf10 decade read at 108.7× total),
-    * deduplicated per triangle so a triangle losing 2–3 edges in one
-    * round still decrements each surviving edge exactly once. Support is
-    * then maintained by subtraction — the standard decremental form; the
-    * synchronous batch peel reaches the same unique fixpoint as the
-    * sequential refinement, and the maintained counts at the fixpoint
-    * ARE the within-truss supports (inductively: support is always
-    * w.r.t. the current live graph). Rounds needed = peel depth
-    * (measured: 3 on the co-purchase graph). The removed set shrinks
-    * geometrically after the first round, so it is broadcast into the
-    * completion joins when its count (already on hand from the
-    * convergence check) is small.
+    * per-node out-degree bounded by O(√E) regardless of hubs) runs once
+    * to seed per-edge supports. Each peel round then picks its strategy
+    * by the removed fraction: a MASS round (removed ≥ ~20% of live —
+    * typically the first peel at high k) re-lists the survivor graph in
+    * full, because a delta that touches most of the graph costs more
+    * than the listing and forfeits its orientation bound (measured, r17
+    * sf10 decade: all-delta 369 s vs all-batch 337 s on exactly that
+    * shape); a DELTA round re-lists only triangles DESTROYED by the
+    * removed edges — min-degree-endpoint probes into the live adjacency
+    * (the orientation bound kept: O(Σ_{(a,b)∈R} min(deg a, deg b))
+    * probes), closing-edge verification, per-triangle dedup so a
+    * triangle losing 2–3 edges decrements each survivor exactly once,
+    * support maintained by subtraction. Both paths preserve the
+    * invariant that support is always w.r.t. the current live graph, so
+    * the synchronous batch peel reaches the same unique fixpoint as the
+    * sequential refinement and the fixpoint counts ARE the within-truss
+    * supports. Rounds needed = peel depth (measured: 3 on the
+    * co-purchase graph). The removed set shrinks geometrically after the
+    * first round, so delta rounds broadcast it into the completion joins
+    * when its count (already on hand from the convergence check) is
+    * small.
     *
     * @throws IllegalStateException if maxIter rounds pass without
     *         reaching the fixpoint — a partial peel is NOT a k-truss.
@@ -967,54 +977,89 @@ object Graph {
   def kTruss(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
     require(k >= 3, s"k must be ≥ 3, got $k (k=2 truss is every edge)")
     val thr = (k - 2).toLong
-    val e0 = canonical(edges).localCheckpoint(true)
-    // seed supports: one full listing; each triangle (n1 < n2 < n3)
-    // credits its three canonical edges; triangle-free edges get 0
-    val sup0 = trianglesCanonical(e0)
-      .select(explode(array(
-        struct(col("n1").as("a"), col("n2").as("b")),
-        struct(col("n1").as("a"), col("n3").as("b")),
-        struct(col("n2").as("a"), col("n3").as("b")))).as("t"))
-      .groupBy(col("t.a").as("a"), col("t.b").as("b"))
-      .agg(count(lit(1)).as("support"))
-    var live = e0.join(sup0, Seq("a", "b"), "left")
-      .select(col("a"), col("b"),
-        coalesce(col("support"), lit(0L)).as("support"))
-      .localCheckpoint(true)
-    var removed = live.filter(col("support") < thr)
-      .select(col("a"), col("b")).localCheckpoint(true)
-    var removedCount = removed.count()
-    var iter = 1
-    while (removedCount > 0 && iter < maxIter) {
-      // adjacency of the graph BEFORE this removal: destroyed triangles
-      // are triangles of THAT graph containing ≥1 removed edge (a
-      // triangle with several removed edges must still count once)
-      val und = live.select(col("a").as("u"), col("b").as("v"))
-        .unionByName(live.select(col("b").as("u"), col("a").as("v")))
-      val r = if (removedCount <= 500000) broadcast(removed) else removed
-      val destroyed = r
-        .join(und, col("u") === col("a"))
-        .select(col("a"), col("b"), col("v").as("c"))
-        .filter(col("c") =!= col("b"))
-        .join(und.select(col("u").as("u2"), col("v").as("v2")),
-          col("u2") === col("b") && col("v2") === col("c"))
-        .select(array_sort(array(col("a"), col("b"), col("c"))).as("t"))
-        .select(element_at(col("t"), 1).as("n1"),
-          element_at(col("t"), 2).as("n2"),
-          element_at(col("t"), 3).as("n3"))
-        .distinct()
-      val dec = destroyed
+
+    // full support computation over an edge set (the seed pass, and the
+    // batch fallback below): one skew-proof oriented triangle listing,
+    // each triangle (n1 < n2 < n3) credits its three canonical edges;
+    // triangle-free edges get 0
+    def withSupports(e: DataFrame): DataFrame = {
+      val sup = trianglesCanonical(e)
         .select(explode(array(
           struct(col("n1").as("a"), col("n2").as("b")),
           struct(col("n1").as("a"), col("n3").as("b")),
           struct(col("n2").as("a"), col("n3").as("b")))).as("t"))
         .groupBy(col("t.a").as("a"), col("t.b").as("b"))
-        .agg(count(lit(1)).as("d"))
-      live = live.join(removed, Seq("a", "b"), "left_anti")
-        .join(dec, Seq("a", "b"), "left")
+        .agg(count(lit(1)).as("support"))
+      e.join(sup, Seq("a", "b"), "left")
         .select(col("a"), col("b"),
-          (col("support") - coalesce(col("d"), lit(0L))).as("support"))
-        .localCheckpoint(true)
+          coalesce(col("support"), lit(0L)).as("support"))
+    }
+
+    val e0 = canonical(edges).localCheckpoint(true)
+    var live = withSupports(e0).localCheckpoint(true)
+    var liveCount = e0.count()
+    var removed = live.filter(col("support") < thr)
+      .select(col("a"), col("b")).localCheckpoint(true)
+    var removedCount = removed.count()
+    var iter = 1
+    while (removedCount > 0 && iter < maxIter) {
+      val survivors = live.join(removed, Seq("a", "b"), "left_anti")
+      live =
+        if (removedCount * 5L >= liveCount) {
+          // MASS round (typically the first peel at high k, where most
+          // edges die): the delta completion would enumerate nearly the
+          // whole graph anyway — and without the listing's degree
+          // orientation — so a full re-listing on the survivors is both
+          // cheaper and skew-bounded (the r17 decade measured the
+          // all-delta form at sf10 369 s vs 337 s for all-batch; the
+          // first peel IS a mass round there)
+          withSupports(survivors.select(col("a"), col("b"))
+            .localCheckpoint(true))
+            .localCheckpoint(true)
+        } else {
+          // DELTA round: re-list only triangles of the PREVIOUS graph
+          // containing ≥1 removed edge. Probe from each removed edge's
+          // MIN-DEGREE endpoint (the wedge-join orientation bound, kept:
+          // an unoriented probe from a fixed endpoint pays deg(hub) per
+          // removed hub edge), verify the closing edge, dedup per
+          // triangle so one losing 2-3 edges decrements survivors once.
+          val und = live.select(col("a").as("u"), col("b").as("v"))
+            .unionByName(live.select(col("b").as("u"), col("a").as("v")))
+          val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+          val r = if (removedCount <= 500000) broadcast(removed) else removed
+          val oriented = r
+            .join(deg.select(col("u").as("a"), col("d").as("da")), "a")
+            .join(deg.select(col("u").as("b"), col("d").as("db")), "b")
+            .select(col("a"), col("b"),
+              when(col("da") <= col("db"), col("a")).otherwise(col("b"))
+                .as("probe"),
+              when(col("da") <= col("db"), col("b")).otherwise(col("a"))
+                .as("other"))
+          val destroyed = oriented
+            .join(und, col("u") === col("probe"))
+            .select(col("a"), col("b"), col("other"), col("v").as("c"))
+            .filter(col("c") =!= col("a") && col("c") =!= col("b"))
+            .join(und.select(col("u").as("u2"), col("v").as("v2")),
+              col("u2") === col("other") && col("v2") === col("c"))
+            .select(array_sort(array(col("a"), col("b"), col("c"))).as("t"))
+            .select(element_at(col("t"), 1).as("n1"),
+              element_at(col("t"), 2).as("n2"),
+              element_at(col("t"), 3).as("n3"))
+            .distinct()
+          val dec = destroyed
+            .select(explode(array(
+              struct(col("n1").as("a"), col("n2").as("b")),
+              struct(col("n1").as("a"), col("n3").as("b")),
+              struct(col("n2").as("a"), col("n3").as("b")))).as("t"))
+            .groupBy(col("t.a").as("a"), col("t.b").as("b"))
+            .agg(count(lit(1)).as("d"))
+          survivors
+            .join(dec, Seq("a", "b"), "left")
+            .select(col("a"), col("b"),
+              (col("support") - coalesce(col("d"), lit(0L))).as("support"))
+            .localCheckpoint(true)
+        }
+      liveCount -= removedCount
       removed = live.filter(col("support") < thr)
         .select(col("a"), col("b")).localCheckpoint(true)
       removedCount = removed.count()

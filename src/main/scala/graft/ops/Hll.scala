@@ -34,10 +34,10 @@ import org.apache.spark.sql.functions._
   */
 object Hll {
 
-  private val M = 256 // p = 8
+  private[graft] val M = 256 // p = 8
   /** 2⁴⁹ — the exact-integer scale for Σ 2^(−M_j): rho ≤ 49, so every
     * scaled term 2^(49−M_j) ≥ 1 is an exact BIGINT. */
-  private val Scale = 562949953421312L
+  private[graft] val Scale = 562949953421312L
 
   /** (bucket, rho) for one key: bucket = first 2 md5 hex chars, rho =
     * 1 + leading zeros of the next 48 hash bits (49 when all zero).
@@ -73,6 +73,34 @@ object Hll {
       .agg(max(rho).as("m_j"))
     val gcols = regs.columns.dropRight(2).map(col)
     estimateFromRegisters(regs, gcols.toSeq)
+  }
+
+  /** Seed a PACKED register array (256 `int` slots) holding exactly one
+    * key — slot `bucket(key)` = `rho(key)`, all others 0 (0 = empty;
+    * real rho is always ≥ 1). The packed shape for algorithms that
+    * maintain a sketch per row across rounds ([[graft.plans
+    * .RegisterMax]] is its merge aggregate, [[estimateFromPacked]] its
+    * estimate fold). */
+  private[graft] def packedRegister(key: Column): Column = {
+    val (bucket, rho) = bucketAndRho(key)
+    transform(sequence(lit(0), lit(M - 1)),
+      i => when(i === bucket.cast("int"), rho.cast("int")).otherwise(lit(0)))
+  }
+
+  /** Estimate from ONE packed register array — digit-identical to the
+    * row-shaped fold in [[estimateFromRegisters]]: an empty slot
+    * (m_j = 0) contributes 2^(49−0) = the same `Scale` term the row form
+    * adds per absent register, so one exact-integer fold over all 256
+    * slots covers present and empty uniformly. */
+  private[graft] def estimateFromPacked(r: Column): Column = {
+    val s = aggregate(r, lit(0L),
+      (acc, x) => acc + call_function("shiftleft", lit(1L),
+        (lit(49) - x).cast("int")))
+    val zeros = size(filter(r, x => x === 0))
+    val raw = alphaM2 * Scale / s
+    when(raw <= 2.5 * M && zeros > 0,
+      lit(M.toDouble) * log(lit(M.toDouble) / zeros))
+      .otherwise(raw)
   }
 
   /** Fold an `(…groups, bucket, m_j)` register table to per-group

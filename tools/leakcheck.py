@@ -50,6 +50,11 @@ SKIP_FILES = re.compile(r"^LEAKCHECK.*\.json$")
 
 hits = {k: [] for k in CATEGORIES}
 hits["internal-import"] = []
+# Dead category retired in round 16 (its pattern family no longer exists
+# in any scanned file class), kept as an always-empty key so the local
+# artifact stays key-compatible with the driver's LEAKCHECK.json, which
+# still emits it (round-16 verdict item 7: identical category sets).
+hits["internal-pkg2"] = []
 n_files = 0
 for root, dirs, files in os.walk(repo):
     dirs[:] = [d for d in dirs if d not in SKIP_DIRS]
