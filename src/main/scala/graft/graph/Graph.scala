@@ -980,41 +980,57 @@ object Graph {
 
     // full support computation over an edge set (the seed pass, and the
     // batch fallback below): one skew-proof oriented triangle listing,
-    // each triangle (n1 < n2 < n3) credits its three canonical edges;
-    // triangle-free edges get 0
-    def withSupports(e: DataFrame): DataFrame = {
-      val sup = trianglesCanonical(e)
+    // each triangle (n1 < n2 < n3) credits its three canonical edges.
+    // Edges in ZERO triangles vanish from the agg — i.e. they are
+    // dropped in the same round (k ≥ 3 ⇒ threshold ≥ 1), the r16
+    // behavior; keeping them an extra round costs a whole extra peel.
+    def withSupports(e: DataFrame): DataFrame =
+      trianglesCanonical(e)
         .select(explode(array(
           struct(col("n1").as("a"), col("n2").as("b")),
           struct(col("n1").as("a"), col("n3").as("b")),
           struct(col("n2").as("a"), col("n3").as("b")))).as("t"))
         .groupBy(col("t.a").as("a"), col("t.b").as("b"))
         .agg(count(lit(1)).as("support"))
-      e.join(sup, Seq("a", "b"), "left")
-        .select(col("a"), col("b"),
-          coalesce(col("support"), lit(0L)).as("support"))
+
+    // one job per round refreshes BOTH loop controls from the pinned
+    // support relation; survivors/removed are then free complementary
+    // FILTERS over it (no anti-join, no second checkpoint)
+    def counts(sup: DataFrame): (Long, Long) = {
+      val r = sup.agg(count(lit(1)),
+        coalesce(sum(when(col("support") < thr, 1L)), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
     }
 
     val e0 = canonical(edges).localCheckpoint(true)
     var live = withSupports(e0).localCheckpoint(true)
-    var liveCount = e0.count()
-    var removed = live.filter(col("support") < thr)
-      .select(col("a"), col("b")).localCheckpoint(true)
-    var removedCount = removed.count()
+    var (liveCount, removedCount) = counts(live)
     var iter = 1
     while (removedCount > 0 && iter < maxIter) {
-      val survivors = live.join(removed, Seq("a", "b"), "left_anti")
+      val survivors = live.filter(col("support") >= thr)
+      val removed = live.filter(col("support") < thr)
+        .select(col("a"), col("b"))
       live =
-        if (removedCount * 5L >= liveCount) {
+        if (removedCount * 5L >= liveCount || liveCount < 200000L) {
           // MASS round (typically the first peel at high k, where most
           // edges die): the delta completion would enumerate nearly the
           // whole graph anyway — and without the listing's degree
           // orientation — so a full re-listing on the survivors is both
           // cheaper and skew-bounded (the r17 decade measured the
           // all-delta form at sf10 369 s vs 337 s for all-batch; the
-          // first peel IS a mass round there)
-          withSupports(survivors.select(col("a"), col("b"))
-            .localCheckpoint(true))
+          // first peel IS a mass round there). The edge-count floor is
+          // the other side of the same cost model: a delta round pays
+          // ~5 fixed jobs (adjacency, degrees, two completion joins,
+          // checkpoint) that only amortize when the listing it replaces
+          // is large — under ~200k live edges the full re-list is
+          // cheaper than the delta machinery (measured at sf0.1: the
+          // floor-less hybrid read 5.1–5.6 s vs ~3.1 for all-mass,
+          // while sf1/sf10 graphs sit far above the floor and keep the
+          // delta path's decade win)
+          // survivors is a filter over the CHECKPOINTED support relation,
+          // so the listing's several scans of it re-read pinned blocks —
+          // no extra eager materialization needed
+          withSupports(survivors.select(col("a"), col("b")))
             .localCheckpoint(true)
         } else {
           // DELTA round: re-list only triangles of the PREVIOUS graph
@@ -1059,10 +1075,9 @@ object Graph {
               (col("support") - coalesce(col("d"), lit(0L))).as("support"))
             .localCheckpoint(true)
         }
-      liveCount -= removedCount
-      removed = live.filter(col("support") < thr)
-        .select(col("a"), col("b")).localCheckpoint(true)
-      removedCount = removed.count()
+      val c = counts(live)
+      liveCount = c._1
+      removedCount = c._2
       iter += 1
     }
     if (removedCount > 0) throw new IllegalStateException(

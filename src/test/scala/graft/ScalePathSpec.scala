@@ -289,22 +289,25 @@ class ScalePathSpec extends SparkSpec {
   private def countOccurrences(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
 
-  test("gate: winnow fingerprints — no window/sort, md5 scan evaluated once") {
+  test("gate: winnow fingerprints — no window/sort, fused native selection") {
     val fps = graft.ops.Winnow.fingerprints(
       Tables(spark, sf).documents, "doc_id", "text")
     val plan = fps.queryExecution.executedPlan.toString
-    // the zero-shuffle array form: no Window, no Sort (the pre-rewrite
+    // the zero-shuffle fused form: no Window, no Sort (the pre-rewrite
     // explode+window shape had both). The only Exchange allowed is the
     // Spread parallelism floor (identity at real split counts).
     assert(!plan.contains("Window"), s"winnow regressed to a window:\n$plan")
     assert(!plan.contains("Sort "), s"winnow regressed to a sort:\n$plan")
     assert(countOccurrences(plan, "Exchange") <= 1,
       s"winnow shuffles beyond the Spread floor:\n$plan")
-    // let-binding held: the O(n)-gram md5 hash pass appears ONCE in the
-    // optimized plan — CollapseProject re-inlining it into each of the n
-    // window-minimum consumers would print it per consumer
-    val m = countOccurrences(plan, "md5(")
-    assert(m == 1, s"winnow md5 let-binding inlined ($m call sites):\n$plan")
+    // round 17: the whole selection (gram md5 → sliding min → distinct)
+    // is ONE native expression — exactly one winnow_fps call site under
+    // the explode, and no expression-tree md5 remains (a reappearing
+    // md5( means the composed transform/slice form crept back in)
+    val f = countOccurrences(plan, "winnow_fps(")
+    assert(f == 1, s"fused winnow selection missing ($f call sites):\n$plan")
+    assert(countOccurrences(plan, "md5(") == 0,
+      s"composed md5 pipeline reappeared beside the fused expression:\n$plan")
   }
 
   test("gate: cdc chunking — cut-array let-binding survives optimization") {
