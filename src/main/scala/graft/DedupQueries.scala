@@ -619,12 +619,17 @@ object DedupQueries {
   val qLineDedup = Q(
     "q_line_dedup",
     (s, dir) => {
-      val toks = split(trim(col("text")), "\\s+")
-      val lines = filter(
-        transform(
-          sequence(lit(0), floor((size(toks) - lit(1)) / lit(3)).cast("int")),
-          i => concat_ws(" ", slice(toks, i * 3 + 1, lit(3)))),
-        l => size(split(l, " ")) === 3)
+      // array(…)/flatten let-binding: `ts` evaluates the split ONCE per
+      // document — the previous outer-column reference inside the
+      // transform lambda re-ran the O(len) split per LINE (O(len²)/doc;
+      // same trap found via q_boilerplate's near-gate sf1 slope, r17)
+      val lines = flatten(transform(
+        array(split(trim(col("text")), "\\s+")), ts =>
+          filter(
+            transform(
+              sequence(lit(0), floor((size(ts) - lit(1)) / lit(3)).cast("int")),
+              i => concat_ws(" ", slice(ts, i * 3 + 1, lit(3)))),
+            l => size(split(l, " ")) === 3)))
       val d = Tables(s, dir).documents.select(col("doc_id"), lines.as("lines"))
       Dedup.lineDedup(d, "doc_id", col("lines"))
     },
@@ -657,14 +662,30 @@ object DedupQueries {
   val qBoilerplate = Q(
     "q_boilerplate",
     (s, dir) => {
-      val toks = split(trim(col("text")), "\\s+")
-      val lines = filter(
-        transform(
-          sequence(lit(0), floor((size(toks) - lit(1)) / lit(3)).cast("int")),
-          i => concat_ws(" ", slice(toks, i * 3 + 1, lit(3)))),
-        l => size(split(l, " ")) === 3)
-      val d = Tables(s, dir).documents.select(col("doc_id"), lines.as("lines"))
-      Dedup.boilerplateProfile(d, "doc_id", col("lines"), minDocs = 3)
+      // hash each complete token TRIPLE directly (multi-arg xxhash64)
+      // instead of slicing + concat_ws-ing a line string per triple just
+      // to hash it — tokens contain no whitespace, so triple ≡ joined
+      // line and the distinct/boilerplate semantics are unchanged while
+      // the corpus-dominant synthesis stage drops two allocations/line.
+      // The array(…)/flatten pair is the repo's let-binding idiom (see
+      // Winnow/CDC): `ts` is a lambda variable, so the O(len) split runs
+      // ONCE per document — an outer-column reference inside the lambda
+      // re-evaluates the split per ELEMENT, O(len²) per doc (the old
+      // slice-based form had exactly that shape, which is where
+      // q_boilerplate's near-gate 11.7× sf1 slope came from)
+      val lineHashes = flatten(transform(
+        array(split(trim(col("text")), "\\s+")), ts =>
+          transform(
+            when(size(ts) >= 3,
+                sequence(lit(0), floor(size(ts) / lit(3)).cast("int") - 1))
+              .otherwise(array().cast("array<int>")),
+            i => xxhash64(
+              element_at(ts, i * 3 + 1),
+              element_at(ts, i * 3 + 2),
+              element_at(ts, i * 3 + 3)))))
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), lineHashes.as("lh"))
+      Dedup.boilerplateProfileHashed(d, "doc_id", col("lh"), minDocs = 3)
     },
     Some("""WITH toks AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

@@ -723,10 +723,13 @@ object TextQueries {
   val qC4Filter = Q(
     "q_c4_filter",
     (s, dir) => {
-      val toks = split(trim(col("text")), "\\s+")
-      val lines = transform(
-        sequence(lit(0), floor((size(toks) - lit(1)) / lit(3)).cast("int")),
-        i => concat_ws(" ", slice(toks, i * 3 + 1, lit(3))))
+      // array(…)/flatten let-binding: split once per doc, not per line
+      // (the outer-column-in-lambda O(len²) trap — r17, via q_boilerplate)
+      val lines = flatten(transform(
+        array(split(trim(col("text")), "\\s+")), ts =>
+          transform(
+            sequence(lit(0), floor((size(ts) - lit(1)) / lit(3)).cast("int")),
+            i => concat_ws(" ", slice(ts, i * 3 + 1, lit(3))))))
       val d = Tables(s, dir).documents.select(col("doc_id"), lines.as("lines"))
       graft.ops.Curation.c4LineFilter(d, "doc_id", col("lines"),
           minWords = 3, minLines = 5,

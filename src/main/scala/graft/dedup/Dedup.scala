@@ -555,10 +555,23 @@ object Dedup {
     * and then a plain 8-byte-key shuffle join is the correct plan.
     */
   def boilerplateProfile(
-      df: DataFrame, idCol: String, linesCol: Column, minDocs: Int): DataFrame = {
+      df: DataFrame, idCol: String, linesCol: Column, minDocs: Int): DataFrame =
+    boilerplateProfileHashed(df, idCol,
+      transform(linesCol, l => xxhash64(l)), minDocs)
+
+  /** [[boilerplateProfile]] over PRE-HASHED lines — for callers whose
+    * line text exists only to be hashed (q_boilerplate synthesizes
+    * pseudo-lines by slicing+concatenating token triples; hashing the
+    * triple directly skips one string allocation per line across the
+    * whole corpus — tokens contain no whitespace, so triple → joined
+    * string is injective and the equality semantics are identical).
+    * Line identity is whatever the caller's hash encodes; everything
+    * downstream of the hash is unchanged. */
+  def boilerplateProfileHashed(
+      df: DataFrame, idCol: String, lineHashesCol: Column,
+      minDocs: Int): DataFrame = {
     val ex = df
-      .select(col(idCol).as("doc_id"), explode(linesCol).as("line"))
-      .select(col("doc_id"), xxhash64(col("line")).as("h"))
+      .select(col(idCol).as("doc_id"), explode(lineHashesCol).as("h"))
       .localCheckpoint(true) // corpus tokenized once, read by both branches
     val boiler = ex.distinct()
       .groupBy(col("h"))
