@@ -55,7 +55,12 @@ object ClusterSmoke {
     // composition (below) whose nested group/map literals ride the task
     // binary — all three paths new this round, none otherwise crossing a
     // real executor boundary
-    "q_dedup_simhash_scaled", "q_winnow_pairs_scaled", "ivf_hier_assign")
+    "q_dedup_simhash_scaled", "q_winnow_pairs_scaled", "ivf_hier_assign",
+    // round-17 addition: HyperBall's RegisterMax TypedImperativeAggregate
+    // (packed int[256] buffers serialized across real executor JVMs every
+    // round — the TopKByScore precedent; the fused WinnowFingerprints
+    // expression is already gated via q_winnow_pairs_scaled above)
+    "q_harmonic_hb")
 
   /** Non-registry shapes that still need the multi-JVM gate: new
     * expression compositions no registry query exercises.

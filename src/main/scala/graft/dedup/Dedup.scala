@@ -570,17 +570,29 @@ object Dedup {
   def boilerplateProfileHashed(
       df: DataFrame, idCol: String, lineHashesCol: Column,
       minDocs: Int): DataFrame = {
-    val ex = df
+    // ONE (doc, h)-keyed shuffle carries the corpus: per-doc line
+    // multiplicities collapse map-side (partial agg bounded by doc
+    // length), and everything downstream — the document-frequency
+    // aggregate, the verdict join-back, the per-doc rollup — operates on
+    // DISTINCT (doc, line) pairs, not line instances. (The r16 shape
+    // checkpointed the per-LINE exploded relation and shuffled it twice,
+    // distinct + join-back; the r17 cluster gate priced that at 3.1 s of
+    // real-exchange cost against a 0.5 s local control.)
+    val exd = df
       .select(col(idCol).as("doc_id"), explode(lineHashesCol).as("h"))
-      .localCheckpoint(true) // corpus tokenized once, read by both branches
-    val boiler = ex.distinct()
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // tokenized + deduped once, read by both branches
+    val boiler = exd
       .groupBy(col("h"))
-      .agg(count(lit(1)).as("dfd"))
+      .agg(count(lit(1)).as("dfd")) // rows are distinct (doc, h) ⇒ doc freq
       .filter(col("dfd") >= minDocs)
       .select(col("h"), lit(1).as("is_b"))
-    ex.join(boiler, Seq("h"), "left")
+    exd.join(boiler, Seq("h"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_lines"), count(col("is_b")).as("n_boiler"))
+      .agg(sum(col("cnt")).as("n_lines"),
+        coalesce(sum(when(col("is_b").isNotNull, col("cnt"))), lit(0L))
+          .as("n_boiler"))
       .withColumn("boiler_ratio",
         round(col("n_boiler").cast("double") / col("n_lines").cast("double"), 4))
   }
