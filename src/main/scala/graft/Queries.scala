@@ -4388,7 +4388,13 @@ object Queries {
         .select(col("b1.c").as("src"), col("b2.c").as("dst")).distinct()
       graft.graph.Graph
         .harmonicCentralityHyperBall(
-          graft.graph.Graph.undirected(edges), maxHops = 10)
+          // allowTruncation: this query's CONTRACT is the capped unroll —
+          // the oracle replays exactly 10 register rounds, which equals
+          // Spark's early-exit whether or not the fixpoint lands inside
+          // the cap, so truncation here is defined semantics, not an
+          // undercount (library default throws instead — r17 advice)
+          graft.graph.Graph.undirected(edges), maxHops = 10,
+          allowTruncation = true)
         .select(col("id"), fl4(col("reached")).as("reached"),
           fl4(col("harmonic")).as("harmonic"))
     },
@@ -4651,8 +4657,10 @@ object Queries {
     * asc tiebreak), IN = nodes that reach the core, OUT = nodes the
     * core reaches, OTHER = the rest — the classic web-corpus structure
     * map, composed from [[graft.graph.Graph.stronglyConnectedComponents]]
-    * and two bounded multi-source BFS sweeps
-    * ([[graft.graph.Graph.hopDistance]], forward + reversed edges).
+    * and ONE fused direction-tagged reachability loop
+    * ([[graft.graph.Graph.reachability]] — forward and backward sweeps
+    * share each round's frontier join, round 18; previously two separate
+    * unbounded [[graft.graph.Graph.hopDistance]] sweeps).
     * The oracle reuses q_scc's recursive transitive closure for both
     * reachability directions. */
   val qBowtie = Q(
@@ -4680,25 +4688,24 @@ object Queries {
       val coreN = scc.join(broadcast(coreId),
           col("component") === col("core_id"))
         .select(col("id")).localCheckpoint(true)
-      // effectively-unbounded sweeps: the oracle's transitive closure has
-      // no hop cap, and hopDistance's fixpoint early-exit stops at the
-      // true diameter anyway — a finite guess (the old 40) would silently
-      // undercount IN/OUT on a graph with larger eccentricity
-      val fwd = graft.graph.Graph.hopDistance(coreN, edges,
-          maxHops = Int.MaxValue)
-        .select(col("id"), lit(1).as("f"))
-      val bwd = graft.graph.Graph.hopDistance(coreN,
-          edges.select(col("dst").as("src"), col("src").as("dst")),
-          maxHops = Int.MaxValue)
-        .select(col("id"), lit(1).as("b"))
+      // both sweeps fused (round 18): ONE direction-tagged frontier loop
+      // ([[graft.graph.Graph.reachability]]) answers forward AND backward
+      // reachability — max-of-eccentricities rounds instead of the sum,
+      // observed fixpoint exit from round 1 (the two unbounded
+      // hopDistance sweeps each paid ≥ 8 blind rounds before their
+      // emptiness check armed, re-aggregating full hop state per round).
+      // Seeded from the 1-row core LABEL: the SCC component id is the
+      // min member id, and reachability from one core node ≡ from the
+      // whole core by mutual reachability inside the SCC.
+      val reach = graft.graph.Graph.reachability(
+        coreId.select(col("core_id").as("id")), edges)
       nodes
         .join(coreN.select(col("id"), lit(1).as("c")), Seq("id"), "left")
-        .join(fwd, Seq("id"), "left")
-        .join(bwd, Seq("id"), "left")
+        .join(reach, Seq("id"), "left")
         .withColumn("category",
           when(col("c").isNotNull, "core")
-            .when(col("b").isNotNull, "in")
-            .when(col("f").isNotNull, "out")
+            .when(col("b") <=> lit(true), "in")
+            .when(col("f") <=> lit(true), "out")
             .otherwise("other"))
         .groupBy(col("category"))
         .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"))

@@ -556,6 +556,87 @@ object Graph {
     dist
   }
 
+  /** Direction-tagged multi-source reachability — BOTH reachability
+    * questions of a bowtie decomposition answered by ONE frontier loop:
+    * for every node v, `f` = some seed reaches v along the edges
+    * (forward sweep) and `b` = v reaches some seed (backward sweep).
+    * Instead of two [[hopDistance]] passes over the edge relation and
+    * its reverse (2 × eccentricity rounds, each re-aggregating the full
+    * distance state, with the unbounded form paying ≥ 8 blind rounds per
+    * sweep before its emptiness check arms), the two sweeps ride one
+    * loop over a dir-tagged doubled edge list — the
+    * [[stronglyConnectedComponents]] inner-fixpoint trick: max-rounds =
+    * MAX of the two eccentricities (not the sum), one frontier join +
+    * one (id)-keyed partial-agg shuffle per round serving both
+    * directions, and the new-flag count rides the merge job as an
+    * observed metric so the fixpoint exit is free from round 1.
+    *
+    * Scale shape: the frontier carries only NEWLY-set flags, so join
+    * input is O(newly reached per round), not O(reached); state merge is
+    * one full-outer join per round on the node-keyed relation (the
+    * [[shortestPaths]] merge shape), checkpointed to constant lineage
+    * depth; the only driver value is the observed improvement count.
+    * Flags are booleans — no hop bookkeeping — so the per-round state is
+    * strictly smaller than two distance relations.
+    *
+    * Returns (id, f, b) for every node reached in EITHER direction
+    * (seeds carry f = b = true); nodes reached in neither are absent.
+    *
+    * @throws IllegalStateException if `maxRounds` pass without the
+    *         frontier emptying — a partial sweep misclassifies. */
+  def reachability(
+      seeds: DataFrame, edges: DataFrame, maxRounds: Int = 1000): DataFrame = {
+    val e = edges.toDF("src", "dst")
+    // dir=0: forward (src→dst, propagates f); dir=1: backward (dst→src,
+    // propagates b). One relation, one join per round for both sweeps.
+    val ed = e.select(col("src"), col("dst"), lit(0).as("dir"))
+      .unionAll(e.select(col("dst").as("src"), col("src").as("dst"),
+        lit(1).as("dir")))
+      .localCheckpoint(true) // re-read every round
+    var state = seeds.toDF("id").distinct()
+      .select(col("id"), lit(true).as("f"), lit(true).as("b"))
+      .localCheckpoint(true)
+    var frontier = state // (id, f, b) with flags = newly set THIS round
+    var r = 0
+    var done = false
+    while (!done && r < maxRounds) {
+      r += 1
+      // candidate flags: a newly-f node pushes f along forward edges, a
+      // newly-b node pushes b along backward edges; max() pre-combines
+      // map-side before the (id)-keyed shuffle
+      val cand = frontier.join(ed, frontier("id") === ed("src"))
+        .select(ed("dst").as("cid"),
+          (ed("dir") === 0 && frontier("f")).as("cf"),
+          (ed("dir") === 1 && frontier("b")).as("cb"))
+        .filter(col("cf") || col("cb"))
+        .groupBy(col("cid"))
+        .agg(max(col("cf")).as("cf"), max(col("cb")).as("cb"))
+      val obs = org.apache.spark.sql.Observation(s"reach_new_$r")
+      val merged = state.join(cand, state("id") === col("cid"), "full_outer")
+        .select(coalesce(state("id"), col("cid")).as("id"),
+          (coalesce(state("f"), lit(false)) ||
+            coalesce(col("cf"), lit(false))).as("f"),
+          (coalesce(state("b"), lit(false)) ||
+            coalesce(col("cb"), lit(false))).as("b"),
+          (coalesce(col("cf"), lit(false)) &&
+            !coalesce(state("f"), lit(false))).as("nf"),
+          (coalesce(col("cb"), lit(false)) &&
+            !coalesce(state("b"), lit(false))).as("nb"))
+        .observe(obs,
+          sum(when(col("nf") || col("nb"), 1L).otherwise(0L)).as("n"))
+        .localCheckpoint(true) // eager: populates the observation
+      state = merged.select(col("id"), col("f"), col("b"))
+      frontier = merged.filter(col("nf") || col("nb"))
+        .select(col("id"), col("nf").as("f"), col("nb").as("b"))
+      // sum over zero rows observes null (nothing merged) — fixpoint
+      done = Option(obs.get("n"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L) == 0L
+    }
+    if (!done) throw new IllegalStateException(
+      s"reachability frontier still growing after $maxRounds rounds")
+    state
+  }
+
   /** Hop-bounded single-source-set shortest paths with nonnegative
     * INTEGER edge weights — Bellman–Ford relaxation rounds with frontier
     * pruning. `edges` is (src, dst, w); after round r, dist(v) is exactly
@@ -880,25 +961,35 @@ object Graph {
     * at register fixpoint (the unbounded-hop semantics) or at `maxHops`,
     * whichever comes first; a converged run equals the capped unroll
     * because post-fixpoint rounds change no register (so an oracle may
-    * always unroll the full cap).
+    * always unroll the full cap). Hitting the cap WITHOUT fixpoint
+    * throws by default (the [[kCore]]/[[kTruss]] non-convergence
+    * convention — a silently hop-bounded harmonic is an undercount);
+    * pass `allowTruncation = true` to accept capped-unroll semantics.
     *
     * Returns (id, reached, harmonic): reached = final ball estimate − 1
     * (the ball includes the node itself at distance 0), harmonic the
     * estimated Σ 1/d — both doubles (estimates; quantize at the query
     * layer). */
   def harmonicCentralityHyperBall(
-      edges: DataFrame, maxHops: Int): DataFrame = {
+      edges: DataFrame, maxHops: Int,
+      allowTruncation: Boolean = false): DataFrame = {
     require(maxHops >= 1, s"maxHops must be ≥ 1, got $maxHops")
     val e = edges.toDF("src", "dst").localCheckpoint(true)
-    // ball_0(v) = {v} for every node with an out-edge (the exact BFS's
-    // diagonal start). Registers ride PACKED — one array<int>[256] per
+    // ball_0(v) = {v} for EVERY endpoint node — src ∪ dst, not src only
+    // (the exact BFS's diagonal start). On a directed graph an in-only
+    // sink has no out-edge: seeding from src alone would deny it its own
+    // t=0 sketch, undercounting reached by 1 and dropping its distance-1
+    // shell from harmonic (r17 advice). On undirected input the union is
+    // the src set, so results are unchanged.
+    // Registers ride PACKED — one array<int>[256] per
     // node, not (v, bucket, m_j) rows: the in-neighbor join then emits
     // one row per EDGE (not per edge × register), and the merge is
     // [[graft.plans.RegisterMax]] — partial-aggregatable, so in-neighbor
     // sketches combine map-side before the (v)-keyed shuffle. The
     // row-shaped first cut measured 23 s at sf0.1 against 2-3 s packed,
     // same estimates to the last digit.
-    var regs = e.select(col("src").as("v")).distinct()
+    var regs = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
       .select(col("v"), graft.ops.Hll.packedRegister(col("v")).as("r"))
       .localCheckpoint(true)
     def estimates(rdf: DataFrame, t: Int): DataFrame =
@@ -923,6 +1014,18 @@ object Graph {
       regs = next
       t += 1
     }
+    // loud-truncation contract (r17 advice, the kCore/kTruss/CC
+    // convention): a cap hit before register fixpoint means the curve —
+    // and thus harmonic — is hop-bounded, not the promised unbounded
+    // semantics; by default that throws instead of silently
+    // undercounting. Callers whose contract IS the capped unroll (an
+    // oracle replaying exactly `maxHops` rounds reproduces Spark's
+    // result whether or not the fixpoint landed inside the cap) opt in
+    // with allowTruncation = true.
+    if (!converged && !allowTruncation) throw new IllegalStateException(
+      s"HyperBall registers not at fixpoint after $maxHops rounds — " +
+        "raise maxHops, or pass allowTruncation = true for hop-bounded " +
+        "(capped-unroll) semantics")
     curve
       .groupBy(col("v"))
       .agg(sort_array(collect_list(struct(col("t"), col("est")))).as("c"))
@@ -1005,8 +1108,11 @@ object Graph {
     val e0 = canonical(edges).localCheckpoint(true)
     var live = withSupports(e0).localCheckpoint(true)
     var (liveCount, removedCount) = counts(live)
+    // iter counts completed peel rounds: the loop admits rounds 1..maxIter
+    // inclusive (the documented maxIter-rounds contract; `< maxIter` here
+    // ran at most maxIter−1 and made maxIter=1 always throw — r17 advice)
     var iter = 1
-    while (removedCount > 0 && iter < maxIter) {
+    while (removedCount > 0 && iter <= maxIter) {
       val survivors = live.filter(col("support") >= thr)
       val removed = live.filter(col("support") < thr)
         .select(col("a"), col("b"))

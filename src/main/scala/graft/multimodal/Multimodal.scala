@@ -178,9 +178,11 @@ object Multimodal {
           }
         }
         // no TaskContext (driver-local iteration, e.g. toLocalIterator in
-        // a test): close the per-partition reader on exhaustion OR on an
-        // exception mid-iteration (a trailing `++` epilogue only fires on
-        // full exhaustion, leaking the reader under take/head or a throw)
+        // a test): close the per-partition reader on full exhaustion OR
+        // on an exception mid-iteration (a trailing `++` epilogue covers
+        // neither). NOT covered: abandonment — an iterator dropped
+        // without a final hasNext past the end (take/head) still leaks
+        // the reader; driver-local callers that stop early must drain.
         if (tc.isDefined) mapped
         else new Iterator[JpegStats] {
           private var closed = false

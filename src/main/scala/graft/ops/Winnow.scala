@@ -76,6 +76,17 @@ object Winnow {
         (length(col("__s")) > maxChars).as("truncated"))
   }
 
+  /** Sentinel for `nearDuplicates.maxDocFreq`: derive the stop-gram cap
+    * from the corpus ([[autoDocFreqCap]]). This is the DEFAULT since
+    * round 16 — before that, 0 meant uncapped. Callers that relied on
+    * the old uncapped default must now pass [[Uncapped]] explicitly. */
+  val AutoCap: Long = 0L
+
+  /** Sentinel for `nearDuplicates.maxDocFreq`: no stop-gram cap — exact
+    * pair enumeration, quadratic in the hottest fingerprint bucket.
+    * Test/audit use only; never the production form at corpus scale. */
+  val Uncapped: Long = -1L
+
   /** Winnowing-based near-duplicate pairs: documents sharing at least
     * `minShared` fingerprints, via self-join on the fingerprint value —
     * the bucket key makes this an equi-join (no all-pairs); the guarantee
@@ -94,17 +105,6 @@ object Winnow {
     * ([[AutoCap]]) now means ''auto-derived stop-gram cap'', not
     * ''uncapped'' — default output shrinks by template-bucket pairs.
     * Pass [[Uncapped]] (`-1`) for the pre-round-16 exact behavior. */
-  /** Sentinel for `nearDuplicates.maxDocFreq`: derive the stop-gram cap
-    * from the corpus ([[autoDocFreqCap]]). This is the DEFAULT since
-    * round 16 — before that, 0 meant uncapped. Callers that relied on
-    * the old uncapped default must now pass [[Uncapped]] explicitly. */
-  val AutoCap: Long = 0L
-
-  /** Sentinel for `nearDuplicates.maxDocFreq`: no stop-gram cap — exact
-    * pair enumeration, quadratic in the hottest fingerprint bucket.
-    * Test/audit use only; never the production form at corpus scale. */
-  val Uncapped: Long = -1L
-
   def nearDuplicates(
       fps0: DataFrame, idCol: String, minShared: Long,
       maxDocFreq: Long = AutoCap): DataFrame = {
@@ -121,7 +121,13 @@ object Winnow {
     // exchange. 0 = AUTO ([[autoDocFreqCap]], the IVF nlist = 0
     // precedent); negative disables (exact pair enumeration, quadratic
     // in the hottest bucket — test/audit use only).
-    val cap = if (maxDocFreq == 0L) autoDocFreqCap(all) else maxDocFreq
+    // AUTO path: the census job yields BOTH the stop-gram cap and the
+    // pair-join partition count below — one driver round-trip buys two
+    // corpus-derived sizes
+    val census: Option[(Long, Long)] =
+      if (maxDocFreq == 0L) Some(fpCensus(all)) else None
+    val cap = census.map { case (t, d) => capFromCensus(t, d) }
+      .getOrElse(maxDocFreq)
     val fps =
       if (cap <= 0) all
       else {
@@ -131,8 +137,29 @@ object Winnow {
           .select(col("fp"))
         all.join(kept, "fp")
       }
-    val a = fps.select(col(idCol).as("a"), col("fp"))
-    val b = fps.select(col(idCol).as("b"), col("fp"))
+    // Pair-join partition sizing (round 18): at sf10 the capped pair join
+    // spills at the session's default 32 post-shuffle partitions — the
+    // r17 ScaleProbe sweep read parts=32 121.8 s / parts=128 60.7 s /
+    // parts=256 85.3 s on 13.3 M fingerprint rows — so the AUTO path
+    // sizes the join-side partitioning from the census it already has:
+    // one partition per ~100k fingerprint rows (13.3 M → 132, the
+    // measured sweet spot), never below the session default (small
+    // corpora keep their plan byte-identical — no repartition inserted),
+    // capped at 1024. Query-local by design: the global
+    // initialPartitionNum=256 experiment is REJECTED (r16 — it re-sized
+    // every exchange and regressed the sf0.1 short tier); this resizes
+    // only the one join the sweep measured spilling. Both join branches
+    // project from the SAME repartitioned relation, so the exchange is
+    // reused and the fp-keyed join inserts no further shuffle.
+    val defaultParts =
+      fps0.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = census.map { case (total, _) =>
+      math.min(1024L, math.max(defaultParts.toLong, total / 100000L)).toInt
+    }.getOrElse(defaultParts)
+    val sized = if (parts > defaultParts) fps.repartition(parts, col("fp"))
+                else fps
+    val a = sized.select(col(idCol).as("a"), col("fp"))
+    val b = sized.select(col(idCol).as("b"), col("fp"))
     a.join(b, "fp")
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
@@ -164,10 +191,18 @@ object Winnow {
     * already-checkpointed fps), the same cost class as nlist = 0's
     * corpus count. */
   def autoDocFreqCap(fps: DataFrame): Long = {
+    val (total, distinct) = fpCensus(fps)
+    capFromCensus(total, distinct)
+  }
+
+  /** One census job over a fingerprint relation: (total rows, distinct
+    * fps) — the two scalars every AUTO sizing law here derives from. */
+  private def fpCensus(fps: DataFrame): (Long, Long) = {
     val r = fps.agg(count(lit(1)).as("t"),
       countDistinct(col("fp")).as("d")).head()
-    val total = r.getLong(0)
-    val distinct = math.max(r.getLong(1), 1L)
-    math.max(16L, (4L * total + distinct - 1L) / distinct)
+    (r.getLong(0), math.max(r.getLong(1), 1L))
   }
+
+  private def capFromCensus(total: Long, distinct: Long): Long =
+    math.max(16L, (4L * total + distinct - 1L) / distinct)
 }

@@ -361,11 +361,11 @@ class GraphSpec extends SparkSpec {
   test("kTruss: drops weak edges, cascades, keeps clique with support") {
     import spark.implicits._
     // K4 {1,2,3,4} + tail: (3,5),(4,5) close triangle 3-4-5, then
-    // (4,6),(5,6) close 4-5-6. At k=4 (support ≥ 2) the peel MUST
-    // cascade over three rounds: round 1 drops the four support-1 tail
-    // edges but keeps (4,5) (support 2 via both tail triangles); round 2
-    // finds (4,5)'s triangles gone and drops it; round 3 confirms the
-    // bare K4 (every edge support 2) as the fixpoint.
+    // (4,6),(5,6) close 4-5-6. At k=4 (support ≥ 2) round 1 drops the
+    // three support-1 tail edges; (4,5) (support 2 via both tail
+    // triangles) survives the filter but leaves the recount's support
+    // agg (0 triangles) in the same round, so the bare K4 (every edge
+    // support 2) is confirmed as the fixpoint immediately.
     val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
     val edges = (k4 ++ Seq((3L, 5L), (4L, 5L), (4L, 6L), (5L, 6L)))
       .toDF("src", "dst")
@@ -380,6 +380,24 @@ class GraphSpec extends SparkSpec {
     assert(graft.graph.Graph.kTruss(tri, k = 3).count() == 3)
     intercept[IllegalArgumentException] {
       graft.graph.Graph.kTruss(tri, k = 2)
+    }
+    // maxIter admits exactly maxIter peel rounds (round 18: `< maxIter`
+    // ran at most maxIter−1, so maxIter=1 always threw). The K4+tail
+    // fixture peels in ONE round (the tail dies at the seed recount,
+    // (4,5)'s 0-support drop rides the same recompute) — budget 1 is
+    // now genuinely enough:
+    assert(graft.graph.Graph.kTruss(edges, k = 4, maxIter = 1)
+      .as[(Long, Long, Long)].collect().toSet == wantSup)
+    // …while a genuine TWO-round cascade (two K4s sharing triangle
+    // {2,3,4}, k=5: round 1 strips the six support-2 rim edges, round 2
+    // finds the shared triangle's supports fallen to 1 and clears it)
+    // converges at budget 2 and throws at budget 1.
+    val twoCliques = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("src", "dst")
+    assert(graft.graph.Graph.kTruss(twoCliques, k = 5, maxIter = 2)
+      .count() == 0)
+    intercept[IllegalStateException] {
+      graft.graph.Graph.kTruss(twoCliques, k = 5, maxIter = 1)
     }
   }
 
@@ -404,13 +422,65 @@ class GraphSpec extends SparkSpec {
       .map(t => t._1 -> ((t._2, t._3))).toMap
     assert(again == got)
     // post-fixpoint rounds change no register and contribute exactly-0
-    // curve diffs, so the diameter-capped run equals the converged one
-    val capped = graft.graph.Graph.harmonicCentralityHyperBall(und, maxHops = 4)
+    // curve diffs, so the diameter-capped run equals the converged one —
+    // but fixpoint DETECTION needs one no-change round, so maxHops =
+    // diameter is a truncation under the round-18 loud contract: the
+    // capped-unroll caller opts in, the default throws
+    val capped = graft.graph.Graph.harmonicCentralityHyperBall(
+        und, maxHops = 4, allowTruncation = true)
       .as[(Long, Double, Double)].collect()
       .map(t => t._1 -> ((t._2, t._3))).toMap
     assert(capped == got)
+    intercept[IllegalStateException] {
+      graft.graph.Graph.harmonicCentralityHyperBall(und, maxHops = 4)
+    }
     intercept[IllegalArgumentException] {
       graft.graph.Graph.harmonicCentralityHyperBall(und, maxHops = 0)
+    }
+  }
+
+  test("harmonicCentralityHyperBall: directed sink gets its own ball") {
+    import spark.implicits._
+    // directed 1→2: node 2 is in-only. Pre-round-18 the seed came from
+    // src nodes only, so 2 never got its t=0 self-sketch — reached read
+    // est−1 = 0 instead of 1 and its curve started at t=1, dropping the
+    // distance-1 shell from harmonic. Balls hold ≤2 keys (linear
+    // counting), so estimates are near-exact; slack absorbs a register
+    // collision between the 2 keys.
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val got = graft.graph.Graph.harmonicCentralityHyperBall(e, maxHops = 10)
+      .as[(Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    val (r1, h1) = got(1L) // nothing reaches 1
+    assert(math.abs(r1) < 0.1 && math.abs(h1) < 0.1)
+    val (r2, h2) = got(2L) // 1 reaches 2 at distance 1
+    assert(math.abs(r2 - 1.0) < 0.3, s"sink reached=$r2")
+    assert(math.abs(h2 - 1.0) < 0.3, s"sink harmonic=$h2")
+  }
+
+  test("reachability: fused forward/backward flags, unreached absent") {
+    import spark.implicits._
+    // 4 → 1 → 2 → 3, plus disconnected 5 → 6; seed {1}
+    val e = Seq((1L, 2L), (2L, 3L), (4L, 1L), (5L, 6L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = graft.graph.Graph.reachability(seeds, e)
+      .as[(Long, Boolean, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got == Map(
+      1L -> ((true, true)),   // seed: both flags
+      2L -> ((true, false)),  // seed reaches it
+      3L -> ((true, false)),  // two hops forward
+      4L -> ((false, true)))) // reaches the seed
+    // multi-source: flags are ORs over the seed set
+    val got2 = graft.graph.Graph.reachability(Seq(3L, 4L).toDF("id"), e)
+      .as[(Long, Boolean, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got2(1L) == ((true, true))) // 4 reaches 1; 1 reaches 3
+    assert(got2(2L) == ((true, true)))
+    assert(!got2.contains(5L) && !got2.contains(6L))
+    intercept[IllegalStateException] {
+      graft.graph.Graph.reachability(seeds, e, maxRounds = 1)
     }
   }
 
