@@ -107,13 +107,25 @@ object StreamBench {
     * backend, not just compiles against it. */
   def run(spark: SparkSession, sfDir: String,
       only: Set[String] = Set.empty): Seq[(String, Metrics)] = {
+    // Pass selector (round 18, for the ≥5M-key state-cliff point): the
+    // cliff measurement runs ONE provider per JVM — a heap-provider OOM
+    // must not take the RocksDB evidence down with it — and the
+    // latency-biased mft2 pass is useless ballast at 10M input rows.
+    // Default runs all three passes (every historical row's shape).
+    val passes = sys.env.getOrElse(
+        "SPARK_GRAFT_STREAM_PASSES", "mft2,mft8,rocksdb")
+      .split(",").map(_.trim).toSet
     val base =
-      runConfig(spark, sfDir, maxFilesPerTrigger = 2, suffix = "", only) ++
+      (if (passes("mft2"))
+        runConfig(spark, sfDir, maxFilesPerTrigger = 2, suffix = "", only)
+      else Seq.empty) ++
+      (if (passes("mft8"))
         runConfig(spark, sfDir, maxFilesPerTrigger = 8, suffix = "_mft8", only)
+      else Seq.empty)
     val statefulOnly =
       if (only.isEmpty) StatefulSurfaces else only & StatefulSurfaces
     val rocks =
-      if (statefulOnly.isEmpty) Seq.empty
+      if (statefulOnly.isEmpty || !passes("rocksdb")) Seq.empty
       else {
         val prev = GraftSession.useRocksDBStateStore(spark)
         try runConfig(spark, sfDir, maxFilesPerTrigger = 8,
@@ -160,9 +172,22 @@ object StreamBench {
     // knob — its key IS user_id, and the sf1 corpus's copy-disjoint key
     // spaces give it 10× users by construction.
     val keyMod = sys.env.getOrElse("SPARK_GRAFT_STREAM_KEYS", "5000").toLong
+    // Key SOURCE knob (round 18, the ≥5M-key cliff point): user_id
+    // cardinality caps the live key count at 1.5k per sf0.1 (150k even
+    // at sf10) — two orders below the state size where the heap provider
+    // meets its wall. SPARK_GRAFT_STREAM_KEYSRC=event derives the upsert
+    // key from event_id (unique per row), so keyMod sets the live key
+    // count directly (≈ min(keyMod, input rows)). The default stays
+    // user_id for continuity with every prior streaming row.
+    val keySrc = sys.env.getOrElse("SPARK_GRAFT_STREAM_KEYSRC", "user") match {
+      case "event" => col("event_id")
+      case "user"  => col("user_id")
+      case other => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_STREAM_KEYSRC must be user|event, got $other")
+    }
     val upsertsDir = freshDir(root, "upserts")
     events.select(
-        pmod(col("user_id"), lit(keyMod)).as("key"),
+        pmod(keySrc, lit(keyMod)).as("key"),
         col("event_id").as("ver"),
         col("value"),
         (pmod(col("event_id"), lit(50L)) === 0).as("deleted"))
