@@ -1746,6 +1746,137 @@ object Queries {
               floor(s * 10000 + 0.5) / 10000 AS survival
             FROM km WHERE d > 0"""))
 
+  /** Grouped ROC-AUC via the Mann–Whitney rank-sum identity (Wilcoxon
+    * 1945; Hanley & McNeil 1982: AUC = U/(n₊·n₋)) — the
+    * classifier-evaluation primitive every quality-filter training loop
+    * needs (fastText-style quality scorers, the q_logreg_step output):
+    * per cohort, how well does `value` rank purchase events above the
+    * rest? Exact tie handling by AVERAGE ranks carried as the
+    * integer 2·avg_rank = 2·rank + ties − 1 (min-rank + max-rank), so
+    * every lane is a BIGINT until the single final division:
+    * AUC = (Σ₊ 2r̄ − n₊(n₊+1)) / (2·n₊·n₋). Tie groups are
+    * exact-float-equality classes, so any engine reproduces the same
+    * partition however its sort breaks ties WITHIN a class (2r̄ is
+    * constant across a tie class by construction).
+    *
+    * Scale shape: ONE rank window per cohort (partitionBy cohort,
+    * orderBy score — Spark sorts within the cohort's partitions, no
+    * global single-partition sort), tie counts share the same exchange
+    * (partitionBy cohort+score), then a per-cohort partial agg.
+    * Per-group Σ2r̄ < 2n² keeps BIGINT exact to ~2×10⁹ rows per cohort. */
+  val qAuc = Q(
+    "q_auc",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir).events.select(
+        (col("user_id") % 4).as("cohort"),
+        col("value").as("score"),
+        (col("event_type") === "purchase").as("pos"))
+      val wRank = W.partitionBy(col("cohort")).orderBy(col("score"))
+      val wTie = W.partitionBy(col("cohort"), col("score"))
+      e.withColumn("r2",
+          lit(2) * rank().over(wRank) + count(lit(1)).over(wTie) - 1)
+        .groupBy(col("cohort"))
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"),
+          sum(when(col("pos"), col("r2")).otherwise(0L)).as("r2_pos"))
+        .select(col("cohort"), col("n_pos"), col("n_neg"),
+          fl4((col("r2_pos") - col("n_pos") * (col("n_pos") + 1))
+            .cast("double")
+            / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+            .as("auc"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id % 4 AS cohort, value AS score,
+                     event_type = 'purchase' AS pos
+              FROM events),
+            r AS (
+              SELECT cohort, pos,
+                2 * rank() OVER (PARTITION BY cohort ORDER BY score)
+                  + count(*) OVER (PARTITION BY cohort, score) - 1 AS r2
+              FROM e),
+            agg AS (
+              SELECT cohort,
+                sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+                sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS n_neg,
+                sum(CASE WHEN pos THEN r2 ELSE 0 END) AS r2_pos
+              FROM r GROUP BY cohort)
+            SELECT cohort, CAST(n_pos AS BIGINT) AS n_pos,
+              CAST(n_neg AS BIGINT) AS n_neg,
+              floor((r2_pos - n_pos * (n_pos + 1))::DOUBLE
+                / (2 * n_pos * n_neg)::DOUBLE * 10000 + 0.5) / 10000
+                AS auc
+            FROM agg"""))
+
+  /** Gini concentration coefficient of customer revenue per nation
+    * (Gini 1912, in Sen's rank-weighted form: G = (2·Σ i·xᵢ −
+    * (n+1)·Σx) / (n·Σx) over values sorted ascending) — the
+    * market-concentration / contributor-inequality profile next to the
+    * ABC classes of q_pareto_abc (ABC buckets name the heavy tier,
+    * Gini prices the whole curve in one number). Revenue rides the
+    * cents lane (per-ORDER floor(o_totalprice·100 + ½) BIGINT, summed
+    * per customer) so sums are merge-order exact; the rank-weighted sum
+    * accumulates as decimal(38,0) (i·x reaches ~10¹⁹ near 10⁶ customers
+    * per group — past BIGINT, inside the playbook's high-magnitude
+    * lane). Tie-safe by construction: within a tie class x is constant,
+    * so Σ i·x is invariant to how the sort permutes equal values.
+    *
+    * Scale shape: one cents partial agg per customer, one rank window
+    * per nation (no global sort), one per-nation partial agg. */
+  val qGini = Q(
+    "q_gini",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val custRev = t.orders
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("cents"))
+        .groupBy(col("o_custkey")).agg(sum(col("cents")).as("x"))
+      val byNation = custRev
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("o_custkey"), col("x"))
+      val w = W.partitionBy(col("nation"))
+        .orderBy(col("x"), col("o_custkey"))
+      byNation
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("x")).as("sx"),
+          sum((col("i") * col("x")).cast("decimal(38,0)")).as("six"))
+        .select(col("nation"), col("n_customers"),
+          fl4((lit(2).cast("decimal(38,0)") * col("six")
+              - ((col("n_customers") + 1) * col("sx")).cast("decimal(38,0)"))
+            .cast("double")
+            / (col("n_customers") * col("sx")).cast("double"))
+            .as("gini"))
+    },
+    Some("""WITH cust_rev AS (
+              SELECT o_custkey,
+                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+              FROM orders GROUP BY o_custkey),
+            by_nation AS (
+              SELECT n.n_name AS nation, r.o_custkey, r.x
+              FROM cust_rev r
+              JOIN customer c ON r.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey),
+            ranked AS (
+              SELECT nation, x,
+                row_number() OVER (PARTITION BY nation
+                  ORDER BY x, o_custkey) AS i
+              FROM by_nation),
+            agg AS (
+              SELECT nation, count(*) AS n_customers, sum(x) AS sx,
+                sum(i::HUGEINT * x::HUGEINT) AS six
+              FROM ranked GROUP BY nation)
+            SELECT nation, CAST(n_customers AS BIGINT) AS n_customers,
+              floor((2 * six - (n_customers + 1) * sx::HUGEINT)::DOUBLE
+                / (n_customers * sx)::DOUBLE * 10000 + 0.5) / 10000
+                AS gini
+            FROM agg"""))
+
   /** Good–Turing frequency-of-frequencies profile (Good 1953; the
     * smoothing behind Katz backoff): N_r = vocabulary types seen
     * exactly r times, adjusted count r* = (r+1)·N_{r+1}/N_r, and the
@@ -5053,7 +5184,7 @@ object Queries {
     qBloomJoin, qSaltedJoin, qAdaptiveSalt, qAsofJoin,
     qRollup, qCube, qRangeJoin, qMovingAvg, qPivot, qSetOps, qTopkAgg,
     qGroupingSets, qScalarSubquery, qPercentiles, qSessionize,
-    qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram, qHdrQuantiles, qTheilSen, qWinsorized, qMad, qBootstrapCi, qBenford, qHillTail, qParetoAbc, qSpearman, qSprt, qHashRing, qHrwShard, qKsTest, qLateEvents, qKaplanMeier, qGoodTuring,
+    qSessionWindow, qFunnel, qCohort, qCorrCov, qHistogram, qHdrQuantiles, qTheilSen, qWinsorized, qMad, qBootstrapCi, qBenford, qHillTail, qParetoAbc, qSpearman, qSprt, qHashRing, qHrwShard, qKsTest, qLateEvents, qKaplanMeier, qGoodTuring, qAuc, qGini,
     qQuantileBins, qKmvDistinct, qKmvSetops,
     qUnpivot, qOuterJoin, qWindowRank, qGapFill,
     qDqAudit, qCdcSnapshot, qSnapshotDiff, qMergeUpsert, qHopping, q5Revenue, q13Custdist,
