@@ -2527,6 +2527,130 @@ object DedupQueries {
               round(-((w).nc), 4) AS best_cos
             FROM pick"""))
 
+  /** AUTO-SIZED production sibling of [[qHardNegativesIvf]] (round 19 —
+    * the q_gnn_sage_nnd / q_srp_lsh_scaled precedent): same mining, same
+    * nprobe/k, but the index codebook is corpus-derived — `nlist = 0` →
+    * ⌈√n⌉ ([[graft.sim.Ann.ivfBuild]]'s sizing law), so per-anchor work
+    * is O(nprobe·√n) instead of O(nprobe·n/16) and the whole query sits
+    * in the n^1.5 class every auto-sized IVF shape lives in (the pinned
+    * form read 19.1× wall at 10× data in the r18 sf1 sweep — its cells
+    * grow ∝ corpus by construction). The oracle re-derives the identical
+    * size from the same relation (`ceil(sqrt(count(*)))` — IEEE sqrt is
+    * correctly rounded on integer counts) and enumerates the same
+    * first-⌈√n⌉-by-id centroids, so auto sizing costs no oracle
+    * fidelity. */
+  val qHardNegativesIvfScaled = Q(
+    "q_hard_negatives_ivf_scaled",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val index = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 0)
+      Ann.hardNegativesIvf(
+        emb.filter(col("vec_id") % 10 === 0), emb, index,
+        "vec_id", "embedding", "label", nprobe = 4, k = 3)
+    },
+    Some(s"""WITH cents AS (
+              SELECT vec_id AS cid, embedding AS cv
+              FROM embeddings ORDER BY vec_id
+              LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                     FROM embeddings)),
+            assigned AS (
+              SELECT id, (min(struct_pack(dist := dist, cid := cid))).cid AS cid
+              FROM (SELECT e.vec_id AS id, c.cid,
+                      list_sum(list_transform(range(1, 65),
+                        i -> (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE)
+                           * (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE))) AS dist
+                    FROM embeddings e, cents c)
+              GROUP BY id),
+            anc AS (
+              SELECT vec_id AS aid, embedding AS av, label AS al
+              FROM embeddings WHERE vec_id % 10 = 0),
+            aprobe AS (
+              SELECT aid, cid FROM (
+                SELECT a.aid, c.cid, row_number() OVER (PARTITION BY a.aid
+                  ORDER BY list_sum(list_transform(range(1, 65),
+                    i -> (c.cv[i]::DOUBLE - a.av[i]::DOUBLE)
+                       * (c.cv[i]::DOUBLE - a.av[i]::DOUBLE))), c.cid) AS pr
+                FROM anc a, cents c) WHERE pr <= 4),
+            scored AS (
+              SELECT a.aid, e.vec_id AS id, ${cosSql("e.embedding", "a.av")} AS cos
+              FROM anc a JOIN aprobe p USING (aid)
+                JOIN assigned s2 ON s2.cid = p.cid
+                JOIN embeddings e ON e.vec_id = s2.id
+              WHERE e.label != a.al),
+            ranked AS (
+              SELECT aid, id, cos, row_number() OVER
+                (PARTITION BY aid ORDER BY cos DESC, id) AS rk
+              FROM scored)
+            SELECT aid AS anchor_id, id AS neg_id,
+              round(cos, 4) AS cosine, CAST(rk AS BIGINT) AS rk
+            FROM ranked WHERE rk <= 3"""))
+
+  /** AUTO-SIZED production sibling of [[qKnnClassifyIvf]] (round 19):
+    * identical classification, but the codebook is SEED-SET-proportional
+    * — `nlist = 0` over the labeled relation → ⌈√n_labeled⌉ — so
+    * per-probe work is O(nprobe·√n_seed) and the query leaves the
+    * pinned-nlist quadratic class (30.7× wall at 10× data in the r18 sf1
+    * sweep, the last §2.6 row without a measured linear-path sibling).
+    * The oracle re-derives ⌈√count(lab)⌉ from the same labeled relation
+    * and enumerates the same first-k-by-id centroids — auto sizing with
+    * zero oracle slack. */
+  val qKnnClassifyIvfScaled = Q(
+    "q_knn_classify_ivf_scaled",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val labeled = emb.filter(col("vec_id") % 5 === 0)
+      val index = Ann.ivfBuild(labeled, "vec_id", "embedding", nlist = 0)
+      Ann.knnClassifyIvf(
+        emb.filter(col("vec_id") % 5 =!= 0), labeled, index,
+        "vec_id", "embedding", "label", nprobe = 4, k = 5)
+    },
+    Some(s"""WITH lab AS (
+              SELECT vec_id AS lid, embedding AS lv,
+                CAST(label AS VARCHAR) AS label
+              FROM embeddings WHERE vec_id % 5 = 0),
+            cents AS (SELECT lid AS cid, lv AS cv FROM lab
+              ORDER BY lid
+              LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM lab)),
+            assigned AS (
+              SELECT lid, (min(struct_pack(dist := d, cid := cid))).cid AS cid
+              FROM (SELECT l.lid, c.cid,
+                      list_sum(list_transform(range(1, 65),
+                        i -> (l.lv[i]::DOUBLE - c.cv[i]::DOUBLE)
+                           * (l.lv[i]::DOUBLE - c.cv[i]::DOUBLE))) AS d
+                    FROM lab l, cents c)
+              GROUP BY lid),
+            unl AS (
+              SELECT vec_id AS id, embedding AS v
+              FROM embeddings WHERE vec_id % 5 != 0),
+            uprobe AS (
+              SELECT id, cid FROM (
+                SELECT u.id, c.cid, row_number() OVER (PARTITION BY u.id
+                  ORDER BY list_sum(list_transform(range(1, 65),
+                    i -> (u.v[i]::DOUBLE - c.cv[i]::DOUBLE)
+                       * (u.v[i]::DOUBLE - c.cv[i]::DOUBLE))), c.cid) AS pr
+                FROM unl u, cents c) WHERE pr <= 4),
+            scored AS (
+              SELECT u.id, l.lid, l.label, ${cosSql("u.v", "l.lv")} AS cos
+              FROM unl u JOIN uprobe p ON p.id = u.id
+                JOIN assigned a ON a.cid = p.cid
+                JOIN lab l ON l.lid = a.lid),
+            ranked AS (
+              SELECT id, lid, label, cos, row_number() OVER
+                (PARTITION BY id ORDER BY cos DESC, lid) AS rk
+              FROM scored),
+            votes AS (
+              SELECT id, label, count(*) AS votes,
+                max(round(cos, 4)) AS best_cos
+              FROM ranked WHERE rk <= 5 GROUP BY id, label),
+            pick AS (
+              SELECT id, min(struct_pack(nv := -votes, nc := -best_cos,
+                label := label)) AS w
+              FROM votes GROUP BY id)
+            SELECT id, (w).label AS label,
+              CAST(-((w).nv) AS BIGINT) AS votes,
+              round(-((w).nc), 4) AS best_cos
+            FROM pick"""))
+
   /** LSH parameter tuning (MMDS §3.4.2 S-curve): expected recall and
     * false-candidate load per (rows, bands) config, integrated against the
     * corpus's measured pair-similarity histogram — the decision table a
@@ -2729,5 +2853,6 @@ object DedupQueries {
     qQuantizeDot, qKnnJoin, qKnnIvf, qMutualKnn, qGnnSage, qHardNegatives, qMmr, qSemDedup, qDupNgrams, qIncrementalDedup,
     qKnnClassify, qDedupKeepBest, qVecPool, qSpanDedup, qSrpLsh, qSrpLshScaled, qEditDistance,
     qVecCov, qAnnPq, qAnnIvfPq, qKmeansStep, qDbscan, qFuzzyMatch, qSortedNeighborhood,
-    qContainment, qBoilerplate, qSimjoinPrefix, qFellegiSunter, qBlockingEval, qSoundexBlock, qCdcChunks, qGoldenRecord, qItemSim, qSilhouette, qAnnRecall, qNnDescent, qGnnSageNnd, qHardNegativesIvf, qKnnClassifyIvf)
+    qContainment, qBoilerplate, qSimjoinPrefix, qFellegiSunter, qBlockingEval, qSoundexBlock, qCdcChunks, qGoldenRecord, qItemSim, qSilhouette, qAnnRecall, qNnDescent, qGnnSageNnd, qHardNegativesIvf, qKnnClassifyIvf,
+    qHardNegativesIvfScaled, qKnnClassifyIvfScaled)
 }

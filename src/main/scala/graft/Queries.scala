@@ -1781,9 +1781,13 @@ object Queries {
           sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"),
           sum(when(col("pos"), col("r2")).otherwise(0L)).as("r2_pos"))
         .select(col("cohort"), col("n_pos"), col("n_neg"),
-          fl4((col("r2_pos") - col("n_pos") * (col("n_pos") + 1))
-            .cast("double")
-            / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+          // AUC is undefined for a single-class cohort (n₊=0 or n₋=0):
+          // emit NULL rather than NaN/Inf so every engine agrees
+          // (oracle mirrors with NULLIF on the denominator).
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            fl4((col("r2_pos") - col("n_pos") * (col("n_pos") + 1))
+              .cast("double")
+              / (lit(2L) * col("n_pos") * col("n_neg")).cast("double")))
             .as("auc"))
     },
     Some("""WITH e AS (
@@ -1804,8 +1808,8 @@ object Queries {
             SELECT cohort, CAST(n_pos AS BIGINT) AS n_pos,
               CAST(n_neg AS BIGINT) AS n_neg,
               floor((r2_pos - n_pos * (n_pos + 1))::DOUBLE
-                / (2 * n_pos * n_neg)::DOUBLE * 10000 + 0.5) / 10000
-                AS auc
+                / NULLIF((2 * n_pos * n_neg)::DOUBLE, 0) * 10000 + 0.5)
+                / 10000 AS auc
             FROM agg"""))
 
   /** Gini concentration coefficient of customer revenue per nation
@@ -1844,12 +1848,18 @@ object Queries {
         .groupBy(col("nation"))
         .agg(count(lit(1)).as("n_customers"),
           sum(col("x")).as("sx"),
-          sum((col("i") * col("x")).cast("decimal(38,0)")).as("six"))
+          // Cast an operand BEFORE multiplying (mirrors the oracle's
+          // i::HUGEINT * x::HUGEINT): i·x reaches ~10¹⁹ per the doc
+          // comment, past BIGINT — a long multiply would silently wrap.
+          sum(col("i").cast("decimal(38,0)") * col("x").cast("decimal(38,0)"))
+            .as("six"))
         .select(col("nation"), col("n_customers"),
           fl4((lit(2).cast("decimal(38,0)") * col("six")
-              - ((col("n_customers") + 1) * col("sx")).cast("decimal(38,0)"))
+              - (col("n_customers") + 1).cast("decimal(38,0)")
+                * col("sx").cast("decimal(38,0)"))
             .cast("double")
-            / (col("n_customers") * col("sx")).cast("double"))
+            / (col("n_customers").cast("decimal(38,0)")
+                * col("sx").cast("decimal(38,0)")).cast("double"))
             .as("gini"))
     },
     Some("""WITH cust_rev AS (
@@ -1873,8 +1883,8 @@ object Queries {
               FROM ranked GROUP BY nation)
             SELECT nation, CAST(n_customers AS BIGINT) AS n_customers,
               floor((2 * six - (n_customers + 1) * sx::HUGEINT)::DOUBLE
-                / (n_customers * sx)::DOUBLE * 10000 + 0.5) / 10000
-                AS gini
+                / (n_customers::HUGEINT * sx::HUGEINT)::DOUBLE
+                * 10000 + 0.5) / 10000 AS gini
             FROM agg"""))
 
   /** Good–Turing frequency-of-frequencies profile (Good 1953; the
@@ -4828,8 +4838,14 @@ object Queries {
       // Seeded from the 1-row core LABEL: the SCC component id is the
       // min member id, and reachability from one core node ≡ from the
       // whole core by mutual reachability inside the SCC.
+      // Explicit generous bound (ADVICE r19): the hopDistance sweeps this
+      // replaced ran effectively unbounded; reachability's default 1000
+      // would make a long-path graph (eccentricity > 1000) throw instead
+      // of finish. Int.MaxValue restores the prior contract — the
+      // Observation fixpoint exits at the true eccentricity regardless.
       val reach = graft.graph.Graph.reachability(
-        coreId.select(col("core_id").as("id")), edges)
+        coreId.select(col("core_id").as("id")), edges,
+        maxRounds = Int.MaxValue)
       nodes
         .join(coreN.select(col("id"), lit(1).as("c")), Seq("id"), "left")
         .join(reach, Seq("id"), "left")

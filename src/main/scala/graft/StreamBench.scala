@@ -115,6 +115,13 @@ object StreamBench {
     val passes = sys.env.getOrElse(
         "SPARK_GRAFT_STREAM_PASSES", "mft2,mft8,rocksdb")
       .split(",").map(_.trim).toSet
+    // Loud on typos ('rockdb' must not silently drop the RocksDB
+    // evidence this knob exists to protect) — mirrors the KEYSRC knob.
+    val known = Set("mft2", "mft8", "rocksdb")
+    val unknown = passes -- known
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_STREAM_PASSES: unknown pass(es) ${unknown.mkString(",")}" +
+        s" — valid: ${known.mkString(",")}")
     val base =
       (if (passes("mft2"))
         runConfig(spark, sfDir, maxFilesPerTrigger = 2, suffix = "", only)

@@ -541,16 +541,20 @@ object Graph {
       val frontier = dist.filter(col("hops") === lit(h - 1).cast("long"))
       val next = frontier.join(e, frontier("id") === e("src"))
         .select(e("dst").as("id"), lit(h.toLong).as("hops"))
+      // fixpoint early exit, FREE from round 1 (the [[reachability]]
+      // pattern, ported r19): the count of nodes first discovered this
+      // round (min hops == h after the merge agg) rides the merge job as
+      // an observed metric — no separate count job, so generous-bound
+      // callers stop at the true eccentricity at zero extra cost and
+      // tight-bound callers pay nothing either.
+      val obs = org.apache.spark.sql.Observation(s"hop_new_$h")
       dist = dist.unionByName(next)
         .groupBy(col("id")).agg(min(col("hops")).as("hops"))
-        .localCheckpoint(true)
-      // fixpoint early exit: an empty round-h frontier means every
-      // remaining round is a no-op — identical result, so callers can
-      // pass a generous eccentricity bound without paying for it. The
-      // check itself is one extra job per round, so it only arms past
-      // round 8: tight-bound callers (q_bfs_hops' 4 hops) pay nothing,
-      // unbounded callers (bowtie's Int.MaxValue) stop at the diameter
-      growing = h < 8 || !dist.filter(col("hops") === lit(h.toLong)).isEmpty
+        .observe(obs,
+          sum(when(col("hops") === lit(h.toLong), 1L).otherwise(0L)).as("n"))
+        .localCheckpoint(true) // eager: populates the observation
+      growing = Option(obs.get("n"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L) > 0L
       h += 1
     }
     dist

@@ -178,28 +178,36 @@ object Multimodal {
           }
         }
         // no TaskContext (driver-local iteration, e.g. toLocalIterator in
-        // a test): close the per-partition reader on full exhaustion OR
-        // on an exception mid-iteration (a trailing `++` epilogue covers
-        // neither). NOT covered: abandonment — an iterator dropped
-        // without a final hasNext past the end (take/head) still leaks
-        // the reader; driver-local callers that stop early must drain.
+        // a test): self-closing wrapper — closes the per-partition reader
+        // on full exhaustion, on an exception mid-iteration, AND via the
+        // caller-invocable Closeable for early stops (take/head): a
+        // driver-local caller that abandons mid-stream calls close()
+        // instead of draining.
         if (tc.isDefined) mapped
-        else new Iterator[JpegStats] {
-          private var closed = false
-          private def closeOnce(): Unit =
-            if (!closed) { closed = true; dec.close() }
-          def hasNext: Boolean = {
-            val h =
-              try mapped.hasNext
-              catch { case e: Throwable => closeOnce(); throw e }
-            if (!h) closeOnce()
-            h
-          }
-          def next(): JpegStats =
-            try mapped.next()
-            catch { case e: Throwable => closeOnce(); throw e }
-        }
+        else new SelfClosingIterator(mapped, () => dec.close())
       }
+  }
+
+  /** Driver-local decode iterator wrapper: releases the wrapped resource
+    * on exhaustion (final hasNext == false), on any exception thrown
+    * mid-iteration, or explicitly via [[java.io.Closeable]] when a caller
+    * stops early (take/head) — whichever comes first; close is
+    * idempotent. */
+  final class SelfClosingIterator[A](
+      underlying: Iterator[A], onClose: () => Unit)
+      extends Iterator[A] with java.io.Closeable {
+    private var closed = false
+    override def close(): Unit = if (!closed) { closed = true; onClose() }
+    def hasNext: Boolean = {
+      val h =
+        try underlying.hasNext
+        catch { case e: Throwable => close(); throw e }
+      if (!h) close()
+      h
+    }
+    def next(): A =
+      try underlying.next()
+      catch { case e: Throwable => close(); throw e }
   }
 
   /** Real metadata decode from PNG bytes — no image library needed: the

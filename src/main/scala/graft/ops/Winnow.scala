@@ -140,8 +140,8 @@ object Winnow {
     // Pair-join partition sizing (round 18): at sf10 the capped pair join
     // spills at the session's default 32 post-shuffle partitions — the
     // r17 ScaleProbe sweep read parts=32 121.8 s / parts=128 60.7 s /
-    // parts=256 85.3 s on 13.3 M fingerprint rows — so the AUTO path
-    // sizes the join-side partitioning from the census it already has:
+    // parts=256 85.3 s on 13.3 M fingerprint rows — so the join-side
+    // partitioning is sized from the fingerprint-row total:
     // one partition per ~100k fingerprint rows (13.3 M → 132, the
     // measured sweet spot), never below the session default (small
     // corpora keep their plan byte-identical — no repartition inserted),
@@ -151,9 +151,24 @@ object Winnow {
     // only the one join the sweep measured spilling. Both join branches
     // project from the SAME repartitioned relation, so the exchange is
     // reused and the fp-keyed join inserts no further shuffle.
+    //
+    // The total comes from the AUTO census when one ran; EXPLICIT-cap
+    // callers (round 19 — the q_winnow_pairs fixed-cap form read 39.7 s
+    // vs the sized AUTO form's 35.0 s on the same sf10 chunk) pay one
+    // count on the already-checkpointed relation instead, the same
+    // driver-scalar cost class as the census. Either way the total is
+    // PRE-cap while the join runs over the capped relation — an upper
+    // bound by design: recounting after capping would pay a second pass
+    // over the relation, over-partitioning is perf-benign (AQE coalesces
+    // near-empty post-shuffle partitions), and on template-heavy corpora
+    // the cap removes ROWS but the surviving near-dup buckets still
+    // carry most of the join's pair volume. Uncapped (-1) is the
+    // test/audit tier and keeps the session default untouched.
     val defaultParts =
       fps0.sparkSession.sessionState.conf.numShufflePartitions
-    val parts = census.map { case (total, _) =>
+    val totalForSizing: Option[Long] = census.map(_._1).orElse(
+      if (maxDocFreq > 0L) Some(all.count()) else None)
+    val parts = totalForSizing.map { total =>
       math.min(1024L, math.max(defaultParts.toLong, total / 100000L)).toInt
     }.getOrElse(defaultParts)
     val sized = if (parts > defaultParts) fps.repartition(parts, col("fp"))

@@ -79,6 +79,33 @@ class JpegSpec extends SparkSpec {
     assert(out(2).width == -1L, "decode failure must be loud")
   }
 
+  test("SelfClosingIterator: abandoned take() releases via close(); " +
+      "exhaustion and throw self-close; close idempotent") {
+    // abandonment fixture: stop after 1 of 3 via take, never drain —
+    // caller-invocable close must release the resource exactly once
+    var closes = 0
+    val it = new Multimodal.SelfClosingIterator(
+      Iterator(1, 2, 3), () => closes += 1)
+    val taken = it.take(1).toList
+    assert(taken == List(1) && closes == 0, "not yet exhausted, not closed")
+    it.close()
+    assert(closes == 1, "caller-invocable close releases")
+    it.close()
+    assert(closes == 1, "close is idempotent")
+    // exhaustion self-closes without an explicit close
+    var c2 = 0
+    val it2 = new Multimodal.SelfClosingIterator(Iterator(1), () => c2 += 1)
+    assert(it2.toList == List(1) && c2 == 1, "closed on exhaustion")
+    // a throw mid-iteration self-closes too
+    var c3 = 0
+    val boom = Iterator(1) ++ Iterator.continually[Int](
+      throw new RuntimeException("boom"))
+    val it3 = new Multimodal.SelfClosingIterator(boom, () => c3 += 1)
+    it3.next()
+    intercept[RuntimeException](it3.next())
+    assert(c3 == 1, "closed on throw")
+  }
+
   test("extractFeatures uses real pixels for JPEG payloads") {
     implicit val s = spark
     import spark.implicits._
