@@ -142,7 +142,23 @@ object Graph {
     val both = e
       .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
-    var labels = nodes.toDF("id").select(col("id"), col("id").as("component"))
+    // below-threshold fast path (round 19, LocalSolve): the per-round
+    // fixed cost (shuffles + checkpoint + job round-trip) dominates when
+    // the edge set fits one task — run the SAME synchronous min-label
+    // fixpoint (same maxIter contract) inside one executor task. The
+    // node relation rides along because labels live on the node
+    // universe only.
+    val n0 = nodes.toDF("id").localCheckpoint(true)
+    if (LocalSolve.allLong(both, "src", "dst") &&
+        LocalSolve.allLong(n0, "id") &&
+        LocalSolve.fits(both).isDefined && LocalSolve.fits(n0).isDefined) {
+      return LocalSolve.minLabelComponents(
+        both.select(lit(0).as("t"), col("src").as("x"), col("dst").as("y"))
+          .unionByName(n0.select(lit(2).as("t"), col("id").as("x"),
+            lit(0L).as("y"))),
+        maxIter)
+    }
+    var labels = n0.select(col("id"), col("id").as("component"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -338,6 +354,24 @@ object Graph {
         .filter(col("sf") === col("df_") && col("sb") === col("db"))
         .select(col("src"), col("dst"))
         .localCheckpoint(true) // feeds both directions of propagation
+      // below-threshold fast path (round 19, LocalSolve): once the
+      // still-open subgraph fits one task, finish the refinement with
+      // one in-task Tarjan pass — the same fixpoint (F = B = SCC min
+      // id) without maxInner × maxOuter synchronization rounds. This is
+      // the FW-BW tail at ANY scale: open classes shrink monotonically,
+      // so production runs land here in late outer rounds too.
+      if (LocalSolve.allLong(er, "src", "dst") &&
+          LocalSolve.fits(er).isDefined) {
+        val comp = LocalSolve.tarjanComponents(er)
+          .select(col("id").as("cid"), col("component"))
+        val refinedLocal = open
+          .join(comp, open("id") === col("cid"), "left")
+          .select(open("id"),
+            coalesce(col("component"), open("id")).as("f"),
+            coalesce(col("component"), open("id")).as("b"))
+        part = closed.unionByName(refinedLocal).localCheckpoint(true)
+        openCnt = 0L
+      } else {
       val obs = org.apache.spark.sql.Observation(s"scc_open_$outer")
       val refined =
         minLabelBothDirections(open.select(col("id")), er, maxInner)
@@ -349,6 +383,7 @@ object Graph {
       // sum over zero rows observes null (empty node set) — nothing open
       openCnt = Option(obs.get("n_open"))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
+      }
       outer += 1
     }
     if (openCnt != 0L) throw new IllegalStateException(
@@ -426,6 +461,11 @@ object Graph {
     */
   def densestSubgraphTrace(edges: DataFrame, maxRounds: Int = 6): DataFrame = {
     var e = canonical(edges).localCheckpoint(true)
+    // below-threshold fast path (round 19, LocalSolve): the whole
+    // ≤ log₂ n-round peel trace in one task — identical integer
+    // survivor predicate and m/n division.
+    if (LocalSolve.allLong(e, "a", "b") && LocalSolve.fits(e).isDefined)
+      return LocalSolve.densestTrace(e, maxRounds)
     var stats: Option[DataFrame] = None
     var r = 0
     var live = true
@@ -488,6 +528,18 @@ object Graph {
     val e = edges.toDF("src", "dst").filter(col("src") =!= col("dst"))
       .distinct().localCheckpoint(true) // re-read every half-step
     val ids = nodes.toDF("id").localCheckpoint(true)
+    // below-threshold fast path (round 19, LocalSolve): all 2·iters
+    // half-steps in one task — identical fixed-point integer arithmetic
+    // restricted to the node universe.
+    if (LocalSolve.allLong(e, "src", "dst") && LocalSolve.allLong(ids, "id") &&
+        LocalSolve.fits(e).isDefined && LocalSolve.fits(ids).isDefined) {
+      return LocalSolve.hitsScores(
+        e.select(lit(0).as("t"), col("src").as("x"), col("dst").as("y"))
+          .unionByName(ids.select(lit(2).as("t"), col("id").as("x"),
+            lit(0L).as("y"))),
+        iters)
+        .select(col("id"), col("a").as("authority_fp"), col("h").as("hub_fp"))
+    }
     var st = ids.select(col("id"), lit(scale).as("a"), lit(scale).as("h"))
     for (_ <- 1 to iters) {
       def halfStep(scores: DataFrame, vCol: String, from: String, to: String) = {
@@ -535,6 +587,17 @@ object Graph {
     val e = edges.toDF("src", "dst").localCheckpoint(true)
     var dist = seeds.toDF("id").distinct()
       .select(col("id"), lit(0L).as("hops")).localCheckpoint(true)
+    // below-threshold fast path (round 19, LocalSolve): the capped
+    // multi-source BFS in one task.
+    if (LocalSolve.allLong(e, "src", "dst") &&
+        LocalSolve.allLong(dist, "id") &&
+        LocalSolve.fits(e).isDefined && LocalSolve.fits(dist).isDefined) {
+      return LocalSolve.hopBfs(
+        e.select(lit(0).as("t"), col("src").as("x"), col("dst").as("y"))
+          .unionByName(dist.select(lit(1).as("t"), col("id").as("x"),
+            lit(0L).as("y"))),
+        maxHops)
+    }
     var h = 1
     var growing = true
     while (h <= maxHops && growing) {
@@ -600,6 +663,18 @@ object Graph {
     var state = seeds.toDF("id").distinct()
       .select(col("id"), lit(true).as("f"), lit(true).as("b"))
       .localCheckpoint(true)
+    // below-threshold fast path (round 19, LocalSolve): both BFS sweeps
+    // in one task — same round budget and non-convergence throw.
+    if (LocalSolve.allLong(ed, "src", "dst") &&
+        LocalSolve.allLong(state, "id") &&
+        LocalSolve.fits(ed).isDefined && LocalSolve.fits(state).isDefined) {
+      return LocalSolve.reachabilityFlags(
+        ed.filter(col("dir") === 0)
+          .select(lit(0).as("t"), col("src").as("x"), col("dst").as("y"))
+          .unionByName(state.select(lit(1).as("t"), col("id").as("x"),
+            lit(0L).as("y"))),
+        maxRounds)
+    }
     var frontier = state // (id, f, b) with flags = newly set THIS round
     var r = 0
     var done = false
@@ -674,6 +749,18 @@ object Graph {
       .localCheckpoint(true)
     var dist = seeds.toDF("id").distinct()
       .select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
+    // below-threshold fast path (round 19, LocalSolve): round-synchronous
+    // Bellman–Ford in one task — identical ≤-maxRounds-edges semantics.
+    if (LocalSolve.allLong(e, "src", "dst", "w") &&
+        LocalSolve.allLong(dist, "id") &&
+        LocalSolve.fits(e).isDefined && LocalSolve.fits(dist).isDefined) {
+      return LocalSolve.bellmanFord(
+        e.select(lit(0).as("t"), col("src").as("x"), col("dst").as("y"),
+            col("w"))
+          .unionByName(dist.select(lit(1).as("t"), col("id").as("x"),
+            lit(0L).as("y"), lit(0L).as("w"))),
+        maxRounds)
+    }
     // Induction: value set by a relax chain of k edges needs k strictly
     // increasing rounds (a node sits in the frontier only the round it
     // improved), so after round r every dist is a real ≤ r-edge path
@@ -732,6 +819,20 @@ object Graph {
     val e = edges.toDF("src", "dst").localCheckpoint(true)
     val n = nodes.toDF("id").localCheckpoint(true)
     val sd = seeds.toDF("id", "label").localCheckpoint(true)
+    // below-threshold fast path (round 19, LocalSolve): all fixed
+    // rounds in one task — identical vote/tiebreak/clamp semantics.
+    if (LocalSolve.allLong(e, "src", "dst") && LocalSolve.allLong(n, "id") &&
+        LocalSolve.allLong(sd, "id", "label") &&
+        LocalSolve.fits(e).isDefined && LocalSolve.fits(n).isDefined &&
+        LocalSolve.fits(sd).isDefined) {
+      return LocalSolve.labelProp(
+        e.select(lit(0).as("t"), col("src").as("x"), col("dst").as("y"))
+          .unionByName(sd.select(lit(1).as("t"), col("id").as("x"),
+            col("label").as("y")))
+          .unionByName(n.select(lit(2).as("t"), col("id").as("x"),
+            lit(0L).as("y"))),
+        iters)
+    }
     var lab = sd
     for (_ <- 1 to iters) {
       val votes = e
@@ -850,6 +951,10 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
     require(k >= 1, s"k must be ≥ 1, got $k")
     val e = canonical(edges).localCheckpoint()
+    // below-threshold fast path (round 19, LocalSolve): the synchronous
+    // peel in one task — identical fixpoint, maxIter contract kept.
+    if (LocalSolve.allLong(e, "a", "b") && LocalSolve.fits(e).isDefined)
+      return LocalSolve.kCorePeel(e, k, maxIter)
     var live = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .distinct().localCheckpoint(true)
     var liveCount = live.count()
@@ -911,6 +1016,23 @@ object Graph {
   def harmonicCentrality(edges: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"maxHops must be ≥ 1, got $maxHops")
     val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val lcm0 = (1 to maxHops).foldLeft(1L) { (a, b) =>
+      @annotation.tailrec def gcd(x: Long, y: Long): Long =
+        if (y == 0) x else gcd(y, x % y)
+      a / gcd(a, b) * b
+    }
+    // below-threshold fast path (round 19, LocalSolve): per-source
+    // capped BFS in one task. Tighter cap than the shared default: the
+    // in-task work is Σ_source |ball| — super-linear in the edge count —
+    // so one task only wins while the ball census stays small; the
+    // distributed pair-state BFS takes over beyond it.
+    if (LocalSolve.allLong(e, "src", "dst") &&
+        LocalSolve.threshold(e.sparkSession) > 0 &&
+        e.count() <= math.min(LocalSolve.threshold(e.sparkSession), 1L << 16)) {
+      return LocalSolve.harmonicSums(e, maxHops, lcm0)
+        .select(col("id"), col("reached"),
+          (col("hsum").cast("double") / lcm0).as("harmonic"))
+    }
     // diagonal start: sources are nodes with ≥ 1 out-edge (a node with
     // no out-edge reaches nobody and would contribute nothing anyway)
     var dist = e.select(col("src").as("s")).distinct()
@@ -924,11 +1046,7 @@ object Graph {
         .groupBy(col("s"), col("v")).agg(min(col("hops")).as("hops"))
         .localCheckpoint(true)
     }
-    val lcm = (1 to maxHops).foldLeft(1L) { (a, b) =>
-      @annotation.tailrec def gcd(x: Long, y: Long): Long =
-        if (y == 0) x else gcd(y, x % y)
-      a / gcd(a, b) * b
-    }
+    val lcm = lcm0
     dist.filter(col("hops") >= 1)
       .groupBy(col("v").as("id"))
       .agg(count(lit(1)).as("reached"),
@@ -1110,6 +1228,15 @@ object Graph {
     }
 
     val e0 = canonical(edges).localCheckpoint(true)
+    // below-threshold fast path (round 19, LocalSolve): support
+    // recompute + peel in one task (same vanish-at-zero-support and
+    // maxIter semantics). Tighter cap than the shared default: the
+    // in-task support pass is O(Σ min-degree per edge), super-linear in
+    // edges, so one task only wins while the listing stays small.
+    if (LocalSolve.allLong(e0, "a", "b") &&
+        LocalSolve.threshold(e0.sparkSession) > 0 &&
+        e0.count() <= math.min(LocalSolve.threshold(e0.sparkSession), 1L << 20))
+      return LocalSolve.kTrussPeel(e0, k, maxIter)
     var live = withSupports(e0).localCheckpoint(true)
     var (liveCount, removedCount) = counts(live)
     // iter counts completed peel rounds: the loop admits rounds 1..maxIter
@@ -1355,6 +1482,10 @@ object Graph {
       .select(col("src").as("node"), col("k"))
       .localCheckpoint()
     val m = e.count() / 2
+    // below-threshold fast path (round 19, LocalSolve): all sweeps in
+    // one task — identical exact-integer score and tiebreak.
+    if (LocalSolve.allLong(e, "src", "dst") && LocalSolve.fits(e).isDefined)
+      return LocalSolve.louvainSweeps(e, m, rounds)
     var a = deg.select(col("node"), col("node").as("cid"))
     for (_ <- 1 to rounds)
       a = louvainSweep(e, deg, m, a)
@@ -1526,6 +1657,16 @@ object Graph {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val und = undirected(edges).localCheckpoint(true)
     val all = nodes.toDF("id").distinct().localCheckpoint(true)
+    // below-threshold fast path (round 19, LocalSolve): all Luby rounds
+    // in one task — identical md5 priorities, win rule and round budget.
+    if (LocalSolve.allLong(und, "src", "dst") && LocalSolve.allLong(all, "id") &&
+        LocalSolve.fits(und).isDefined && LocalSolve.fits(all).isDefined) {
+      return LocalSolve.lubyMisLocal(
+        und.select(lit(0).as("t"), col("src").as("x"), col("dst").as("y"))
+          .unionByName(all.select(lit(2).as("t"), col("id").as("x"),
+            lit(0L).as("y"))),
+        maxRounds)
+    }
     var active = all
     var selected: DataFrame = null
     var r = 1

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Round-19 optimization: the below-threshold one-task solvers
+  * (graph/LocalSolve.scala) must return BIT-IDENTICAL results to the
+  * distributed fixpoint loops they shortcut. Every algorithm runs twice
+  * on the same graph — once with the local path enabled (tiny test
+  * graphs are always under the default threshold) and once with
+  * `spark.graft.graph.localSolveEdges = 0` (distributed loops) — and
+  * the outputs are compared as sets of rows.
+  */
+class LocalSolveSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def bothPaths(fn: => DataFrame): (Set[String], Set[String]) = {
+    val key = "spark.graft.graph.localSolveEdges"
+    spark.conf.unset(key) // default: local path on
+    val local = fn.collect().map(_.toString).toSet
+    spark.conf.set(key, "0")
+    try {
+      val dist = fn.collect().map(_.toString).toSet
+      (local, dist)
+    } finally spark.conf.unset(key)
+  }
+
+  // a directed graph with a nested SCC structure, dangling periphery,
+  // parallel shortcuts and an isolated node — exercises every branch
+  private def edges = Seq(
+    (1L, 2L), (2L, 3L), (3L, 1L), // 3-cycle SCC
+    (3L, 4L), (4L, 5L), (5L, 4L), // 2-cycle SCC reached from the first
+    (5L, 6L), (6L, 7L), // tail
+    (8L, 1L), // feeder into the cycle
+    (9L, 10L), (10L, 9L), // separate 2-cycle
+    (2L, 6L) // shortcut
+  ).toDF("src", "dst")
+
+  private def nodes = (1L to 11L).toDF("id") // 11 is isolated
+
+  test("connectedComponents: local == distributed") {
+    val (l, d) = bothPaths(
+      graft.graph.Graph.connectedComponents(nodes, edges))
+    assert(l == d && l.nonEmpty)
+  }
+
+  test("stronglyConnectedComponents: local == distributed") {
+    val (l, d) = bothPaths(
+      graft.graph.Graph.stronglyConnectedComponents(nodes, edges))
+    assert(l == d && l.nonEmpty)
+  }
+
+  test("reachability: local == distributed") {
+    val (l, d) = bothPaths(
+      graft.graph.Graph.reachability(Seq(3L, 9L).toDF("id"), edges))
+    assert(l == d && l.nonEmpty)
+  }
+
+  test("hopDistance: local == distributed (cap respected)") {
+    val (l, d) = bothPaths(
+      graft.graph.Graph.hopDistance(Seq(1L, 9L).toDF("id"), edges, maxHops = 2))
+    assert(l == d && l.nonEmpty)
+  }
+
+  test("shortestPaths: local == distributed (round cap respected)") {
+    val w = edges.select($"src", $"dst",
+      (($"src" * 7 + $"dst") % 5 + 1).as("w"))
+    val (l, d) = bothPaths(
+      graft.graph.Graph.shortestPaths(Seq(1L).toDF("id"), w, maxRounds = 3))
+    assert(l == d && l.nonEmpty)
+  }
+
+  test("kCore: local == distributed") {
+    // undirected clique + pendant chain
+    val und = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val (l, d) = bothPaths(graft.graph.Graph.kCore(und, k = 3))
+    assert(l == d && l.nonEmpty)
+  }
+
+  test("kTruss: local == distributed (supports included)") {
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (2L, 5L), (3L, 5L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val (l, d) = bothPaths(graft.graph.Graph.kTruss(und, k = 4))
+    assert(l == d && l.nonEmpty)
+  }
+
+  test("densestSubgraphTrace: local == distributed (trace rows)") {
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)).toDF("src", "dst")
+    val (l, d) = bothPaths(graft.graph.Graph.densestSubgraphTrace(und))
+    assert(l == d && l.nonEmpty)
+  }
+
+  test("hits: local == distributed (fixed point, node universe)") {
+    val (l, d) = bothPaths(graft.graph.Graph.hits(nodes, edges, iters = 3))
+    assert(l == d && l.nonEmpty)
+  }
+
+  test("labelPropagate: local == distributed (clamp + tiebreak)") {
+    val und = graft.graph.Graph.undirected(edges)
+    val seeds = Seq((1L, 100L), (7L, 200L)).toDF("id", "label")
+    val (l, d) = bothPaths(
+      graft.graph.Graph.labelPropagate(nodes, seeds, und, iters = 3))
+    assert(l == d && l.nonEmpty)
+  }
+
+  test("lubyMis: local == distributed (md5 priorities)") {
+    val (l, d) = bothPaths(
+      graft.graph.Graph.lubyMis(nodes, edges, maxRounds = 16))
+    assert(l == d && l.nonEmpty)
+  }
+
+  test("louvain: local == distributed (integer scores)") {
+    val und = graft.graph.Graph.undirected(edges)
+    val (l, d) = bothPaths(graft.graph.Graph.louvain(und, rounds = 2))
+    assert(l == d && l.nonEmpty)
+  }
+
+  test("harmonicCentrality: local == distributed (exact longs)") {
+    val (l, d) = bothPaths(
+      graft.graph.Graph.harmonicCentrality(
+        graft.graph.Graph.undirected(edges), maxHops = 3))
+    assert(l == d && l.nonEmpty)
+  }
+
+  test("incrementalComponents: local == distributed (condensation fold)") {
+    val lab = graft.graph.Graph.connectedComponents(nodes, edges)
+    val (l, d) = bothPaths(
+      graft.graph.Graph.incrementalComponents(
+        lab, Seq(12L).toDF("id"), Seq((7L, 9L), (12L, 11L)).toDF("src", "dst")))
+    assert(l == d && l.nonEmpty)
+  }
+
+  test("budget contracts still throw at call time on the local path") {
+    spark.conf.unset("spark.graft.graph.localSolveEdges")
+    val path = (1L to 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      graft.graph.Graph.connectedComponents((1L to 7L).toDF("id"), path,
+        maxIter = 2)
+    }
+    intercept[IllegalStateException] {
+      graft.graph.Graph.reachability(Seq(1L).toDF("id"), path, maxRounds = 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.graph.Graph.lubyMis((1L to 3L).toDF("id"),
+        Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), maxRounds = 0)
+    }
+  }
+}
