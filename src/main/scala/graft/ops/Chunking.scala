@@ -79,17 +79,14 @@ object Chunking {
       maxChars: Int = 1 << 20): DataFrame = {
     require(k >= 1 && mask >= 1, s"need k,mask >= 1, got k=$k mask=$mask")
     require(maxChars >= k, s"maxChars=$maxChars below one gram (k=$k)")
-    val gramHash = (p: Column) =>
-      conv(substring(md5(col("__s").substr(p, lit(k))), 1, 15), 16, 10)
-        .cast("long")
-    // cut positions: 0, every content boundary, end-of-doc
-    val cuts = array_sort(array_distinct(concat(
-      array(lit(0)),
-      transform(
-        filter(sequence(lit(1), col("__n") - (k - 1)),
-          p => gramHash(p) % (mask + 1) === 0),
-        p => p + (k - 1)),
-      array(col("__n")))))
+    // cut positions: 0, every content boundary, end-of-doc — ONE native
+    // pass ([[graft.plans.CdcCuts]], round 19): same grams, same md5
+    // 60-bit-prefix mod rule, same cut placement as the previous
+    // conv(substring(md5(substr(…)))) column formula, but one reused
+    // digest and no per-position substring/hex/parse allocations
+    // (measured 3.2 s → see OPTIMIZATION_r19.md; ChunkingSpec pins
+    // native ≡ formula on mixed ASCII/non-ASCII fixtures)
+    val cuts = graft.plans.TextNative.cdcCuts(col("__s"), k, mask, maxChars)
     // array(…)/flatten let-binding (the Winnow trick): the cut array —
     // whose computation is the O(n)·md5 boundary scan — becomes a lambda
     // variable evaluated ONCE per row; naming it via withColumn instead

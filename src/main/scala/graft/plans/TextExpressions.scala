@@ -822,6 +822,72 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int, maxChars: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Content-defined chunking cut positions (round-19 optimization of
+  * [[graft.ops.Chunking.cdcChunks]]'s boundary scan): one pass over the
+  * text computing, at every char position p in [1, n−k+1], the md5 of
+  * the k-CHAR gram starting at p, marking a boundary when the digest's
+  * top 60 bits (= its first 15 hex digits, the portable
+  * conv(substring(md5(…),1,15),16,10) lane) are ≡ 0 mod (mask+1).
+  * Returns the sorted distinct cut array [0, boundaries (p+k−1), n]
+  * with n = min(numChars, maxChars) — bit-identical to the previous
+  * column formula (same grams, same md5 prefix arithmetic, same cut
+  * placement) but ONE MessageDigest reused across positions and zero
+  * hex-string/conv round-trips per gram (the formula allocated a
+  * substring, a 32-char hex string and a decimal-parse per position).
+  * Input shorter than k chars yields NULL (the caller filters those
+  * rows out before chunk assembly). */
+case class CdcCuts(child: Expression, k: Int, mask: Int, maxChars: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "cdc_cuts"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    // char→byte offsets (identity for ASCII); gram md5 runs over the
+    // UTF-8 bytes of the k-CHAR substring, matching substring() semantics
+    val nCharsAll = s.numChars()
+    val n = math.min(nCharsAll, maxChars)
+    if (n < k) return null
+    val offs = new Array[Int](n + 1)
+    var ci = 0
+    var bi = 0
+    while (ci < n) {
+      offs(ci) = bi
+      val b = bytes(bi) & 0xff
+      bi += (if (b < 0x80) 1 else if (b < 0xe0) 2 else if (b < 0xf0) 3 else 4)
+      ci += 1
+    }
+    offs(n) = bi
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = new Array[Byte](16)
+    val cuts = new scala.collection.mutable.ArrayBuffer[Int]()
+    cuts += 0
+    var p = 0 // 0-based char position of the gram start
+    val lastStart = n - k
+    while (p <= lastStart) {
+      md.reset()
+      md.update(bytes, offs(p), offs(p + k) - offs(p))
+      md.digest(dig, 0, 16)
+      var top = 0L // first 8 bytes big-endian
+      var j = 0
+      while (j < 8) { top = (top << 8) | (dig(j) & 0xffL); j += 1 }
+      // first 15 hex digits = top 60 bits
+      if (((top >>> 4) % (mask + 1)) == 0L) {
+        val cut = p + k // 1-based boundary position p+1 plus (k-1)
+        if (cuts.last != cut) cuts += cut
+      }
+      p += 1
+    }
+    if (cuts.last != n) cuts += n
+    new GenericArrayData(cuts.toArray.map(Int.box): Array[Any])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextNative {
   import ColumnBridge.{column => c, expression => e}
 
@@ -851,4 +917,6 @@ object TextNative {
     c(MarkerHits(e(text), words))
   def winnowFps(normalized: Column, k: Int, w: Int, maxChars: Int): Column =
     c(WinnowFingerprints(e(normalized), k, w, maxChars))
+  def cdcCuts(text: Column, k: Int, mask: Int, maxChars: Int): Column =
+    c(CdcCuts(e(text), k, mask, maxChars))
 }

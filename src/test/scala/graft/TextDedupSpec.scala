@@ -568,4 +568,42 @@ class TextDedupSpec extends SparkSpec {
     assert(pre.forall(!_._4))
     assert(capped.map(c => (c._1, c._2, c._3)) == pre.map(c => (c._1, c._2, c._3)))
   }
+
+  test("cdc_cuts native ≡ the conv(substring(md5)) column formula") {
+    // round-19: the fused one-pass boundary scan must reproduce the
+    // previous formula's cuts exactly — including on non-ASCII text,
+    // where char positions and UTF-8 byte offsets diverge
+    val k = 8
+    val mask = 63
+    val maxChars = 64
+    val texts = Seq(
+      (1 to 300).map(i => ('a' + (i * 7919 % 26)).toChar).mkString,
+      "héllo wörld — ünïcode paddéd " * 12,
+      "短い非ASCIIテキストの繰り返し。" * 10,
+      (1 to 40).map(i => ('A' + (i * 31 % 26)).toChar).mkString, // < maxChars
+      "exactly-k" // barely above k
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "__s")
+      .withColumn("__n", least(length(col("__s")), lit(maxChars)))
+      .filter(col("__n") >= k)
+    val gramHash = (p: org.apache.spark.sql.Column) =>
+      conv(substring(md5(col("__s").substr(p, lit(k))), 1, 15), 16, 10)
+        .cast("long")
+    val formula = array_sort(array_distinct(concat(
+      array(lit(0)),
+      transform(
+        filter(sequence(lit(1), col("__n") - (k - 1)),
+          p => gramHash(p) % (mask + 1) === 0),
+        p => p + (k - 1)),
+      array(col("__n")))))
+    val got = df.select(col("id"),
+        graft.plans.TextNative.cdcCuts(col("__s"), k, mask, maxChars)
+          .as("native"),
+        formula.as("formula"))
+      .as[(Long, Seq[Int], Seq[Int])].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, n, f) =>
+      assert(n == f, s"doc $id: native $n != formula $f")
+    }
+  }
 }
