@@ -32,6 +32,12 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Dev/measurement aid: extra -D flags for the forked JVM (e.g.
+// -Dspark.graft.graph.localSolveEdges=0 to bench/explain the distributed
+// paths on the same build — Spark folds spark.* system properties into
+// the session conf). Unset in driver runs, so the contract is unchanged.
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
+  .toSeq.flatMap(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

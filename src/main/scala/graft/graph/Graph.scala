@@ -876,17 +876,24 @@ object Graph {
     * the result — storing the edge-count-sized relation twice and
     * joining it once; at the sf10 decade that double materialization was
     * 316 s of q_pagerank's 450 s cold build (PLANS.md round 15) while
-    * the actual rank iterations cost 6–9 s each. The `first` flag makes
-    * the node set (= distinct srcs) a checkpoint SCAN rather than
-    * another aggregation. */
+    * the actual rank iterations cost 6–9 s each. Round 19: the
+    * `first`-flag lane (row_number ordered by dst) is gone — it forced
+    * the window sort onto (src, dst) where the count-only window sorts
+    * on src alone, and the node set it fed is a map-side
+    * partial-aggregated distinct over the checkpoint (node-count-sized
+    * shuffle, cheaper than the wider sort at every scale). */
   private def weightedEdges(edges: DataFrame): DataFrame = {
     val ws = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
-    val wr = ws.orderBy(col("dst"))
     edges.toDF("src", "dst")
       .withColumn("w", lit(1.0) / count(lit(1)).over(ws))
-      .withColumn("first", row_number().over(wr) === 1)
       .localCheckpoint()
   }
+
+  /** Node set of a [[weightedEdges]] relation: distinct srcs (every node
+    * has an out-edge by the rank-family contract) — partial-aggregated
+    * over the checkpoint scan. */
+  private def rankNodes(ew: DataFrame): DataFrame =
+    ew.select(col("src").as("nid")).distinct()
 
   def personalizedPageRank(
       edges: DataFrame,
@@ -896,13 +903,23 @@ object Graph {
       checkpointEvery: Int = 4): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     val ew = weightedEdges(edges)
-    val nodes = ew.filter(col("first")).select(col("src").as("nid"))
+    val nodes = rankNodes(ew)
     // seeds outside the graph carry no mass and don't dilute the rest
     val sd = seeds.toDF("id").distinct()
       .join(nodes, col("id") === col("nid"), "left_semi")
       .localCheckpoint(true)
     val nSeeds = sd.count()
     require(nSeeds > 0, "no seed is a graph node — restart vector undefined")
+    // below-threshold fast path (round 19, LocalSolve): all power
+    // iterations in one task — see [[pageRank]]'s gate for the fixed
+    // accumulation order / caller-rounding rationale.
+    if (LocalSolve.allLong(ew, "src", "dst") && LocalSolve.fits(ew).isDefined)
+      return LocalSolve.pprLocal(
+        ew.select(lit(0).as("t"), col("src").as("x"), col("dst").as("y"),
+            col("w"))
+          .unionByName(sd.select(lit(1).as("t"), col("id").as("x"),
+            lit(0L).as("y"), lit(0.0).as("w"))),
+        nSeeds, iters, damping)
     val restart = nodes
       .join(sd.select(col("id"), lit(1).as("isSeed")),
         col("nid") === col("id"), "left")
@@ -1097,6 +1114,18 @@ object Graph {
       allowTruncation: Boolean = false): DataFrame = {
     require(maxHops >= 1, s"maxHops must be ≥ 1, got $maxHops")
     val e = edges.toDF("src", "dst").localCheckpoint(true)
+    // below-threshold fast path (round 19, LocalSolve): all register
+    // rounds in one task — identical packed md5 registers, estimate
+    // fold, convergence rule and truncation contract. Tighter cap than
+    // the shared default: the kernel holds 2 × nodes × 1 KB of registers
+    // in one task's heap, so it engages only while that stays ≤ ~256 MB
+    // (≤ 2¹⁶ edges ⇒ ≤ 2¹⁷ endpoint nodes); production graphs take the
+    // distributed register rounds unchanged.
+    if (LocalSolve.allLong(e, "src", "dst") &&
+        LocalSolve.threshold(e.sparkSession) > 0 &&
+        e.count() <= math.min(LocalSolve.threshold(e.sparkSession), 1L << 16)) {
+      return LocalSolve.hyperBallLocal(e, maxHops, allowTruncation)
+    }
     // ball_0(v) = {v} for EVERY endpoint node — src ∪ dst, not src only
     // (the exact BFS's diagonal start). On a directed graph an in-only
     // sink has no out-edge: seeding from src alone would deny it its own
@@ -1343,7 +1372,15 @@ object Graph {
       checkpointEvery: Int = 4): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     val ew = weightedEdges(edges)
-    val nodes = ew.filter(col("first")).select(col("src").as("nid"))
+    // below-threshold fast path (round 19, LocalSolve): all power
+    // iterations in one task. Per-dst contributions accumulate in a
+    // FIXED (dst, src) order — within float-ulp of the distributed
+    // partial aggregation's partition-dependent order, absorbed by the
+    // r4 rounding every caller applies (the same contract the
+    // distributed path's own run-to-run variance already rides on).
+    if (LocalSolve.allLong(ew, "src", "dst") && LocalSolve.fits(ew).isDefined)
+      return LocalSolve.pageRankLocal(ew, iters, damping)
+    val nodes = rankNodes(ew)
       .localCheckpoint(true) // node-count-sized; read twice per round
     val n = nodes.count() // every node has an out-edge → src carries all nodes
     var ranks = nodes.select(col("nid").as("id"), lit(1.0 / n).as("pr"))
@@ -1413,6 +1450,20 @@ object Graph {
       .withColumn("rk", row_number().over(w))
       .withColumn("deg", count(lit(1)).over(wd)) // shares rk's shuffle
       .localCheckpoint() // reused by every hop below
+    // below-threshold fast path (round 19, LocalSolve): every hop's two
+    // equi-joins + the step union in one task — identical md5 choice
+    // lane, identical dst-sorted ranks, walks stop at dead ends alike.
+    if (LocalSolve.allLong(adj, "src", "dst") &&
+        LocalSolve.fits(adj).isDefined) {
+      val st = starts.toDF("walk_id", "node")
+      if (LocalSolve.allLong(st, "walk_id", "node")) {
+        return LocalSolve.randomWalksLocal(
+          adj.select(lit(0).as("t"), col("src").as("x"), col("dst").as("y"))
+            .unionByName(st.select(lit(1).as("t"), col("walk_id").as("x"),
+              col("node").as("y"))),
+          steps)
+      }
+    }
     // node-keyed degree relation carved out of the SAME checkpoint (the
     // rank-1 row exists for every node with out-edges and carries deg) —
     // recomputing degrees from `edges` would re-run the caller's whole
@@ -1571,6 +1622,23 @@ object Graph {
       .groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("nb"))
       .select(col("src").as("node"), col("nb"))
       .localCheckpoint()
+    // below-threshold fast path (round 19, LocalSolve): all hops in one
+    // task — identical md5₆₀ inverse-CDF picks and IEEE fold order. The
+    // gate sums neighbor-array sizes (= edge count) over the checkpoint;
+    // the kernel re-derives the edge list by exploding the SAME
+    // checkpointed arrays (a scan, no second upstream pass).
+    if (LocalSolve.allLong(starts.toDF("walk_id", "node"), "walk_id", "node") &&
+        nbrs.schema("node").dataType ==
+          org.apache.spark.sql.types.LongType &&
+        LocalSolve.fitsSum(nbrs, size(col("nb")).cast("long")).isDefined) {
+      return LocalSolve.node2vecLocal(
+        nbrs.select(lit(0).as("t"), col("node").as("x"),
+            explode(col("nb")).as("y"))
+          .unionByName(starts.toDF("walk_id", "node")
+            .select(lit(1).as("t"), col("walk_id").as("x"),
+              col("node").as("y"))),
+        steps, p, q)
+    }
     val s0 = starts.toDF("walk_id", "node")
     var out = s0.select(col("walk_id"), lit(0L).as("step"), col("node"))
     val pick1 = conv(substring(md5(concat_ws(":",

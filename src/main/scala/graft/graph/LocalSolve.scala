@@ -45,7 +45,7 @@ import scala.collection.mutable
   * (all graft callers; anything else falls through to the distributed
   * path untouched).
   */
-private[graph] object LocalSolve {
+private[graft] object LocalSolve {
 
   def threshold(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.graph.localSolveEdges")
@@ -65,6 +65,33 @@ private[graph] object LocalSolve {
 
   def allLong(df: DataFrame, cols: String*): Boolean =
     cols.forall(c => df.schema(c).dataType == LongType)
+
+  /** [[fits]] for relations whose per-row weight varies (e.g. a packed
+    * neighbor-array relation where the work is Σ array sizes, not the
+    * row count): compares `sum(sizeExpr)` over the (checkpointed)
+    * relation against the threshold. One cheap scan job. */
+  def fitsSum(df: DataFrame, sizeExpr: org.apache.spark.sql.Column): Option[Long] = {
+    val thr = threshold(df.sparkSession)
+    if (thr <= 0L) None
+    else {
+      val n = Option(df.agg(org.apache.spark.sql.functions.sum(sizeExpr))
+        .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (n <= thr) Some(n) else None
+    }
+  }
+
+  /** Portable 60-bit md5 lane — conv(substring(md5(s), 1, 15), 16, 10)
+    * verbatim (the repo-wide choice-hash convention): first 15 hex chars
+    * of the md5 parsed as a base-16 long. */
+  private def md5_60(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    // first 15 hex chars = 7.5 bytes: build the 60-bit value directly
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
 
   /** Run `fn` over the whole dataset in ONE executor task (coalesce —
     * no exchange; the single task reads the checkpointed blocks). */
@@ -765,5 +792,508 @@ private[graph] object LocalSolve {
       }
       reached.keysIterator.map(v => (v, reached(v), hsum(v)))
     }.toDF("id", "reached", "hsum").transform(eager)
+  }
+
+  // ------------------------------------------------------- randomWalks
+
+  /** Deterministic DeepWalk walks — [[Graph.randomWalks]] verbatim: at
+    * step s the walk at node v picks dst-sorted neighbor rank
+    * 1 + md5₆₀(walk:s:v) mod deg(v); a walk at a node with no out-edge
+    * stops (the inner degree join). Input: (0, src, dst) deduplicated
+    * edges, (1, walk_id, node) starts (multiplicity preserved). Output
+    * (walk_id, step, node), step 0 = the start row. */
+  def randomWalksLocal(tagged: DataFrame, steps: Int): DataFrame = {
+    val sp = tagged.sparkSession
+    import sp.implicits._
+    oneTask(tagged.as[(Int, Long, Long)]) { it =>
+      val csr = Csr.build(it, keepTag = 1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = new mutable.ArrayBuffer[(Long, Long, Long)]()
+      var frontier = csr.extra.toSeq
+      frontier.foreach { case (w, v) => out += ((w, 0L, v)) }
+      var s = 1
+      while (s <= steps && frontier.nonEmpty) {
+        val next = new mutable.ArrayBuffer[(Long, Long)]()
+        frontier.foreach { case (w, v) =>
+          val j = csr.idx.getOrElse(v, -1)
+          if (j >= 0) {
+            val off = csr.off(j)
+            val deg = csr.off(j + 1) - off
+            val pick = md5_60(md, s"$w:$s:$v")
+            val nxt = csr.adj(off + (pick % deg).toInt)
+            out += ((w, s.toLong, nxt))
+            next += ((w, nxt))
+          }
+        }
+        frontier = next.toSeq
+        s += 1
+      }
+      out.iterator
+    }.toDF("walk_id", "step", "node").transform(eager)
+  }
+
+  /** Dense-indexed CSR adjacency with dst-ASCENDING slices, built in one
+    * pass over a tagged iterator: tag-0 rows are (src, dst) edges, rows
+    * with tag == `keepTag` are returned verbatim in `extra` (starts,
+    * seeds…), other tags are ignored. Primitive arrays throughout — the
+    * one-task kernels' decode cost is the bound on what they can beat. */
+  private final case class Csr(
+      idx: mutable.LongMap[Int], off: Array[Int], adj: Array[Long],
+      extra: Array[(Long, Long)])
+
+  private object Csr {
+    def build(it: Iterator[(Int, Long, Long)], keepTag: Int): Csr = {
+      val sB = Array.newBuilder[Long]
+      val dB = Array.newBuilder[Long]
+      val eB = Array.newBuilder[(Long, Long)]
+      while (it.hasNext) {
+        val r = it.next()
+        if (r._1 == 0) { sB += r._2; dB += r._3 }
+        else if (r._1 == keepTag) eB += ((r._2, r._3))
+      }
+      val srcs = sB.result(); val dsts = dB.result()
+      val m = srcs.length
+      val idx = new mutable.LongMap[Int]()
+      var n = 0
+      var i = 0
+      while (i < m) {
+        val s = srcs(i)
+        if (!idx.contains(s)) { idx(s) = n; n += 1 }
+        i += 1
+      }
+      val off = new Array[Int](n + 1)
+      i = 0
+      while (i < m) { off(idx(srcs(i)) + 1) += 1; i += 1 }
+      i = 0
+      while (i < n) { off(i + 1) += off(i); i += 1 }
+      val pos = java.util.Arrays.copyOf(off, n)
+      val adj = new Array[Long](m)
+      i = 0
+      while (i < m) {
+        val j = idx(srcs(i)); adj(pos(j)) = dsts(i); pos(j) += 1
+        i += 1
+      }
+      i = 0
+      while (i < n) { // dst-ascending slices (the ranked-adjacency order)
+        java.util.Arrays.sort(adj, off(i), off(i + 1))
+        i += 1
+      }
+      Csr(idx, off, adj, eB.result())
+    }
+  }
+
+  // ---------------------------------------------------- node2vec walks
+
+  /** Deterministic node2vec biased walks — [[Graph.node2vecWalks]]
+    * verbatim: hop 1 uniform (same choice lane as randomWalks); from
+    * hop 2 neighbor x of cur weighs 1/p if x = prev, 1 if edge(prev, x),
+    * 1/q otherwise, and the walk takes the first dst-ascending neighbor
+    * whose left-to-right running weight sum reaches
+    * md5₆₀(walk:s:prev:cur)/2⁶⁰ × total — the identical IEEE fold order,
+    * so doubles match bit for bit. Input: (0, src, dst) deduplicated
+    * edges, (1, walk_id, node) starts. Output (walk_id, step, node). */
+  def node2vecLocal(
+      tagged: DataFrame, steps: Int, p: Double, q: Double): DataFrame = {
+    val sp = tagged.sparkSession
+    import sp.implicits._
+    val wRet = 1.0 / p // computed once, as the lit(1.0 / p) literal
+    val wOut = 1.0 / q
+    val two60 = 1152921504606846976L.toDouble
+    oneTask(tagged.as[(Int, Long, Long)]) { it =>
+      val csr = Csr.build(it, keepTag = 1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = new mutable.ArrayBuffer[(Long, Long, Long)]()
+      // hop 1: uniform pick over the dst-sorted slice
+      var state = new mutable.ArrayBuffer[(Long, Long, Long)]() // (w, prev, cur)
+      csr.extra.foreach { case (w, v) =>
+        out += ((w, 0L, v))
+        val j = csr.idx.getOrElse(v, -1)
+        if (j >= 0) {
+          val off = csr.off(j)
+          val deg = csr.off(j + 1) - off
+          val pick = md5_60(md, s"$w:1:$v")
+          val cur = csr.adj(off + (pick % deg).toInt)
+          out += ((w, 1L, cur))
+          state += ((w, v, cur))
+        }
+      }
+      var s = 2
+      while (s <= steps && state.nonEmpty) {
+        val next = new mutable.ArrayBuffer[(Long, Long, Long)]()
+        state.foreach { case (w, prev, cur) =>
+          val jc = csr.idx.getOrElse(cur, -1)
+          val jp = csr.idx.getOrElse(prev, -1)
+          if (jc >= 0 && jp >= 0) { // else dead end: inner-join semantics
+            val no = csr.off(jc); val nEnd = csr.off(jc + 1)
+            val po = csr.off(jp); val pEnd = csr.off(jp + 1)
+            def wt(x: Long): Double =
+              if (x == prev) wRet
+              else if (java.util.Arrays.binarySearch(csr.adj, po, pEnd, x) >= 0) 1.0
+              else wOut
+            val h = md5_60(md, s"$w:$s:$prev:$cur")
+            // total = the same left-to-right fold the distributed
+            // aggregate() runs; rw derives from ITS final value
+            var total = 0.0
+            var i = no
+            while (i < nEnd) { total += wt(csr.adj(i)); i += 1 }
+            val rw = (h.toDouble / two60) * total
+            var acc = 0.0
+            var pk = 0
+            i = no
+            while (i < nEnd && pk == 0) {
+              acc += wt(csr.adj(i))
+              if (acc >= rw) pk = i - no + 1
+              i += 1
+            }
+            if (pk == 0) pk = nEnd - no // unreachable FP belt-and-braces
+            val nxt = csr.adj(no + pk - 1)
+            out += ((w, s.toLong, nxt))
+            next += ((w, cur, nxt))
+          }
+        }
+        state = next
+        s += 1
+      }
+      out.iterator
+    }.toDF("walk_id", "step", "node").transform(eager)
+  }
+
+  // --------------------------------------------------------- HyperBall
+
+  /** HyperBall harmonic centrality —
+    * [[Graph.harmonicCentralityHyperBall]] verbatim: per-node 256-slot
+    * packed md5 registers ([[graft.ops.Hll]] lane), per round each
+    * node's registers max-merge with its in-neighbors', estimates
+    * recorded after every computed round (including the converging one),
+    * rounds stop at register fixpoint or the cap, cap-without-fixpoint
+    * throws unless allowTruncation. The estimate fold, the
+    * linear-counting branch (StrictMath.log — Spark's own log lane) and
+    * the t-ordered harmonic telescoping sum replicate the distributed
+    * expressions' IEEE arithmetic exactly. Output (id, reached,
+    * harmonic). */
+  def hyperBallLocal(
+      edges: DataFrame, maxHops: Int, allowTruncation: Boolean): DataFrame = {
+    val sp = edges.sparkSession
+    import sp.implicits._
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / 256) * (256 * 256)
+    val scale = 562949953421312L // 2^49, ops.Hll.Scale
+    oneTask(edges.select("src", "dst").as[(Long, Long)]) { it =>
+      val es = it.toArray
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def packed(v: Long): Array[Int] = {
+        md.reset()
+        val d = md.digest(v.toString.getBytes("UTF-8"))
+        val bucket = d(0) & 0xff // first 2 hex chars
+        // next 12 hex chars = bytes 1..6 (48 bits)
+        var w = 0L
+        var i = 1
+        while (i <= 6) { w = (w << 8) | (d(i) & 0xffL); i += 1 }
+        val rho =
+          if (w == 0L) 49
+          else 49 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        val r = new Array[Int](256)
+        r(bucket) = rho
+        r
+      }
+      def estimate(r: Array[Int]): Double = {
+        var s = 0L
+        var zeros = 0
+        var j = 0
+        while (j < 256) {
+          s += (1L << (49 - r(j)))
+          if (r(j) == 0) zeros += 1
+          j += 1
+        }
+        val raw = alphaM2 * scale / s.toDouble
+        if (raw <= 2.5 * 256 && zeros > 0)
+          256.0 * StrictMath.log(256.0 / zeros)
+        else raw
+      }
+      var regs = new mutable.LongMap[Array[Int]]()
+      es.foreach { case (s, d) =>
+        if (!regs.contains(s)) regs(s) = packed(s)
+        if (!regs.contains(d)) regs(d) = packed(d)
+      }
+      val curve = new mutable.LongMap[mutable.ArrayBuffer[Double]]()
+      regs.foreachEntry { (v, r) =>
+        curve(v) = mutable.ArrayBuffer(estimate(r))
+      }
+      var t = 1
+      var converged = false
+      while (!converged && t <= maxHops) {
+        val next = new mutable.LongMap[Array[Int]]()
+        regs.foreachEntry { (v, r) => next(v) = r.clone() }
+        es.foreach { case (u, v) =>
+          val src = regs(u)
+          val dst = next(v)
+          var j = 0
+          while (j < 256) {
+            if (src(j) > dst(j)) dst(j) = src(j)
+            j += 1
+          }
+        }
+        converged = regs.forall { case (v, r) =>
+          java.util.Arrays.equals(r, next(v))
+        }
+        next.foreachEntry { (v, r) => curve(v) += estimate(r) }
+        regs = next
+        t += 1
+      }
+      if (!converged && !allowTruncation) throw new IllegalStateException(
+        s"HyperBall registers not at fixpoint after $maxHops rounds — " +
+          "raise maxHops, or pass allowTruncation = true for hop-bounded " +
+          "(capped-unroll) semantics")
+      curve.iterator.map { case (v, c) =>
+        var h = 0.0
+        var i = 1
+        while (i < c.length) { h += (c(i) - c(i - 1)) / i.toDouble; i += 1 }
+        (v, c.last - 1.0, h)
+      }
+    }.toDF("id", "reached", "harmonic").transform(eager)
+  }
+
+  // ------------------------------------------------------------ DBSCAN
+
+  /** Grid-cell-blocked exact DBSCAN — [[graft.sim.Density.dbscan]]
+    * verbatim in one task: same cell keys (floor(x/eps)), same 9-cell
+    * probe, same left-to-right dist² arithmetic against the same
+    * eps·eps literal, same n+1 ≥ minPts core rule, the identical
+    * synchronous min-label CC (maxIter budget + throw) over core-core
+    * edges, border = min core-neighbor label, noise = the remainder.
+    * Input: (id, x, y, cx, cy). Output (id, role, cluster). */
+  def dbscanLocal(
+      p: DataFrame, eps: Double, minPts: Int, maxIter: Int): DataFrame = {
+    val sp = p.sparkSession
+    import sp.implicits._
+    val eps2 = eps * eps
+    oneTask(p.select("id", "x", "y", "cx", "cy")
+        .as[(Long, Double, Double, Long, Long)]) { it =>
+      val pts = it.toArray
+      // cell → point indexes (cells are eps-sized; key packs (cx, cy))
+      val cell = new mutable.HashMap[(Long, Long), mutable.ArrayBuffer[Int]]()
+      var i = 0
+      while (i < pts.length) {
+        cell.getOrElseUpdate((pts(i)._4, pts(i)._5),
+          new mutable.ArrayBuffer[Int]()) += i
+        i += 1
+      }
+      // neighbor pairs (both orientations arise naturally: a finds b in
+      // b's cell, b finds a in a's cell — same as the distributed probe)
+      val nbrs = Array.fill(pts.length)(new mutable.ArrayBuffer[Int]())
+      i = 0
+      while (i < pts.length) {
+        val (ia, ax, ay, cx, cy) = pts(i)
+        var dx = -1L
+        while (dx <= 1L) {
+          var dy = -1L
+          while (dy <= 1L) {
+            cell.get((cx + dx, cy + dy)).foreach(_.foreach { j =>
+              val (ib, bx, by, _, _) = pts(j)
+              if (ia != ib &&
+                  (ax - bx) * (ax - bx) + (ay - by) * (ay - by) <= eps2)
+                nbrs(i) += j
+            })
+            dy += 1L
+          }
+          dx += 1L
+        }
+        i += 1
+      }
+      val isCore = new Array[Boolean](pts.length)
+      i = 0
+      while (i < pts.length) {
+        isCore(i) = nbrs(i).length + 1 >= minPts
+        i += 1
+      }
+      // CC over core-core edges: the connectedComponents min-label
+      // fixpoint verbatim (labels on the core universe, maxIter budget)
+      val lbl = new mutable.LongMap[Long]()
+      i = 0
+      while (i < pts.length) {
+        if (isCore(i)) lbl(pts(i)._1) = pts(i)._1
+        i += 1
+      }
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        val nmin = new mutable.LongMap[Long]()
+        i = 0
+        while (i < pts.length) {
+          if (isCore(i)) {
+            val ia = pts(i)._1
+            nbrs(i).foreach { j =>
+              if (isCore(j)) {
+                val l = lbl(pts(j)._1)
+                if (l < nmin.getOrElse(ia, Long.MaxValue)) nmin(ia) = l
+              }
+            }
+          }
+          i += 1
+        }
+        var changed = 0L
+        nmin.foreachEntry { (id, m) =>
+          if (m < lbl(id)) { lbl(id) = m; changed += 1 }
+        }
+        converged = changed == 0L
+        iter += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds — " +
+          "raise maxIter (rounds needed = component diameter)")
+      val out = new mutable.ArrayBuffer[(Long, String, Option[Long])]()
+      i = 0
+      while (i < pts.length) {
+        val ia = pts(i)._1
+        if (isCore(i)) out += ((ia, "core", Some(lbl(ia))))
+        else {
+          var best = Long.MaxValue
+          nbrs(i).foreach { j =>
+            if (isCore(j)) {
+              val l = lbl(pts(j)._1)
+              if (l < best) best = l
+            }
+          }
+          if (best != Long.MaxValue) out += ((ia, "border", Some(best)))
+          else out += ((ia, "noise", None))
+        }
+        i += 1
+      }
+      out.iterator
+    }.toDF("id", "role", "cluster").transform(eager)
+  }
+
+  // ---------------------------------------------------------- PageRank
+
+  /** Power-iteration PageRank — [[Graph.pageRank]] semantics: pr₀ = 1/n,
+    * pr'(v) = (1−d)/n + d·Σ pr(u)·w(u→v). Per-dst contributions
+    * accumulate in (dst, src)-sorted order — a fixed order where the
+    * distributed partial aggregation's is partition-dependent; both land
+    * within float-ulp of each other, and every caller rounds (r4) at the
+    * output, which is the contract that already absorbs the distributed
+    * path's own run-to-run order variance. Input: (src, dst, w) weighted
+    * edges (every node has an out-edge). Output (id, pr). */
+  def pageRankLocal(ew: DataFrame, iters: Int, damping: Double): DataFrame = {
+    val sp = ew.sparkSession
+    import sp.implicits._
+    oneTask(ew.select("src", "dst", "w").as[(Long, Long, Double)]) { it =>
+      // dense-index decode (primitive arrays — the kernel must beat 32
+      // cores of distributed join+agg, so no boxed sorts, no per-edge
+      // hash ops in the iteration loop). Accumulation order is the
+      // checkpoint's row order — deterministic (the weighted relation is
+      // window-sorted per partition) and within float-ulp of the
+      // distributed partial aggregation's own order; callers round (r4).
+      val srcB = Array.newBuilder[Long]
+      val dstB = Array.newBuilder[Long]
+      val wB = Array.newBuilder[Double]
+      while (it.hasNext) {
+        val e = it.next(); srcB += e._1; dstB += e._2; wB += e._3
+      }
+      val srcs = srcB.result(); val dsts = dstB.result(); val ws = wB.result()
+      val m = srcs.length
+      val idx = new mutable.LongMap[Int]()
+      val ids = new mutable.ArrayBuffer[Long]()
+      var i = 0
+      while (i < m) {
+        val s = srcs(i)
+        if (!idx.contains(s)) { idx(s) = ids.length; ids += s }
+        i += 1
+      }
+      val n = ids.length
+      val si = new Array[Int](m)
+      val di = new Array[Int](m)
+      i = 0
+      while (i < m) {
+        si(i) = idx(srcs(i))
+        di(i) = idx.getOrElse(dsts(i), -1) // non-node dst: dropped (left join on nodes)
+        i += 1
+      }
+      val base = (1.0 - damping) / n
+      var pr = Array.fill(n)(1.0 / n)
+      var round = 0
+      while (round < iters) {
+        val contrib = new Array[Double](n)
+        i = 0
+        while (i < m) {
+          val d = di(i)
+          if (d >= 0) contrib(d) += pr(si(i)) * ws(i)
+          i += 1
+        }
+        val next = new Array[Double](n)
+        var v = 0
+        while (v < n) { next(v) = base + damping * contrib(v); v += 1 }
+        pr = next
+        round += 1
+      }
+      ids.iterator.zipWithIndex.map { case (id, j) => (id, pr(j)) }
+    }.toDF("id", "pr").transform(eager)
+  }
+
+  /** Personalized PageRank — [[Graph.personalizedPageRank]] semantics:
+    * restart = 1/|S| on seeds, 0 elsewhere; pr₀ = restart;
+    * pr'(v) = (1−d)·restart(v) + d·Σ pr(u)·w(u→v). Same fixed
+    * accumulation order and rounding rationale as [[pageRankLocal]].
+    * Input: (0, src, dst, w) weighted edges, (1, id, 0, 0) seed ids
+    * (already restricted to graph nodes, distinct); nSeeds passed in
+    * (the caller's require-checked scalar). Output (id, pr). */
+  def pprLocal(
+      tagged: DataFrame, nSeeds: Long, iters: Int,
+      damping: Double): DataFrame = {
+    val sp = tagged.sparkSession
+    import sp.implicits._
+    oneTask(tagged.as[(Int, Long, Long, Double)]) { it =>
+      // dense-index decode; see [[pageRankLocal]] for the accumulation-
+      // order rationale
+      val srcB = Array.newBuilder[Long]
+      val dstB = Array.newBuilder[Long]
+      val wB = Array.newBuilder[Double]
+      val seedB = Array.newBuilder[Long]
+      while (it.hasNext) {
+        val r = it.next()
+        if (r._1 == 0) { srcB += r._2; dstB += r._3; wB += r._4 }
+        else seedB += r._2
+      }
+      val srcs = srcB.result(); val dsts = dstB.result(); val ws = wB.result()
+      val m = srcs.length
+      val idx = new mutable.LongMap[Int]()
+      val ids = new mutable.ArrayBuffer[Long]()
+      var i = 0
+      while (i < m) {
+        val s = srcs(i)
+        if (!idx.contains(s)) { idx(s) = ids.length; ids += s }
+        i += 1
+      }
+      val n = ids.length
+      val si = new Array[Int](m)
+      val di = new Array[Int](m)
+      i = 0
+      while (i < m) {
+        si(i) = idx(srcs(i))
+        di(i) = idx.getOrElse(dsts(i), -1)
+        i += 1
+      }
+      val seedRst = 1.0 / nSeeds
+      val rst = new Array[Double](n)
+      seedB.result().foreach { s => idx.get(s).foreach(j => rst(j) = seedRst) }
+      var pr = rst.clone()
+      var round = 0
+      while (round < iters) {
+        val contrib = new Array[Double](n)
+        i = 0
+        while (i < m) {
+          val d = di(i)
+          if (d >= 0) contrib(d) += pr(si(i)) * ws(i)
+          i += 1
+        }
+        val next = new Array[Double](n)
+        var v = 0
+        while (v < n) {
+          next(v) = (1.0 - damping) * rst(v) + damping * contrib(v)
+          v += 1
+        }
+        pr = next
+        round += 1
+      }
+      ids.iterator.zipWithIndex.map { case (id, j) => (id, pr(j)) }
+    }.toDF("id", "pr").transform(eager)
   }
 }

@@ -132,6 +132,72 @@ class LocalSolveSpec extends SparkSpec {
     assert(l == d && l.nonEmpty)
   }
 
+  test("randomWalks: local == distributed (md5 picks, dead-end stop)") {
+    // include a dead end (7 has no out-edge in `edges`) so the stop
+    // semantics are exercised
+    val starts = Seq((1L, 1L), (2L, 9L), (3L, 6L)).toDF("walk_id", "node")
+    val (l, d) = bothPaths(
+      graft.graph.Graph.randomWalks(edges, starts, steps = 4))
+    assert(l == d && l.nonEmpty)
+  }
+
+  test("node2vecWalks: local == distributed (inverse-CDF picks)") {
+    val und = graft.graph.Graph.undirected(edges)
+    val starts = Seq((1L, 1L), (2L, 9L), (3L, 5L)).toDF("walk_id", "node")
+    val (l, d) = bothPaths(
+      graft.graph.Graph.node2vecWalks(und, starts, steps = 4,
+        p = 4.0, q = 0.25))
+    assert(l == d && l.nonEmpty)
+  }
+
+  test("harmonicCentralityHyperBall: local == distributed (registers)") {
+    val und = graft.graph.Graph.undirected(edges)
+    val (l, d) = bothPaths(
+      graft.graph.Graph.harmonicCentralityHyperBall(und, maxHops = 12))
+    assert(l == d && l.nonEmpty)
+  }
+
+  test("pageRank: local == distributed (after the callers' r4 rounding)") {
+    // raw pr carries float-ulp sum-order differences BETWEEN ANY TWO
+    // runs of the distributed path itself (partial-agg order); compare
+    // after the rounding every registry caller applies
+    val und = graft.graph.Graph.undirected(edges)
+    val rounded = (df: DataFrame) => df.select($"id",
+      org.apache.spark.sql.functions.round($"pr" * 1000, 4).as("prx"))
+    val (l, d) = bothPaths(rounded(graft.graph.Graph.pageRank(und, iters = 3)))
+    assert(l == d && l.nonEmpty)
+  }
+
+  test("personalizedPageRank: local == distributed (r4-rounded)") {
+    val und = graft.graph.Graph.undirected(edges)
+    val rounded = (df: DataFrame) => df.select($"id",
+      org.apache.spark.sql.functions.round($"pr" * 1000, 4).as("prx"))
+    val (l, d) = bothPaths(rounded(
+      graft.graph.Graph.personalizedPageRank(und, Seq(1L, 9L).toDF("id"),
+        iters = 3)))
+    assert(l == d && l.nonEmpty)
+  }
+
+  test("dbscan: local == distributed (roles, clusters, noise)") {
+    // two dense blobs + stragglers; eps/coords exact in binary
+    val pts = (Seq((1L, 0.0, 0.0), (2L, 0.25, 0.0), (3L, 0.0, 0.25),
+      (4L, 0.25, 0.25), (5L, 0.5, 0.0), (6L, 10.0, 10.0), (7L, 10.25, 10.0),
+      (8L, 10.0, 10.25), (9L, 10.25, 10.25), (10L, 10.5, 10.5),
+      (11L, 50.0, 50.0), (12L, 0.75, 0.75)))
+      .toDF("id", "x", "y")
+    val (l, d) = bothPaths(
+      graft.sim.Density.dbscan(pts, "id", "x", "y", eps = 0.75, minPts = 4))
+    assert(l == d && l.nonEmpty)
+  }
+
+  test("hyperBall truncation contract throws on the local path too") {
+    spark.conf.unset("spark.graft.graph.localSolveEdges")
+    val path = (1L to 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      graft.graph.Graph.harmonicCentralityHyperBall(path, maxHops = 2)
+    }
+  }
+
   test("budget contracts still throw at call time on the local path") {
     spark.conf.unset("spark.graft.graph.localSolveEdges")
     val path = (1L to 6L).map(i => (i, i + 1)).toDF("src", "dst")

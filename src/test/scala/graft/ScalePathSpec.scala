@@ -314,12 +314,15 @@ class ScalePathSpec extends SparkSpec {
     val tab = graft.ops.Chunking.cdcChunks(
       Tables(spark, sf).documents, "doc_id", "text")
     val plan = tab.queryExecution.optimizedPlan.toString
-    // exactly two md5 call sites: the boundary gram hash (inside the
-    // let-bound cut array) and the final chunk_md5 — inlining the cut
-    // array into its three element_at readers would multiply the former
-    // (the measured 57 s vs 3.9 s trap)
+    // round 19 (plans.CdcCuts): the boundary lane — gram md5, top-60-bit
+    // mod rule, cut selection — is ONE native call site inside the
+    // let-bound array; inlining the cut array into its readers would
+    // multiply it (the measured 57 s vs 3.9 s trap). The only md5 left
+    // in the expression tree is the final chunk_md5.
+    val c = countOccurrences(plan, "cdc_cuts(")
+    assert(c == 1, s"cdc cut-array let-binding inlined ($c call sites):\n$plan")
     val m = countOccurrences(plan, "md5(")
-    assert(m == 2, s"cdc cut-array let-binding inlined ($m call sites):\n$plan")
+    assert(m == 1, s"expression-tree md5 beyond chunk_md5 ($m call sites):\n$plan")
   }
 
   test("gate: series folds stay native single-call (no aggregate() HOF)") {
