@@ -3761,6 +3761,9 @@ object Queries {
       val edges = buyers.as("b1")
         .join(buyers.as("b2"), col("b1.p") === col("b2.p") && col("b1.c") < col("b2.c"))
         .select(col("b1.c").as("src"), col("b2.c").as("dst")).distinct()
+        // two consumers (the triangle pipeline AND the edge count) —
+        // without this the buyers self-join + distinct runs twice
+        .localCheckpoint()
       val tris = graft.graph.Graph.triangles(edges)
       edges.agg(count(lit(1)).as("edges"))
         .crossJoin(tris.agg(count(lit(1)).as("triangles")))
@@ -4352,21 +4355,31 @@ object Queries {
         .select(col("b1.c").as("a"), col("b2.c").as("b")).distinct()
         .localCheckpoint() // feeds the wedge join (twice via und), the
                            // anti join and the degree table
-      val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
-      val deg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
-      val wedge = und.as("u1")
-        .join(und.as("u2"), col("u1.a") === col("u2.a") && col("u1.b") < col("u2.b"))
-        .groupBy(col("u1.b").as("x"), col("u2.b").as("y"))
-        .agg(count(lit(1)).as("cn"))
-      val nonedge = wedge
-        .join(e, col("x") === col("a") && col("y") === col("b"), "left_anti")
-        .filter(col("cn") >= 3)
-      nonedge
-        .join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
-        .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
-        .select(col("x"), col("y"), col("cn"),
-          fl4(col("cn").cast("double")
-            / (col("dx") + col("dy") - col("cn")).cast("double")).as("jaccard"))
+      // below-threshold fast path (round 19, LocalSolve): wedge counts,
+      // edge anti-filter and the fl4 jaccard in one task — identical
+      // arithmetic, same (cn ≥ 3) cut. Tighter cap than the shared
+      // default: wedge volume is Σdeg², super-linear in the edge count,
+      // so one task only wins while the clique-shaped blowup stays small.
+      if (graft.graph.LocalSolve.threshold(s) > 0 &&
+          e.count() <= math.min(graft.graph.LocalSolve.threshold(s), 1L << 18))
+        graft.graph.LocalSolve.linkPredictLocal(e, minCn = 3L)
+      else {
+        val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+        val deg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+        val wedge = und.as("u1")
+          .join(und.as("u2"), col("u1.a") === col("u2.a") && col("u1.b") < col("u2.b"))
+          .groupBy(col("u1.b").as("x"), col("u2.b").as("y"))
+          .agg(count(lit(1)).as("cn"))
+        val nonedge = wedge
+          .join(e, col("x") === col("a") && col("y") === col("b"), "left_anti")
+          .filter(col("cn") >= 3)
+        nonedge
+          .join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
+          .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
+          .select(col("x"), col("y"), col("cn"),
+            fl4(col("cn").cast("double")
+              / (col("dx") + col("dy") - col("cn")).cast("double")).as("jaccard"))
+      }
     },
     Some("""WITH buyers AS (
               SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c

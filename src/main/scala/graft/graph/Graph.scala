@@ -56,6 +56,11 @@ object Graph {
     * materialized) edge relation — shared with [[clusteringCoefficient]]
     * so composites don't pay the canonicalize+checkpoint twice. */
   private def trianglesCanonical(e: DataFrame): DataFrame = {
+    // below-threshold fast path (round 19, LocalSolve): sorted-merge
+    // listing over greater-neighbor adjacency in one task — the same
+    // once-per-triangle bag of id-sorted triples.
+    if (LocalSolve.allLong(e, "a", "b") && LocalSolve.fits(e).isDefined)
+      return LocalSolve.trianglesLocal(e)
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val oriented = e
@@ -94,6 +99,11 @@ object Graph {
     // ONE canonical materialization feeds both the degree table and the
     // whole triangle pipeline
     val e = canonical(edges).localCheckpoint()
+    // below-threshold fast path (round 19, LocalSolve): degrees,
+    // triangle credits and the coefficient in one task, identical
+    // 2.0·T/(deg·(deg−1)) double arithmetic.
+    if (LocalSolve.allLong(e, "a", "b") && LocalSolve.fits(e).isDefined)
+      return LocalSolve.clusteringCoefLocal(e)
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("degree"))
     val triPerNode = trianglesCanonical(e)

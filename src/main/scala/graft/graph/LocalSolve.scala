@@ -1052,6 +1052,144 @@ private[graft] object LocalSolve {
     }.toDF("id", "reached", "harmonic").transform(eager)
   }
 
+  // --------------------------------------------------------- triangles
+
+  /** Triangle listing — [[Graph.triangles]] semantics: every triangle of
+    * the canonical (a < b, distinct) edge set emitted exactly once as an
+    * id-sorted (n1 < n2 < n3) triple. Enumeration: per canonical edge
+    * (a, b), common GREATER neighbors c > b close (a, b, c) — the
+    * orientation that lists each triangle at its lowest edge, the same
+    * once-per-triangle bag the distributed wedge join produces. */
+  def trianglesLocal(canonicalEdges: DataFrame): DataFrame = {
+    val sp = canonicalEdges.sparkSession
+    import sp.implicits._
+    oneTask(canonicalEdges.select("a", "b").as[(Long, Long)]) { it =>
+      val es = it.toArray
+      // greater-neighbor adjacency (sorted): gn(a) = { b : (a,b) ∈ E }
+      val gn = new mutable.LongMap[mutable.ArrayBuffer[Long]]()
+      es.foreach { case (a, b) =>
+        gn.getOrElseUpdate(a, new mutable.ArrayBuffer[Long]()) += b
+      }
+      val sorted = new mutable.LongMap[Array[Long]]()
+      gn.foreachEntry((k, v) => sorted(k) = v.sortInPlace().toArray)
+      es.iterator.flatMap { case (a, b) =>
+        (sorted.get(a), sorted.get(b)) match {
+          case (Some(ga), Some(gb)) =>
+            // sorted-merge intersection of the two greater-lists,
+            // restricted to c > b (gb is all > b already; ga needs skip)
+            val out = new mutable.ArrayBuffer[(Long, Long, Long)]()
+            var i = 0
+            var j = 0
+            while (i < ga.length && j < gb.length) {
+              val x = ga(i); val y = gb(j)
+              if (x < y) i += 1
+              else if (x > y) j += 1
+              else {
+                if (x > b) out += ((a, b, x))
+                i += 1; j += 1
+              }
+            }
+            out
+          case _ => Nil
+        }
+      }
+    }.toDF("n1", "n2", "n3").transform(eager)
+  }
+
+  /** Local clustering coefficient — [[Graph.clusteringCoefficient]]
+    * verbatim: degree over the canonical edge set, per-node triangle
+    * count (each listed triangle credits all three members), coef =
+    * 2.0·T / (deg·(deg−1)) in the identical double arithmetic, 0 below
+    * degree 2. Output (n, degree, tri_count, coef). */
+  def clusteringCoefLocal(canonicalEdges: DataFrame): DataFrame = {
+    val sp = canonicalEdges.sparkSession
+    import sp.implicits._
+    oneTask(canonicalEdges.select("a", "b").as[(Long, Long)]) { it =>
+      val es = it.toArray
+      val deg = new mutable.LongMap[Long]()
+      val gn = new mutable.LongMap[mutable.ArrayBuffer[Long]]()
+      es.foreach { case (a, b) =>
+        deg(a) = deg.getOrElse(a, 0L) + 1L
+        deg(b) = deg.getOrElse(b, 0L) + 1L
+        gn.getOrElseUpdate(a, new mutable.ArrayBuffer[Long]()) += b
+      }
+      val sorted = new mutable.LongMap[Array[Long]]()
+      gn.foreachEntry((k, v) => sorted(k) = v.sortInPlace().toArray)
+      val tri = new mutable.LongMap[Long]()
+      es.foreach { case (a, b) =>
+        (sorted.get(a), sorted.get(b)) match {
+          case (Some(ga), Some(gb)) =>
+            var i = 0
+            var j = 0
+            while (i < ga.length && j < gb.length) {
+              val x = ga(i); val y = gb(j)
+              if (x < y) i += 1
+              else if (x > y) j += 1
+              else {
+                if (x > b) {
+                  tri(a) = tri.getOrElse(a, 0L) + 1L
+                  tri(b) = tri.getOrElse(b, 0L) + 1L
+                  tri(x) = tri.getOrElse(x, 0L) + 1L
+                }
+                i += 1; j += 1
+              }
+            }
+          case _ => ()
+        }
+      }
+      deg.iterator.map { case (n, d) =>
+        val t = tri.getOrElse(n, 0L)
+        val coef = if (d >= 2) 2.0 * t / (d * (d - 1)) else 0.0
+        (n, d, t, coef)
+      }
+    }.toDF("n", "degree", "tri_count", "coef").transform(eager)
+  }
+
+  // ----------------------------------------------- link prediction (CN)
+
+  /** Neighborhood-overlap link prediction — the q_link_predict pipeline
+    * verbatim over a canonical (a < b, distinct) edge set: wedge pairs
+    * (x < y sharing a neighbor) with common-neighbor counts, existing
+    * edges anti-joined away, cn ≥ minCn, jaccard = fl4(cn/(dx+dy−cn))
+    * in the identical double arithmetic (fl4 = floor(v·10000+0.5)/10000).
+    * Output (x, y, cn, jaccard). */
+  def linkPredictLocal(canonicalEdges: DataFrame, minCn: Long): DataFrame = {
+    val sp = canonicalEdges.sparkSession
+    import sp.implicits._
+    oneTask(canonicalEdges.select("a", "b").as[(Long, Long)]) { it =>
+      val es = it.toArray
+      val edgeSet = new mutable.HashSet[(Long, Long)]()
+      val adj = new mutable.LongMap[mutable.ArrayBuffer[Long]]()
+      es.foreach { case (a, b) =>
+        edgeSet += ((a, b))
+        adj.getOrElseUpdate(a, new mutable.ArrayBuffer[Long]()) += b
+        adj.getOrElseUpdate(b, new mutable.ArrayBuffer[Long]()) += a
+      }
+      val deg = new mutable.LongMap[Long]()
+      adj.foreachEntry((n, nb) => deg(n) = nb.length.toLong)
+      val cn = new mutable.HashMap[(Long, Long), Long]()
+      adj.foreachEntry { (_, nb) =>
+        val s = nb.sortInPlace()
+        var i = 0
+        while (i < s.length) {
+          var j = i + 1
+          while (j < s.length) {
+            val k = (s(i), s(j))
+            cn(k) = cn.getOrElse(k, 0L) + 1L
+            j += 1
+          }
+          i += 1
+        }
+      }
+      cn.iterator.collect {
+        case ((x, y), c) if c >= minCn && !edgeSet.contains((x, y)) =>
+          val denom = deg(x) + deg(y) - c
+          val jac = math.floor(c.toDouble / denom.toDouble * 10000 + 0.5) / 10000
+          (x, y, c, jac)
+      }
+    }.toDF("x", "y", "cn", "jaccard").transform(eager)
+  }
+
   // ------------------------------------------------------------ DBSCAN
 
   /** Grid-cell-blocked exact DBSCAN — [[graft.sim.Density.dbscan]]

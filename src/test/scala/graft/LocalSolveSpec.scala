@@ -178,6 +178,48 @@ class LocalSolveSpec extends SparkSpec {
     assert(l == d && l.nonEmpty)
   }
 
+  test("triangles: local == distributed (once-per-triangle bag)") {
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (5L, 7L)).toDF("src", "dst")
+    val (l, d) = bothPaths(graft.graph.Graph.triangles(und))
+    assert(l == d && l.nonEmpty)
+  }
+
+  test("clusteringCoefficient: local == distributed (coef doubles)") {
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (5L, 7L)).toDF("src", "dst")
+    val (l, d) = bothPaths(graft.graph.Graph.clusteringCoefficient(und))
+    assert(l == d && l.nonEmpty)
+  }
+
+  test("linkPredictLocal == the distributed wedge pipeline") {
+    import org.apache.spark.sql.functions._
+    // canonical edges with a 4-clique missing one edge → a (cn ≥ 2)
+    // candidate; threshold 2 keeps the tiny fixture productive
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (2L, 5L), (3L, 5L), (4L, 5L), (5L, 6L), (1L, 6L), (3L, 6L))
+      .toDF("a", "b").localCheckpoint()
+    val local = graft.graph.LocalSolve.linkPredictLocal(e, minCn = 2L)
+      .collect().map(_.toString).toSet
+    val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+    val wedge = und.as("u1")
+      .join(und.as("u2"), col("u1.a") === col("u2.a") && col("u1.b") < col("u2.b"))
+      .groupBy(col("u1.b").as("x"), col("u2.b").as("y"))
+      .agg(count(lit(1)).as("cn"))
+    val dist = wedge
+      .join(e, col("x") === col("a") && col("y") === col("b"), "left_anti")
+      .filter(col("cn") >= 2)
+      .join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
+      .select(col("x"), col("y"), col("cn"),
+        (floor(col("cn").cast("double")
+          / (col("dx") + col("dy") - col("cn")).cast("double") * 10000
+          + lit(0.5)) / 10000).as("jaccard"))
+      .collect().map(_.toString).toSet
+    assert(local == dist && local.nonEmpty)
+  }
+
   test("dbscan: local == distributed (roles, clusters, noise)") {
     // two dense blobs + stragglers; eps/coords exact in binary
     val pts = (Seq((1L, 0.0, 0.0), (2L, 0.25, 0.0), (3L, 0.0, 0.25),
