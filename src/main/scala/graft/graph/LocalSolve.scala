@@ -1052,6 +1052,124 @@ private[graft] object LocalSolve {
     }.toDF("id", "reached", "harmonic").transform(eager)
   }
 
+  // ---------------------------------------------------- kNN / GNN tier
+
+  /** [[fits]] with a LIMIT-bounded count: scans at most cap+1 rows, so
+    * the gate itself never pays a full pass over a production-sized
+    * relation (the knnJoinExact corpus can be the whole corpus). Returns
+    * the exact count when it is ≤ cap, None otherwise. */
+  def fitsBounded(df: DataFrame, cap: Long): Option[Long] = {
+    if (threshold(df.sparkSession) <= 0L) return None
+    val c = math.min(cap, threshold(df.sparkSession))
+    val n = df.limit((c + 1).toInt).count()
+    if (n <= c) Some(n) else None
+  }
+
+  /** The exact cosine — [[graft.plans.CosineSimilarity]]'s index-ordered
+    * fold verbatim (dot/na/nb accumulate left to right; float inputs are
+    * upcast per element before the multiply, which is exactly the
+    * `(double) getFloat(j)` the codegen emits). */
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Spark's Round(double, 4) — BigDecimal HALF_UP, the same library
+    * call the catalyst expression makes. */
+  private def round4(d: Double): Double =
+    if (d.isNaN || d.isInfinite) d
+    else BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Exact k-NN join — [[graft.sim.Ann.knnJoinExact]] verbatim in one
+    * task: per probe the k best corpus vectors by (cos DESC, id ASC),
+    * self-pairs excluded, output (probe_id, id, round(cos, 4), rk).
+    * Input: (0, id, vec) corpus rows, (1, id, vec) probe rows. */
+  def knnTopkLocal(tagged: DataFrame, k: Int): DataFrame = {
+    val sp = tagged.sparkSession
+    import sp.implicits._
+    oneTask(tagged.as[(Int, Long, Array[Double])]) { it =>
+      val corpus = new mutable.ArrayBuffer[(Long, Array[Double])]()
+      val probes = new mutable.ArrayBuffer[(Long, Array[Double])]()
+      it.foreach { r =>
+        if (r._1 == 0) corpus += ((r._2, r._3)) else probes += ((r._2, r._3))
+      }
+      probes.iterator.flatMap { case (pid, pv) =>
+        // k-bounded insertion by (score desc, id asc) — the TopKByScore
+        // total order
+        val bs = new Array[Double](k)
+        val bi = new Array[Long](k)
+        var filled = 0
+        corpus.foreach { case (cid, cv) =>
+          if (cid != pid) {
+            val s = cos(cv, pv)
+            val worse = filled < k ||
+              s > bs(filled - 1) || (s == bs(filled - 1) && cid < bi(filled - 1))
+            if (worse) {
+              var pos = math.min(filled, k - 1)
+              while (pos > 0 &&
+                  (s > bs(pos - 1) || (s == bs(pos - 1) && cid < bi(pos - 1)))) {
+                bs(pos) = bs(pos - 1); bi(pos) = bi(pos - 1); pos -= 1
+              }
+              bs(pos) = s; bi(pos) = cid
+              if (filled < k) filled += 1
+            }
+          }
+        }
+        (0 until filled).iterator.map(r =>
+          (pid, bi(r), round4(bs(r)), (r + 1).toLong))
+      }
+    }.toDF("probe_id", "id", "cosine", "rk").transform(eager)
+  }
+
+  /** GraphSAGE mean layer — [[graft.sim.Gnn.sageMeanLayer]] verbatim:
+    * per-dim 1e-6 fixed-point self vectors, integer neighbor sums,
+    * ih = self·cnt ++ (nbrSum | zeros), n2 the index-ordered double
+    * fold, h = ih/√max(n2, 1e-12). Input: (0, src, dst, null) edges,
+    * (1, id, 0, vec) nodes. Output (id, h). */
+  def sageMeanLocal(tagged: DataFrame): DataFrame = {
+    val sp = tagged.sparkSession
+    import sp.implicits._
+    oneTask(tagged.as[(Int, Long, Long, Array[Double])]) { it =>
+      val edges = new mutable.ArrayBuffer[(Long, Long)]()
+      val q = new mutable.LongMap[Array[Long]]()
+      it.foreach { r =>
+        if (r._1 == 0) edges += ((r._2, r._3))
+        else q(r._2) = r._4.map(x => math.floor(x * 1e6 + 0.5).toLong)
+      }
+      val nbrSum = new mutable.LongMap[Array[Long]]()
+      val nbrCnt = new mutable.LongMap[Long]()
+      edges.foreach { case (s, d) =>
+        q.get(d).foreach { qv => // neighbor join: dst must be a node
+          val acc = nbrSum.getOrElseUpdate(s, new Array[Long](qv.length))
+          var i = 0
+          while (i < qv.length) { acc(i) += qv(i); i += 1 }
+          nbrCnt(s) = nbrCnt.getOrElse(s, 0L) + 1L
+        }
+      }
+      q.iterator.map { case (id, qv) =>
+        val cnt = nbrCnt.getOrElse(id, 1L)
+        val ih = new Array[Long](qv.length * 2)
+        var i = 0
+        while (i < qv.length) { ih(i) = qv(i) * cnt; i += 1 }
+        nbrSum.get(id).foreach { s =>
+          i = 0
+          while (i < s.length) { ih(qv.length + i) = s(i); i += 1 }
+        }
+        var n2 = 0.0
+        i = 0
+        while (i < ih.length) { n2 += ih(i).toDouble * ih(i).toDouble; i += 1 }
+        val den = math.sqrt(math.max(n2, 1e-12))
+        (id, ih.map(_.toDouble / den))
+      }
+    }.toDF("id", "h").transform(eager)
+  }
+
   // --------------------------------------------------------- triangles
 
   /** Triangle listing — [[Graph.triangles]] semantics: every triangle of

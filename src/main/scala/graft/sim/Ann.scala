@@ -267,14 +267,51 @@ object Ann {
     * the one shuffle carries ≤ k rows per probe per partition, never the
     * |probes|×|corpus| pair relation. The right 100 TB plan for probe sets
     * that fit a broadcast (≲10⁵ vectors); beyond that use [[knnJoinIvf]].
-    * Self-pairs (same id both sides) are excluded. Ties → smaller id. */
+    * Self-pairs (same id both sides) are excluded. Ties → smaller id.
+    *
+    * `localSolve = true` (round 19) additionally gates a below-threshold
+    * one-task kernel with bit-identical results. It is OPT-IN because the
+    * gate + eager kernel materialization cost ~3 extra jobs per call:
+    * a win when the result feeds a long per-query pipeline (mutual-kNN →
+    * SAGE, the NN-Descent exact reference), a measured regression for
+    * evaluators that call this several times per query and otherwise
+    * defer everything into one lazy plan (q_mrl_recall read 1.44 s
+    * gated-on vs 0.51 s off on the same build). */
   def knnJoinExact(
       probes: DataFrame,
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      localSolve: Boolean = false): DataFrame = {
     import graft.plans.TopKByScore.topkByScore
+    // below-threshold fast path (round 19, LocalSolve): both sides small
+    // → all pair cosines + the per-probe k-heap in one task, identical
+    // index-ordered fold, (cos DESC, id ASC) order and HALF_UP rounding.
+    // The corpus gate is a LIMIT-bounded count (≤ cap+1 rows scanned), so
+    // a production-sized corpus never pays a counting pass.
+    if (localSolve) {
+      import graft.graph.LocalSolve
+      val cap = 1L << 18 // pair volume |p|·|c| is the kernel's work
+      val cs = corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      val ps = probes.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      // gate counts ride a 1-column projection — limit's single-partition
+      // gather must not carry the vectors
+      (LocalSolve.fitsBounded(cs.select(col("id")), cap),
+        LocalSolve.fitsBounded(ps.select(col("id")), cap)) match {
+        case (Some(nc), Some(np)) if nc * np <= (1L << 23) =>
+          return LocalSolve.knnTopkLocal(
+            cs.select(org.apache.spark.sql.functions.lit(0).as("t"),
+                col("id"), col("v"))
+              .unionByName(ps.select(
+                org.apache.spark.sql.functions.lit(1).as("t"),
+                col("id"), col("v"))),
+            k)
+        case _ => ()
+      }
+    }
     val p = broadcast(
       probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv")))
     corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
@@ -656,7 +693,8 @@ object Ann {
   }
 
   def mutualKnn(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val knn = knnJoinExact(df, df, idCol, vecCol, k).localCheckpoint(true)
+    val knn = knnJoinExact(df, df, idCol, vecCol, k, localSolve = true)
+      .localCheckpoint(true)
     knn.as("r1").join(knn.as("r2"),
         col("r1.probe_id") === col("r2.id")
           && col("r1.id") === col("r2.probe_id")

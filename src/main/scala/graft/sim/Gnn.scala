@@ -61,6 +61,28 @@ object Gnn {
       idCol: String,
       vecCol: String): DataFrame = {
     val e = edges.toDF("src", "dst")
+    // below-threshold fast path (round 19, LocalSolve): fixed-point
+    // quantize, integer neighbor sums and the index-ordered norm fold in
+    // one task — LIMIT-bounded gates, so production relations never pay
+    // a counting pass.
+    locally {
+      import graft.graph.LocalSolve
+      import org.apache.spark.sql.functions.lit
+      val cap = 1L << 20
+      val ns = nodes.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      (LocalSolve.fitsBounded(e, cap),
+        LocalSolve.fitsBounded(ns.select(col("id")), cap)) match {
+        case (Some(_), Some(_)) =>
+          return LocalSolve.sageMeanLocal(
+            e.select(lit(0).as("t"), col("src").as("x"), col("dst").as("y"),
+                lit(null).cast("array<double>").as("v"))
+              .unionByName(ns.select(lit(1).as("t"), col("id").as("x"),
+                lit(0L).as("y"), col("v"))))
+            .withColumnRenamed("id", idCol)
+        case _ => ()
+      }
+    }
     val qn = nodes.select(col(idCol),
       transform(col(vecCol),
         x => floor(x.cast("double") * 1e6 + 0.5).cast("long")).as("__q"))

@@ -220,6 +220,28 @@ class LocalSolveSpec extends SparkSpec {
     assert(local == dist && local.nonEmpty)
   }
 
+  test("knnJoinExact + mutualKnn: local == distributed (cos folds, ties)") {
+    val vecs = (1L to 12L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 31 + j * 7) + 0.1 * j))
+    }.toDF("id", "v")
+    val (l, d) = bothPaths(
+      graft.sim.Ann.knnJoinExact(vecs, vecs, "id", "v", 3))
+    assert(l == d && l.nonEmpty)
+    val (lm, dm) = bothPaths(graft.sim.Ann.mutualKnn(vecs, "id", "v", 3))
+    assert(lm == dm && lm.nonEmpty)
+  }
+
+  test("sageMeanLayer: local == distributed (fixed-point + norm fold)") {
+    val vecs = (1L to 8L).map { i =>
+      (i, Array.tabulate(6)(j => math.cos(i * 13 + j) * 0.8))
+    }.toDF("id", "v")
+    val es = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (4L, 5L), (5L, 4L),
+      (6L, 1L)).toDF("src", "dst")
+    val (l, d) = bothPaths(
+      graft.sim.Gnn.sageMeanLayer(vecs, es, "id", "v"))
+    assert(l == d && l.nonEmpty)
+  }
+
   test("dbscan: local == distributed (roles, clusters, noise)") {
     // two dense blobs + stragglers; eps/coords exact in binary
     val pts = (Seq((1L, 0.0, 0.0), (2L, 0.25, 0.0), (3L, 0.0, 0.25),
