@@ -2310,8 +2310,16 @@ object DedupQueries {
         .select(col("doc_id").as("k"),
           substring(col("text"), 1, 40).as("key"),
           substring(col("text"), 1, 60).as("n"))
-      val pairs = graft.dedup.SortedNeighborhood
-        .candidatePairs(d, "k", Seq("key"), window = 8)
+        // three consumers (pair generation + both edit-distance joins):
+        // materialize the trimmed projection once instead of re-scanning
+        // the full-text parquet each time
+        .localCheckpoint()
+      val pairs = graft.ops.Spread.toSessionParallelism(
+        // the one-task pair kernel leaves a single partition; the
+        // edit-distance stage below is the query's heavy per-row work
+        // and must fan back out (Spread is identity on real corpora)
+        graft.dedup.SortedNeighborhood
+          .candidatePairs(d, "k", Seq("key"), window = 8), "a_id")
       val fl4 = (c: Column) => floor(c * 10000 + lit(0.5)) / 10000
       pairs
         .join(d.select(col("k").as("a_id"), col("n").as("an")), "a_id")

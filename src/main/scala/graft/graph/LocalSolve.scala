@@ -1052,6 +1052,175 @@ private[graft] object LocalSolve {
     }.toDF("id", "reached", "harmonic").transform(eager)
   }
 
+  // ------------------------------------------------- MMR re-ranking
+
+  /** MMR greedy selection — [[graft.sim.Ann.mmrRerank]] verbatim: pick
+    * k rows maximizing lam·rel − mu·max-sim-to-selected (ms = 0 for the
+    * first pick), ties to the smaller id, sims the exact index-ordered
+    * cosine fold (commutative-symmetric, so x-vs-selected orientation
+    * matches the distributed join's). Input (id, vec, rel) shortlist.
+    * Output (rank, id, rel, mmr). */
+  def mmrLocal(pool: DataFrame, k: Int, lam: Double, mu: Double): DataFrame = {
+    val sp = pool.sparkSession
+    import sp.implicits._
+    oneTask(pool.select("id", "vec", "rel")
+        .as[(Long, Array[Double], Double)]) { it =>
+      val ps = it.toArray
+      val n = ps.length
+      val sims = Array.ofDim[Double](n, n)
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < n) {
+          if (i != j) sims(i)(j) = cos(ps(i)._2, ps(j)._2)
+          j += 1
+        }
+        i += 1
+      }
+      val selected = new mutable.ArrayBuffer[Int]()
+      val out = new mutable.ArrayBuffer[(Long, Long, Double, Double)]()
+      var rank = 1
+      while (rank <= k && selected.length < n) {
+        var bestIx = -1
+        var bestMmr = 0.0
+        i = 0
+        while (i < n) {
+          if (!selected.contains(i)) {
+            var ms = 0.0
+            var first = true
+            selected.foreach { s =>
+              val v = sims(i)(s)
+              if (first || v > ms) { ms = v; first = false }
+            }
+            if (selected.isEmpty) ms = 0.0
+            val mmr = lam * ps(i)._3 - mu * ms
+            if (bestIx < 0 || mmr > bestMmr ||
+                (mmr == bestMmr && ps(i)._1 < ps(bestIx)._1)) {
+              bestIx = i; bestMmr = mmr
+            }
+          }
+          i += 1
+        }
+        out += ((rank.toLong, ps(bestIx)._1, ps(bestIx)._3, bestMmr))
+        selected += bestIx
+        rank += 1
+      }
+      out.iterator
+    }.toDF("rank", "id", "rel", "mmr").transform(eager)
+  }
+
+  // ------------------------------------- prefix-filter similarity join
+
+  /** Exact-Jaccard similarity self-join —
+    * [[graft.dedup.Dedup.prefixFilterJoin]]'s OUTPUT contract in one
+    * task: all (id_a < id_b) pairs sharing ≥ 1 token hash whose exact
+    * Jaccard ≥ threshold (the prefix filter is lossless, so the
+    * distributed candidate set filtered on exact J equals this set).
+    * Token hashing stays on the Spark side — the kernel consumes the
+    * same checkpointed (id, hs, m) relation both join sides read, so
+    * hash-collision behavior is shared too. Output (id_a, id_b,
+    * round(jaccard, 4)); the ≥-threshold compare runs on the identical
+    * unrounded double. */
+  def prefixJoinLocal(docs: DataFrame, threshold: Double): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    oneTask(docs.select("id", "hs", "m").as[(Long, Array[Long], Long)]) { it =>
+      val ds = it.toArray.sortBy(_._1)
+      val n = ds.length
+      val sorted = new Array[Array[Long]](n)
+      val idToIx = new mutable.LongMap[Int]()
+      var i = 0
+      while (i < n) {
+        sorted(i) = ds(i)._2.clone()
+        java.util.Arrays.sort(sorted(i))
+        idToIx(ds(i)._1) = i
+        i += 1
+      }
+      val posting = new mutable.LongMap[mutable.ArrayBuffer[Int]]()
+      i = 0
+      while (i < n) {
+        ds(i)._2.foreach { h =>
+          posting.getOrElseUpdate(h, new mutable.ArrayBuffer[Int]()) += i
+        }
+        i += 1
+      }
+      val out = new mutable.ArrayBuffer[(Long, Long, Double)]()
+      i = 0
+      while (i < n) {
+        val seen = new mutable.HashSet[Int]()
+        ds(i)._2.foreach { h =>
+          posting(h).foreach { j =>
+            if (j > i && seen.add(j)) {
+              // sorted-merge intersection size
+              val a = sorted(i); val b = sorted(j)
+              var x = 0; var y = 0; var inter = 0L
+              while (x < a.length && y < b.length) {
+                if (a(x) < b(y)) x += 1
+                else if (a(x) > b(y)) y += 1
+                else { inter += 1; x += 1; y += 1 }
+              }
+              val jac = inter.toDouble /
+                (ds(i)._3 + ds(j)._3 - inter).toDouble
+              if (jac >= threshold)
+                out += ((ds(i)._1, ds(j)._1,
+                  BigDecimal(jac).setScale(4,
+                    BigDecimal.RoundingMode.HALF_UP).toDouble))
+            }
+          }
+        }
+        i += 1
+      }
+      out.iterator
+    }.toDF("id_a", "id_b", "jaccard").transform(eager)
+  }
+
+  // ----------------------------------------- sorted-neighborhood pairs
+
+  /** Sorted-neighborhood candidate pairs —
+    * [[graft.dedup.SortedNeighborhood.candidatePairs]] verbatim: global
+    * 0-based positions in the (sortCols…, id) total order (string sort
+    * keys compare as unsigned UTF-8 bytes — exactly UTF8String's binary
+    * order, NOT Java's UTF-16 order — nulls first, id tiebreak), then
+    * every (a, b) with 1 ≤ pos(b) − pos(a) ≤ window − 1. Input:
+    * (id, keys array<string>). Output (a_id, b_id, gap). */
+  def sortedPairsLocal(keyed: DataFrame, window: Int): DataFrame = {
+    val sp = keyed.sparkSession
+    import sp.implicits._
+    oneTask(keyed.as[(Long, Array[String])]) { it =>
+      val rows = it.toArray
+      val keys = rows.map { case (id, ks) =>
+        (id, ks.map(k => if (k == null) null else k.getBytes("UTF-8")))
+      }
+      val ord = new Ordering[(Long, Array[Array[Byte]])] {
+        def compare(a: (Long, Array[Array[Byte]]), b: (Long, Array[Array[Byte]])): Int = {
+          var i = 0
+          while (i < a._2.length) {
+            val x = a._2(i); val y = b._2(i)
+            val c =
+              if (x == null && y == null) 0
+              else if (x == null) -1
+              else if (y == null) 1
+              else java.util.Arrays.compareUnsigned(x, y)
+            if (c != 0) return c
+            i += 1
+          }
+          java.lang.Long.compare(a._1, b._1)
+        }
+      }
+      java.util.Arrays.sort(keys, ord)
+      val n = keys.length
+      Iterator.range(0, n).flatMap { p =>
+        var g = 1
+        val out = new mutable.ArrayBuffer[(Long, Long, Long)]()
+        while (g <= window - 1 && p + g < n) {
+          out += ((keys(p)._1, keys(p + g)._1, g.toLong))
+          g += 1
+        }
+        out
+      }
+    }.toDF("a_id", "b_id", "gap").transform(eager)
+  }
+
   // ---------------------------------------------------- kNN / GNN tier
 
   /** [[fits]] with a LIMIT-bounded count: scans at most cap+1 rows, so

@@ -565,6 +565,18 @@ object Ann {
     val p = pool
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col(relCol).as("rel"))
       .localCheckpoint(true) // shortlist: read by sims and every step
+    // below-threshold fast path (round 19, LocalSolve): the whole greedy
+    // recurrence in one task — k orderBy-limit(1) jobs collapse to one.
+    // Shortlists are display-page-sized by contract; the cap guards the
+    // |pool|² sims matrix.
+    if (graft.graph.LocalSolve.threshold(p.sparkSession) > 0 &&
+        p.schema("id").dataType == org.apache.spark.sql.types.LongType &&
+        p.count() <= math.min(
+          graft.graph.LocalSolve.threshold(p.sparkSession), 1L << 12)) {
+      return graft.graph.LocalSolve.mmrLocal(
+        p.select(col("id"), col("vec").cast("array<double>").as("vec"),
+          col("rel").cast("double").as("rel")), k, lam, mu)
+    }
     val sims = p.as("x").join(p.as("y"), col("x.id") =!= col("y.id"))
       .select(col("x.id").as("xi"), col("y.id").as("yi"),
         vecCosine(col("x.vec"), col("y.vec")).as("sim"))

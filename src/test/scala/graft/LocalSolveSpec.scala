@@ -220,6 +220,38 @@ class LocalSolveSpec extends SparkSpec {
     assert(local == dist && local.nonEmpty)
   }
 
+  test("sortedNeighborhood candidatePairs: local == distributed (utf8 order)") {
+    // non-ASCII keys: UTF8String binary order ≠ Java UTF-16 order for
+    // supplementary chars — the kernel must sort by UTF-8 bytes
+    val docs = Seq((1L, "alpha"), (2L, "Beta"), (3L, "beta"), (4L, "béta"),
+      (5L, "😀 emoji"), (6L, "� repl"), (7L, "alpha"),
+      (8L, "zz")).toDF("k", "key")
+    val (l, d) = bothPaths(
+      graft.dedup.SortedNeighborhood.candidatePairs(docs, "k", Seq("key"),
+        window = 3))
+    assert(l == d && l.nonEmpty)
+  }
+
+  test("mmrRerank: local == distributed (greedy argmax, ties)") {
+    val pool = (1L to 9L).map { i =>
+      (i, Array.tabulate(6)(j => math.sin(i * 3 + j)), 1.0 / i)
+    }.toDF("id", "vec", "rel")
+    val (l, d) = bothPaths(
+      graft.sim.Ann.mmrRerank(pool, "id", "vec", "rel", k = 4,
+        lam = 0.7, mu = 0.3))
+    assert(l == d && l.nonEmpty)
+  }
+
+  test("prefixFilterJoin: local == distributed (lossless prefix, exact J)") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "x y z w"),
+      (4L, "x y z w v"), (5L, "q r s"), (6L, "a b c d e f"),
+      (7L, "  a   b  "), (8L, "")).toDF("doc_id", "text")
+    val (l, d) = bothPaths(
+      graft.dedup.Dedup.prefixFilterJoin(docs, "doc_id", "text", 0.5))
+    assert(l == d && l.nonEmpty)
+  }
+
   test("knnJoinExact + mutualKnn: local == distributed (cos folds, ties)") {
     val vecs = (1L to 12L).map { i =>
       (i, Array.tabulate(8)(j => math.sin(i * 31 + j * 7) + 0.1 * j))
