@@ -4055,6 +4055,9 @@ object Queries {
     (s, dir) => {
       val b = Tables(s, dir).lineitem
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        // four consumers (order count, item counts, both self-join
+        // sides): materialize the distinct basket relation once
+        .localCheckpoint()
       val nOrders = b.select(col("o")).distinct().count() // driver scalar
       val item = b.groupBy(col("p")).agg(count(lit(1)).as("c"))
       val pairs = b.as("b1")

@@ -2038,16 +2038,29 @@ SELECT * FROM ($union)"""
           .otherwise(array().cast("array<string>"))))
       val g = Tables(s, dir).documents
         .select(col("doc_id"), explode(grams).as("g"))
-        .localCheckpoint(false) // first-occurrence agg + the join back
-      val firstSeen = g.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
-      g.join(firstSeen, "g")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_novel"))
-        .select(col("doc_id"), col("n_grams"), col("n_novel"),
-          (floor(col("n_novel").cast("double") / col("n_grams")
-            * 10000 + 0.5) / 10000).as("novelty"))
+        .localCheckpoint(false) // per-(g,doc) counts + per-doc totals
+      // round 19: the old shape joined the FULL gram-instance relation
+      // back against first-seen on the string gram (instance-sized
+      // string-keyed shuffle). Same result without that join: an
+      // instance is novel iff its doc is the gram's min doc, so
+      // n_novel(d) = Σ over grams first seen in d of that doc's own
+      // instance count — (g, doc) counts, min-struct per gram, one tiny
+      // doc-keyed sum. Shuffles shrink from instance-sized to
+      // distinct-(g,doc)-sized; no string join remains.
+      val perDoc = g.groupBy(col("g"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+      val firstC = perDoc.groupBy(col("g"))
+        .agg(min(struct(col("doc_id"), col("c"))).as("f"))
+        .select(col("f").getField("doc_id").as("doc_id"),
+          col("f").getField("c").as("c"))
+      val novel = firstC.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_novel"))
+      g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        .join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          (floor(coalesce(col("n_novel"), lit(0L)).cast("double")
+            / col("n_grams") * 10000 + 0.5) / 10000).as("novelty"))
     },
     Some("""WITH toks AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

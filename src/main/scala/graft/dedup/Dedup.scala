@@ -62,12 +62,22 @@ object Dedup {
       .select(col("id"), col("blk"), col("n_sh"), xxhash64(col("s_str")).as("s"))
       .localCheckpoint(true)
     val a = ex.as("a"); val b = ex.as("b")
-    val common = a.join(b,
-        col("a.s") === col("b.s") && col("a.blk") === col("b.blk") &&
-          col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
-      .agg(count(lit(1)).as("n_common"))
+    // below-threshold fast path (round 19, LocalSolve): posting-list
+    // pair counts in one task over the same checkpointed relation;
+    // jaccard scoring below is shared by both paths. Tight cap — the
+    // pair volume is Σ df(shingle)².
+    val common =
+      if (graft.graph.LocalSolve.threshold(df.sparkSession) > 0 &&
+          ex.schema("id").dataType == org.apache.spark.sql.types.LongType &&
+          ex.count() <= math.min(
+            graft.graph.LocalSolve.threshold(df.sparkSession), 1L << 20))
+        graft.graph.LocalSolve.shinglePairsLocal(ex)
+      else a.join(b,
+          col("a.s") === col("b.s") && col("a.blk") === col("b.blk") &&
+            col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+        .agg(count(lit(1)).as("n_common"))
     common
       .withColumn("jaccard",
         col("n_common").cast("double") /
@@ -110,13 +120,21 @@ object Dedup {
       .localCheckpoint(true)
     val a = ex.as("a"); val b = ex.as("b")
     // pair aggregate is read twice (one filter per direction): checkpoint
-    // so the shingle join runs once — pairs are tiny next to the explode
-    val common = a.join(b,
-        col("a.s") === col("b.s") && col("a.blk") === col("b.blk") &&
-          col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
-      .agg(count(lit(1)).as("n_common"))
+    // so the shingle join runs once — pairs are tiny next to the explode.
+    // Below-threshold fast path (round 19, LocalSolve): posting-list pair
+    // counts in one task, scoring shared — see [[ngramJaccard]].
+    val common =
+      (if (graft.graph.LocalSolve.threshold(df.sparkSession) > 0 &&
+          ex.schema("id").dataType == org.apache.spark.sql.types.LongType &&
+          ex.count() <= math.min(
+            graft.graph.LocalSolve.threshold(df.sparkSession), 1L << 20))
+        graft.graph.LocalSolve.shinglePairsLocal(ex)
+      else a.join(b,
+          col("a.s") === col("b.s") && col("a.blk") === col("b.blk") &&
+            col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+        .agg(count(lit(1)).as("n_common")))
       .localCheckpoint(true)
     def oriented(sub: String, sup: String, nSub: String) = common
       .withColumn("c", col("n_common").cast("double") / col(nSub).cast("double"))

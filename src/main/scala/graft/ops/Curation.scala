@@ -124,6 +124,11 @@ object Curation {
                 element_at(col("__t"), i + 2).as("w2"))))
           .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("__b"))
       .select(col("doc_id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      // two consumers (the bigram-count aggregation AND the per-doc
+      // scoring join): materialize the exploded relation once instead of
+      // re-tokenizing the corpus for each (round 19; lazy — it first
+      // runs inside whichever consumer's job fires first)
+      .localCheckpoint(false)
     val bc = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
       .localCheckpoint(true)
