@@ -1052,6 +1052,136 @@ private[graft] object LocalSolve {
     }.toDF("id", "reached", "harmonic").transform(eager)
   }
 
+  // --------------------------------------------------- NN-Descent
+
+  /** NN-Descent graph refinement — [[graft.sim.Ann.nnDescent]] verbatim
+    * in one task: deterministic first-k centroids (id order, L2² first-
+    * strict-min assignment in cid order — the NearestCentroid rule),
+    * within-cell seed pairs ∪ the md5-order ring bridges, then `rounds`
+    * local joins (neighbor-of-neighbor candidates over the undirected
+    * graph ∪ current edges), each re-scored with the index-ordered
+    * cosine fold and cut to the per-src (cos DESC, dst ASC) top k.
+    * Input (id, vec); output (round, src, dst, cos, rk) for rounds
+    * 0..`rounds` (cos unrounded, like the distributed graphs). */
+  def nnDescentLocal(
+      v: DataFrame, k: Int, rounds: Int, nlist: Int,
+      ringNeighbors: Int): DataFrame = {
+    val sp = v.sparkSession
+    import sp.implicits._
+    oneTask(v.select("id", "vec").as[(Long, Array[Double])]) { it =>
+      val vs = it.toArray.sortBy(_._1)
+      val n = vs.length
+      val vecOf = new mutable.LongMap[Array[Double]]()
+      vs.foreach { case (id, vec) => vecOf(id) = vec }
+      val kk =
+        if (nlist > 0) nlist
+        else math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val cents = vs.take(kk) // id-sorted first-k (cid = id)
+      // flat assignment: L2² in cid order, first strict min
+      def assign(vec: Array[Double]): Long = {
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var ci = 0
+        while (ci < cents.length) {
+          val cv = cents(ci)._2
+          val m = math.min(vec.length, cv.length)
+          var acc = 0.0
+          var j = 0
+          while (j < m) { val d = vec(j) - cv(j); acc += d * d; j += 1 }
+          if (acc < bestD) { bestD = acc; best = ci }
+          ci += 1
+        }
+        cents(best)._1
+      }
+      val cells = new mutable.LongMap[mutable.ArrayBuffer[Long]]()
+      vs.foreach { case (id, vec) =>
+        cells.getOrElseUpdate(assign(vec), new mutable.ArrayBuffer[Long]()) += id
+      }
+      val seed = new mutable.HashSet[(Long, Long)]()
+      cells.foreachEntry { (_, ids) =>
+        var i = 0
+        while (i < ids.length) {
+          var j = 0
+          while (j < ids.length) {
+            if (i != j) seed += ((ids(i), ids(j)))
+            j += 1
+          }
+          i += 1
+        }
+      }
+      // md5-order ring: each node → its next ringNeighbors nodes in
+      // (md5₆₀("nnd:"+id), id) order, self excluded
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val ring = vs.map { case (id, _) => (md5_60(md, s"nnd:$id"), id) }
+        .sortBy(identity)
+      var i = 0
+      while (i < n) {
+        var delta = 1
+        while (delta <= ringNeighbors) {
+          val dst = ring((i + delta) % n)._2
+          if (dst != ring(i)._2) seed += ((ring(i)._2, dst))
+          delta += 1
+        }
+        i += 1
+      }
+      // per-src (cos DESC, dst ASC) top-k over a candidate pair set
+      def topk(pairs: Iterator[(Long, Long)]): mutable.LongMap[Array[(Long, Double)]] = {
+        val bySrc = new mutable.LongMap[mutable.ArrayBuffer[(Double, Long)]]()
+        pairs.foreach { case (s, d) =>
+          bySrc.getOrElseUpdate(s, new mutable.ArrayBuffer[(Double, Long)]()) +=
+            ((cos(vecOf(s), vecOf(d)), d))
+        }
+        val out = new mutable.LongMap[Array[(Long, Double)]]()
+        bySrc.foreachEntry { (s, cand) =>
+          val best = cand.sortBy { case (c, d) => (-c, d) }.take(k)
+          out(s) = best.map { case (c, d) => (d, c) }.toArray
+        }
+        out
+      }
+      val result = new mutable.ArrayBuffer[(Long, Long, Long, Double, Long)]()
+      def emit(round: Int, g: mutable.LongMap[Array[(Long, Double)]]): Unit =
+        g.foreachEntry { (s, tops) =>
+          var r = 0
+          while (r < tops.length) {
+            result += ((round.toLong, s, tops(r)._1, tops(r)._2, (r + 1).toLong))
+            r += 1
+          }
+        }
+      var g = topk(seed.iterator)
+      emit(0, g)
+      var round = 1
+      while (round <= rounds) {
+        val und = new mutable.LongMap[mutable.ArrayBuffer[Long]]()
+        val undSet = new mutable.HashSet[(Long, Long)]()
+        g.foreachEntry { (s, tops) =>
+          tops.foreach { case (d, _) =>
+            if (undSet.add((s, d)))
+              und.getOrElseUpdate(s, new mutable.ArrayBuffer[Long]()) += d
+            if (undSet.add((d, s)))
+              und.getOrElseUpdate(d, new mutable.ArrayBuffer[Long]()) += s
+          }
+        }
+        val cand = new mutable.HashSet[(Long, Long)]()
+        und.foreachEntry { (_, nb) =>
+          var a = 0
+          while (a < nb.length) {
+            var b = 0
+            while (b < nb.length) {
+              if (nb(a) != nb(b)) cand += ((nb(a), nb(b)))
+              b += 1
+            }
+            a += 1
+          }
+        }
+        g.foreachEntry { (s, tops) => tops.foreach { case (d, _) => cand += ((s, d)) } }
+        g = topk(cand.iterator)
+        emit(round, g)
+        round += 1
+      }
+      result.iterator
+    }.toDF("round", "src", "dst", "cos", "rk").transform(eager)
+  }
+
   // ----------------------------------- shingle-pair common counts
 
   /** Shared-shingle pair counts — the candidate core of

@@ -481,6 +481,35 @@ object Ann {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).as("vec")).localCheckpoint(true)
 
+    // below-threshold fast path (round 19, LocalSolve): seed assignment,
+    // ring, and every local-join round in one task — identical centroid
+    // rule, md5 ring order, cosine folds and (cos DESC, dst ASC) top-k.
+    // Gate on the SEED pair volume n²/nlist (the kernel's dominant term;
+    // a small PINNED nlist makes it quadratic — measured at sf1: the
+    // n=4 000/nlist=8 form read 19.1 s one-task vs 15.4 s distributed,
+    // while the auto-⌈√n⌉ form read 2.3 s vs 21.0 s) plus an absolute
+    // vector cap; rounds-work is O(n·(2k)²), dominated by the seed term.
+    locally {
+      import graft.graph.LocalSolve
+      if (LocalSolve.threshold(v.sparkSession) > 0 &&
+          v.schema("id").dataType == org.apache.spark.sql.types.LongType) {
+        val n = v.count()
+        val kk0 =
+          if (nlist > 0) nlist
+          else math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+        if (n <= math.min(LocalSolve.threshold(v.sparkSession), 1L << 13) &&
+            n.toDouble * n / kk0 <= (1L << 19).toDouble) {
+          val out = LocalSolve.nnDescentLocal(
+            v.select(col("id"), col("vec").cast("array<double>").as("vec")),
+            k, rounds, nlist, ringNeighbors)
+          return (0 to rounds).map { r =>
+            out.filter(col("round") === r.toLong)
+              .select(col("src"), col("dst"), col("cos"), col("rk"))
+          }
+        }
+      }
+    }
+
     def topkGraph(pairs: DataFrame): DataFrame =
       pairs.groupBy(col("src"))
         .agg(topkByScore(col("cos"), col("dst"), k).as("top"))

@@ -232,6 +232,24 @@ class LocalSolveSpec extends SparkSpec {
     assert(l == d && l.nonEmpty)
   }
 
+  test("nnDescent: local == distributed (seed, ring, rounds, topk)") {
+    val vecs = (1L to 20L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 17 + j * 5) + 0.05 * j))
+    }.toDF("id", "v")
+    def run() = graft.sim.Ann.nnDescent(vecs, "id", "v",
+      k = 3, rounds = 2, nlist = 4)
+      .zipWithIndex.map { case (g, r) =>
+        g.withColumn("round", org.apache.spark.sql.functions.lit(r.toLong))
+      }.reduce(_ unionByName _)
+    val (l, d) = bothPaths(run())
+    assert(l == d && l.nonEmpty)
+    // and the auto-sized (nlist = 0) path
+    def runAuto() = graft.sim.Ann.nnDescent(vecs, "id", "v",
+      k = 3, rounds = 1, nlist = 0).last
+    val (la, da) = bothPaths(runAuto())
+    assert(la == da && la.nonEmpty)
+  }
+
   test("ngramJaccard + containmentPairs: local == distributed") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog", "a"),
