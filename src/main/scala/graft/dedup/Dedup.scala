@@ -62,22 +62,18 @@ object Dedup {
       .select(col("id"), col("blk"), col("n_sh"), xxhash64(col("s_str")).as("s"))
       .localCheckpoint(true)
     val a = ex.as("a"); val b = ex.as("b")
-    // below-threshold fast path (round 19, LocalSolve): posting-list
-    // pair counts in one task over the same checkpointed relation;
-    // jaccard scoring below is shared by both paths. Tight cap — the
-    // pair volume is Σ df(shingle)².
-    val common =
-      if (graft.graph.LocalSolve.threshold(df.sparkSession) > 0 &&
-          ex.schema("id").dataType == org.apache.spark.sql.types.LongType &&
-          ex.count() <= math.min(
-            graft.graph.LocalSolve.threshold(df.sparkSession), 1L << 20))
-        graft.graph.LocalSolve.shinglePairsLocal(ex)
-      else a.join(b,
-          col("a.s") === col("b.s") && col("a.blk") === col("b.blk") &&
-            col("a.id") < col("b.id"))
-        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
-        .agg(count(lit(1)).as("n_common"))
+    // (round 19: a one-task posting-list pair kernel was tried here and
+    // REVERTED — the tuple-keyed pair-count map could not beat the
+    // 32-way partial-aggregated hash join even at sf0.1: q_containment
+    // read 1.12 → 1.26 s and q_lsh_tune 1.02 → 1.24 s with it,
+    // q_dedup_jaccard a wash. The distributed join IS the right shape
+    // at every measured size.)
+    val common = a.join(b,
+        col("a.s") === col("b.s") && col("a.blk") === col("b.blk") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_common"))
     common
       .withColumn("jaccard",
         col("n_common").cast("double") /
@@ -121,20 +117,14 @@ object Dedup {
     val a = ex.as("a"); val b = ex.as("b")
     // pair aggregate is read twice (one filter per direction): checkpoint
     // so the shingle join runs once — pairs are tiny next to the explode.
-    // Below-threshold fast path (round 19, LocalSolve): posting-list pair
-    // counts in one task, scoring shared — see [[ngramJaccard]].
-    val common =
-      (if (graft.graph.LocalSolve.threshold(df.sparkSession) > 0 &&
-          ex.schema("id").dataType == org.apache.spark.sql.types.LongType &&
-          ex.count() <= math.min(
-            graft.graph.LocalSolve.threshold(df.sparkSession), 1L << 20))
-        graft.graph.LocalSolve.shinglePairsLocal(ex)
-      else a.join(b,
-          col("a.s") === col("b.s") && col("a.blk") === col("b.blk") &&
-            col("a.id") < col("b.id"))
-        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
-        .agg(count(lit(1)).as("n_common")))
+    // (round 19: the one-task pair kernel tried in [[ngramJaccard]] was
+    // reverted here too — same measurement.)
+    val common = a.join(b,
+        col("a.s") === col("b.s") && col("a.blk") === col("b.blk") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_common"))
       .localCheckpoint(true)
     def oriented(sub: String, sup: String, nSub: String) = common
       .withColumn("c", col("n_common").cast("double") / col(nSub).cast("double"))

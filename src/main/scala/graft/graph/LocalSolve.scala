@@ -1182,51 +1182,6 @@ private[graft] object LocalSolve {
     }.toDF("round", "src", "dst", "cos", "rk").transform(eager)
   }
 
-  // ----------------------------------- shingle-pair common counts
-
-  /** Shared-shingle pair counts — the candidate core of
-    * [[graft.dedup.Dedup.ngramJaccard]] / containmentPairs verbatim:
-    * over an exploded (id, blk, n_sh, s) relation with per-doc-distinct
-    * shingle hashes, every (id_a < id_b) same-block pair sharing ≥ 1
-    * hash with its shared-hash count. Scoring (jaccard / containment
-    * thresholds) stays on the Spark side, so this kernel adds no new
-    * arithmetic surface. Output (id_a, id_b, n_a, n_b, n_common);
-    * n_a/n_b widen to long (downstream arithmetic only). */
-  def shinglePairsLocal(ex: DataFrame): DataFrame = {
-    val sp = ex.sparkSession
-    import sp.implicits._
-    import org.apache.spark.sql.functions.col
-    oneTask(ex.select(col("id"), col("blk").cast("string").as("blk"),
-        col("n_sh").cast("long").as("n_sh"), col("s"))
-        .as[(Long, String, Long, Long)]) { it =>
-      val rows = it.toArray
-      val nsh = new mutable.LongMap[Long]()
-      rows.foreach { case (id, _, m, _) => nsh(id) = m }
-      // posting lists per (blk, hash)
-      val posting = new mutable.HashMap[(String, Long), mutable.ArrayBuffer[Long]]()
-      rows.foreach { case (id, blk, _, s) =>
-        posting.getOrElseUpdate((blk, s), new mutable.ArrayBuffer[Long]()) += id
-      }
-      val cnt = new mutable.HashMap[(Long, Long), Long]()
-      posting.valuesIterator.foreach { ids =>
-        val a = ids.sortInPlace()
-        var i = 0
-        while (i < a.length) {
-          var j = i + 1
-          while (j < a.length) {
-            if (a(i) != a(j)) {
-              val k = (a(i), a(j))
-              cnt(k) = cnt.getOrElse(k, 0L) + 1L
-            }
-            j += 1
-          }
-          i += 1
-        }
-      }
-      cnt.iterator.map { case ((ia, ib), c) => (ia, ib, nsh(ia), nsh(ib), c) }
-    }.toDF("id_a", "id_b", "n_a", "n_b", "n_common").transform(eager)
-  }
-
   // ------------------------------------------------- MMR re-ranking
 
   /** MMR greedy selection — [[graft.sim.Ann.mmrRerank]] verbatim: pick

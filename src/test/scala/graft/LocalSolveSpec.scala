@@ -250,23 +250,6 @@ class LocalSolveSpec extends SparkSpec {
     assert(la == da && la.nonEmpty)
   }
 
-  test("ngramJaccard + containmentPairs: local == distributed") {
-    val docs = Seq(
-      (1L, "the quick brown fox jumps over the lazy dog", "a"),
-      (2L, "the quick brown fox jumps over a lazy dog", "a"),
-      (3L, "entirely different words live here now ok", "a"),
-      (4L, "the quick brown fox jumps", "b"),
-      (5L, "the quick brown fox jumps over the lazy dog", "b"))
-      .toDF("doc_id", "text", "src")
-    val (lj, dj) = bothPaths(
-      graft.dedup.Dedup.ngramJaccard(docs, "doc_id", "text", 2, 0.2,
-        blockCol = Some("src")))
-    assert(lj == dj && lj.nonEmpty)
-    val (lc, dc) = bothPaths(
-      graft.dedup.Dedup.containmentPairs(docs, "doc_id", "text", 2, 0.3))
-    assert(lc == dc && lc.nonEmpty)
-  }
-
   test("mmrRerank: local == distributed (greedy argmax, ties)") {
     val pool = (1L to 9L).map { i =>
       (i, Array.tabulate(6)(j => math.sin(i * 3 + j)), 1.0 / i)

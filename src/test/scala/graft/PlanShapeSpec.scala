@@ -120,12 +120,10 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf("q_lsh_tune")
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"config grid not broadcast:\n${p.take(600)}")
-    // the shingle census is either a real hash join on the 8-byte key
-    // (distributed path) or, below the round-19 LocalSolve threshold,
-    // the one-task pair kernel's checkpointed output (n_common scan)
+    // the shingle census must be a real hash join on the 8-byte key
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
-      || p.contains("BroadcastHashJoin") || p.contains("n_common"),
-      "shingle census is neither an equi-join nor the pair-kernel scan")
+      || p.contains("BroadcastHashJoin"),
+      "shingle census is not an equi-join")
   }
 
   test("q_mixture_weights: only domain-sized exchanges; the corpus never shuffles rows") {
