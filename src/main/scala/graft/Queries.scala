@@ -4360,11 +4360,16 @@ object Queries {
                            // anti join and the degree table
       // below-threshold fast path (round 19, LocalSolve): wedge counts,
       // edge anti-filter and the fl4 jaccard in one task — identical
-      // arithmetic, same (cn ≥ 3) cut. Tighter cap than the shared
-      // default: wedge volume is Σdeg², super-linear in the edge count,
-      // so one task only wins while the clique-shaped blowup stays small.
+      // arithmetic, same (cn ≥ 3) cut. TWO-stage gate because wedge
+      // volume is Σdeg², which an edge cap alone does not bound (a hub
+      // with 2¹⁸ neighbors would OOM the one task): the edge count cap
+      // first, then one cheap degree-census agg over the SAME checkpoint
+      // bounding the actual wedge volume.
       if (graft.graph.LocalSolve.threshold(s) > 0 &&
-          e.count() <= math.min(graft.graph.LocalSolve.threshold(s), 1L << 18))
+          e.count() <= math.min(graft.graph.LocalSolve.threshold(s), 1L << 18) &&
+          e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+            .groupBy(col("n")).agg(count(lit(1)).as("d"))
+            .agg(sum(col("d") * col("d"))).head.getLong(0) <= (1L << 24))
         graft.graph.LocalSolve.linkPredictLocal(e, minCn = 3L)
       else {
         val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))

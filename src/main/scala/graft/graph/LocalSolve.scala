@@ -1124,7 +1124,8 @@ private[graft] object LocalSolve {
         }
         i += 1
       }
-      // per-src (cos DESC, dst ASC) top-k over a candidate pair set
+      // per-src top-k over a candidate pair set — TopKByScore's exact
+      // retention ((s, −id) total order) + output ((−s, id)) orders
       def topk(pairs: Iterator[(Long, Long)]): mutable.LongMap[Array[(Long, Double)]] = {
         val bySrc = new mutable.LongMap[mutable.ArrayBuffer[(Double, Long)]]()
         pairs.foreach { case (s, d) =>
@@ -1133,8 +1134,7 @@ private[graft] object LocalSolve {
         }
         val out = new mutable.LongMap[Array[(Long, Double)]]()
         bySrc.foreachEntry { (s, cand) =>
-          val best = cand.sortBy { case (c, d) => (-c, d) }.take(k)
-          out(s) = best.map { case (c, d) => (d, c) }.toArray
+          out(s) = topkSorted(cand, k).map { case (c, d) => (d, c) }
         }
         out
       }
@@ -1216,16 +1216,21 @@ private[graft] object LocalSolve {
         i = 0
         while (i < n) {
           if (!selected.contains(i)) {
+            // max(sim) under Spark's total order (NaN greatest,
+            // −0.0 < 0.0) — java.lang.Double.compare, not primitive >
             var ms = 0.0
             var first = true
             selected.foreach { s =>
               val v = sims(i)(s)
-              if (first || v > ms) { ms = v; first = false }
+              if (first || java.lang.Double.compare(v, ms) > 0) {
+                ms = v; first = false
+              }
             }
             if (selected.isEmpty) ms = 0.0
             val mmr = lam * ps(i)._3 - mu * ms
-            if (bestIx < 0 || mmr > bestMmr ||
-                (mmr == bestMmr && ps(i)._1 < ps(bestIx)._1)) {
+            // orderBy(mmr DESC, id).limit(1) under the same total order
+            val c = if (bestIx < 0) 1 else java.lang.Double.compare(mmr, bestMmr)
+            if (c > 0 || (c == 0 && ps(i)._1 < ps(bestIx)._1)) {
               bestIx = i; bestMmr = mmr
             }
           }
@@ -1385,43 +1390,51 @@ private[graft] object LocalSolve {
     if (d.isNaN || d.isInfinite) d
     else BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** TopKByScore's RETENTION order — the heap keeps the k largest by
+    * (score, −id) under java.lang.Double.compare total-order semantics
+    * (NaN greatest, −0.0 < 0.0), which is what tuple Orderings give. */
+  private val topkSelOrd: Ordering[(Double, Long)] =
+    Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (s, -i) }
+
+  /** TopKByScore's OUTPUT order — eval sorts the retained k by (−s, id);
+    * note −NaN = NaN sorts LAST here while the retention order keeps it
+    * FIRST, so selection and display must use their own orderings. */
+  private def topkSorted(
+      cand: mutable.ArrayBuffer[(Double, Long)], k: Int): Array[(Double, Long)] =
+    cand.sorted(topkSelOrd.reverse).take(k).toArray
+      .sortBy { case (s, i) => (-s, i) }
+
   /** Exact k-NN join — [[graft.sim.Ann.knnJoinExact]] verbatim in one
-    * task: per probe the k best corpus vectors by (cos DESC, id ASC),
-    * self-pairs excluded, output (probe_id, id, round(cos, 4), rk).
-    * Input: (0, id, vec) corpus rows, (1, id, vec) probe rows. */
+    * task: per probe ID (duplicate probe rows merge into one group, as
+    * groupBy does) the k best corpus vectors under TopKByScore's exact
+    * retention + output orders, self-pairs excluded, output
+    * (probe_id, id, round(cos, 4), rk). Input: (0, id, vec) corpus rows,
+    * (1, id, vec) probe rows. */
   def knnTopkLocal(tagged: DataFrame, k: Int): DataFrame = {
     val sp = tagged.sparkSession
     import sp.implicits._
     oneTask(tagged.as[(Int, Long, Array[Double])]) { it =>
       val corpus = new mutable.ArrayBuffer[(Long, Array[Double])]()
-      val probes = new mutable.ArrayBuffer[(Long, Array[Double])]()
+      val probes = new mutable.LongMap[mutable.ArrayBuffer[Array[Double]]]()
+      val order = new mutable.ArrayBuffer[Long]()
       it.foreach { r =>
-        if (r._1 == 0) corpus += ((r._2, r._3)) else probes += ((r._2, r._3))
+        if (r._1 == 0) corpus += ((r._2, r._3))
+        else {
+          if (!probes.contains(r._2)) order += r._2
+          probes.getOrElseUpdate(r._2,
+            new mutable.ArrayBuffer[Array[Double]]()) += r._3
+        }
       }
-      probes.iterator.flatMap { case (pid, pv) =>
-        // k-bounded insertion by (score desc, id asc) — the TopKByScore
-        // total order
-        val bs = new Array[Double](k)
-        val bi = new Array[Long](k)
-        var filled = 0
-        corpus.foreach { case (cid, cv) =>
-          if (cid != pid) {
-            val s = cos(cv, pv)
-            val worse = filled < k ||
-              s > bs(filled - 1) || (s == bs(filled - 1) && cid < bi(filled - 1))
-            if (worse) {
-              var pos = math.min(filled, k - 1)
-              while (pos > 0 &&
-                  (s > bs(pos - 1) || (s == bs(pos - 1) && cid < bi(pos - 1)))) {
-                bs(pos) = bs(pos - 1); bi(pos) = bi(pos - 1); pos -= 1
-              }
-              bs(pos) = s; bi(pos) = cid
-              if (filled < k) filled += 1
-            }
+      order.iterator.flatMap { pid =>
+        val cand = new mutable.ArrayBuffer[(Double, Long)]()
+        probes(pid).foreach { pv =>
+          corpus.foreach { case (cid, cv) =>
+            if (cid != pid) cand += ((cos(cv, pv), cid))
           }
         }
-        (0 until filled).iterator.map(r =>
-          (pid, bi(r), round4(bs(r)), (r + 1).toLong))
+        topkSorted(cand, k).iterator.zipWithIndex.map { case ((s, cid), r) =>
+          (pid, cid, round4(s), (r + 1).toLong)
+        }
       }
     }.toDF("probe_id", "id", "cosine", "rk").transform(eager)
   }

@@ -290,12 +290,19 @@ object Ann {
     // index-ordered fold, (cos DESC, id ASC) order and HALF_UP rounding.
     // The corpus gate is a LIMIT-bounded count (≤ cap+1 rows scanned), so
     // a production-sized corpus never pays a counting pass.
-    if (localSolve) {
+    if (localSolve &&
+        // long ids only (the sibling-gate convention): a non-long id
+        // must fall through to the type-generic distributed join, not
+        // crash the kernel decode or silently widen the output schema
+        probes.schema(idCol).dataType ==
+          org.apache.spark.sql.types.LongType &&
+        corpus.schema(idCol).dataType ==
+          org.apache.spark.sql.types.LongType) {
       import graft.graph.LocalSolve
       val cap = 1L << 18 // pair volume |p|·|c| is the kernel's work
-      val cs = corpus.select(col(idCol).cast("long").as("id"),
+      val cs = corpus.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
-      val ps = probes.select(col(idCol).cast("long").as("id"),
+      val ps = probes.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       // gate counts ride a 1-column projection — limit's single-partition
       // gather must not carry the vectors
@@ -597,14 +604,16 @@ object Ann {
     // below-threshold fast path (round 19, LocalSolve): the whole greedy
     // recurrence in one task — k orderBy-limit(1) jobs collapse to one.
     // Shortlists are display-page-sized by contract; the cap guards the
-    // |pool|² sims matrix.
+    // |pool|² sims matrix. Long ids + double rel only, so the gated
+    // output's schema AND values match the distributed path exactly.
     if (graft.graph.LocalSolve.threshold(p.sparkSession) > 0 &&
         p.schema("id").dataType == org.apache.spark.sql.types.LongType &&
+        p.schema("rel").dataType == org.apache.spark.sql.types.DoubleType &&
         p.count() <= math.min(
           graft.graph.LocalSolve.threshold(p.sparkSession), 1L << 12)) {
       return graft.graph.LocalSolve.mmrLocal(
         p.select(col("id"), col("vec").cast("array<double>").as("vec"),
-          col("rel").cast("double").as("rel")), k, lam, mu)
+          col("rel")), k, lam, mu)
     }
     val sims = p.as("x").join(p.as("y"), col("x.id") =!= col("y.id"))
       .select(col("x.id").as("xi"), col("y.id").as("yi"),

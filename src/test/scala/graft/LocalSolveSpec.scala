@@ -275,10 +275,29 @@ class LocalSolveSpec extends SparkSpec {
       (i, Array.tabulate(8)(j => math.sin(i * 31 + j * 7) + 0.1 * j))
     }.toDF("id", "v")
     val (l, d) = bothPaths(
-      graft.sim.Ann.knnJoinExact(vecs, vecs, "id", "v", 3))
+      graft.sim.Ann.knnJoinExact(vecs, vecs, "id", "v", 3,
+        localSolve = true))
     assert(l == d && l.nonEmpty)
     val (lm, dm) = bothPaths(graft.sim.Ann.mutualKnn(vecs, "id", "v", 3))
     assert(lm == dm && lm.nonEmpty)
+  }
+
+  test("knnJoinExact: NaN cosines (zero vector) and duplicate probe ids") {
+    // a zero vector makes every cosine against it NaN — the kernel must
+    // replicate TopKByScore's total order (NaN retained as greatest,
+    // displayed last); duplicate probe rows must merge into ONE group
+    val corpus = ((1L to 6L).map { i =>
+      (i, Array.tabulate(4)(j => math.cos(i * 7 + j)))
+    } :+ (9L, Array.fill(4)(0.0))).toDF("id", "v")
+    val probes = Seq(
+      (1L, Array.tabulate(4)(j => math.cos(7 + j))),
+      (1L, Array.tabulate(4)(j => math.cos(14 + j))), // duplicate id
+      (9L, Array.fill(4)(0.0))) // zero-vector probe: all-NaN scores
+      .toDF("id", "v")
+    val (l, d) = bothPaths(
+      graft.sim.Ann.knnJoinExact(probes, corpus, "id", "v", 3,
+        localSolve = true))
+    assert(l == d && l.nonEmpty)
   }
 
   test("sageMeanLayer: local == distributed (fixed-point + norm fold)") {
