@@ -238,7 +238,13 @@ object DedupQueries {
       // >= matchFloor combination REQUIRES the nm2 agreement, so this
       // block is lossless for matches (proven by q_blocking_eval, which
       // showed the previous nation/balance-band block catching ~3%)
-      val pairs = c.as("a").join(c.as("b"),
+      // O(block²) pair production rides the stream side's split count (the
+      // planner broadcasts one copy at local sizes — whichever it picks,
+      // the other must not be a single raw-scan split) — spread the base
+      // once, both copies inherit it (identity at production split counts;
+      // see Ann.knnJoinExact)
+      val cs = graft.ops.Spread.toSessionParallelism(c, "k")
+      val pairs = cs.as("a").join(cs.as("b"),
         col("a.blk") === col("b.blk") && col("a.k") < col("b.k"))
       graft.ops.Linkage.fellegiSunter(pairs, Seq(
           FieldRule(col("a.seg") === col("b.seg"), 2170L, -3000L),

@@ -24,6 +24,21 @@ object GraftSession {
       // per table the default is appropriate (see SURVEY §5).
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.files.openCostInBytes", "1m")
+      // TypedImperativeAggregates (TopKByScore et al.) plan as
+      // ObjectHashAggregate, whose partial (map-side) phase falls back to
+      // SORT-based aggregation after only 128 distinct keys per partition
+      // (Spark default). For the k-NN family the group key is the probe id
+      // — thousands of keys per partition by design — so the fallback
+      // externally sorts the whole |probes|×|corpus| pair relation, exactly
+      // the shuffle-every-row plan the k-bounded heap exists to avoid
+      // (guide §2.3 "aggregate before you shuffle"). 2^20 keeps the hash
+      // path: the high-cardinality-group aggregates here are all k≤10
+      // bounded heaps (≲600 B/key → ≲0.6 GB/task at the cap); the
+      // heavy-state aggregates (VecGram/HLL/CMS, KBs per key) only run in
+      // global or low-cardinality groupings that never near the cap.
+      // A session can still override it per workload.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 20).toString)
       .config("spark.ui.enabled", "false")
 
   /** RocksDB state store provider — the production state backend for the

@@ -770,8 +770,13 @@ object Dedup {
       threshold: Double): DataFrame = {
     import graft.plans.VectorFunctions._
     // norms precomputed once per vector; per-pair work is one fused
-    // codegen'd dot-product loop
-    val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"), col(vecCol).as("v"))
+    // codegen'd dot-product loop. The O(block²) pair work rides the stream
+    // side's split count (the planner broadcasts the other copy at local
+    // sizes) — spread it (identity at production split counts; see
+    // Ann.knnJoinExact)
+    val v = graft.ops.Spread.toSessionParallelism(
+        df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+          col(vecCol).as("v")), "id")
       .withColumn("norm", sqrt(vecDot(col("v"), col("v"))))
     val a = v.as("a"); val b = v.as("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))

@@ -321,7 +321,14 @@ object Ann {
     }
     val p = broadcast(
       probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv")))
-    corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
+    // The |corpus|×|probes| pair work rides the CORPUS side's partitioning,
+    // and a broadcast join inherits the stream side's split count — which
+    // for a byte-small local file is ONE split (guide §2: partition by
+    // work, not bytes). Spread is the identity once the corpus has
+    // session-parallelism partitions (any real corpus), so the production
+    // plan is unchanged.
+    graft.ops.Spread.toSessionParallelism(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("cv")), "id")
       .crossJoin(p)
       .filter(col("id") =!= col("probe_id"))
       .withColumn("cos", vecCosine(col("cv"), col("pv")))
@@ -414,7 +421,12 @@ object Ann {
     }
     val p = broadcast(probes.select(col(idCol).as("probe_id"),
       bits(col(vecCol)).as("pb")))
-    val cb = corpus.select(col(idCol).as("id"), bits(col(vecCol)).as("cb"))
+    // pair work rides the corpus side's split count — spread it (identity
+    // at production split counts; see knnJoinExact); bit-packing lands
+    // after the exchange so it parallelizes too
+    val cb = graft.ops.Spread.toSessionParallelism(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("cv")), "id")
+      .select(col("id"), bits(col("cv")).as("cb"))
     val ham = packedDims match {
       case Some(_) => Quantize.hammingPacked(col("cb"), col("pb"))
       case None => size(filter(
@@ -684,8 +696,11 @@ object Ann {
     import graft.plans.TopKByScore.topkByScore
     val a = broadcast(anchors.select(col(idCol).as("anchor_id"),
       col(vecCol).as("av"), col(labelCol).as("al")))
-    corpus.select(col(idCol).as("id"), col(vecCol).as("cv"),
-        col(labelCol).as("cl"))
+    // pair work rides the corpus side's split count — spread it (identity
+    // at production split counts; see knnJoinExact)
+    graft.ops.Spread.toSessionParallelism(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("cv"),
+          col(labelCol).as("cl")), "id")
       .crossJoin(a)
       .filter(col("cl") =!= col("al"))
       .withColumn("cos", vecCosine(col("cv"), col("av")))
@@ -724,7 +739,10 @@ object Ann {
       nprobe: Int,
       k: Int): DataFrame = {
     import graft.plans.TopKByScore.topkByScore
-    val labeled = index.assigned
+    // per-cell pair work rides the assigned (stream) side's split count —
+    // a localCheckpointed local index is ONE partition; spread it (identity
+    // at production split counts; see knnJoinExact)
+    val labeled = graft.ops.Spread.toSessionParallelism(index.assigned, "id")
       .join(corpus.select(col(idCol).as("id"), col(labelCol).as("cl")), "id")
     val acells = anchors.select(col(idCol).as("anchor_id"),
         col(vecCol).as("av"), col(labelCol).as("al"))
@@ -777,7 +795,10 @@ object Ann {
     val l = broadcast(labeled.select(
       col(idCol).as("lid"), col(vecCol).as("lv"),
       col(labelCol).cast("string").as("label")))
-    val top = unlabeled.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // pair work rides the unlabeled (stream) side's split count — spread it
+    // (identity at production split counts; see knnJoinExact)
+    val top = graft.ops.Spread.toSessionParallelism(
+        unlabeled.select(col(idCol).as("id"), col(vecCol).as("v")), "id")
       .crossJoin(l.select(col("lid"), col("lv")))
       .withColumn("cos", vecCosine(col("v"), col("lv")))
       .groupBy(col("id"))
@@ -853,7 +874,11 @@ object Ann {
       .select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
       .withColumn("cid",
         explode(nearestCentroids(col("pv"), index.centroids, nprobe)))
-    pcells.join(index.assigned, Seq("cid"))
+    // per-cell pair work rides the assigned (stream) side's split count —
+    // a localCheckpointed local index is ONE partition; spread it (identity
+    // at production split counts; see knnJoinExact)
+    pcells.join(
+        graft.ops.Spread.toSessionParallelism(index.assigned, "id"), Seq("cid"))
       .filter(col("id") =!= col("probe_id"))
       .withColumn("cos", vecCosine(col("v"), col("pv")))
       .groupBy(col("probe_id"))
